@@ -1,0 +1,84 @@
+"""Quotient filter kernel — exact fingerprint-set semantics.
+
+The reference's ``quotient_filter(q, r, hash)`` (vendor ``quotient-filter/``)
+maps a hash to ``quotient = (h >> r) & (2^q - 1)`` and
+``remainder = h & (2^r - 1)`` (``quotient_filter.cpp:151-157``), i.e. the
+filter stores — losslessly — the SET of low ``q + r`` hash bits, and
+``may_contain(h)`` is exactly "is ``h & (2^(q+r)-1)`` in that set".  A
+quotient filter's false positives come purely from fingerprint truncation.
+
+We therefore keep the same membership semantics with a different physical
+encoding (sorted unique fingerprint array + binary-search probe), which is
+* bit-for-bit identical in accept/reject behavior to the reference for the
+  same (q, r, hash) — reference test FP counts (2264/2273 for q=16, r=4 on
+  series 1..100000 % 2, ``test/sql/bitfilters.test``) reproduce exactly;
+* mergeable (set union) and deletable (set difference), preserving the
+  quotient filter's signature capabilities that XOR/fuse filters lack;
+* probe-vectorizable (``np.searchsorted`` over the whole Arrow batch).
+
+Blob layout (little-endian)::
+
+    b"QF01" | q:u8 | r:u8 | count:u64 | sorted fingerprints: count * u64
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAGIC = b"QF01"
+
+
+def qf_fingerprints(hashes: np.ndarray, q: int, r: int) -> np.ndarray:
+    if not (0 < q <= 56 and 0 < r <= 56 and q + r <= 64):
+        raise ValueError("require 0 < q, r and q + r <= 64")
+    mask = np.uint64((1 << (q + r)) - 1) if q + r < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    return hashes.astype(np.uint64) & mask
+
+
+def qf_build(hashes: np.ndarray, q: int, r: int) -> bytes:
+    fps = np.unique(qf_fingerprints(hashes, q, r))
+    head = _MAGIC + bytes([q, r]) + np.uint64(len(fps)).tobytes()
+    return head + fps.astype("<u8").tobytes()
+
+
+def qf_deserialize(blob: bytes):
+    if blob[:4] != _MAGIC:
+        raise ValueError("not a QF01 blob")
+    q, r = blob[4], blob[5]
+    count = int(np.frombuffer(blob[6:14], dtype="<u8")[0])
+    fps = np.frombuffer(blob[14 : 14 + 8 * count], dtype="<u8")
+    return int(q), int(r), fps
+
+
+def qf_probe(blob: bytes, hashes: np.ndarray) -> np.ndarray:
+    q, r, fps = qf_deserialize(blob)
+    if not len(hashes):
+        return np.zeros(0, dtype=bool)
+    want = qf_fingerprints(hashes, q, r)
+    idx = np.searchsorted(fps, want)
+    idx_c = np.minimum(idx, max(len(fps) - 1, 0))
+    return (len(fps) > 0) & (fps[idx_c] == want)
+
+
+def qf_merge(blobs: list) -> bytes:
+    q = r = None
+    parts = []
+    for b in blobs:
+        qi, ri, fps = qf_deserialize(bytes(b))
+        if q is None:
+            q, r = qi, ri
+        elif (qi, ri) != (q, r):
+            raise ValueError("cannot merge quotient filters with different (q, r)")
+        parts.append(fps)
+    if q is None:
+        raise ValueError("no filters to merge")
+    fps = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+    return _MAGIC + bytes([q, r]) + np.uint64(len(fps)).tobytes() + fps.astype("<u8").tobytes()
+
+
+def qf_remove(blob: bytes, hashes: np.ndarray) -> bytes:
+    """Delete support (quotient filters' distinguishing capability)."""
+    q, r, fps = qf_deserialize(blob)
+    gone = np.unique(qf_fingerprints(hashes, q, r))
+    keep = fps[~np.isin(fps, gone)]
+    return _MAGIC + bytes([q, r]) + np.uint64(len(keep)).tobytes() + keep.astype("<u8").tobytes()

@@ -1,0 +1,148 @@
+"""Pure-numpy filter kernel tests: no false negatives, FPR envelopes,
+merge/delete semantics, serialization round-trips. No Spark needed."""
+
+import numpy as np
+import pytest
+
+from bitfilters_spark.core import bloom, fuse, quotient, xor
+from bitfilters_spark.core.hashing import hash_int64, murmur_mix
+
+N = 50_000
+KEYS = hash_int64(np.arange(1, N + 1, dtype=np.int64))
+OTHERS = hash_int64(np.arange(N + 1, 2 * N + 1, dtype=np.int64))
+
+
+# ------------------------------------------------------------------ xor ---
+
+
+@pytest.mark.parametrize("bits,max_fpr", [(8, 0.011), (16, 0.001)])
+def test_xor_no_false_negatives_and_fpr(bits, max_fpr):
+    blob = xor.xor_build(KEYS, bits=bits)
+    assert xor.xor_probe(blob, KEYS).all()
+    fpr = xor.xor_probe(blob, OTHERS).mean()
+    assert fpr <= max_fpr, fpr
+
+
+def test_xor_space_efficiency():
+    blob = xor.xor_build(KEYS, bits=8)
+    # ~1.23 bytes/elem + header; stay under 1.4
+    assert len(blob) < 1.4 * N
+
+
+def test_xor_tiny_and_empty():
+    blob = xor.xor_build(np.array([7, 8, 9], dtype=np.uint64), bits=8)
+    assert xor.xor_probe(blob, np.array([7, 8, 9], dtype=np.uint64)).all()
+    empty = xor.xor_build(np.zeros(0, dtype=np.uint64), bits=16)
+    assert xor.xor_probe(empty, np.zeros(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_xor_duplicates_ok():
+    dup = np.concatenate([KEYS[:100], KEYS[:100]])
+    blob = xor.xor_build(dup, bits=8)
+    assert xor.xor_probe(blob, KEYS[:100]).all()
+
+
+# ----------------------------------------------------------------- fuse ---
+
+
+@pytest.mark.parametrize("bits,max_fpr", [(8, 0.011), (16, 0.001)])
+def test_fuse_no_false_negatives_and_fpr(bits, max_fpr):
+    blob = fuse.fuse_build(KEYS, bits=bits)
+    assert fuse.fuse_probe(blob, KEYS).all()
+    fpr = fuse.fuse_probe(blob, OTHERS).mean()
+    assert fpr <= max_fpr, fpr
+
+
+def test_fuse_space_beats_xor():
+    bx = xor.xor_build(KEYS, bits=8)
+    bf = fuse.fuse_build(KEYS, bits=8)
+    assert len(bf) < len(bx)
+
+
+def test_fuse_small_sets():
+    for n in (1, 2, 5, 100, 999):
+        ks = murmur_mix(np.arange(n, dtype=np.uint64) + 1)
+        blob = fuse.fuse_build(ks, bits=8)
+        assert fuse.fuse_probe(blob, ks).all()
+
+
+# ------------------------------------------------------------- quotient ---
+
+
+def test_quotient_exact_membership_semantics():
+    q, r = 16, 4
+    blob = quotient.qf_build(KEYS, q, r)
+    assert quotient.qf_probe(blob, KEYS).all()
+    # false positives are EXACTLY low-(q+r)-bit collisions
+    mask = np.uint64((1 << (q + r)) - 1)
+    member_fps = set((KEYS & mask).tolist())
+    expect = np.array([int(h & mask) in member_fps for h in OTHERS])
+    got = quotient.qf_probe(blob, OTHERS)
+    assert (got == expect).all()
+
+
+def test_quotient_merge_and_delete():
+    a = quotient.qf_build(KEYS[:1000], 16, 8)
+    b = quotient.qf_build(KEYS[1000:2000], 16, 8)
+    m = quotient.qf_merge([a, b])
+    assert quotient.qf_probe(m, KEYS[:2000]).all()
+    d = quotient.qf_remove(m, KEYS[:1000])
+    assert quotient.qf_probe(d, KEYS[1000:2000]).all()
+    # removed keys only match if they collide with a survivor
+    mask = np.uint64((1 << 24) - 1)
+    surv = set((KEYS[1000:2000] & mask).tolist())
+    expect = np.array([int(h & mask) in surv for h in KEYS[:1000]])
+    assert (quotient.qf_probe(d, KEYS[:1000]) == expect).all()
+
+
+def test_quotient_reference_fp_counts():
+    """Reproduces the reference's deterministic FP expectation
+    (test/sql/bitfilters.test: q=16, r=4, ids 1..100000 split by parity,
+    duckdb hash) — 2264 and 2273 false positives."""
+    ids = np.arange(1, 100_001, dtype=np.int64)
+    h = hash_int64(ids)
+    even, odd = h[ids % 2 == 0], h[ids % 2 == 1]
+    f_even = quotient.qf_build(even, 16, 4)
+    f_odd = quotient.qf_build(odd, 16, 4)
+    fp_on_even = int(quotient.qf_probe(f_even, odd).sum())
+    fp_on_odd = int(quotient.qf_probe(f_odd, even).sum())
+    assert {fp_on_even, fp_on_odd} == {2264, 2273}
+
+
+# ---------------------------------------------------------------- bloom ---
+
+
+def test_duckdb_bloom_roundtrip_and_fpr():
+    blob = bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(KEYS, 16384))
+    assert bloom.duckdb_bloom_probe(blob, KEYS).all()
+    fpr = bloom.duckdb_bloom_probe(blob, OTHERS).mean()
+    assert fpr < 0.15  # 16k sectors for 50k keys is a loaded filter
+
+
+def test_duckdb_bloom_blob_format():
+    s = bloom.duckdb_bloom_build(np.array([1, 2, 3], dtype=np.uint64), 8)
+    blob = bloom.duckdb_bloom_serialize(s)
+    assert len(blob) == 8 * (8 + 1)
+    assert int(np.frombuffer(blob[:8], "<u8")[0]) == 8
+
+
+def test_duckdb_bloom_merge_equals_bulk():
+    a = bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(KEYS[:25000], 4096))
+    b = bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(KEYS[25000:], 4096))
+    merged = bloom.duckdb_bloom_merge([a, b])
+    bulk = bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(KEYS, 4096))
+    assert merged == bulk
+
+
+def test_generic_bloom_fpp_target():
+    blob = bloom.bloom_serialize(bloom.bloom_build(KEYS, n=N, fpp=0.01), bloom.bloom_params(N, 0.01)[1])
+    assert bloom.bloom_probe(blob, KEYS).all()
+    fpr = bloom.bloom_probe(blob, OTHERS).mean()
+    assert fpr < 0.02, fpr
+
+
+def test_generic_bloom_merge_equals_bulk():
+    k = bloom.bloom_params(N, 0.01)[1]
+    a = bloom.bloom_serialize(bloom.bloom_build(KEYS[:25000], N, 0.01), k)
+    b = bloom.bloom_serialize(bloom.bloom_build(KEYS[25000:], N, 0.01), k)
+    assert bloom.bloom_merge([a, b]) == bloom.bloom_serialize(bloom.bloom_build(KEYS, N, 0.01), k)
