@@ -1,0 +1,312 @@
+"""Filter build (per-group aggregate) and probe (row-wise) operators.
+
+Reference surface re-expressed for Spark's execution model
+(``docs/README.md`` of the reference lists the SQL functions; builds are
+GROUP BY aggregates, probes are scalar functions):
+
+Build — ``build_filter(df, group_cols, hash_col, kind, ...)`` returns a
+DataFrame ``group_cols + [filter: binary]``.  Two physical strategies,
+chosen by filter algebra, NOT by data size:
+
+* **mergeable** (``bloom``, ``duckdb_bloom``, ``quotient``): two-phase —
+  ``mapInPandas`` folds each *partition* into one partial blob per group,
+  then a tiny shuffle of partials is OR/union-merged per group.  At 100 TB
+  the shuffle carries ``#partitions × #groups`` small blobs instead of every
+  row; raw rows never shuffle.
+* **peeled** (``xor8/16``, ``fuse8/16``): construction needs the whole key
+  set at once (hypergraph peeling), so groups shuffle to their builder
+  (``groupBy().applyInPandas``) — same data movement DuckDB's aggregate
+  does implicitly, and the numpy build is O(n) vectorized.
+
+Probe — ``filter_contains(filter_col, hash_col)`` is an Arrow pandas UDF
+that sniffs the blob format, deserializes each *distinct* blob once per
+batch, and probes the whole batch vectorized.  The intended plan shape is
+``fact CROSS JOIN broadcast(filters)`` (a handful of blob rows) → probe is
+map-side, no shuffle of the fact table.
+
+``duckdb_bloom_probe(version, filter_col, *value_cols)`` additionally hashes
+the value columns internally (CombineHash for multi-key), mirroring
+``bitfilters_duckdb_bloom_filter_probe``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StructField, StructType, BinaryType
+
+from ..core import bloom as B
+from ..core import fuse as FU
+from ..core import quotient as Q
+from ..core import xor as X
+from ..core import hashing as H
+from .hashing import _hash_series
+
+MERGEABLE = {"bloom", "duckdb_bloom", "quotient"}
+PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
+
+
+def _to_u64(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+
+
+def _bulk_build(kind: str, hashes: np.ndarray, p: dict) -> bytes:
+    if kind == "quotient":
+        return Q.qf_build(hashes, p["q"], p["r"])
+    if kind == "xor8":
+        return X.xor_build(hashes, 8)
+    if kind == "xor16":
+        return X.xor_build(hashes, 16)
+    if kind == "fuse8":
+        return FU.fuse_build(hashes, 8)
+    if kind == "fuse16":
+        return FU.fuse_build(hashes, 16)
+    if kind == "duckdb_bloom":
+        return B.duckdb_bloom_serialize(B.duckdb_bloom_build(hashes, p["num_sectors"]))
+    if kind == "bloom":
+        m, k = B.bloom_params(p["n"], p["fpp"])
+        return B.bloom_serialize(B.bloom_build(hashes, p["n"], p["fpp"]), k)
+    raise ValueError(f"unknown filter kind {kind!r}")
+
+
+def _merge_blobs(kind: str, blobs: list) -> bytes:
+    if kind == "quotient":
+        return Q.qf_merge(blobs)
+    if kind == "duckdb_bloom":
+        return B.duckdb_bloom_merge(blobs)
+    if kind == "bloom":
+        return B.bloom_merge(blobs)
+    raise ValueError(f"filter kind {kind!r} is not mergeable")
+
+
+def build_filter(
+    df: DataFrame,
+    group_cols: list,
+    hash_col: str,
+    kind: str,
+    *,
+    q: int = 16,
+    r: int = 4,
+    num_sectors: int = 16384,
+    n: int = 100_000,
+    fpp: float = 0.01,
+    filter_col: str = "filter",
+) -> DataFrame:
+    """Aggregate hashes into one serialized filter per group.
+
+    ``df[hash_col]`` must be i64 (two's-complement u64 hash, e.g. from
+    ``spark_hash64`` or ``duckdb_hash``).  ``group_cols=[]`` builds one
+    global filter (single-row result).
+    """
+    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp}
+    dummy = not group_cols
+    if dummy:
+        df = df.withColumn("__g", F.lit(0))
+        group_cols = ["__g"]
+    proj = df.select(*group_cols, F.col(hash_col).cast("long").alias("__h"))
+    gfields = [proj.schema[c] for c in group_cols]
+    out_schema = StructType(gfields + [StructField(filter_col, BinaryType())])
+
+    if kind in MERGEABLE:
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict = {}
+            gvals: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes, uniq = pd.factorize(
+                    pd.Series(zip(*[pdf[c] for c in group_cols])) if len(group_cols) > 1 else pdf[group_cols[0]]
+                )
+                hs = _to_u64(pdf["__h"])
+                for code in range(len(uniq)):
+                    m = codes == code
+                    key = uniq[code]
+                    kk = tuple(key) if isinstance(key, tuple) else (key,)
+                    gvals[kk] = kk
+                    if kind == "quotient":
+                        part = np.unique(Q.qf_fingerprints(hs[m], q, r))
+                        prev = acc.get(kk)
+                        acc[kk] = part if prev is None else np.union1d(prev, part)
+                    elif kind == "duckdb_bloom":
+                        sect = B.duckdb_bloom_build(hs[m], num_sectors)
+                        acc[kk] = sect if kk not in acc else (acc[kk] | sect)
+                    else:  # bloom
+                        w = B.bloom_build(hs[m], n, fpp)
+                        acc[kk] = w if kk not in acc else (acc[kk] | w)
+            rows = []
+            for kk, st in acc.items():
+                if kind == "quotient":
+                    blob = (
+                        Q._MAGIC
+                        + bytes([q, r])
+                        + np.uint64(len(st)).tobytes()
+                        + st.astype("<u8").tobytes()
+                    )
+                elif kind == "duckdb_bloom":
+                    blob = B.duckdb_bloom_serialize(st)
+                else:
+                    blob = B.bloom_serialize(st, B.bloom_params(n, fpp)[1])
+                rows.append((*kk, blob))
+            yield pd.DataFrame(rows, columns=group_cols + [filter_col])
+
+        partial_df = proj.mapInPandas(partials, schema=out_schema)
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = _merge_blobs(kind, [bytes(b) for b in pdf[filter_col]])
+            return pd.DataFrame([(*[pdf[c].iloc[0] for c in group_cols], blob)],
+                                columns=group_cols + [filter_col])
+
+        out = partial_df.groupBy(*group_cols).applyInPandas(merge, schema=out_schema)
+    elif kind in PEELED:
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = _bulk_build(kind, _to_u64(pdf["__h"]), params)
+            return pd.DataFrame([(*[pdf[c].iloc[0] for c in group_cols], blob)],
+                                columns=group_cols + [filter_col])
+
+        out = proj.groupBy(*group_cols).applyInPandas(build, schema=out_schema)
+    else:
+        raise ValueError(f"unknown filter kind {kind!r}")
+
+    return out.drop("__g") if dummy else out
+
+
+def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
+    magic = blob[:4]
+    if magic == b"QF01":
+        return Q.qf_probe(blob, hashes)
+    if magic == b"XORF":
+        return X.xor_probe(blob, hashes)
+    if magic == b"BFUS":
+        return FU.fuse_probe(blob, hashes)
+    if magic == b"SBL1":
+        return B.bloom_probe(blob, hashes)
+    return B.duckdb_bloom_probe(blob, hashes)  # headerless duckdb format
+
+
+def filter_contains(filter_col, hash_col) -> Column:
+    """True if the filter may contain the hash (no false negatives).
+
+    Works for every blob format this engine produces (format sniffed from
+    the blob header). Each distinct blob in an Arrow batch is deserialized
+    once; probes are whole-batch vectorized.
+    """
+
+    @pandas_udf(BooleanType())
+    def _probe(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(blobs), dtype=bool)
+        if len(blobs):
+            h = _to_u64(hashes)
+            codes, uniq = pd.factorize(blobs, use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = _probe_blob(bytes(blob), h[m])
+        return pd.Series(out)
+
+    f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return _probe(f, h)
+
+
+def probe_filter(
+    df: DataFrame,
+    filters,
+    hash_col: str,
+    on: list | None = None,
+    result_col: str = "__contains",
+) -> DataFrame:
+    """Scale-path probe: the Spark analogue of the reference's bind-time
+    constant folding of the filter blob
+    (``bitfilters_duckdb_bloom_filter_probe``,
+    ``bitfilters_duckdb_bloom_filter.cpp:380-418``).
+
+    ``filters`` is the (small) output of :func:`build_filter` — a DataFrame
+    or an already-collected ``{group_tuple: blob}`` dict.  Instead of joining
+    the blob in as a column (which would duplicate kilobytes-to-megabytes of
+    blob into EVERY fact row and ship it through Arrow), the blobs are
+    collected once, broadcast to executors, deserialized once per worker,
+    and the probe UDF receives only the group key + hash columns.  Adds
+    ``result_col`` (boolean; null group → False).  Rows whose group has no
+    filter probe False.
+    """
+    on = list(on or [])
+    if isinstance(filters, DataFrame):
+        fkey_cols = [c for c in filters.columns if c != "filter"]
+        if len(fkey_cols) != len(on):
+            raise ValueError(
+                f"filters has key columns {fkey_cols} but on={on}; lengths must match"
+            )
+        fmap = {
+            tuple(row[c] for c in fkey_cols): bytes(row["filter"])
+            for row in filters.collect()
+        }
+    else:
+        fmap = {tuple(k) if isinstance(k, (tuple, list)) else (k,): bytes(v)
+                for k, v in filters.items()}
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(fmap)
+
+    @pandas_udf(BooleanType())
+    def _probe(*series: pd.Series) -> pd.Series:
+        hashes = series[-1]
+        h = _to_u64(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        m = bc.value
+        if not on:
+            blob = next(iter(m.values()), None)
+            if blob is not None and len(hashes):
+                out[:] = _probe_blob(blob, h)
+        elif len(hashes):
+            if len(on) == 1:
+                codes, uniq = pd.factorize(series[0])
+                keys = [(k,) for k in uniq]
+            else:
+                codes, uniq = pd.factorize(pd.Series(list(zip(*series[:-1]))))
+                keys = [tuple(k) for k in uniq]
+            for code, key in enumerate(keys):
+                blob = m.get(key)
+                if blob is not None:
+                    sel = codes == code
+                    out[sel] = _probe_blob(blob, h[sel])
+        return pd.Series(out)
+
+    cols = [F.col(c) for c in on] + [F.col(hash_col)]
+    return df.withColumn(result_col, _probe(*cols))
+
+
+# reference-named aliases (docs/README.md API reference)
+quotient_filter_contains = filter_contains
+xor8_filter_contains = filter_contains
+xor16_filter_contains = filter_contains
+binary_fuse8_filter_contains = filter_contains
+binary_fuse16_filter_contains = filter_contains
+bloom_filter_contains = filter_contains
+
+
+def duckdb_bloom_probe(version: str, filter_col, *value_cols) -> Column:
+    """``bitfilters_duckdb_bloom_filter_probe``: hashes the value columns
+    with the version's algorithm (CombineHash for multi-key) and probes."""
+    H._string_algo(version)
+    if not value_cols:
+        raise ValueError("duckdb_bloom_probe requires at least one value column")
+
+    @pandas_udf(BooleanType())
+    def _probe(blobs: pd.Series, *series: pd.Series) -> pd.Series:
+        hs = _hash_series(series[0], version)
+        for s in series[1:]:
+            hs = H.combine_hash(hs, _hash_series(s, version))
+        out = np.zeros(len(blobs), dtype=bool)
+        if len(blobs):
+            codes, uniq = pd.factorize(blobs, use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = B.duckdb_bloom_probe(bytes(blob), hs[m])
+        return pd.Series(out)
+
+    f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
+    vals = [F.col(c) if isinstance(c, str) else c for c in value_cols]
+    return _probe(f, *vals)
