@@ -19,12 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitfilters_spark.functions import (
-    build_filter,
-    duckdb_bloom_probe,
-    filter_contains,
-    probe_filter,
-)
+from bitfilters_spark.functions import build_filter, probe_filter
 from bitfilters_spark.functions.hashing import duckdb_hash, spark_hash64
 from bitfilters_spark.sources import load_table
 
@@ -149,8 +144,8 @@ def q_duckdb_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filters = build_filter(keyed, ["remainder"], "h", "duckdb_bloom", num_sectors=16384)
     return (
-        keyed.join(F.broadcast(filters), "remainder")
-        .where(duckdb_bloom_probe(ORACLE_VERSION, "filter", "o_orderkey"))
+        probe_filter(keyed, filters, "h", on=["remainder"])
+        .where(F.col("__contains"))
         .groupBy("remainder")
         .agg(F.count(F.lit(1)).alias("matches"))
     )

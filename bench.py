@@ -1,0 +1,72 @@
+"""Benchmark harness: runs every implemented query from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Materialization is a noop-sink write (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bitfilters-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/py4j warm-up so the first measured query doesn't pay startup costs
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a failing query must not hide the others
+            times[name] = -1.0
+            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+
+    ok = [v for v in times.values() if v >= 0]
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": round(sum(ok), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": int(cpus),
+                "n_queries": len(times),
+                "n_failed": len(times) - len(ok),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
