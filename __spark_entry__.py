@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitfilters_spark.functions import build_filter, probe_filter
+from bitfilters_spark.operators import dedup as D
+from bitfilters_spark.operators import multimodal as MM
+from bitfilters_spark.operators import similarity as SIM
+from bitfilters_spark.operators import text as T
 from bitfilters_spark.functions.hashing import duckdb_hash, spark_hash64
 from bitfilters_spark.sources import load_table
 
@@ -223,6 +227,113 @@ def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ------------------------------------------------- pipeline ops (§2.2) ----
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical fingerprint (5-token prefix creates real
+    duplicate groups in the synthetic corpus): keeper + copy count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring_index("text", " ", 5)
+    return D.dedup_groups(docs.withColumn("fp", fp), "fp", "doc_id")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpeish"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_metrics(docs, "text").select(
+        "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "ttr", "avg_token_len", "quality_score"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_hits("text", "en").alias("sw_en"),
+        T.stopword_hits("text", "de").alias("sw_de"),
+        T.langid("text").alias("lang_pred"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.doc_fingerprint("text", native=False).alias("fp")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard >= 0.1 (shingle-join blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.1)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (>= 0.5).
+    Candidate generation is signature-dependent -> rows-only check here;
+    recall vs the exact operator is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.5)
+
+
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash with DuckDB-parity token hashing (bit-exact oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64(docs, "doc_id", "text", native=False)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-pairs (native hash; rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
+
+
+def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: synth payload -> stub decode -> typed meta
+    rollup. Decode is a documented stub; the metadata is deterministic so
+    the oracle can recompute it from the source column."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = MM.extract_media_meta(MM.attach_payload(docs), "doc_id", "payload")
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("width").cast("long").alias("total_width"),
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup (same code shape batch & streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
+    )
+
+
 # ---------------------------------------------------------------- driver ---
 
 
@@ -246,7 +357,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duckdb_hash_multi": q_duckdb_hash_multi,
         "q_filter_join": q_filter_join,
         "q_filter_sizes": q_filter_sizes,
+        "q_dedup_exact": q_dedup_exact,
+        "q_token_count": q_token_count,
+        "q_quality_score": q_quality_score,
+        "q_langid": q_langid,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_simhash_values": q_simhash_values,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embed_neardup_pairs": q_embed_neardup_pairs,
+        "q_ann_topk": q_ann_topk,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_events_window": q_events_window,
     }
+
+
+def _simhash_oracle_sql() -> str:
+    sums = ",\n  ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(64)
+    )
+    low = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63))
+    sign = "(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (SELECT doc_id, hash(t) AS h FROM tok),
+      s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+      SELECT doc_id, ({low} + {sign})::BIGINT AS simhash FROM s
+    """
+
+
+_SHINGLE_SQL = """
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+           || ' ' || string_split(text,' ')[i+2]))) AS s
+    FROM documents),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+_LANGID_CASE = """
+  CASE WHEN (length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))::DOUBLE
+            / length(text) > 0.3 THEN 'zh'
+       WHEN sw_es > greatest(sw_en, sw_de, sw_fr) THEN 'es'
+       WHEN sw_fr > greatest(sw_en, sw_de) THEN 'fr'
+       WHEN sw_de > sw_en THEN 'de'
+       ELSE 'en' END
+"""
+
+
+def _sw_sql(lang: str) -> str:
+    from bitfilters_spark.operators.text import STOPWORDS
+
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({inlist})))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -284,5 +450,90 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_totalprice > 450000.0
             GROUP BY l_returnflag
+        """,
+        "q_dedup_exact": """
+            SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS fp,
+                   min(doc_id) AS keeper, count(*) AS n_copies
+            FROM documents GROUP BY fp
+        """,
+        "q_token_count": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+            FROM documents
+        """,
+        "q_quality_score": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+              FROM documents)
+            SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
+                   round(n_uniq_tokens::DOUBLE / n_tokens, 6) AS ttr,
+                   round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6) AS avg_token_len,
+                   round(least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+                         + (n_uniq_tokens::DOUBLE / n_tokens) * 0.4
+                         + (1.0 - punct::DOUBLE / n_chars) * 0.1
+                         + (1.0 - digits::DOUBLE / n_chars) * 0.1, 6) AS quality_score
+            FROM m
+        """,
+        "q_langid": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     {_sw_sql("en")} AS sw_en, {_sw_sql("de")} AS sw_de,
+                     {_sw_sql("fr")} AS sw_fr, {_sw_sql("es")} AS sw_es
+              FROM documents)
+            SELECT doc_id, sw_en, sw_de, {_LANGID_CASE} AS lang_pred FROM s
+        """,
+        "q_doc_fingerprint": (
+            "SELECT doc_id, "
+            + _sql_signed(r"hash(lower(regexp_replace(text, '\s+', ' ', 'g')))")
+            + " AS fp FROM documents"
+        ),
+        "q_ngram_jaccard_pairs": f"""
+            WITH {_SHINGLE_SQL},
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.1
+        """,
+        "q_simhash_values": _simhash_oracle_sql(),
+        "q_embed_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "q_ann_topk": """
+            WITH p AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.embedding, b.embedding) AS c
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+            FROM p QUALIFY rank <= 5
+        """,
+        "q_multimodal_meta": """
+            SELECT CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        ELSE 'webp' END AS format,
+                   count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+                   CAST(sum((ascii(substr(text, 1, 1)) % 16) * 16 + 16) AS BIGINT) AS total_width
+            FROM documents GROUP BY format
+        """,
+        "q_events_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, min(event_id) AS first_event
+            FROM events GROUP BY hour, event_type
         """,
     }

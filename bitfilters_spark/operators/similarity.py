@@ -1,0 +1,205 @@
+"""Embedding similarity: exact cosine near-dup / top-k, and an LSH-bucketed
+approximate variant as the huge-N scale path.
+
+Exact path ("brute force done right"): instead of an n^2 row join with
+per-row array arithmetic, the (small-side) query/block matrix is collected
+once, L2-normalized, broadcast, and each partition computes a single numpy
+matmul against its rows via ``mapInPandas`` — Arrow-batched, BLAS-backed,
+no shuffle of the big side at all.  For corpus-vs-corpus near-dup the same
+kernel runs with corpus blocks as the broadcast side.
+
+Approximate path: random-hyperplane signatures (sign bits of dot products
+with broadcast Gaussian vectors) bucket the corpus; only same-bucket pairs
+are scored.  This is the 100 TB ANN strategy (bucket shuffle only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, rank, neighbor_id). Rank orders by similarity desc
+    with neighbor id as deterministic tiebreak. The corpus never shuffles:
+    queries are broadcast, each partition emits its local top-k, and only
+    #queries*k*#partitions candidate rows reduce to the global top-k."""
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qmat))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ qmat_.T  # (rows, nq)
+            out = []
+            for qi in range(len(qids_)):
+                col = sims[:, qi]
+                mask = ids != qids_[qi]
+                cids, csims = ids[mask], col[mask]
+                if not len(cids):
+                    continue
+                top = min(k, len(cids))
+                sel = np.argpartition(-csims, top - 1)[:top]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids_[qi], "neighbor_id": cids[sel], "sim": csims[sel]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    local = df.mapInPandas(local_topk, schema=schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, (id_a < id_b).
+
+    The corpus matrix is broadcast once (fine up to ~10^6 x few-hundred
+    dims); each partition matmuls its rows against the full matrix. For
+    larger corpora switch to :func:`lsh_bucket_pairs`."""
+    ids_all, mat_all = _collect_matrix(df, id_col, vec_col)
+    bc = df.sparkSession.sparkContext.broadcast((ids_all, mat_all))
+
+    schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+
+    def block(batches):
+        ids_, mat_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ mat_.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids[ai], ids_[bj]
+            keep = a < b  # dedupe + drop self
+            if keep.any():
+                yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    return df.mapInPandas(block, schema=schema)
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate near-dup: random-hyperplane LSH bucketing, then exact
+    cosine verification within buckets only (bucket-join shuffle, no n^2)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    sig_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("table", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def signatures(batches):
+        pl = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = []
+            for t in range(pl.shape[0]):
+                bits = (mat @ pl[t].T) > 0  # (rows, n_planes)
+                bucket = np.zeros(len(ids), dtype=np.int64)
+                for p in range(pl.shape[1]):
+                    bucket |= bits[:, p].astype(np.int64) << p
+                out.append(pd.DataFrame({"id": ids, "table": t, "bucket": bucket}))
+            yield pd.concat(out)
+
+    sig = df.mapInPandas(signatures, schema=sig_schema)
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

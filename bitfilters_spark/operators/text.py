@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are pure ``pyspark.sql.functions`` / higher-order
+functions (JVM whole-stage codegen; no Python in the row loop), so they
+scale to 100 TB document tables with zero UDF overhead.  Only document
+fingerprinting offers a DuckDB-parity variant (Arrow UDF) for cross-engine
+reproducibility; the native variant is xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash, spark_hash64
+
+# Minimal stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "en", "un", "por"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens (documents are single-space separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish upper bound: word-piece regex (letters / digits / punct runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Array of n-word shingles (JVM higher-order fns, no UDF)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(t, i + j) for j in range(n)
+    ]))
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """Number of token occurrences that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    inlist = ", ".join(f"'{w}'" for w in words)
+    c = col if isinstance(col, str) else None
+    expr = f"size(filter(split({c}, ' '), t -> t IN ({inlist})))"
+    return F.expr(expr)
+
+
+def nonascii_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, r"[^\x00-\x7F]", ""))) / F.length(c)
+
+
+def langid(text_col: str) -> Column:
+    """Heuristic language ID: CJK via non-ASCII ratio, else argmax of
+    stopword-hit counts with deterministic preference order, 'en' fallback."""
+    hits = {lg: stopword_hits(text_col, lg) for lg in STOPWORDS}
+    best = F.lit("en")
+    best_n = hits["en"]
+    for lg in ("de", "fr", "es"):  # fixed order => deterministic ties
+        best = F.when(hits[lg] > best_n, F.lit(lg)).otherwise(best)
+        best_n = F.when(hits[lg] > best_n, hits[lg]).otherwise(best_n)
+    return F.when(nonascii_ratio(text_col) > 0.3, F.lit("zh")).otherwise(best)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score (all JVM exprs)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    ttr = n_uniq.cast("double") / n_tok
+    avg_tok = (n_chars - n_tok + 1).cast("double") / n_tok
+    score = (
+        F.least(n_tok.cast("double") / 64.0, F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + (F.lit(1.0) - punct.cast("double") / n_chars) * 0.1
+        + (F.lit(1.0) - digits.cast("double") / n_chars) * 0.1
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def doc_fingerprint(text_col: str, native: bool = True) -> Column:
+    """Content fingerprint of whitespace-normalized lowercase text.
+    native=True -> xxhash64 (JVM); False -> DuckDB-parity hash (Arrow UDF)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return spark_hash64(norm) if native else duckdb_hash("v1.0.0", norm)
