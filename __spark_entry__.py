@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitfilters_spark.functions import build_filter, probe_filter
+from bitfilters_spark.functions.filters import build_filters_multi
 from bitfilters_spark.operators import dedup as D
 from bitfilters_spark.operators import multimodal as MM
 from bitfilters_spark.operators import similarity as SIM
@@ -204,27 +205,69 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter size comparison (reference 'Filter Comparison Example').
-    Sizes are engine-specific -> rows-only check (no oracle)."""
+    All 7 filters are built from ONE scan of the hashed projection
+    (build_filters_multi); sizes are engine-specific -> rows-only check."""
     orders = load_table(spark, sf_dir, "orders")
     keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
-    frames = []
-    for kind, kw in [
-        ("quotient", {"q": 16, "r": 4}),
-        ("xor8", {}),
-        ("xor16", {}),
-        ("fuse8", {}),
-        ("fuse16", {}),
-        ("bloom", {"n": 50_000, "fpp": 0.01}),
-        ("duckdb_bloom", {"num_sectors": 16384}),
-    ]:
-        f = build_filter(keyed, [], "h", kind, **kw).select(
-            F.lit(kind).alias("filter_type"), F.length("filter").alias("size_bytes")
+    specs = [
+        ("quotient", "quotient", {"q": 16, "r": 4}),
+        ("xor8", "xor8", {}),
+        ("xor16", "xor16", {}),
+        ("fuse8", "fuse8", {}),
+        ("fuse16", "fuse16", {}),
+        ("bloom", "bloom", {"n": 50_000, "fpp": 0.01}),
+        ("duckdb_bloom", "duckdb_bloom", {"num_sectors": 16384}),
+    ]
+    return build_filters_multi(keyed, "h", specs).select(
+        "filter_type", F.length("filter").alias("size_bytes")
+    )
+
+
+def q_bloom_fp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom FP-rate envelope (reference's commented bitfilters.test bloom
+    block tests FP behavior). Build a bloom over the even-key group, probe
+    the odd-key group (all hits are false positives), and assert the
+    observed rate stays within 2x the design fpp. The boolean invariant IS
+    the oracle row: DuckDB just selects TRUE."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        spark_hash64("o_orderkey").alias("h"),
+    )
+    build = keyed.where(F.col("grp") == 0)
+    probe = keyed.where(F.col("grp") == 1)
+    blobs = build_filter(build, [], "h", "bloom", n=100_000, fpp=0.01)
+    hits = (
+        probe_filter(probe, blobs, "h")
+        .agg(
+            F.sum(F.col("__contains").cast("long")).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
         )
-        frames.append(f)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionAll(f)
-    return out
+    )
+    return hits.select(
+        (F.col("fp").cast("double") / F.col("n") <= 0.02).alias("within_bound")
+    )
+
+
+def q_duckdb_bloom_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duckdb-bloom FP count, EXACT oracle: the sector/mask membership
+    algorithm (bitfilters_duckdb_bloom_filter.cpp:462-466 — sector
+    ``h & (num_sectors-1)``, 4 mask bits from hash bytes 4..7) is
+    reimplemented in DuckDB SQL, and hash parity is certified, so the FP
+    set is deterministic and identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    filters = build_filter(keyed, ["grp"], "h", "duckdb_bloom", num_sectors=1024)
+    flipped = keyed.withColumn("remainder", F.lit(1) - F.col("grp"))
+    return (
+        probe_filter(flipped, filters, "h", on=["remainder"])
+        .where(F.col("__contains"))
+        .groupBy("remainder")
+        .agg(F.count(F.lit(1)).alias("false_positives"))
+    )
 
 
 # ------------------------------------------------- pipeline ops (§2.2) ----
@@ -273,9 +316,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard >= 0.1 (shingle-join blocking)."""
+    """Exact 3-word-shingle Jaccard >= 0.1, df-capped blocking (skew guard:
+    a shingle in d docs fans out d^2 candidate rows; capping df bounds the
+    blowup while verification stays exact over full shingle sets)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.shingle_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.1)
+    return D.shingle_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,9 +340,13 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-banded SimHash near-pairs (native hash; rows-only)."""
+    """SimHash near-pairs, hamming <= 8, FULL recall (9-band pigeonhole
+    blocking + exact hamming verify). DuckDB-parity token hashing makes the
+    pair set bit-deterministic -> exact SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
+    return D.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=8, native=False
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuse8_members": q_fuse8_members,
         "q_fuse16_members": q_fuse16_members,
         "q_bloom_members": q_bloom_members,
+        "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
+        "q_duckdb_bloom_false_positives": q_duckdb_bloom_false_positives,
         "q_duckdb_hash_int": q_duckdb_hash_int,
         "q_duckdb_hash_str": q_duckdb_hash_str,
         "q_duckdb_hash_multi": q_duckdb_hash_multi,
@@ -387,6 +440,41 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _simhash_pairs_oracle_sql(max_hamming: int = 8) -> str:
+    """Brute-force hamming pairs over the simhash values (driver runs this
+    at sf0.01 => 500 docs => 125k pairs: trivially cheap in DuckDB)."""
+    return f"""
+      WITH sims AS ({_simhash_oracle_sql()})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duckdb_bloom_fp_oracle_sql(num_sectors: int = 1024) -> str:
+    """Exact duckdb-bloom membership in SQL: sector = h & (num_sectors-1),
+    mask = 4 bits drawn from hash bytes 4..7 (each & 0x3F), member iff all
+    mask bits present in the OR-aggregated sector word
+    (bitfilters_duckdb_bloom_filter.cpp:462-466, :506-516)."""
+    # HUGEINT: DuckDB's UBIGINT << overflows at bit 63; HUGEINT holds u64 fine
+    mask = " | ".join(f"(1::HUGEINT << (((h >> {8 * i}) & 63)::INT))" for i in (4, 5, 6, 7))
+    return f"""
+      WITH keyed AS (
+        SELECT o_orderkey % 2 AS grp, hash(o_orderkey) AS h FROM orders),
+      ins AS (
+        SELECT grp, h & {num_sectors - 1} AS idx, bit_or({mask}) AS sector
+        FROM keyed GROUP BY grp, idx),
+      probes AS (
+        SELECT (1 - grp) AS tgt, h & {num_sectors - 1} AS idx, {mask} AS mask
+        FROM keyed)
+      SELECT p.tgt AS remainder, count(*) AS false_positives
+      FROM probes p JOIN ins s ON s.grp = p.tgt AND s.idx = p.idx
+      WHERE (s.sector & p.mask) = p.mask
+      GROUP BY p.tgt
+    """
+
+
 _SHINGLE_SQL = """
   sh AS (
     SELECT doc_id, unnest(list_distinct(list_transform(
@@ -396,6 +484,27 @@ _SHINGLE_SQL = """
     FROM documents),
   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
+
+
+def _shingle_jaccard_oracle_sql(threshold: float) -> str:
+    """Exact all-shared-shingle-pair Jaccard >= threshold. Also the oracle
+    for q_minhash_lsh_pairs: its output is exact-Jaccard-verified, and the
+    qualifying pairs in the corpus sit at j >= 0.9 where the 16-band LSH
+    miss probability is < 1e-7 (deterministic given fixed seeds — equality
+    verified at the driver's sf in tools/check_correctness.py)."""
+    return f"""
+        WITH {_SHINGLE_SQL},
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE i::DOUBLE / (na.n + nb.n - i) >= {threshold}
+    """
 
 
 _LANGID_CASE = """
@@ -434,7 +543,10 @@ def oracle_sql() -> dict[str, str]:
         "q_fuse8_members": _MEMBER_ORACLE,
         "q_fuse16_members": _MEMBER_ORACLE,
         "q_bloom_members": _MEMBER_ORACLE,
+        "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
+        "q_duckdb_bloom_false_positives": _duckdb_bloom_fp_oracle_sql(1024),
+        "q_simhash_pairs": _simhash_pairs_oracle_sql(8),
         "q_duckdb_hash_int": (
             f"SELECT o_orderkey, {_sql_signed(h_int)} AS h FROM orders"
         ),
@@ -493,19 +605,8 @@ def oracle_sql() -> dict[str, str]:
             + _sql_signed(r"hash(lower(regexp_replace(text, '\s+', ' ', 'g')))")
             + " AS fp FROM documents"
         ),
-        "q_ngram_jaccard_pairs": f"""
-            WITH {_SHINGLE_SQL},
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes na ON na.doc_id = id_a
-            JOIN sizes nb ON nb.doc_id = id_b
-            WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.1
-        """,
+        "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
+        "q_minhash_lsh_pairs": _shingle_jaccard_oracle_sql(0.5),
         "q_simhash_values": _simhash_oracle_sql(),
         "q_embed_neardup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

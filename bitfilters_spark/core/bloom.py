@@ -59,9 +59,18 @@ def duckdb_bloom_serialize(sectors: np.ndarray) -> bytes:
 
 
 def duckdb_bloom_deserialize(blob: bytes) -> np.ndarray:
+    if len(blob) < 8:
+        raise ValueError("corrupt duckdb bloom blob: shorter than header")
     num_sectors = int(np.frombuffer(blob[:8], dtype="<u8")[0])
     if num_sectors <= 0 or num_sectors & (num_sectors - 1):
         raise ValueError("corrupt duckdb bloom blob: bad num_sectors")
+    # mirror the reference's ParseBlob blob-too-short check
+    # (bitfilters_duckdb_bloom_filter.cpp ParseBlob): a truncated blob must
+    # error, not silently probe fewer sectors with a wrong index mask
+    if len(blob) < 8 * (num_sectors + 1):
+        raise ValueError(
+            f"corrupt duckdb bloom blob: {len(blob)} bytes < {8 * (num_sectors + 1)} required"
+        )
     return np.frombuffer(blob[8 : 8 + 8 * num_sectors], dtype="<u8")
 
 

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, StructField, StructType, BinaryType
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType, BinaryType
 
 from ..core import bloom as B
 from ..core import fuse as FU
@@ -173,6 +173,88 @@ def build_filter(
         raise ValueError(f"unknown filter kind {kind!r}")
 
     return out.drop("__g") if dummy else out
+
+
+def build_filters_multi(
+    df: DataFrame, hash_col: str, specs: list, filter_col: str = "filter"
+) -> DataFrame:
+    """Build MANY filters over the same key set in ONE scan.
+
+    ``specs`` is ``[(name, kind, params_dict), ...]``. A single
+    ``mapInPandas`` pass folds each partition into one payload per spec —
+    a partial blob for mergeable kinds, the partition's distinct raw hashes
+    for peeled kinds (which need the full key set anyway) — and a per-name
+    merge task finishes each filter. The input is scanned exactly once
+    regardless of how many filters are requested (vs. one scan per filter).
+    Returns ``(filter_type, filter)``.
+    """
+    _RAW = b"HSHS"  # payload prefix: partition's raw distinct hashes
+    by_name = {name: (kind, p) for name, kind, p in specs}
+    proj = df.select(F.col(hash_col).cast("long").alias("__h"))
+    out_schema = StructType(
+        [StructField("filter_type", StringType()), StructField(filter_col, BinaryType())]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        merge_state: dict = {}
+        raw: list = []
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            hs = _to_u64(pdf["__h"])
+            raw.append(hs)
+            for name, (kind, p) in by_name.items():
+                if kind not in MERGEABLE:
+                    continue
+                if kind == "quotient":
+                    part = np.unique(Q.qf_fingerprints(hs, p["q"], p["r"]))
+                    prev = merge_state.get(name)
+                    merge_state[name] = part if prev is None else np.union1d(prev, part)
+                elif kind == "duckdb_bloom":
+                    sect = B.duckdb_bloom_build(hs, p["num_sectors"])
+                    merge_state[name] = sect if name not in merge_state else merge_state[name] | sect
+                else:  # bloom
+                    w = B.bloom_build(hs, p["n"], p["fpp"])
+                    merge_state[name] = w if name not in merge_state else merge_state[name] | w
+        if not any_rows:
+            return
+        rows = []
+        all_h = np.unique(np.concatenate(raw))
+        for name, (kind, p) in by_name.items():
+            if kind in MERGEABLE:
+                st = merge_state[name]
+                if kind == "quotient":
+                    blob = (
+                        Q._MAGIC + bytes([p["q"], p["r"]])
+                        + np.uint64(len(st)).tobytes() + st.astype("<u8").tobytes()
+                    )
+                elif kind == "duckdb_bloom":
+                    blob = B.duckdb_bloom_serialize(st)
+                else:
+                    blob = B.bloom_serialize(st, B.bloom_params(p["n"], p["fpp"])[1])
+                rows.append((name, blob))
+            else:
+                rows.append((name, _RAW + all_h.astype("<u8").tobytes()))
+        yield pd.DataFrame(rows, columns=["filter_type", filter_col])
+
+    partial_df = proj.mapInPandas(partials, schema=out_schema)
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        name = pdf["filter_type"].iloc[0]
+        kind, p = by_name[name]
+        payloads = [bytes(b) for b in pdf[filter_col]]
+        if kind in MERGEABLE:
+            blob = _merge_blobs(kind, payloads)
+        else:
+            hs = np.unique(np.concatenate(
+                [np.frombuffer(b[len(_RAW):], dtype="<u8") for b in payloads]
+            ))
+            blob = _bulk_build(kind, hs, p)
+        return pd.DataFrame([(name, blob)], columns=["filter_type", filter_col])
+
+    return partial_df.groupBy("filter_type").applyInPandas(finish, schema=out_schema)
 
 
 def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:

@@ -49,18 +49,44 @@ def dedup_groups(df: DataFrame, fingerprint_col, id_col: str) -> DataFrame:
 # -------------------------------------------------------------- minhash ---
 
 
+_MERSENNE31 = (1 << 31) - 1  # prime field for affine permutations
+
+
+def _minhash_perm_params(k: int, seed: int = 0x5EED):
+    """Deterministic (a_i, b_i) for h_i(x) = (a_i*x + b_i) mod p, a_i != 0.
+    With x < p < 2**31, a_i*x + b_i < 2**62 — no 64-bit overflow, so the
+    whole permutation family runs as plain JVM long arithmetic."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     """(id, sig array<long>) — k min-hash values over word shingles.
 
-    Each permutation is ``xxhash64(shingle, seed_i)``; min-aggregated per
-    doc. All JVM: explode -> k partial-aggregated mins, no Python."""
+    Each shingle is hashed ONCE (``xxhash64``); the k permutations are
+    derived as affine maps (a_i*h + b_i) mod (2^31-1) — cheap JVM integer
+    arithmetic instead of k string hashes (string hashing dominates
+    otherwise). Min-aggregated per doc with map-side partial aggregation:
+    the only wide op is the per-doc groupBy, shuffling k longs per doc."""
+    perms = _minhash_perm_params(k)
+    p = F.lit(_MERSENNE31).cast("long")
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s")
     )
-    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(k)]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    h = F.pmod(F.xxhash64("s"), p).alias("h")
+    hashed = sh.select(id_col, h)
+    aggs = [
+        F.min((F.lit(a).cast("long") * F.col("h") + F.lit(b)) % p).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
 
 
@@ -123,35 +149,51 @@ def minhash_lsh_pairs(
 
 
 def shingle_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """EXACT Jaccard over distinct word-shingle sets for every pair sharing
-    >= 1 shingle (shingle-join blocking). Fully oracle-checkable.
+    """EXACT Jaccard over distinct word-shingle sets, shingle-join blocking.
 
-    The shingle join is the wide op; with n-word shingles the blocking key
-    cardinality is high, so candidate fan-out stays near the true-pair
-    count rather than n^2."""
-    sh = df.select(
+    ``df_cap`` (document-frequency cap) is the skew guard: a shingle present
+    in d documents produces d^2 candidate rows in the blocking self-join, so
+    one hot shingle ("in the the of ...") goes quadratic at scale. Shingles
+    with df > df_cap are excluded from BLOCKING ONLY; verification recomputes
+    the intersection/union over the FULL shingle sets, so every emitted pair
+    carries its exact Jaccard. Recall is complete whenever each qualifying
+    pair shares at least one sub-cap shingle (guaranteed-in-practice for
+    near-dup text; set df_cap=None for unconditional exactness).
+    """
+    shset = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh = shset.select("id", F.explode("sh").alias("s"))
+    if df_cap is not None:
+        w = Window.partitionBy("s")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    cands = (
         a.join(b, "s")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    sa = shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -191,8 +233,20 @@ def simhash64(
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, native: bool = True
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming, blocked on 8-bit bands
-    (a pair within hamming 7 shares at least one of 8 bands)."""
+    """Pairs with hamming(simhash) <= max_hamming, banded for FULL recall.
+
+    Pigeonhole: the 64 signature bits are split into ``max_hamming + 1``
+    contiguous bands, so any pair differing in <= max_hamming bits must agree
+    on at least one whole band — blocking on (band, value) therefore loses no
+    qualifying pair. Exact hamming is then verified on every candidate, so
+    the output is exactly {pairs: hamming <= max_hamming} (oracle-checkable
+    given identical signatures)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)  # band widths: `extra` bands get +1 bit
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    starts = [sum(widths[:i]) for i in range(n_bands)]
     sig = simhash64(df, id_col, text_col, native=native)
     bands = sig.select(
         F.col(id_col).alias("id"),
@@ -201,9 +255,11 @@ def simhash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned("simhash", i * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                    F.shiftrightunsigned("simhash", starts[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .alias("bv"),
                 )
-                for i in range(8)
+                for i in range(n_bands)
             ])
         ).alias("e"),
     ).select("id", "simhash", "e.band", "e.bv")

@@ -49,12 +49,12 @@ def word_shingles(col, n: int = 3) -> Column:
 
 
 def stopword_hits(col, lang: str) -> Column:
-    """Number of token occurrences that are stopwords of ``lang``."""
+    """Number of token occurrences that are stopwords of ``lang``.
+
+    Built from ``F.filter`` + ``Column.isin`` (no string-formatted SQL), so
+    it accepts Column arguments and arbitrary column names."""
     words = STOPWORDS[lang]
-    inlist = ", ".join(f"'{w}'" for w in words)
-    c = col if isinstance(col, str) else None
-    expr = f"size(filter(split({c}, ' '), t -> t IN ({inlist})))"
-    return F.expr(expr)
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
 
 
 def nonascii_ratio(col) -> Column:
@@ -91,7 +91,13 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (F.lit(1.0) - punct.cast("double") / n_chars) * 0.1
         + (F.lit(1.0) - digits.cast("double") / n_chars) * 0.1
     )
-    return df.select(
+    metric_names = (
+        "n_chars", "n_tokens", "n_uniq_tokens", "ttr", "avg_token_len", "quality_score",
+    )
+    # the source table may already carry same-named columns (documents has
+    # n_chars); drop them first so the computed metrics never collide
+    base = df.drop(*[c for c in metric_names if c in df.columns])
+    return base.select(
         "*",
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),

@@ -7,8 +7,36 @@ pruning and partition pruning — never pre-collect or pre-transform here.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+_SHIPPED: set = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``bitfilters_spark`` importable on Spark's Python workers even
+    when the driver process wasn't launched from the repo directory (UDF
+    closures reference package modules by name, so workers must be able to
+    import them). Zips the package once per SparkContext and addPyFile()s
+    it — a no-op for the common repo-cwd case beyond the first call."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(tempfile.gettempdir(), "bitfilters_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
+
 
 TABLES = (
     "region",
@@ -27,6 +55,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ship_package(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and rebuild a (µs) timestamp.
