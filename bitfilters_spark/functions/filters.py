@@ -37,15 +37,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType, StructField, StructType, BinaryType
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql.functions import arrow_udf
 
 from ..core import bloom as B
 from ..core import fuse as FU
 from ..core import quotient as Q
 from ..core import xor as X
 from ..core import hashing as H
-from .hashing import _hash_series
+from .hashing import _hash_arrays
 
 MERGEABLE = {"bloom", "duckdb_bloom", "quotient"}
 PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
@@ -108,7 +111,12 @@ def build_filter(
     if dummy:
         df = df.withColumn("__g", F.lit(0))
         group_cols = ["__g"]
-    proj = df.select(*group_cols, F.col(hash_col).cast("long").alias("__h"))
+    # NULL hashes are skipped, like DuckDB aggregates skip NULL inputs; this
+    # also guarantees the pandas batches keep int64 dtype (a null would
+    # force float64 and round 64-bit hash values)
+    proj = df.select(*group_cols, F.col(hash_col).cast("long").alias("__h")).where(
+        F.col("__h").isNotNull()
+    )
     gfields = [proj.schema[c] for c in group_cols]
     out_schema = StructType(gfields + [StructField(filter_col, BinaryType())])
 
@@ -190,7 +198,9 @@ def build_filters_multi(
     """
     _RAW = b"HSHS"  # payload prefix: partition's raw distinct hashes
     by_name = {name: (kind, p) for name, kind, p in specs}
-    proj = df.select(F.col(hash_col).cast("long").alias("__h"))
+    proj = df.select(F.col(hash_col).cast("long").alias("__h")).where(
+        F.col("__h").isNotNull()
+    )
     out_schema = StructType(
         [StructField("filter_type", StringType()), StructField(filter_col, BinaryType())]
     )
@@ -270,24 +280,38 @@ def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
     return B.duckdb_bloom_probe(blob, hashes)  # headerless duckdb format
 
 
+def _arrow_hashes_u64(hashes: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(u64 hash values, null mask) from an int64 arrow array — exact even
+    when the batch contains nulls (no pandas float64 round-trip)."""
+    if isinstance(hashes, pa.ChunkedArray):
+        hashes = hashes.combine_chunks()
+    mask = np.asarray(hashes.is_null())
+    h = pc.fill_null(hashes, 0).to_numpy().astype(np.int64, copy=False).view(np.uint64)
+    return h, mask
+
+
 def filter_contains(filter_col, hash_col) -> Column:
     """True if the filter may contain the hash (no false negatives).
 
     Works for every blob format this engine produces (format sniffed from
     the blob header). Each distinct blob in an Arrow batch is deserialized
-    once; probes are whole-batch vectorized.
+    once; probes are whole-batch vectorized. NULL hash or NULL filter →
+    NULL (reference scalar-function semantics).
     """
 
-    @pandas_udf(BooleanType())
-    def _probe(blobs: pd.Series, hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(blobs), dtype=bool)
-        if len(blobs):
-            h = _to_u64(hashes)
-            codes, uniq = pd.factorize(blobs, use_na_sentinel=True)
+    @arrow_udf(BooleanType())
+    def _probe(blobs: pa.Array, hashes: pa.Array) -> pa.Array:
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = np.zeros(len(h), dtype=bool)
+        if len(h):
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
             for code, blob in enumerate(uniq):
                 m = codes == code
                 out[m] = _probe_blob(bytes(blob), h[m])
-        return pd.Series(out)
+        mask = hmask | np.asarray(blobs.is_null())
+        return pa.array(out, type=pa.bool_(), mask=mask)
 
     f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
@@ -332,29 +356,29 @@ def probe_filter(
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(fmap)
 
-    @pandas_udf(BooleanType())
-    def _probe(*series: pd.Series) -> pd.Series:
-        hashes = series[-1]
-        h = _to_u64(hashes)
-        out = np.zeros(len(hashes), dtype=bool)
+    @arrow_udf(BooleanType())
+    def _probe(*arrays: pa.Array) -> pa.Array:
+        h, hmask = _arrow_hashes_u64(arrays[-1])
+        out = np.zeros(len(h), dtype=bool)
         m = bc.value
         if not on:
             blob = next(iter(m.values()), None)
-            if blob is not None and len(hashes):
+            if blob is not None and len(h):
                 out[:] = _probe_blob(blob, h)
-        elif len(hashes):
+        elif len(h):
+            series = [a.to_pandas() for a in arrays[:-1]]
             if len(on) == 1:
                 codes, uniq = pd.factorize(series[0])
                 keys = [(k,) for k in uniq]
             else:
-                codes, uniq = pd.factorize(pd.Series(list(zip(*series[:-1]))))
+                codes, uniq = pd.factorize(pd.Series(list(zip(*series))))
                 keys = [tuple(k) for k in uniq]
             for code, key in enumerate(keys):
                 blob = m.get(key)
                 if blob is not None:
                     sel = codes == code
                     out[sel] = _probe_blob(blob, h[sel])
-        return pd.Series(out)
+        return pa.array(out, type=pa.bool_(), mask=hmask)
 
     cols = [F.col(c) for c in on] + [F.col(hash_col)]
     return df.withColumn(result_col, _probe(*cols))
@@ -376,18 +400,19 @@ def duckdb_bloom_probe(version: str, filter_col, *value_cols) -> Column:
     if not value_cols:
         raise ValueError("duckdb_bloom_probe requires at least one value column")
 
-    @pandas_udf(BooleanType())
-    def _probe(blobs: pd.Series, *series: pd.Series) -> pd.Series:
-        hs = _hash_series(series[0], version)
-        for s in series[1:]:
-            hs = H.combine_hash(hs, _hash_series(s, version))
+    @arrow_udf(BooleanType())
+    def _probe(blobs: pa.Array, *arrays: pa.Array) -> pa.Array:
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        hs, hmask = _hash_arrays(arrays, version)
         out = np.zeros(len(blobs), dtype=bool)
         if len(blobs):
-            codes, uniq = pd.factorize(blobs, use_na_sentinel=True)
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
             for code, blob in enumerate(uniq):
                 m = codes == code
                 out[m] = B.duckdb_bloom_probe(bytes(blob), hs[m])
-        return pd.Series(out)
+        mask = hmask | np.asarray(blobs.is_null())
+        return pa.array(out, type=pa.bool_(), mask=mask)
 
     f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
     vals = [F.col(c) if isinstance(c, str) else c for c in value_cols]

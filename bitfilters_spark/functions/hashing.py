@@ -7,20 +7,29 @@
 * ``duckdb_hash(version, *cols)`` — the reference's
   ``bitfilters_duckdb_hash(version, value, ...)``
   (``bitfilters_duckdb_bloom_filter.cpp:283-303``): bit-exact DuckDB hash
-  for a pinned version, multi-column via CombineHash. Arrow-batched pandas
-  UDF over the numpy kernels (wrapping u64 arithmetic can't live in ANSI
-  Column expressions). Returns the u64 hash as its two's-complement i64.
+  for a pinned version, multi-column via CombineHash. Arrow-native UDF over
+  the numpy kernels (wrapping u64 arithmetic can't live in ANSI Column
+  expressions). Returns the u64 hash as its two's-complement i64.
 
-Null semantics match DuckDB's HashVectorTyped: NULL hashes to 0.
+NULL semantics match the reference's scalar-function behavior
+(``test/sql/duckdb_bloom_filter.test:137-139``): NULL input → NULL hash,
+and for multi-column any NULL argument nulls the combined hash.
+
+The UDFs are ``arrow_udf`` (pyarrow arrays in/out), NOT ``pandas_udf``:
+Arrow→pandas converts an int64 column containing any null to float64,
+which silently rounds 64-bit hash values (53-bit mantissa) and mis-routes
+type dispatch. pyarrow arrays keep the declared type plus an exact null
+mask, so a nullable key column hashes identically to a non-null one.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 from pyspark.sql.types import LongType
 
 from ..core import hashing as H
@@ -31,42 +40,63 @@ def spark_hash64(*cols) -> Column:
     return F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
-def _hash_series(s: pd.Series, version: str) -> np.ndarray:
-    dt = s.dtype
-    if pd.api.types.is_bool_dtype(dt):
-        return H.hash_int_narrow(s.fillna(False).to_numpy(dtype=np.int64))
-    if pd.api.types.is_integer_dtype(dt):
-        arr = s.to_numpy()
-        if arr.dtype.itemsize <= 4:
-            return H.hash_int_narrow(arr)
-        return H.hash_int64(arr)
-    if dt == np.float32:
-        return H.hash_float32(s.to_numpy(dtype=np.float32))
-    if pd.api.types.is_float_dtype(dt):
-        return H.hash_float64(s.to_numpy(dtype=np.float64))
-    if pd.api.types.is_datetime64_any_dtype(dt):
-        ns = s.to_numpy(dtype="datetime64[ns]").view(np.int64)
-        return H.hash_int64(ns // 1000)  # DuckDB TIMESTAMP hashes its micros
-    # strings / binary arrive as object series
-    data = [
-        None if v is None or (isinstance(v, float) and np.isnan(v))
-        else (v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
-        for v in s
-    ]
-    return H.hash_bytes(data, version=version)
+def _hash_arrow(a: "pa.Array", version: str) -> tuple[np.ndarray, np.ndarray]:
+    """Hash one pyarrow array with the DuckDB algorithm for its declared
+    type. Returns (uint64 hashes, null mask); masked rows hold hash 0 and
+    must be nulled (or dropped) by the caller."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    null_mask = np.asarray(a.is_null())
+    t = a.type
+    if pa.types.is_boolean(t) or pa.types.is_integer(t):
+        v = pc.fill_null(a, 0).cast(pa.int64()).to_numpy()
+        narrow = pa.types.is_boolean(t) or t.bit_width <= 32
+        h = H.hash_int_narrow(v) if narrow else H.hash_int64(v)
+    elif pa.types.is_float32(t):
+        h = H.hash_float32(a.to_numpy(zero_copy_only=False))  # nulls→NaN, masked out
+    elif pa.types.is_floating(t):
+        h = H.hash_float64(a.to_numpy(zero_copy_only=False))
+    elif pa.types.is_timestamp(t):
+        micros = pc.fill_null(a.cast(pa.int64()), 0).to_numpy()
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[t.unit]
+        micros = micros // 1000 if scale is None else micros * scale
+        h = H.hash_int64(micros)  # DuckDB TIMESTAMP hashes its micros
+    elif pa.types.is_date(t):
+        days = pc.fill_null(a.cast(pa.int32() if t == pa.date32() else pa.int64()), 0)
+        h = H.hash_int_narrow(days.cast(pa.int64()).to_numpy())
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        data = [None if v is None else v.encode("utf-8") for v in a.to_pylist()]
+        h = H.hash_bytes(data, version=version)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        h = H.hash_bytes(a.to_pylist(), version=version)
+    else:
+        raise TypeError(f"duckdb_hash: unsupported column type {t}")
+    if null_mask.any():
+        h = h.copy()
+        h[null_mask] = np.uint64(0)
+    return h, null_mask
+
+
+def _hash_arrays(arrays, version: str) -> tuple[np.ndarray, np.ndarray]:
+    """CombineHash across columns; null if ANY argument is null."""
+    h, m = _hash_arrow(arrays[0], version)
+    for a in arrays[1:]:
+        h2, m2 = _hash_arrow(a, version)
+        h = H.combine_hash(h, h2)
+        m = m | m2
+    return h, m
 
 
 def duckdb_hash(version: str, *cols) -> Column:
-    """DuckDB-version-exact hash of one or more columns, as signed i64."""
+    """DuckDB-version-exact hash of one or more columns, as signed i64.
+    NULL input (any argument) → NULL output, like the reference scalar."""
     H._string_algo(version)  # validate version eagerly (bind-time, like the reference)
     if not cols:
         raise ValueError("duckdb_hash requires at least one value column")
 
-    @pandas_udf(LongType())
-    def _h(*series: pd.Series) -> pd.Series:
-        out = _hash_series(series[0], version)
-        for s in series[1:]:
-            out = H.combine_hash(out, _hash_series(s, version))
-        return pd.Series(out.view(np.int64))
+    @arrow_udf(LongType())
+    def _h(*arrays: pa.Array) -> pa.Array:
+        h, m = _hash_arrays(arrays, version)
+        return pa.array(h.view(np.int64), type=pa.int64(), mask=m)
 
     return _h(*[F.col(c) if isinstance(c, str) else c for c in cols])
