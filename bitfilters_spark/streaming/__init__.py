@@ -1,0 +1,3 @@
+from .dedup import streaming_dedup_exact, streaming_window_counts
+
+__all__ = ["streaming_dedup_exact", "streaming_window_counts"]

@@ -1,0 +1,93 @@
+"""Streaming dedup exactness (SURVEY §5.6): feed overlapping micro-batches
+through a file source into streaming_dedup_exact, assert the memory sink
+holds exactly the first-seen set — duplicates dropped both WITHIN a batch
+and ACROSS batches (state persists between micro-batches)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.streaming import streaming_dedup_exact, streaming_window_counts
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "id long, fp string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: a,b,c with an in-batch duplicate of a
+    _write_batch(spark, src, [(1, "a"), (2, "b"), (3, "c"), (4, "a")])
+
+    stream = spark.readStream.schema("id long, fp string").parquet(src)
+    dedup = streaming_dedup_exact(stream, "fp", "id", num_shards=4)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r["id"] for r in spark.sql("SELECT id FROM dedup_sink").collect()
+        }
+        assert got1 == {1, 2, 3}, "in-batch dup must keep min id"
+
+        # batch 2: duplicates of a & c plus fresh d
+        _write_batch(spark, src, [(5, "a"), (6, "d"), (7, "c")])
+        q.processAllAvailable()
+        got2 = {
+            r["id"] for r in spark.sql("SELECT id FROM dedup_sink").collect()
+        }
+        assert got2 == {1, 2, 3, 6}, "cross-batch dups must be dropped via state"
+
+        # batch 3: everything already seen -> nothing new
+        _write_batch(spark, src, [(8, "a"), (9, "b"), (10, "d")])
+        q.processAllAvailable()
+        got3 = {
+            r["id"] for r in spark.sql("SELECT id FROM dedup_sink").collect()
+        }
+        assert got3 == {1, 2, 3, 6}
+    finally:
+        q.stop()
+
+
+def test_streaming_window_counts_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, "2024-01-01 10:05:00", "click"),
+        (2, "2024-01-01 10:20:00", "click"),
+        (3, "2024-01-01 10:40:00", "view"),
+        (4, "2024-01-01 11:10:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, event_type string").parquet(src)
+    q = (
+        streaming_window_counts(stream, "ts", "event_type", "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM win_sink").collect()
+        }
+        assert got == {
+            ("2024-01-01 10:00:00", "click"): 2,
+            ("2024-01-01 10:00:00", "view"): 1,
+            ("2024-01-01 11:00:00", "click"): 1,
+        }
+    finally:
+        q.stop()
