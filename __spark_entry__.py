@@ -118,6 +118,31 @@ def q_quotient_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quotient_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient-filter DELETION (the capability XOR/fuse lack; reference
+    docs/README.md §Quotient Filters). Build per-group filters, delete every
+    key with o_orderkey % 3 == 0, probe ALL keys: survivors per group are
+    exactly the keys whose 20-bit fingerprint is still present — an exact
+    set-difference semijoin the oracle reproduces."""
+    from bitfilters_spark.functions import quotient_filter_remove
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        "o_orderkey",
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    filters = build_filter(keyed, ["grp"], "h", "quotient", q=16, r=4)
+    deletions = keyed.where(F.col("o_orderkey") % 3 == 0)
+    updated = quotient_filter_remove(filters, deletions, "h", on=["grp"])
+    return (
+        probe_filter(keyed, updated, "h", on=["grp"])
+        .where(F.col("__contains"))
+        .groupBy(F.col("grp").alias("remainder"))
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+
+
 def q_xor8_members(spark, sf_dir):
     return _member_count_query("xor8")(spark, sf_dir)
 
@@ -397,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_quotient_members": q_quotient_members,
         "q_quotient_false_positives": q_quotient_false_positives,
+        "q_quotient_delete": q_quotient_delete,
         "q_xor8_members": q_xor8_members,
         "q_xor16_members": q_xor16_members,
         "q_fuse8_members": q_fuse8_members,
@@ -537,6 +563,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.grp AS remainder, count(*) AS false_positives
             FROM keyed k JOIN sigs s ON s.sig = k.sig AND s.grp <> k.grp
             GROUP BY s.grp
+        """,
+        "q_quotient_delete": """
+            WITH keyed AS (
+              SELECT o_orderkey % 2 AS grp, o_orderkey,
+                     hash(o_orderkey) & 1048575 AS sig
+              FROM orders),
+            kept AS (
+              SELECT DISTINCT grp, sig FROM keyed
+              EXCEPT
+              SELECT DISTINCT grp, sig FROM keyed WHERE o_orderkey % 3 = 0)
+            SELECT k.grp AS remainder, count(*) AS matches
+            FROM keyed k JOIN kept s ON s.grp = k.grp AND s.sig = k.sig
+            GROUP BY k.grp
         """,
         "q_xor8_members": _MEMBER_ORACLE,
         "q_xor16_members": _MEMBER_ORACLE,

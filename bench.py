@@ -41,12 +41,19 @@ def main() -> None:
     # JVM/py4j warm-up so the first measured query doesn't pay startup costs
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
 
+    # median-of-3 per query: one noisy run (GC pause, first-touch JIT,
+    # Python worker spawn) must not distort the gate
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name, fn in E.queries().items():
-        t0 = time.time()
+        samples = []
         try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 3)
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+            samples.sort()
+            times[name] = round(samples[len(samples) // 2], 3)
         except Exception as ex:  # a failing query must not hide the others
             times[name] = -1.0
             print(f"bench: {name} failed: {ex}", file=sys.stderr)

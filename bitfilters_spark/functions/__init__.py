@@ -7,6 +7,7 @@ from .filters import (  # noqa: F401
     filter_contains,
     probe_filter,
     quotient_filter_contains,
+    quotient_filter_remove,
     xor8_filter_contains,
     xor16_filter_contains,
 )

@@ -37,7 +37,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StringType, StructField, StructType, BinaryType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -98,6 +105,7 @@ def build_filter(
     num_sectors: int = 16384,
     n: int = 100_000,
     fpp: float = 0.01,
+    num_shards: int | None = None,
     filter_col: str = "filter",
 ) -> DataFrame:
     """Aggregate hashes into one serialized filter per group.
@@ -105,6 +113,14 @@ def build_filter(
     ``df[hash_col]`` must be i64 (two's-complement u64 hash, e.g. from
     ``spark_hash64`` or ``duckdb_hash``).  ``group_cols=[]`` builds one
     global filter (single-row result).
+
+    ``num_shards`` (peeled kinds only) splits each group's key set by a
+    hash prefix into ``num_shards`` independently-peeled sub-filters,
+    assembled into one SHRD container blob. This is the huge-group scale
+    path: a billion-key group builds as N parallel tasks each holding
+    1/N of the keys, instead of one applyInPandas task holding them all.
+    Probing routes each hash to its shard's sub-filter (same prefix
+    function), so membership semantics are identical.
     """
     params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp}
     dummy = not group_cols
@@ -171,12 +187,46 @@ def build_filter(
 
         out = partial_df.groupBy(*group_cols).applyInPandas(merge, schema=out_schema)
     elif kind in PEELED:
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            blob = _bulk_build(kind, _to_u64(pdf["__h"]), params)
-            return pd.DataFrame([(*[pdf[c].iloc[0] for c in group_cols], blob)],
-                                columns=group_cols + [filter_col])
+        if num_shards and num_shards > 1:
+            ns = int(num_shards)
+            sharded = proj.withColumn(
+                "__shard",
+                (F.shiftrightunsigned(F.col("__h"), 48) % ns).cast("int"),
+            )
+            sub_schema = StructType(
+                gfields
+                + [StructField("__shard", IntegerType()), StructField(filter_col, BinaryType())]
+            )
 
-        out = proj.groupBy(*group_cols).applyInPandas(build, schema=out_schema)
+            def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+                blob = _bulk_build(kind, _to_u64(pdf["__h"]), params)
+                return pd.DataFrame(
+                    [(*[pdf[c].iloc[0] for c in group_cols], int(pdf["__shard"].iloc[0]), blob)],
+                    columns=group_cols + ["__shard", filter_col],
+                )
+
+            subs = sharded.groupBy(*group_cols, "__shard").applyInPandas(
+                build_shard, schema=sub_schema
+            )
+
+            def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+                by_shard = {
+                    int(s): bytes(b) for s, b in zip(pdf["__shard"], pdf[filter_col])
+                }
+                blob = shard_pack(ns, by_shard)
+                return pd.DataFrame(
+                    [(*[pdf[c].iloc[0] for c in group_cols], blob)],
+                    columns=group_cols + [filter_col],
+                )
+
+            out = subs.groupBy(*group_cols).applyInPandas(assemble, schema=out_schema)
+        else:
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                blob = _bulk_build(kind, _to_u64(pdf["__h"]), params)
+                return pd.DataFrame([(*[pdf[c].iloc[0] for c in group_cols], blob)],
+                                    columns=group_cols + [filter_col])
+
+            out = proj.groupBy(*group_cols).applyInPandas(build, schema=out_schema)
     else:
         raise ValueError(f"unknown filter kind {kind!r}")
 
@@ -267,8 +317,49 @@ def build_filters_multi(
     return partial_df.groupBy("filter_type").applyInPandas(finish, schema=out_schema)
 
 
+_SHARD_MAGIC = b"SHRD"
+
+
+def shard_pack(num_shards: int, blobs_by_shard: dict) -> bytes:
+    """Container for hash-prefix-sharded sub-filters:
+    ``SHRD | u32 num_shards | u64 lengths[num_shards] | blobs...``.
+    Shards with no keys are stored zero-length (probe → False)."""
+    lens = [len(blobs_by_shard.get(i, b"")) for i in range(num_shards)]
+    head = (
+        _SHARD_MAGIC
+        + np.uint32(num_shards).tobytes()
+        + np.array(lens, dtype="<u8").tobytes()
+    )
+    return head + b"".join(blobs_by_shard.get(i, b"") for i in range(num_shards))
+
+
+def _shard_of(hashes: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard = top-16-hash-bits mod num_shards — matches the JVM-side
+    ``shiftrightunsigned(h, 48) % num_shards`` used at build time."""
+    return (
+        (hashes.astype(np.uint64, copy=False) >> np.uint64(48))
+        % np.uint64(num_shards)
+    ).astype(np.int64)
+
+
+def _shard_probe(blob: bytes, hashes: np.ndarray) -> np.ndarray:
+    num = int(np.frombuffer(blob[4:8], dtype="<u4")[0])
+    lens = np.frombuffer(blob[8 : 8 + 8 * num], dtype="<u8").astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)]) + 8 + 8 * num
+    shard = _shard_of(hashes, num)
+    out = np.zeros(len(hashes), dtype=bool)
+    for s in np.unique(shard):
+        sub = blob[offs[s] : offs[s + 1]]
+        if len(sub):
+            m = shard == s
+            out[m] = _probe_blob(sub, hashes[m])
+    return out
+
+
 def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
     magic = blob[:4]
+    if magic == _SHARD_MAGIC:
+        return _shard_probe(blob, hashes)
     if magic == b"QF01":
         return Q.qf_probe(blob, hashes)
     if magic == b"XORF":
@@ -382,6 +473,49 @@ def probe_filter(
 
     cols = [F.col(c) for c in on] + [F.col(hash_col)]
     return df.withColumn(result_col, _probe(*cols))
+
+
+def quotient_filter_remove(
+    filters: DataFrame,
+    deletions: DataFrame,
+    hash_col: str,
+    on: list | None = None,
+    filter_col: str = "filter",
+) -> DataFrame:
+    """Delete keys from per-group quotient filters (the quotient filter's
+    distinguishing capability vs XOR/fuse — reference ``docs/README.md``
+    §Quotient Filters: supports deletion). ``filters`` is the output of
+    :func:`build_filter` (kind="quotient"); ``deletions`` carries the same
+    group columns plus ``hash_col`` rows to remove. Groups cogroup so each
+    filter is rewritten once; deletion hashes shuffle only to their group.
+
+    Removal is by fingerprint: deleting a key also deletes any other key
+    sharing its low q+r hash bits (inherent to quotient filters; identical
+    in the reference)."""
+    on = list(on or [])
+    dummy = not on
+    if dummy:
+        filters = filters.withColumn("__g", F.lit(0))
+        deletions = deletions.withColumn("__g", F.lit(0))
+        on = ["__g"]
+    dels = deletions.select(
+        *on, F.col(hash_col).cast("long").alias("__h")
+    ).where(F.col("__h").isNotNull())
+    schema = filters.schema
+
+    def apply(fl_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(fl_pdf):
+            return fl_pdf  # deletions for a group with no filter: no-op
+        out = fl_pdf.iloc[[0]].copy()
+        if len(del_pdf):
+            hs = _to_u64(del_pdf["__h"])
+            out[filter_col] = [Q.qf_remove(bytes(out[filter_col].iloc[0]), hs)]
+        return out
+
+    res = filters.groupBy(*on).cogroup(dels.groupBy(*on)).applyInPandas(
+        apply, schema=schema
+    )
+    return res.drop("__g") if dummy else res
 
 
 # reference-named aliases (docs/README.md API reference)

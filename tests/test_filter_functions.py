@@ -99,6 +99,70 @@ def test_duckdb_bloom_probe_hashes_values_itself(spark, orders):
     assert n == orders.count()
 
 
+@pytest.mark.parametrize("kind", ["xor8", "xor16", "fuse8", "fuse16"])
+def test_sharded_peeled_build_members(spark, orders, kind):
+    """num_shards splits a peeled group into hash-prefix sub-filters built
+    in parallel; the SHRD container must still answer membership with no
+    false negatives (per group) and probe FPs only at the sub-filter rate."""
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"), spark_hash64("o_orderkey").alias("h")
+    )
+    filters = build_filter(keyed, ["grp"], "h", kind, num_shards=4)
+    blobs = {r["grp"]: bytes(r["filter"]) for r in filters.collect()}
+    assert all(b[:4] == b"SHRD" for b in blobs.values())
+    probed = keyed.join(F.broadcast(filters), "grp")
+    got = probed.where(filter_contains("filter", "h")).groupBy("grp").count()
+    want = keyed.groupBy("grp").count()
+    assert {(r["grp"], r["count"]) for r in got.collect()} == {
+        (r["grp"], r["count"]) for r in want.collect()
+    }
+
+
+def test_sharded_container_roundtrip():
+    import numpy as np
+    from bitfilters_spark.core import xor as X
+    from bitfilters_spark.functions.filters import (
+        _probe_blob,
+        _shard_of,
+        shard_pack,
+    )
+
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    ns = 4
+    shards = _shard_of(hashes, ns)
+    blobs = {
+        int(s): X.xor_build(hashes[shards == s], 8) for s in np.unique(shards)
+    }
+    blob = shard_pack(ns, blobs)
+    assert _probe_blob(blob, hashes).all()
+    other = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    fp = _probe_blob(blob, other).mean()
+    assert fp < 0.02  # xor8 fp ~ 1/256 per shard
+
+
+def test_quotient_remove_deletes_fingerprints(spark):
+    from bitfilters_spark.functions import quotient_filter_remove
+
+    df = spark.range(0, 1000).select(spark_hash64("id").alias("h"), "id")
+    filt = build_filter(df, [], "h", "quotient", q=16, r=8)
+    dels = df.where(F.col("id") < 500)
+    updated = quotient_filter_remove(filt, dels, "h")
+    probed = df.crossJoin(F.broadcast(updated)).where(filter_contains("filter", "h"))
+    kept = {r["id"] for r in probed.select("id").collect()}
+    # all non-deleted keys still present (no false negatives)
+    assert set(range(500, 1000)) <= kept
+    # deleted keys gone unless a surviving key shares their 24-bit fingerprint
+    import numpy as np
+    from bitfilters_spark.core.quotient import qf_fingerprints
+    hs = {r["id"]: r["h"] for r in df.collect()}
+    fp = lambda i: int(qf_fingerprints(np.array([hs[i]], dtype=np.int64).view(np.uint64), 16, 8)[0])  # noqa: E731
+    surviving_fps = {fp(i) for i in range(500, 1000)}
+    for i in range(500):
+        if i in kept:
+            assert fp(i) in surviving_fps
+
+
 def test_mergeable_build_equals_bulk(spark, orders):
     """Two-phase (partials + merge) must equal a single-node bulk build."""
     import numpy as np
