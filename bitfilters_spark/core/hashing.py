@@ -116,10 +116,34 @@ def _pad_to_words(data: list) -> tuple[np.ndarray, np.ndarray]:
     return buf.view("<u8").reshape(n, nwords), lens
 
 
+def pack_flat_to_words(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``_pad_to_words`` over a FLAT byte buffer + offsets (the
+    Arrow string/binary layout): no per-row Python. Rows are zero-padded."""
+    n = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    maxlen = int(lens.max()) if n else 0
+    nwords = max(1, (maxlen + 7) // 8)
+    buf = np.zeros((n, nwords * 8), dtype=np.uint8)
+    if maxlen:
+        cols = np.arange(maxlen, dtype=np.int64)
+        mask = cols[None, :] < lens[:, None]
+        pos = offsets[:-1, None].astype(np.int64) + cols[None, :]
+        buf[:, :maxlen][mask] = data[pos[mask]]
+    return buf.view("<u8").reshape(n, nwords), lens.astype(np.uint64)
+
+
 def hash_bytes_v10(data: list) -> np.ndarray:
     """MurmurHash64A(seed=0xe17a1465) — DuckDB 1.0.x string hash."""
-    words, lens = _pad_to_words(data)
-    n = len(data)
+    h = hash_words_v10(*_pad_to_words(data))
+    h[np.array([b is None for b in data], dtype=bool)] = np.uint64(0)
+    return h
+
+
+def hash_words_v10(words: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """v10 algorithm over a pre-packed (n, nwords) u64 matrix + lengths."""
+    n = len(lens)
     with np.errstate(over="ignore"):
         h = _SEED_V10 ^ (lens * _M64A)
         fullw = lens >> np.uint64(3)
@@ -139,14 +163,19 @@ def hash_bytes_v10(data: list) -> np.ndarray:
         h ^= h >> _R47
         h *= _M64A
         h ^= h >> _R47
-    h[np.array([b is None for b in data], dtype=bool)] = np.uint64(0)
     return h
 
 
 def hash_bytes_v14(data: list) -> np.ndarray:
     """DuckDB v1.4+ string hash (reference ``HashBytes_v1_5``)."""
-    words, lens = _pad_to_words(data)
-    n = len(data)
+    h = hash_words_v14(*_pad_to_words(data))
+    h[np.array([b is None for b in data], dtype=bool)] = np.uint64(0)
+    return h
+
+
+def hash_words_v14(words: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """v14 algorithm over a pre-packed (n, nwords) u64 matrix + lengths."""
+    n = len(lens)
     with np.errstate(over="ignore"):
         h = np.uint64(0xE17A1465) ^ (lens * _M64A)
         fullw = lens >> np.uint64(3)
@@ -160,10 +189,16 @@ def hash_bytes_v14(data: list) -> np.ndarray:
         if tmask.any():
             tw = words[np.arange(n), np.minimum(fullw, np.uint64(words.shape[1] - 1)).astype(np.int64)]
             h = np.where(tmask, (h ^ tw) * MURMUR_C, h)
-    out = murmur_mix(h)
-    out[np.array([b is None for b in data], dtype=bool)] = np.uint64(0)
-    return out
+    return murmur_mix(h)
 
 
 def hash_bytes(data: list, version: str = "v1.0.0") -> np.ndarray:
     return hash_bytes_v10(data) if _string_algo(version) == "v10" else hash_bytes_v14(data)
+
+
+def hash_words(words: np.ndarray, lens: np.ndarray, version: str = "v1.0.0") -> np.ndarray:
+    return (
+        hash_words_v10(words, lens)
+        if _string_algo(version) == "v10"
+        else hash_words_v14(words, lens)
+    )

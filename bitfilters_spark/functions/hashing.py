@@ -64,11 +64,26 @@ def _hash_arrow(a: "pa.Array", version: str) -> tuple[np.ndarray, np.ndarray]:
     elif pa.types.is_date(t):
         days = pc.fill_null(a.cast(pa.int32() if t == pa.date32() else pa.int64()), 0)
         h = H.hash_int_narrow(days.cast(pa.int64()).to_numpy())
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        data = [None if v is None else v.encode("utf-8") for v in a.to_pylist()]
-        h = H.hash_bytes(data, version=version)
-    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        h = H.hash_bytes(a.to_pylist(), version=version)
+    elif (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        # zero-copy fast path: hash straight from the Arrow flat buffer +
+        # offsets (UTF-8 bytes are exactly what DuckDB hashes) — no
+        # to_pylist / per-row encode loop
+        wide = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+        bufs = a.buffers()
+        odt = np.int64 if wide else np.int32
+        off = np.frombuffer(bufs[1], dtype=odt)[a.offset : a.offset + len(a) + 1]
+        dat = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        words, lens = H.pack_flat_to_words(dat, off)
+        h = H.hash_words(words, lens, version=version)
     else:
         raise TypeError(f"duckdb_hash: unsupported column type {t}")
     if null_mask.any():

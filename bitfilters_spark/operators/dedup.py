@@ -167,33 +167,61 @@ def shingle_jaccard_pairs(
     pair shares at least one sub-cap shingle (guaranteed-in-practice for
     near-dup text; set df_cap=None for unconditional exactness).
     """
-    shset = df.select(
+    # work on 8-byte shingle hashes, not strings: every downstream shuffle
+    # (freq, self-join, pair aggregation) carries longs
+    sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
-    )
-    sh = shset.select("id", F.explode("sh").alias("s"))
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("t"),
+    ).select("id", F.xxhash64("t").alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    empty = F.array().cast("array<bigint>")
     if df_cap is not None:
-        w = Window.partitionBy("s")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w))
-            .where(F.col("__df") <= df_cap)
-            .drop("__df")
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        # hot shingles number at most total_rows/df_cap — broadcastable
+        hot = freq.where(F.col("df") > df_cap).select("s")
+        cold = sh.join(F.broadcast(hot), "s", "left_anti")
+        hotsets = (
+            sh.join(F.broadcast(hot), "s", "semi")
+            .groupBy("id")
+            .agg(F.collect_list("s").alias("hs"))
         )
-    a, b = sh.alias("a"), sh.alias("b")
-    cands = (
+    else:
+        cold, hotsets = sh, None
+    a, b = cold.alias("a"), cold.alias("b")
+    # pair intersection over cold shingles: the groupBy partial-aggregates
+    # map-side, so the wide shuffle carries (id_a, id_b, count) longs only
+    inter_cold = (
         a.join(b, "s")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
     )
-    sa = shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    res = inter_cold.join(na, "id_a").join(nb, "id_b")
+    if hotsets is not None:
+        ha = hotsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+        hb = hotsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+        res = (
+            res.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "inter",
+                F.col("ic")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("hs_a", empty), F.coalesce("hs_b", empty)
+                    )
+                ),
+            )
+        )
+    else:
+        res = res.withColumn("inter", F.col("ic"))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", inter.cast("double") / union)
+        res.withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
