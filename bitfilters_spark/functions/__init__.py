@@ -5,6 +5,7 @@ from .filters import (  # noqa: F401
     build_filter,
     duckdb_bloom_probe,
     filter_contains,
+    filter_describe,
     probe_filter,
     quotient_filter_contains,
     quotient_filter_remove,

@@ -475,6 +475,35 @@ def probe_filter(
     return df.withColumn(result_col, _probe(*cols))
 
 
+_KIND_BY_MAGIC = {
+    b"QF01": "quotient",
+    b"XORF": "xor",
+    b"BFUS": "binary_fuse",
+    b"SBL1": "bloom",
+    b"SHRD": "sharded",
+}
+
+
+def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame:
+    """Metadata companion to the reference's `octet_length(filter)` sizing
+    examples (docs/README.md 'Filter Comparison'): adds the sniffed blob
+    kind and serialized size for every filter row."""
+
+    @arrow_udf(StringType())
+    def _kind(blobs: pa.Array) -> pa.Array:
+        out = []
+        for b in blobs.to_pylist():
+            if b is None:
+                out.append(None)
+            else:
+                out.append(_KIND_BY_MAGIC.get(bytes(b[:4]), "duckdb_bloom"))
+        return pa.array(out, type=pa.string())
+
+    return filters.withColumn("filter_kind", _kind(F.col(filter_col))).withColumn(
+        "size_bytes", F.length(filter_col)
+    )
+
+
 def quotient_filter_remove(
     filters: DataFrame,
     deletions: DataFrame,

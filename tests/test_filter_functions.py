@@ -141,6 +141,20 @@ def test_sharded_container_roundtrip():
     assert fp < 0.02  # xor8 fp ~ 1/256 per shard
 
 
+def test_filter_describe_sniffs_kinds(spark, orders):
+    from bitfilters_spark.functions import filter_describe
+
+    keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
+    rows = []
+    for kind, want in [("quotient", "quotient"), ("xor8", "xor"),
+                       ("fuse16", "binary_fuse"), ("bloom", "bloom"),
+                       ("duckdb_bloom", "duckdb_bloom")]:
+        f = build_filter(keyed, [], "h", kind, n=2000, num_sectors=256)
+        desc = filter_describe(f).collect()[0]
+        rows.append((kind, desc["filter_kind"], desc["size_bytes"]))
+        assert desc["filter_kind"] == want and desc["size_bytes"] > 0, rows
+
+
 def test_quotient_remove_deletes_fingerprints(spark):
     from bitfilters_spark.functions import quotient_filter_remove
 
