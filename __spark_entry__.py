@@ -206,25 +206,18 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline use case (docs/README.md 'Performance
     Benefits'): bloom-prefilter an expensive join. Probabilistic pre-filter
     + exact join == exact join, so the oracle is the plain join."""
+    from bitfilters_spark.plans import bloom_prefiltered_join
+
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     hot = orders.where(F.col("o_totalprice") > 450000.0).select("o_orderkey")
-    blobs = build_filter(
-        hot.select(spark_hash64("o_orderkey").alias("h")), [], "h",
-        "duckdb_bloom", num_sectors=16384,
+    joined = bloom_prefiltered_join(
+        lineitem, hot, "l_orderkey", "o_orderkey",
+        kind="duckdb_bloom", num_sectors=16384,
     )
-    prefiltered = (
-        probe_filter(lineitem.withColumn("h", spark_hash64("l_orderkey")), blobs, "h")
-        .where(F.col("__contains"))  # map-side ~90%+ row cut, no shuffle
-        .drop("__contains", "h")
-    )
-    return (
-        prefiltered.join(hot, prefiltered["l_orderkey"] == hot["o_orderkey"])
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
-        )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
     )
 
 

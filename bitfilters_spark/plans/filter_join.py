@@ -1,0 +1,79 @@
+"""Composed plan: bloom-prefiltered join — the reference's headline use
+case (docs/README.md 'Performance Benefits': build a filter on the small
+side of a join, probe the large side before the join).
+
+Spark realization: build the filter on the dim keys (tiny result), ship
+the blob to executors as a broadcast VARIABLE (not a join column — a
+joined blob column would duplicate KBs..MBs into every fact row), probe
+the fact rows map-side (zero Exchanges before the cut —
+tests/test_plans.py::test_probe_is_mapside_no_shuffle), then run the exact
+join on the survivors. Because the filter has no false negatives, the
+result is IDENTICAL to the plain join; the filter only cuts shuffle input.
+
+At 100 TB: the fact side never shuffles before the probe, so a selective
+dim predicate (say 1% of keys) cuts the join's shuffle bytes ~99% at the
+cost of one broadcast blob + one vectorized UDF pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.filters import build_filter, probe_filter
+from ..functions.hashing import spark_hash64
+
+
+def bloom_prefiltered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    kind: str = "duckdb_bloom",
+    how: str = "inner",
+    **filter_kwargs,
+) -> DataFrame:
+    """``fact JOIN dim ON fact[fact_key] = dim[dim_key]``, with the fact
+    side pre-cut by a filter built on the dim keys. Result ≡ the exact
+    join (no false negatives); only the data movement changes."""
+    dim_keys = dim.select(dim_key).where(F.col(dim_key).isNotNull())
+    blobs = build_filter(
+        dim_keys.select(spark_hash64(dim_key).alias("__h")), [], "__h", kind,
+        **filter_kwargs,
+    )
+    probed = probe_filter(
+        fact.withColumn("__h", spark_hash64(fact_key)), blobs, "__h"
+    )
+    survivors = probed.where(F.col("__contains")).drop("__contains", "__h")
+    return survivors.join(dim, survivors[fact_key] == dim[dim_key], how)
+
+
+def semijoin_filter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    *,
+    kind: str = "duckdb_bloom",
+    exact: bool = True,
+    **filter_kwargs,
+) -> DataFrame:
+    """Filter-accelerated semijoin (data skipping / cache pre-check shape
+    from the reference docs): keep fact rows whose key is in ``keys``.
+    ``exact=False`` returns the probabilistic superset (filter hits only —
+    no join at all, zero shuffles); ``exact=True`` confirms with a
+    leftsemi join on the survivors."""
+    key_hashes = keys.select(spark_hash64(keys_key).alias("__h"))
+    blobs = build_filter(key_hashes, [], "__h", kind, **filter_kwargs)
+    probed = probe_filter(
+        fact.withColumn("__h", spark_hash64(fact_key)), blobs, "__h"
+    )
+    survivors = probed.where(F.col("__contains")).drop("__contains", "__h")
+    if not exact:
+        return survivors
+    return survivors.join(
+        keys.select(F.col(keys_key).alias("__k")).distinct(),
+        survivors[fact_key] == F.col("__k"),
+        "leftsemi",
+    )

@@ -65,6 +65,34 @@ def test_projection_prunes_document_scan(spark):
     assert "lang" not in line and "source" not in line
 
 
+def test_bloom_prefiltered_join_equals_plain_join(spark):
+    from bitfilters_spark.plans import bloom_prefiltered_join, semijoin_filter
+
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    hot = orders.where(F.col("o_totalprice") > 300000.0).select("o_orderkey")
+    got = (
+        bloom_prefiltered_join(lineitem, hot, "l_orderkey", "o_orderkey")
+        .groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    want = (
+        lineitem.join(hot, lineitem["l_orderkey"] == hot["o_orderkey"])
+        .groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    assert (got["n"], got["q"]) == (want["n"], want["q"])
+    # exact semijoin == leftsemi join; approximate is a superset
+    exact = semijoin_filter(lineitem, hot, "l_orderkey", "o_orderkey").count()
+    plain = lineitem.join(
+        hot, lineitem["l_orderkey"] == hot["o_orderkey"], "leftsemi"
+    ).count()
+    approx = semijoin_filter(
+        lineitem, hot, "l_orderkey", "o_orderkey", exact=False
+    ).count()
+    assert exact == plain and approx >= plain
+
+
 def test_groupby_uses_partial_aggregation(spark):
     """Member-count queries must partial-aggregate map-side (HashAggregate
     below the Exchange) so the shuffle carries one row per group per task,
