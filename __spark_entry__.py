@@ -391,6 +391,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: 1 payload row -> k frame rows through
+    mapInPandas (stub sampler, deterministic: L bytes -> (L%4)+1 frames of
+    L//k bytes), so the explosion is oracle-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_payload(docs), "doc_id", "payload")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (same code shape batch & streaming)."""
     ev = load_table(spark, sf_dir, "events")
@@ -441,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_pairs": q_embed_neardup_pairs,
         "q_ann_topk": q_ann_topk,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_multimodal_frames": q_multimodal_frames,
         "q_events_window": q_events_window,
     }
 
@@ -663,6 +672,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS total_bytes,
                    CAST(sum((ascii(substr(text, 1, 1)) % 16) * 16 + 16) AS BIGINT) AS total_width
             FROM documents GROUP BY format
+        """,
+        "q_multimodal_frames": """
+            SELECT doc_id,
+                   unnest(generate_series(0, length(text) % 4)) AS frame_idx,
+                   length(text) // ((length(text) % 4) + 1) AS n_bytes
+            FROM documents
         """,
         "q_events_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -75,6 +76,83 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """STUB resize: a real implementation would decode, resample and
+    re-encode (PIL.Image.resize); the fake deterministically re-encodes the
+    payload to ``width*height // 64`` bytes by cycling the source bytes.
+    The production mechanics — binary in/binary out mapInPandas, Arrow
+    batches, per-partition parallelism — are real."""
+    target = max(1, width * height // 64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                src = np.frombuffer(bytes(b) if b is not None else b"\0", dtype=np.uint8)
+                if not len(src):
+                    src = np.zeros(1, dtype=np.uint8)
+                resized = src[np.arange(target) % len(src)]
+                out.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """STUB frame sampler ("video" payload -> k frames). Deterministic
+    fake: a payload of L bytes yields k = (L % 4) + 1 frames of L // k
+    bytes each — so the row-explosion shape (1 input row -> k output rows
+    through mapInPandas) is real and the result is oracle-expressible."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                L = len(b) if b is not None else 0
+                k = (L % 4) + 1
+                for f in range(k):
+                    ids.append(int(i))
+                    idxs.append(f)
+                    sizes.append(L // k)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "n_bytes": sizes})
+
+    return df.select(id_col, payload_col).mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
 FEATURE_DIM = 16
