@@ -103,7 +103,10 @@ def minhash_lsh_pairs(
     distinct shingle sets (so output pairs are exact-above-threshold; LSH
     only bounds recall). Returns (id_a, id_b, jaccard)."""
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    # the signature plan feeds both sides of the band self-join and would
+    # otherwise be computed twice (Spark has no automatic subplan reuse
+    # across self-join branches); k longs per doc — tiny to cache
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n).cache()
     band_cols = [
         F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
         .alias(f"b{b}")
@@ -128,7 +131,7 @@ def minhash_lsh_pairs(
     )
     shset = df.select(
         F.col(id_col).alias("id"), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
-    )
+    ).cache()  # referenced by both sides of the candidate-verify join
     sa = shset.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shset.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -169,10 +172,13 @@ def shingle_jaccard_pairs(
     """
     # work on 8-byte shingle hashes, not strings: every downstream shuffle
     # (freq, self-join, pair aggregation) carries longs
+    # cached: feeds sizes, the df-frequency count, both self-join sides and
+    # the hot-set build — 16 bytes/row vs recomputing the shingle transform
+    # up to 5x
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("t"),
-    ).select("id", F.xxhash64("t").alias("s"))
+    ).select("id", F.xxhash64("t").alias("s")).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     empty = F.array().cast("array<bigint>")
     if df_cap is not None:
@@ -275,7 +281,9 @@ def simhash_near_pairs(
     base, extra = divmod(64, n_bands)  # band widths: `extra` bands get +1 bit
     widths = [base + 1] * extra + [base] * (n_bands - extra)
     starts = [sum(widths[:i]) for i in range(n_bands)]
-    sig = simhash64(df, id_col, text_col, native=native)
+    # 16 bytes/doc; cached so the band self-join doesn't run the 64-sum
+    # aggregation (the expensive part) once per side
+    sig = simhash64(df, id_col, text_col, native=native).cache()
     bands = sig.select(
         F.col(id_col).alias("id"),
         "simhash",

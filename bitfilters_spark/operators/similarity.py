@@ -156,6 +156,7 @@ def cosine_neardup_pairs(
         )
         .groupBy("__bid")
         .applyInPandas(pack, schema=pack_schema)
+        .cache()  # joined twice (bid_a / bid_b side); one packed copy of the corpus
     )
 
     pair_ids = [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)]
