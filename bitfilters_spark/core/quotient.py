@@ -52,12 +52,13 @@ def qf_deserialize(blob: bytes):
 
 def qf_probe(blob: bytes, hashes: np.ndarray) -> np.ndarray:
     q, r, fps = qf_deserialize(blob)
-    if not len(hashes):
-        return np.zeros(0, dtype=bool)
+    if not len(hashes) or not len(fps):
+        # empty filter (e.g. everything deleted) contains nothing
+        return np.zeros(len(hashes), dtype=bool)
     want = qf_fingerprints(hashes, q, r)
     idx = np.searchsorted(fps, want)
-    idx_c = np.minimum(idx, max(len(fps) - 1, 0))
-    return (len(fps) > 0) & (fps[idx_c] == want)
+    idx_c = np.minimum(idx, len(fps) - 1)
+    return fps[idx_c] == want
 
 
 def qf_merge(blobs: list) -> bytes:

@@ -1,0 +1,84 @@
+"""Property-based kernel invariants (hypothesis): the no-false-negative
+contract and serialization round-trips must hold for ARBITRARY hash sets,
+including adversarial values (0, u64 max, dense duplicates), and the
+vectorized string hash must agree with the scalar packing path."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bitfilters_spark.core import bloom, fuse, hashing, quotient, xor
+
+u64s = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=400
+)
+
+
+def _arr(xs):
+    return np.array(xs, dtype=np.uint64)
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s)
+def test_xor_never_false_negative(xs):
+    h = _arr(xs)
+    blob = xor.xor_build(h, 8)
+    if len(h):
+        assert xor.xor_probe(blob, h).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s)
+def test_fuse_never_false_negative(xs):
+    h = _arr(xs)
+    blob = fuse.fuse_build(h, 16)
+    if len(h):
+        assert fuse.fuse_probe(blob, h).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s, st.integers(min_value=4, max_value=20), st.integers(min_value=1, max_value=16))
+def test_quotient_membership_is_exact_fingerprint_set(xs, q, r):
+    if q + r > 64:
+        r = 64 - q
+    h = _arr(xs)
+    blob = quotient.qf_build(h, q, r)
+    if len(h):
+        assert quotient.qf_probe(blob, h).all()
+    # exactness: a probe hits iff its (q+r)-bit fingerprint is in the set
+    rng = np.random.default_rng(1)
+    others = rng.integers(0, 2**64, size=200, dtype=np.uint64)
+    want = np.isin(
+        quotient.qf_fingerprints(others, q, r), quotient.qf_fingerprints(h, q, r)
+    ) if len(h) else np.zeros(200, dtype=bool)
+    got = quotient.qf_probe(blob, others)
+    assert (got == want).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s)
+def test_bloom_merge_of_random_split_equals_bulk(xs):
+    h = _arr(xs)
+    bulk = bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(h, 64))
+    cut = len(h) // 2
+    parts = [
+        bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(h[:cut], 64)),
+        bloom.duckdb_bloom_serialize(bloom.duckdb_bloom_build(h[cut:], 64)),
+    ]
+    assert bloom.duckdb_bloom_merge(parts) == bulk
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=50))
+def test_flat_packing_matches_list_packing(blobs):
+    """pack_flat_to_words (Arrow buffer fast path) must hash identically to
+    the per-row list path for both string-hash versions."""
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    for version in ("v1.0.0", "v1.5.1"):
+        fast = hashing.hash_words(
+            *hashing.pack_flat_to_words(flat, offsets), version=version
+        )
+        slow = hashing.hash_bytes(list(blobs), version=version)
+        assert (fast == slow).all()
