@@ -78,6 +78,40 @@ def test_lsh_bucket_pairs_recall_and_precision(spark):
     assert planted <= got
 
 
+def test_ivf_topk_full_probe_is_exact(spark):
+    """nprobe == n_centroids scans every cell -> must equal exact top-k."""
+    from bitfilters_spark.operators.similarity import ivf_topk
+
+    df, _, mat, ids = _corpus(spark, n_pairs=0)
+    queries = df.where(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, queries, k=4).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, queries, k=4, n_centroids=8, nprobe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    from bitfilters_spark.operators.similarity import ivf_topk
+
+    df, _, mat, ids = _corpus(spark, n_pairs=0)
+    queries = df.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(df, queries, k=3, n_centroids=16, nprobe=8).collect()
+    }
+    hits = sum(1 for key, nid in exact.items() if ivf.get(key) == nid)
+    assert hits / len(exact) >= 0.6, f"recall {hits}/{len(exact)}"
+
+
 def test_cosine_topk_matches_brute(spark):
     df, _, mat, ids = _corpus(spark, n_pairs=0)
     queries = df.where(F.col("vec_id") < 3)
