@@ -22,24 +22,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as E
+    from bitfilters_spark.session import make_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("bitfilters-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        # aggressively reclaim shuffle files + broadcasts between queries:
-        # with ~90 query executions in one session the default 30min
-        # periodicGC lets state pile up and drags the tail queries 5-9x
-        .config("spark.cleaner.periodicGC.interval", "15s")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
+    # make_session carries the engine's tuned posture, including the 15s
+    # periodicGC that keeps ~90 query executions from piling up shuffle
+    # state (which dragged tail queries 5-9x)
+    spark = make_session(app="bitfilters-bench", cpus=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/py4j warm-up so the first measured query doesn't pay startup costs
