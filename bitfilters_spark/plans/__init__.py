@@ -1,3 +1,4 @@
 from .filter_join import bloom_prefiltered_join, semijoin_filter
+from .skew import salted_join
 
-__all__ = ["bloom_prefiltered_join", "semijoin_filter"]
+__all__ = ["bloom_prefiltered_join", "salted_join", "semijoin_filter"]

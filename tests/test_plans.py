@@ -93,6 +93,30 @@ def test_bloom_prefiltered_join_equals_plain_join(spark):
     assert exact == plain and approx >= plain
 
 
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    from bitfilters_spark.plans import salted_join
+
+    # 90% of fact rows hit one key — the salting target shape
+    fact = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("dk"), (F.col("id") * 10).alias("dval")
+    )
+    got = (
+        salted_join(fact, dim, "k", "dk", n_salts=8)
+        .groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("dval").alias("s"))
+        .collect()[0]
+    )
+    want = (
+        fact.join(dim, fact["k"] == dim["dk"])
+        .groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("dval").alias("s"))
+        .collect()[0]
+    )
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
 def test_groupby_uses_partial_aggregation(spark):
     """Member-count queries must partial-aggregate map-side (HashAggregate
     below the Exchange) so the shuffle carries one row per group per task,
