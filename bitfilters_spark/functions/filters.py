@@ -444,6 +444,16 @@ def probe_filter(
     else:
         fmap = {tuple(k) if isinstance(k, (tuple, list)) else (k,): bytes(v)
                 for k, v in filters.items()}
+    total_bytes = sum(len(v) for v in fmap.values())
+    if total_bytes > 1 << 30:
+        # honest scale guard: a >1 GiB blob map should not ride the driver +
+        # broadcast path. Join the blob in as a column and use
+        # filter_contains instead (grouped join keeps blobs off the driver).
+        raise ValueError(
+            f"probe_filter: filter map is {total_bytes >> 20} MiB across "
+            f"{len(fmap)} groups — too large to broadcast. Join the filters "
+            "DataFrame on the group keys and probe with filter_contains."
+        )
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(fmap)
 

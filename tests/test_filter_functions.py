@@ -141,6 +141,34 @@ def test_sharded_container_roundtrip():
     assert fp < 0.02  # xor8 fp ~ 1/256 per shard
 
 
+def test_build_filters_multi_matches_individual_builds(spark, orders):
+    """One-scan multi-build must produce byte-identical blobs for the
+    deterministic mergeable kinds and membership-equivalent peeled blobs."""
+    from bitfilters_spark.functions.filters import _probe_blob, build_filters_multi
+    import numpy as np
+
+    keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
+    specs = [
+        ("quotient", "quotient", {"q": 16, "r": 4}),
+        ("xor8", "xor8", {}),
+        ("bloom", "bloom", {"n": 2000, "fpp": 0.01}),
+        ("duckdb_bloom", "duckdb_bloom", {"num_sectors": 512}),
+    ]
+    multi = {
+        r["filter_type"]: bytes(r["filter"])
+        for r in build_filters_multi(keyed, "h", specs).collect()
+    }
+    assert set(multi) == {s[0] for s in specs}
+    hashes = np.array([r["h"] for r in keyed.collect()], dtype=np.int64).view(np.uint64)
+    for name, kind, kw in specs:
+        single = bytes(
+            build_filter(keyed, [], "h", kind, **kw).collect()[0]["filter"]
+        )
+        if kind in ("quotient", "bloom", "duckdb_bloom"):
+            assert multi[name] == single, f"{name}: multi-build blob differs"
+        assert _probe_blob(multi[name], hashes).all()
+
+
 def test_filter_describe_sniffs_kinds(spark, orders):
     from bitfilters_spark.functions import filter_describe
 
