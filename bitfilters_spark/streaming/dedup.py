@@ -85,6 +85,66 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_dedup_bloom(
+    stream: DataFrame,
+    fingerprint_col: str,
+    id_col: str,
+    num_shards: int = 32,
+    n: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Bounded-state streaming dedup: per-shard BLOOM state instead of the
+    exact seen-set. State is a fixed ``m``-bit array per shard regardless
+    of stream length — the 100 TB-stream path. Semantics: a true duplicate
+    is ALWAYS dropped (no false negatives in the filter), while a fresh
+    item is dropped spuriously at ~fpp — i.e. exactness of deduplication
+    trades for bounded memory, never the other way around.
+    """
+    from ..core import bloom as B
+
+    m_bits, k = B.bloom_params(n, fpp)
+
+    hashed = stream.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.col(fingerprint_col)).alias("fp_hash"),
+        F.pmod(F.xxhash64(F.col(fingerprint_col)), F.lit(num_shards)).alias("shard"),
+    )
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("fp_hash", LongType())]
+    )
+    state_schema = StructType([StructField("words", BinaryType())])
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            words = np.frombuffer(blob, dtype="<u8").copy()
+        else:
+            words = np.zeros(m_bits // 64, dtype=np.uint64)
+        serialized = B.bloom_serialize(words, k)
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("id").drop_duplicates("fp_hash", keep="first")
+            h = pdf["fp_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+            fresh = ~B.bloom_probe(serialized, h)
+            if fresh.any():
+                out.append(pdf.loc[fresh, ["id", "fp_hash"]])
+                words |= B.bloom_build(h[fresh], n, fpp)
+                serialized = B.bloom_serialize(words, k)
+        state.update((words.astype("<u8").tobytes(),))
+        if out:
+            yield pd.concat(out)
+
+    return hashed.groupBy("shard").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_window_counts(
     stream: DataFrame,
     ts_col: str,

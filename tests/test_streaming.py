@@ -59,6 +59,46 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_bloom_bounded_state(spark, tmp_path):
+    """Bloom-state variant: duplicates are ALWAYS dropped (no false
+    negatives in the filter); fresh items pass except at ~fpp. With a
+    roomy filter (n >> items) everything behaves exactly."""
+    from bitfilters_spark.streaming import streaming_dedup_bloom
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(i, f"doc{i}") for i in range(100)])
+
+    stream = spark.readStream.schema("id long, fp string").parquet(src)
+    dedup = streaming_dedup_bloom(stream, "fp", "id", num_shards=4, n=100_000, fpp=0.001)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("bloom_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["id"] for r in spark.sql("SELECT id FROM bloom_sink").collect()}
+        # fp ~0.1% on 100 items: overwhelmingly all pass
+        assert len(got1) >= 99
+
+        # batch 2: 50 duplicates (must ALL be dropped) + 50 fresh
+        _write_batch(
+            spark, src,
+            [(200 + i, f"doc{i}") for i in range(50)]
+            + [(300 + i, f"new{i}") for i in range(50)],
+        )
+        q.processAllAvailable()
+        got2 = {r["id"] for r in spark.sql("SELECT id FROM bloom_sink").collect()}
+        dup_ids = {200 + i for i in range(50)}
+        assert not (got2 & dup_ids), "bloom state must drop every true duplicate"
+        assert len(got2 - got1) >= 49  # fresh items pass (minus ~fpp)
+    finally:
+        q.stop()
+
+
 def test_streaming_window_counts_matches_batch(spark, tmp_path):
     src = str(tmp_path / "ev")
     rows = [
