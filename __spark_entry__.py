@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bitfilters_spark.functions import build_filter, probe_filter
 from bitfilters_spark.functions.filters import build_filters_multi
+from bitfilters_spark.operators import clustering as CL
 from bitfilters_spark.operators import dedup as D
 from bitfilters_spark.operators import multimodal as MM
 from bitfilters_spark.operators import similarity as SIM
@@ -351,6 +352,32 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.5)
 
 
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair generator for the clustering queries: exact 3-shingle
+    Jaccard >= 0.1 (same parameters as q_ngram_jaccard_pairs, so the edge
+    set is deterministic and SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
+    )
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-dup pairs: (doc_id, component) where
+    component = min doc_id reachable through the pair graph. Oracle is a
+    DuckDB recursive CTE over the same edge set."""
+    cc = CL.connected_components(_neardup_pairs(spark, sf_dir))
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: keep one representative (min doc_id) per
+    near-dup cluster; singletons pass through."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = CL.dedup_near(docs, _neardup_pairs(spark, sf_dir), "doc_id")
+    return kept.select("doc_id")
+
+
 def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash with DuckDB-parity token hashing (bit-exact oracle)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -443,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_neardup_clusters": q_neardup_clusters,
+        "q_dedup_near": q_dedup_near,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_values": q_simhash_values,
         "q_simhash_pairs": q_simhash_pairs,
@@ -532,6 +561,35 @@ def _shingle_jaccard_oracle_sql(threshold: float) -> str:
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE i::DOUBLE / (na.n + nb.n - i) >= {threshold}
+    """
+
+
+def _neardup_cc_sql(final_select: str, threshold: float = 0.1) -> str:
+    """Connected components over the exact-Jaccard pair graph as a DuckDB
+    recursive CTE: ``walk`` enumerates every reachable (node, node) pair
+    (finite state + UNION dedup => terminates), so min(b) per a is the
+    component label. Feasible at oracle sf because clusters are tiny."""
+    return f"""
+      WITH RECURSIVE {_SHINGLE_SQL},
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE i::DOUBLE / (na.n + nb.n - i) >= {threshold}),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b AS a, id_a AS b FROM p),
+      walk(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+      comp AS (
+        SELECT a AS id, least(a, min(b)) AS component FROM walk GROUP BY a)
+      {final_select}
     """
 
 
@@ -647,6 +705,13 @@ def oracle_sql() -> dict[str, str]:
             + " AS fp FROM documents"
         ),
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
+        "q_neardup_clusters": _neardup_cc_sql(
+            "SELECT id AS doc_id, component FROM comp"
+        ),
+        "q_dedup_near": _neardup_cc_sql(
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)"
+        ),
         "q_minhash_lsh_pairs": _shingle_jaccard_oracle_sql(0.5),
         "q_simhash_values": _simhash_oracle_sql(),
         "q_embed_neardup_pairs": """

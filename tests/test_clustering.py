@@ -1,0 +1,88 @@
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.clustering import (
+    cluster_report,
+    connected_components,
+    dedup_near,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_components_multi_hop_chain(spark):
+    # path 1-2-3-4-5 plus disjoint edge 10-11: propagation must cross hops
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    )
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_components_direction_and_merge(spark):
+    # edges given in arbitrary direction; two chains merging via a bridge
+    cc = connected_components(
+        _pairs(spark, [(7, 3), (3, 9), (20, 9), (40, 41)])
+    )
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 20: 3, 40: 40, 41: 40}
+
+
+def test_components_random_graph_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    # brute-force union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    in_graph = {n for e in edges for n in e}
+    expected = {}
+    for n in in_graph:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {}
+    for members in expected.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    cc = connected_components(_pairs(spark, edges))
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == want
+
+
+def test_cluster_report(spark):
+    rep = cluster_report(_pairs(spark, [(1, 2), (2, 3), (8, 9)]))
+    got = {r["component"]: r["n_members"] for r in rep.collect()}
+    assert got == {1: 3, 8: 2}
+
+
+def test_dedup_near_keeps_representative_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 4)])
+    kept = dedup_near(docs, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 3, 5]
+
+
+def test_max_iter_caps_iterations(spark):
+    # a 6-node path with max_iter=1: labels move only one hop, no crash
+    cc = connected_components(
+        _pairs(spark, [(i, i + 1) for i in range(1, 6)]), max_iter=1
+    )
+    assert cc.count() == 6
