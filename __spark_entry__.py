@@ -426,6 +426,33 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.attach_payload(docs), "doc_id", "payload")
 
 
+def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (reference docs/README.md: 'Skip irrelevant
+    data partitions'): write orders range-partitioned by o_custkey into 8
+    files, build a per-file bloom index in one scan, then answer a key-IN
+    query reading ONLY files the index cannot rule out. No false negatives
+    => result identical to the full scan (the oracle)."""
+    import tempfile
+
+    from bitfilters_spark.sources import skipping as SK
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        f"bitfilters_skipdemo_{os.path.basename(os.path.normpath(sf_dir))}",
+        "orders",
+    )
+    SK.make_file_partitioned_copy(
+        spark, os.path.join(sf_dir, "orders.parquet"), dest, "o_custkey", num_files=8
+    )
+    index = SK.build_file_index(
+        spark, dest, ["o_custkey"], "bloom", n=200_000, fpp=0.01
+    )
+    keys = [7, 61, 133]
+    return SK.skipping_read(
+        spark, dest, "o_custkey", keys, index=index
+    ).select("o_orderkey", "o_custkey")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (same code shape batch & streaming)."""
     ev = load_table(spark, sf_dir, "events")
@@ -477,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_embed_neardup_pairs": q_embed_neardup_pairs,
         "q_ann_topk": q_ann_topk,
+        "q_data_skipping": q_data_skipping,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
         "q_events_window": q_events_window,
@@ -730,6 +758,10 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
             FROM p QUALIFY rank <= 5
         """,
+        "q_data_skipping": (
+            "SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_custkey IN (7, 61, 133)"
+        ),
         "q_multimodal_meta": """
             SELECT CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         ELSE 'webp' END AS format,

@@ -1,0 +1,124 @@
+"""File-level data skipping with filter indexes.
+
+The reference documents "data skipping" as a headline use case for its
+filters (``docs/README.md``: "Skip irrelevant data partitions in analytical
+queries"). Inside DuckDB that means probing a filter before scanning a
+partition; the Spark-first realization is a **file-level filter index**,
+the same shape as Delta/Iceberg column stats but with no-false-negative
+membership filters instead of min/max ranges:
+
+1. ``build_file_index`` — ONE scan of the dataset, grouped by
+   ``input_file_name()``: a mergeable filter (bloom family) per file via
+   the two-phase partial build. Shuffle carries one small blob per
+   (partition × file), never rows.
+2. ``prune_files`` — probe each file's blob with the wanted key hashes.
+   The index is metadata-scale (one row per file: a 100 TB dataset with
+   1 GB files has ~100k rows), so probing happens driver-side — exactly
+   where Spark's own file listing and footer pruning happen; the surviving
+   file list must reach the driver anyway to form the read plan.
+3. ``skipping_read`` — plan the parquet scan over ONLY the surviving
+   files, then apply the exact predicate. No false negatives ⇒ the result
+   is identical to a full scan; the filter only removes whole files that
+   provably contain no matching key.
+
+Persist the index with ``save_index`` / ``load_index`` and rebuild only
+for files that changed (an index row is keyed by file path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.filters import _probe_blob, build_filter
+from ..functions.hashing import spark_hash64
+
+
+def build_file_index(
+    spark: SparkSession,
+    path: str,
+    key_cols: list,
+    kind: str = "bloom",
+    **filter_kw,
+) -> DataFrame:
+    """(file, filter) — one membership filter per parquet file over the key.
+
+    Mergeable kinds only make sense here (the per-file build is the
+    two-phase partial aggregate); peeled kinds would work but buy nothing
+    for an index.
+    """
+    df = spark.read.parquet(path)
+    keyed = df.select(
+        F.input_file_name().alias("file"),
+        spark_hash64(*key_cols).alias("h"),
+    )
+    return build_filter(keyed, ["file"], "h", kind, **filter_kw)
+
+
+def key_hashes(spark: SparkSession, values: list) -> np.ndarray:
+    """Hash probe values with the SAME Spark expression the index used,
+    guaranteeing parity (one tiny local DataFrame, no table scan)."""
+    vdf = spark.createDataFrame([(v,) for v in values], ["v"])
+    rows = vdf.select(spark_hash64("v").alias("h")).collect()
+    return np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+
+
+def prune_files(
+    index: DataFrame, hashes: np.ndarray, filter_col: str = "filter"
+) -> list[str]:
+    """Files that MAY contain any of the hashed keys (no false negatives:
+    a pruned file definitely contains none of them)."""
+    rows = index.collect()  # metadata-scale: one row per file
+    return sorted(
+        r["file"]
+        for r in rows
+        if len(r[filter_col]) and bool(_probe_blob(bytes(r[filter_col]), hashes).any())
+    )
+
+
+def skipping_read(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values: list,
+    index: DataFrame | None = None,
+    kind: str = "bloom",
+    **filter_kw,
+) -> DataFrame:
+    """``SELECT * FROM path WHERE key_col IN values`` reading only files the
+    index cannot rule out. Exact: the final ``isin`` predicate re-checks
+    survivors (bloom FPs cost I/O, never correctness)."""
+    if index is None:
+        index = build_file_index(spark, path, [key_col], kind, **filter_kw)
+    files = prune_files(index, key_hashes(spark, values))
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(key_col).isin(values))
+
+
+def save_index(index: DataFrame, path: str) -> None:
+    index.write.mode("overwrite").parquet(path)
+
+
+def load_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def make_file_partitioned_copy(
+    spark: SparkSession,
+    src_parquet: str,
+    dest_dir: str,
+    order_col: str,
+    num_files: int = 8,
+) -> str:
+    """Rewrite a dataset into ``num_files`` files range-ordered by
+    ``order_col`` (files correlate with the key ⇒ skipping can prune).
+    This is the layout step a real pipeline does once at ingest."""
+    df = spark.read.parquet(src_parquet)
+    df.repartitionByRange(num_files, F.col(order_col)).write.mode(
+        "overwrite"
+    ).parquet(dest_dir)
+    return dest_dir

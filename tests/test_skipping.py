@@ -1,0 +1,64 @@
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.sources.skipping import (
+    build_file_index,
+    key_hashes,
+    load_index,
+    make_file_partitioned_copy,
+    prune_files,
+    save_index,
+    skipping_read,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("skip") / "orders")
+    make_file_partitioned_copy(
+        spark, f"{SF}/orders.parquet", dest, "o_custkey", num_files=8
+    )
+    return dest
+
+
+def test_index_has_one_row_per_file(spark, part_dir):
+    idx = build_file_index(spark, part_dir, ["o_custkey"], "bloom", n=5000, fpp=0.01)
+    n_files = len(glob.glob(f"{part_dir}/part-*.parquet"))
+    assert idx.count() == n_files
+
+
+def test_prune_skips_files_and_read_is_exact(spark, part_dir):
+    idx = build_file_index(spark, part_dir, ["o_custkey"], "bloom", n=5000, fpp=0.01)
+    full = spark.read.parquet(part_dir)
+    some_keys = [r["o_custkey"] for r in full.select("o_custkey").distinct().limit(3).collect()]
+
+    files = prune_files(idx, key_hashes(spark, some_keys))
+    n_files = len(glob.glob(f"{part_dir}/part-*.parquet"))
+    # range-partitioned by the key: 3 keys live in at most 3 files (+ FPs)
+    assert 1 <= len(files) < n_files
+
+    got = skipping_read(spark, part_dir, "o_custkey", some_keys, index=idx)
+    want = full.where(F.col("o_custkey").isin(some_keys))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_absent_keys_prune_everything(spark, part_dir):
+    idx = build_file_index(spark, part_dir, ["o_custkey"], "bloom", n=5000, fpp=0.001)
+    got = skipping_read(spark, part_dir, "o_custkey", [-1, -2], index=idx)
+    assert got.count() == 0
+
+
+def test_index_roundtrip(spark, part_dir, tmp_path):
+    idx = build_file_index(spark, part_dir, ["o_custkey"], "duckdb_bloom", num_sectors=1024)
+    p = str(tmp_path / "idx")
+    save_index(idx, p)
+    idx2 = load_index(spark, p)
+    full = spark.read.parquet(part_dir)
+    keys = [r["o_custkey"] for r in full.select("o_custkey").distinct().limit(2).collect()]
+    assert prune_files(idx2, key_hashes(spark, keys)) == prune_files(
+        idx, key_hashes(spark, keys)
+    )
