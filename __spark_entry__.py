@@ -327,6 +327,38 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (Gopher-style): top-bigram share + duplicate
+    trigram fraction per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_metrics(docs, "doc_id", "text")
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministically plant synthetic PII (the corpus has none): an email
+    for doc_id%3==0, a phone for doc_id%4==0 — so counts vary per row and
+    the redacted text exercises real match spans."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", F.concat("text", email, phone).alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (regex dialect kept Java/RE2-portable);
+    the redacted string is hash-compared, so match spans must be exact."""
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", *T.pii_metrics("text"), T.redact_pii("text").alias("redacted")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -496,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_langid": q_langid,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition": q_repetition,
+        "q_pii_redact": q_pii_redact,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_neardup_clusters": q_neardup_clusters,
         "q_dedup_near": q_dedup_near,
@@ -732,6 +766,42 @@ def oracle_sql() -> dict[str, str]:
             + _sql_signed(r"hash(lower(regexp_replace(text, '\s+', ' ', 'g')))")
             + " AS fp FROM documents"
         ),
+        "q_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                                   i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+                    list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+                  FROM t),
+            bg AS (SELECT doc_id, unnest(bgs) AS b FROM g),
+            cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS topn FROM cnt GROUP BY 1)
+            SELECT g.doc_id, len(bgs) AS n_bigrams,
+                   round(coalesce(topn, 0)::DOUBLE / greatest(len(bgs), 1), 6)
+                     AS top_bigram_frac,
+                   round((len(tgs) - len(list_distinct(tgs)))::DOUBLE
+                         / greatest(len(tgs), 1), 6) AS dup_trigram_frac
+            FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+        """,
+        "q_pii_redact": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN ' user' || doc_id::VARCHAR || '@example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                        THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{T.PHONE_RE}')) AS n_phones,
+                   regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{T.PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM aug
+        """,
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
         "q_neardup_clusters": _neardup_cc_sql(
             "SELECT id AS doc_id, component FROM comp"

@@ -121,6 +121,81 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Repetition features (the Gopher-style 'repetitive document' signals):
+
+    * ``top_bigram_frac`` — share of bigram occurrences taken by the single
+      most frequent bigram (boilerplate/babble detector),
+    * ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats of an earlier trigram.
+
+    Distinct-counting is pure array arithmetic; the top-bigram count needs
+    a per-(doc, bigram) aggregate — explode + two hash-partitioned
+    aggregations on the doc id (map-side partial agg both times). The
+    exploded rows are (id, 8-byte hash): hashing the bigram BEFORE the
+    explode keeps the shuffle narrow at corpus scale.
+    """
+    t = tokens(text_col)
+    bigrams = word_shingles(text_col, 2)
+    trigrams = word_shingles(text_col, 3)
+    base = df.select(
+        F.col(id_col),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(trigrams).alias("n_trigrams"),
+        F.size(F.array_distinct(trigrams)).alias("n_uniq_trigrams"),
+        bigrams.alias("__bg"),
+    )
+    top = (
+        base.select(id_col, F.explode("__bg").alias("bg"))
+        .select(id_col, F.xxhash64("bg").alias("bgh"))
+        .groupBy(id_col, "bgh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        base.drop("__bg")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double")
+                / F.greatest("n_bigrams", F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                (F.col("n_trigrams") - F.col("n_uniq_trigrams")).cast("double")
+                / F.greatest("n_trigrams", F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+# intentionally simple patterns with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — no lookaround, no backreferences
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_RE = r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def pii_metrics(col) -> list:
+    """(n_emails, n_phones) occurrence counts — cheap JVM regexp scans."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+    ]
+
+
+def redact_pii(col) -> Column:
+    """Replace email/phone matches with typed placeholders. Email first so a
+    phone-like digit run inside an address is already gone."""
+    c = F.col(col) if isinstance(col, str) else col
+    r = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(r, PHONE_RE, "<PHONE>")
+
+
 def doc_fingerprint(text_col: str, native: bool = True) -> Column:
     """Content fingerprint of whitespace-normalized lowercase text.
     native=True -> xxhash64 (JVM); False -> DuckDB-parity hash (Arrow UDF)."""
