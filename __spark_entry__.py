@@ -289,6 +289,33 @@ def q_duckdb_bloom_false_positives(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_filter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter algebra: merge per-(o_orderkey%4) duckdb-blooms into
+    per-(%4 div 2) filters; probe EVERY key against its coarse-group
+    filter and count hits. merge ≡ build-on-union and the sector/mask
+    algorithm is SQL-expressible, so the hit count (members + exact FPs)
+    is deterministic on both engines."""
+    from bitfilters_spark.functions.filters import merge_filters
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 4).alias("g4"),
+        F.floor((F.col("o_orderkey") % 4) / 2).cast("long").alias("g2"),
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    fine = build_filter(keyed, ["g4", "g2"], "h", "duckdb_bloom", num_sectors=1024)
+    merged = merge_filters(fine, ["g2"])
+    # probe each key against the OTHER coarse group's merged filter: every
+    # hit is a false positive, so the count checks every bit of the union
+    flipped = keyed.withColumn("g2", F.lit(1) - F.col("g2"))
+    return (
+        probe_filter(flipped, merged, "h", on=["g2"])
+        .where(F.col("__contains"))
+        .groupBy("g2")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+
+
 # ------------------------------------------------- pipeline ops (§2.2) ----
 
 
@@ -518,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
         "q_duckdb_bloom_false_positives": q_duckdb_bloom_false_positives,
+        "q_filter_union": q_filter_union,
         "q_duckdb_hash_int": q_duckdb_hash_int,
         "q_duckdb_hash_str": q_duckdb_hash_str,
         "q_duckdb_hash_multi": q_duckdb_hash_multi,
@@ -707,6 +735,25 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
         "q_duckdb_bloom_false_positives": _duckdb_bloom_fp_oracle_sql(1024),
+        "q_filter_union": (
+            lambda mask: f"""
+            WITH keyed AS (
+              SELECT (o_orderkey % 4) // 2 AS g2, hash(o_orderkey) AS h
+              FROM orders),
+            ins AS (
+              SELECT g2, h & 1023 AS idx, bit_or({mask}) AS sector
+              FROM keyed GROUP BY g2, idx),
+            probes AS (SELECT 1 - g2 AS g2, h & 1023 AS idx, {mask} AS mask FROM keyed)
+            SELECT p.g2, count(*) AS matches
+            FROM probes p JOIN ins s ON s.g2 = p.g2 AND s.idx = p.idx
+            WHERE (s.sector & p.mask) = p.mask
+            GROUP BY p.g2
+        """
+        )(
+            " | ".join(
+                f"(1::HUGEINT << (((h >> {8 * i}) & 63)::INT))" for i in (4, 5, 6, 7)
+            )
+        ),
         "q_simhash_pairs": _simhash_pairs_oracle_sql(8),
         "q_duckdb_hash_int": (
             f"SELECT o_orderkey, {_sql_signed(h_int)} AS h FROM orders"

@@ -485,6 +485,49 @@ def probe_filter(
     return df.withColumn(result_col, _probe(*cols))
 
 
+def merge_filters(
+    filters: DataFrame, group_cols: list, filter_col: str = "filter"
+) -> DataFrame:
+    """Union fine-grained mergeable filters into one per coarser group.
+
+    For the mergeable family (bloom / duckdb_bloom: bitwise OR; quotient:
+    fingerprint-set union) merge(build(A), build(B)) is IDENTICAL to
+    build(A ∪ B) — the algebra the reference's bloom relies on internally
+    when DuckDB combines aggregate states. Exposed as an operator it gives
+    the hierarchical rollup path: per-file filters → per-partition →
+    global, without rescanning rows. ``group_cols=[]`` merges everything
+    into one global filter.
+
+    The shuffle carries one blob per fine group (collect_list of already-
+    aggregated state), never rows; the merge itself is one Arrow batch per
+    coarse group.
+    """
+
+    @arrow_udf(BinaryType())
+    def _merge(lists: pa.Array) -> pa.Array:
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        out = []
+        for blobs in lists.to_pylist():
+            blobs = [bytes(b) for b in (blobs or []) if b is not None]
+            if not blobs:
+                out.append(None)
+                continue
+            magic = blobs[0][:4]
+            kind = {b"QF01": "quotient", b"SBL1": "bloom"}.get(magic, "duckdb_bloom")
+            if magic in (b"XORF", b"BFUS", _SHARD_MAGIC):
+                raise ValueError(
+                    "peeled filters (xor/fuse) are not mergeable; rebuild instead"
+                )
+            out.append(_merge_blobs(kind, blobs))
+        return pa.array(out, type=pa.binary())
+
+    agged = filters.groupBy(*group_cols).agg(
+        F.collect_list(filter_col).alias("__blobs")
+    )
+    return agged.withColumn(filter_col, _merge(F.col("__blobs"))).drop("__blobs")
+
+
 _KIND_BY_MAGIC = {
     b"QF01": "quotient",
     b"XORF": "xor",

@@ -214,3 +214,56 @@ def test_mergeable_build_equals_bulk(spark, orders):
     hashes = np.array([r["h"] for r in keyed.collect()], dtype=np.int64).view(np.uint64)
     bulk = B.duckdb_bloom_serialize(B.duckdb_bloom_build(hashes, 512))
     assert bytes(blob) == bulk
+
+
+# ------------------------------------------------------------- merge ---
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("bloom", {"n": 2000, "fpp": 0.01}),
+    ("duckdb_bloom", {"num_sectors": 2048}),
+    ("quotient", {"q": 16, "r": 4}),
+])
+def test_merge_equals_build_on_union(spark, orders, kind, kw):
+    """merge(build(A), build(B)) must be byte-identical to build(A ∪ B) for
+    the mergeable family — the algebra behind hierarchical filter rollup."""
+    from bitfilters_spark.functions.filters import merge_filters
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 4).alias("g4"), spark_hash64("o_orderkey").alias("h")
+    ).withColumn("g2", F.col("g4") / 2)
+    keyed = keyed.withColumn("g2", F.floor("g2").cast("long"))
+    fine = build_filter(keyed, ["g4", "g2"], "h", kind, **kw)
+    merged = merge_filters(fine, ["g2"])
+    direct = build_filter(keyed, ["g2"], "h", kind, **kw)
+    got = {r["g2"]: bytes(r["filter"]) for r in merged.collect()}
+    want = {r["g2"]: bytes(r["filter"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_merge_rejects_peeled(spark, orders):
+    from bitfilters_spark.functions.filters import merge_filters
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"), spark_hash64("o_orderkey").alias("h")
+    )
+    fine = build_filter(keyed, ["grp"], "h", "xor8")
+    with pytest.raises(Exception, match="not mergeable"):
+        merge_filters(fine, []).collect()
+
+
+def test_merge_global(spark, orders):
+    from bitfilters_spark.functions.filters import merge_filters
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"), spark_hash64("o_orderkey").alias("h")
+    )
+    fine = build_filter(keyed, ["grp"], "h", "bloom", n=2000, fpp=0.01)
+    merged = merge_filters(fine, [])
+    assert merged.count() == 1
+    n = (
+        keyed.crossJoin(F.broadcast(merged))
+        .where(filter_contains("filter", "h"))
+        .count()
+    )
+    assert n == keyed.count()
