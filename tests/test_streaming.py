@@ -131,3 +131,45 @@ def test_streaming_window_counts_matches_batch(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_streaming_filter_join_matches_batch_join(spark, tmp_path):
+    """Stream-static bloom-prefiltered join: result identical to the plain
+    join (no false negatives), across micro-batches."""
+    from bitfilters_spark.streaming import streaming_filter_join
+
+    src = str(tmp_path / "fj_in")
+    ckpt = str(tmp_path / "fj_ckpt")
+    dim = spark.createDataFrame(
+        [(2, "two"), (5, "five"), (7, "seven")], "k long, name string"
+    )
+    _write_batch(spark, src, [(i, str(i % 10)) for i in range(20)])
+
+    stream = spark.readStream.schema("id long, fp string").parquet(src)
+    stream = stream.withColumn("k", F.col("id") % 10)
+    joined = streaming_filter_join(stream, dim, "k", kind="bloom", n=100, fpp=0.01)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("fj_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(i, str(i % 10)) for i in range(20, 40)])
+        q.processAllAvailable()
+        got = sorted(
+            (r["id"], r["k"], r["name"])
+            for r in spark.sql("SELECT id, k, name FROM fj_sink").collect()
+        )
+    finally:
+        q.stop()
+    batch = spark.read.schema("id long, fp string").parquet(src).withColumn(
+        "k", F.col("id") % 10
+    )
+    want = sorted(
+        (r["id"], r["k"], r["name"]) for r in batch.join(dim, on="k").collect()
+    )
+    # ids 0..39, k = id % 10 ∈ {2,5,7} → 3 matches per 10 ids = 12 rows
+    assert got == want and len(got) == 12
