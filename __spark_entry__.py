@@ -464,6 +464,50 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by DuckDB-parity hash bucket
+    (low-bit mask, not modulo, so two's-complement i64 agrees with the
+    oracle's u64). Reproducible across engines and repartitioning."""
+    from bitfilters_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = SP.hash_split(
+        docs, "doc_id", {"train": 8, "val": 1, "test": 1}, native=False
+    )
+    return out.select("doc_id", "split")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 tokens by occurrence (tie-break on the
+    token) with document frequency. The global rank window runs over the
+    VOCABULARY (already aggregated), not the corpus — the only full sort
+    is vocab-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select("token", "n", "df", "rank")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed ANN at full probe (nprobe == n_centroids): exact recall,
+    so the brute-force oracle applies while the query exercises the
+    cell-assignment + cell-routed-join scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16, nprobe=16
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: synth payload -> stub decode -> typed meta
     rollup. Decode is a documented stub; the metadata is deterministic so
@@ -566,6 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_embed_neardup_pairs": q_embed_neardup_pairs,
         "q_ann_topk": q_ann_topk,
+        "q_ivf_topk": q_ivf_topk,
+        "q_hash_split": q_hash_split,
+        "q_vocab_topk": q_vocab_topk,
         "q_data_skipping": q_data_skipping,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
@@ -874,6 +921,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
             FROM p QUALIFY rank <= 5
+        """,
+        "q_ivf_topk": """
+            WITH p AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.embedding, b.embedding) AS c
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+            FROM p QUALIFY rank <= 5
+        """,
+        "q_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN (hash(doc_id) & 1023) < 819 THEN 'train'
+                        WHEN (hash(doc_id) & 1023) < 921 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q_vocab_topk": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            agg AS (
+              SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY token)
+            SELECT token, n, df,
+                   row_number() OVER (ORDER BY n DESC, token) AS rank
+            FROM agg QUALIFY rank <= 100
         """,
         "q_data_skipping": (
             "SELECT o_orderkey, o_custkey FROM orders "

@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training pipelines need samples and train/val/test splits that are (a)
+reproducible across runs and engines, (b) stable under repartitioning,
+and (c) correlated across tables sharing a key (sample the same users in
+`orders` and `events`). Random sampling gives none of these; keying the
+decision on the row's hash gives all three — and it is a pure map-side
+predicate Catalyst can push into the scan (zero shuffle at any scale).
+
+Bucket arithmetic uses LOW BITS via a power-of-2 mask, not modulo: the
+two's-complement i64 that carries the u64 hash has identical low bits, so
+``(h & mask)`` agrees between engines while ``h % n`` would not for
+negative i64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_hash, spark_hash64
+
+
+def _bucket(key_col, mask: int, native: bool) -> Column:
+    h = spark_hash64(key_col) if native else duckdb_hash("v1.0.0", key_col)
+    return h.bitwiseAND(F.lit(mask))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    mask: int = 1023,
+    native: bool = True,
+) -> DataFrame:
+    """Keep rows whose key-hash low bits fall below ``threshold``; sampling
+    rate ≈ threshold / (mask + 1). ``native=False`` uses the DuckDB-parity
+    hash so an external engine draws the SAME sample."""
+    if mask & (mask + 1):
+        raise ValueError("mask must be 2^k - 1")
+    return df.where(_bucket(key_col, mask, native) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict,
+    mask: int = 1023,
+    split_col: str = "split",
+    native: bool = True,
+) -> DataFrame:
+    """Assign each row a split label by hash-bucket range.
+
+    ``weights`` maps label -> relative weight; ranges are allocated in
+    insertion order over the ``mask+1`` buckets (floor division keeps them
+    integral; the LAST label absorbs the remainder so every bucket is
+    covered). Deterministic per key: the same key lands in the same split
+    in every table and every run.
+    """
+    if mask & (mask + 1):
+        raise ValueError("mask must be 2^k - 1")
+    n_buckets = mask + 1
+    total = sum(weights.values())
+    b = _bucket(key_col, mask, native)
+    labels = list(weights)
+    # CASE b < e1 -> l1 WHEN b < e2 -> l2 ... ELSE last; built inside-out
+    expr = F.lit(labels[-1])
+    for lab, e in reversed(split_edges(weights, mask)):
+        expr = F.when(b < e, F.lit(lab)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_edges(weights: dict, mask: int = 1023) -> list:
+    """The bucket edges ``hash_split`` uses — exposed so an oracle (or an
+    external engine) can reproduce the exact assignment."""
+    n_buckets = mask + 1
+    total = sum(weights.values())
+    edges, edge = [], 0
+    for lab in list(weights)[:-1]:
+        edge += weights[lab] * n_buckets // total
+        edges.append((lab, edge))
+    return edges

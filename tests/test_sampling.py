@@ -1,0 +1,40 @@
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.sampling import hash_sample, hash_split, split_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 103).collect())
+    s2 = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 103).collect())
+    assert s1 == s2 and len(s1) > 0
+    rate = len(s1) / docs.count()
+    assert 0.02 < rate < 0.25  # ~10% nominal, small-n variance allowed
+
+
+def test_hash_split_partitions_everything(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_hash_split_correlated_across_tables(spark):
+    # the same key must land in the same split in any table
+    a = spark.range(0, 500).withColumnRenamed("id", "k")
+    b = spark.range(0, 500).withColumnRenamed("id", "k")
+    sa = hash_split(a, "k", {"train": 9, "test": 1})
+    sb = hash_split(b, "k", {"train": 9, "test": 1})
+    joined = sa.alias("x").join(sb.alias("y"), "k")
+    assert joined.where(F.col("x.split") != F.col("y.split")).count() == 0
+
+
+def test_split_edges_exposed():
+    assert split_edges({"train": 8, "val": 1, "test": 1}, 1023) == [
+        ("train", 819),
+        ("val", 921),
+    ]
