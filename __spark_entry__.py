@@ -556,6 +556,41 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative sum
+    over ONE user-partitioned window), rolled up to per-session stats.
+    Timestamps exported as epoch-µs to keep the comparison format-free."""
+    from bitfilters_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    s = TS.session_stats(ev, "user_id", "ts", "event_id", gap_minutes=30.0)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks up the latest error `value` at-or-
+    before its timestamp for its user (union + carry-forward window: one
+    shuffle on user_id, no range join). Oracle = DuckDB ASOF LEFT JOIN."""
+    from bitfilters_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    rates = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    joined = TS.asof_join(ev, rates, ["user_id"], ["err_value"])
+    return joined.select(
+        "event_id", F.coalesce("err_value", F.lit(-1.0)).alias("err_value")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (same code shape batch & streaming)."""
     ev = load_table(spark, sf_dir, "events")
@@ -617,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
         "q_events_window": q_events_window,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
     }
 
 
@@ -966,6 +1003,37 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, length(text) % 4)) AS frame_idx,
                    length(text) // ((length(text) % 4) + 1) AS n_bytes
             FROM documents
+        """,
+        "q_sessionize": """
+            WITH l AS (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            f AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR ts - prev > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS is_new
+              FROM l),
+            s AS (
+              SELECT *, sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+              FROM f)
+            SELECT user_id, min(event_id) AS session_id,
+                   count(*) AS n_events,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us
+            FROM s GROUP BY user_id, sn
+        """,
+        "q_asof_join": """
+            WITH rates AS (
+              SELECT user_id, ts, max(value) AS err_value
+              FROM events WHERE event_type = 'error'
+              GROUP BY user_id, ts)
+            SELECT e.event_id, coalesce(r.err_value, -1.0) AS err_value
+            FROM events e
+            ASOF LEFT JOIN rates r
+              ON e.user_id = r.user_id AND e.ts >= r.ts
         """,
         "q_events_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
