@@ -393,6 +393,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln-smoothed TF-IDF per (doc, token); the document-frequency side is
+    vocabulary-sized and broadcast into the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf(docs, "doc_id", "text")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard >= 0.1, df-capped blocking (skew guard:
     a shingle in d docs fans out d^2 candidate rows; capping df bounds the
@@ -636,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_repetition": q_repetition,
+        "q_tfidf": q_tfidf,
         "q_pii_redact": q_pii_redact,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_neardup_clusters": q_neardup_clusters,
@@ -897,6 +905,18 @@ def oracle_sql() -> dict[str, str]:
             + _sql_signed(r"hash(lower(regexp_replace(text, '\s+', ' ', 'g')))")
             + " AS fp FROM documents"
         ),
+        "q_tfidf": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+            docfreq AS (
+              SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+                   round(tf.tf * ln(n.n_docs::DOUBLE / docfreq.df), 6) AS tfidf
+            FROM tf JOIN docfreq USING (token), n
+        """,
         "q_repetition": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
             g AS (SELECT doc_id,

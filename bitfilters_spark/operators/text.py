@@ -196,6 +196,40 @@ def redact_pii(col) -> Column:
     return F.regexp_replace(r, PHONE_RE, "<PHONE>")
 
 
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, token, tf, df, tfidf) — classic ln-smoothed TF-IDF.
+
+    tf = in-doc count, idf = ln(N / df). Two aggregations: per-(doc, token)
+    counts and the per-token document frequency; the df side is vocabulary-
+    sized, so Spark broadcasts it into the join and the corpus shuffles
+    once (on the doc id through explode/groupBy).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf_df = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        tok.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = df.select(id_col).distinct().count()
+    return tf_df.join(F.broadcast(docfreq), "token").select(
+        id_col,
+        "token",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+
+
 def doc_fingerprint(text_col: str, native: bool = True) -> Column:
     """Content fingerprint of whitespace-normalized lowercase text.
     native=True -> xxhash64 (JVM); False -> DuckDB-parity hash (Arrow UDF)."""
