@@ -42,16 +42,49 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min reachable id.
 
-    Min-label propagation to a fixpoint: every node repeatedly takes the
-    minimum label among itself and its neighbors. Labels only decrease, so
-    the fixpoint is exactly the per-component minimum id.
+    Size-aware hybrid (the same switch Spark itself makes for broadcast
+    joins): the edge list is a tiny DERIVED set — near-dup pairs, not the
+    corpus — so when it has at most ``driver_max_edges`` rows (≈80 MB at
+    the 5M default) an exact path-compressed union-find on the driver
+    finishes in ONE job instead of a multi-job iterative fixpoint. Above
+    the threshold, distributed min-label propagation with pointer jumping
+    (labels only decrease, so the fixpoint is the per-component minimum;
+    path halving collapses chains in O(log diameter) rounds).
+    Set ``driver_max_edges=0`` to force the distributed path.
     """
+    dedup = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    if driver_max_edges > 0:
+        head = dedup.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r["a"], r["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN root so the label is the component min
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            rows = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                rows, "id long, component long"
+            )
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        dedup.union(dedup.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .cache()
     )
@@ -61,25 +94,41 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+
+    def _label_sum(lb: DataFrame) -> int:
+        # labels only DECREASE, so the fixpoint test is "sum unchanged" —
+        # one scan of the checkpointed labels instead of an old-vs-new
+        # join. decimal(38) keeps the sum exact at any node count.
+        return lb.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iter):
+        # (1) min over neighbors' labels
         prop = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("component")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # (2) pointer jumping (path halving): follow component -> its own
+        # label, collapsing chains exponentially — O(log diameter) rounds
+        # instead of O(diameter)
+        parents = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("grand")
+        )
+        labels = (
+            stepped.join(parents, "component", "left")
+            .select("id", F.coalesce("grand", "component").alias("component"))
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        s = _label_sum(labels)
+        if s == prev_sum:
             break
+        prev_sum = s
     edges.unpersist()
     return labels
 

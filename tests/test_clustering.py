@@ -12,10 +12,13 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, "id_a long, id_b long")
 
 
-def test_components_multi_hop_chain(spark):
-    # path 1-2-3-4-5 plus disjoint edge 10-11: propagation must cross hops
+@pytest.mark.parametrize("driver_max_edges", [5_000_000, 0])
+def test_components_multi_hop_chain(spark, driver_max_edges):
+    # path 1-2-3-4-5 plus disjoint edge 10-11: propagation must cross hops;
+    # runs both the driver union-find and the distributed fixpoint paths
     cc = connected_components(
-        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]),
+        driver_max_edges=driver_max_edges,
     )
     got = {r["id"]: r["component"] for r in cc.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
@@ -60,9 +63,10 @@ def test_components_random_graph_vs_bruteforce(spark):
         m = min(members)
         for n in members:
             want[n] = m
-    cc = connected_components(_pairs(spark, edges))
-    got = {r["id"]: r["component"] for r in cc.collect()}
-    assert got == want
+    for dme in (5_000_000, 0):  # driver union-find AND distributed fixpoint
+        cc = connected_components(_pairs(spark, edges), driver_max_edges=dme)
+        got = {r["id"]: r["component"] for r in cc.collect()}
+        assert got == want
 
 
 def test_cluster_report(spark):
@@ -81,8 +85,10 @@ def test_dedup_near_keeps_representative_and_singletons(spark):
 
 
 def test_max_iter_caps_iterations(spark):
-    # a 6-node path with max_iter=1: labels move only one hop, no crash
+    # a 6-node path with max_iter=1 (distributed path): no crash
     cc = connected_components(
-        _pairs(spark, [(i, i + 1) for i in range(1, 6)]), max_iter=1
+        _pairs(spark, [(i, i + 1) for i in range(1, 6)]),
+        max_iter=1,
+        driver_max_edges=0,
     )
     assert cc.count() == 6
