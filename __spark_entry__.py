@@ -563,6 +563,34 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: drop corpus docs whose fingerprint appears in a
+    benchmark set (every 17th doc). Bloom probe short-circuits the
+    definitely-clean bulk map-side; only probable hits pay the exact
+    anti-join — result identical to plain NOT IN."""
+    from bitfilters_spark.plans.filter_join import antijoin_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring_index("text", " ", 5)
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(fp.alias("fp"))
+    corpus = docs.select("doc_id", fp.alias("fp"))
+    clean = antijoin_filter(corpus, bench, "fp", "fp", kind="bloom", n=10_000, fpp=0.01)
+    return clean.select("doc_id")
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: doc-length histogram in 50-char buckets (single
+    map-side-combined aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.floor(F.col("n_chars") / 50).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumulative sum
     over ONE user-partitioned window), rolled up to per-session stats.
@@ -662,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_window": q_events_window,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
+        "q_decontaminate": q_decontaminate,
+        "q_length_histogram": q_length_histogram,
     }
 
 
@@ -1023,6 +1053,17 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, length(text) % 4)) AS frame_idx,
                    length(text) // ((length(text) % 4) + 1) AS n_bytes
             FROM documents
+        """,
+        "q_decontaminate": """
+            SELECT doc_id FROM documents
+            WHERE array_to_string(string_split(text, ' ')[1:5], ' ') NOT IN (
+              SELECT array_to_string(string_split(text, ' ')[1:5], ' ')
+              FROM documents WHERE doc_id % 17 = 0)
+        """,
+        "q_length_histogram": """
+            SELECT n_chars // 50 AS bucket, count(*) AS n,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY bucket
         """,
         "q_sessionize": """
             WITH l AS (

@@ -49,6 +49,41 @@ def bloom_prefiltered_join(
     return survivors.join(dim, survivors[fact_key] == dim[dim_key], how)
 
 
+def antijoin_filter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    *,
+    kind: str = "duckdb_bloom",
+    **filter_kwargs,
+) -> DataFrame:
+    """Filter-accelerated ANTI-join: keep fact rows whose key is NOT in
+    ``keys`` — the decontamination shape (drop training docs that appear
+    in a benchmark/eval set).
+
+    The filter's one-sided error is exploited in the safe direction: probe
+    FALSE means definitely-not-present, so those rows are kept with ZERO
+    join work; only the probable hits (true members + the filter's few
+    false positives) pay the exact left_anti confirm. At 100 TB with a
+    small contamination set, ~the whole corpus short-circuits map-side and
+    the anti-join input is a sliver.
+    """
+    key_hashes = keys.select(spark_hash64(keys_key).alias("__h"))
+    blobs = build_filter(key_hashes, [], "__h", kind, **filter_kwargs)
+    probed = probe_filter(
+        fact.withColumn("__h", spark_hash64(fact_key)), blobs, "__h"
+    )
+    clean = probed.where(~F.col("__contains")).drop("__contains", "__h")
+    suspects = probed.where(F.col("__contains")).drop("__contains", "__h")
+    confirmed_clean = suspects.join(
+        keys.select(F.col(keys_key).alias("__k")).distinct(),
+        suspects[fact_key] == F.col("__k"),
+        "left_anti",
+    )
+    return clean.unionByName(confirmed_clean)
+
+
 def semijoin_filter(
     fact: DataFrame,
     keys: DataFrame,

@@ -131,3 +131,20 @@ def test_groupby_uses_partial_aggregation(spark):
     # in the printed tree the map-side (partial) aggregate appears BELOW
     # the exchange: partial -> shuffle -> final
     assert min(agg_idx) < min(ex_idx) < max(agg_idx)
+
+
+def test_antijoin_filter_equals_plain_anti(spark):
+    """Decontamination shape: bloom-accelerated anti-join must equal the
+    plain left_anti join (the filter only short-circuits clean rows)."""
+    from bitfilters_spark.plans.filter_join import antijoin_filter
+
+    fact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    keys = fact.where(F.col("o_custkey") % 7 == 0).select("o_custkey").distinct()
+    got = antijoin_filter(fact, keys, "o_custkey", "o_custkey", kind="bloom", n=5000, fpp=0.01)
+    want = fact.join(keys, "o_custkey", "left_anti")
+    assert got.count() == want.count()
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
