@@ -563,6 +563,24 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via bucketed blocking (equi-join on bucket id
+    + exact range re-check — no nested-loop join). Overlapping bands so
+    some events land in two intervals."""
+    from bitfilters_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = spark.range(20).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 7.5).alias("hi"),
+    )
+    out = TS.range_join(
+        ev.select("event_id", "value"), iv, "value", bucket_width=5.0
+    )
+    return out.select("event_id", "interval_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination: drop corpus docs whose fingerprint appears in a
     benchmark set (every 17th doc). Bloom probe short-circuits the
@@ -690,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_window": q_events_window,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_decontaminate": q_decontaminate,
         "q_length_histogram": q_length_histogram,
     }
@@ -1053,6 +1072,13 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, length(text) % 4)) AS frame_idx,
                    length(text) // ((length(text) % 4) + 1) AS n_bytes
             FROM documents
+        """,
+        "q_range_join": """
+            WITH iv AS (
+              SELECT k AS interval_id, k * 5.0 AS lo, k * 5.0 + 7.5 AS hi
+              FROM generate_series(0, 19) t(k))
+            SELECT e.event_id, iv.interval_id
+            FROM events e JOIN iv ON iv.lo <= e.value AND e.value < iv.hi
         """,
         "q_decontaminate": """
             SELECT doc_id FROM documents

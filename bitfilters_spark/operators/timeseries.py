@@ -60,6 +60,47 @@ def session_stats(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point < hi``) via bucketed blocking.
+
+    Spark plans a raw inequality join as BroadcastNestedLoop (small side)
+    or a cartesian per key — quadratic at scale. Bucketing makes it an
+    EQUI-join: each interval replicates to every ``bucket_width``-wide
+    bucket it overlaps, each point maps to one bucket, the join key is the
+    bucket id, and the exact range predicate re-checks candidates.
+    Replication factor = avg interval length / bucket_width + 1; pick
+    ``bucket_width`` near the typical interval length.
+    """
+    pb = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
+    hi_b_raw = F.floor(F.col(hi_col) / bucket_width).cast("long")
+    # hi is exclusive: an interval ending exactly on a bucket edge does not
+    # reach into that bucket
+    hi_b = F.when(
+        F.col(hi_col) == hi_b_raw.cast("double") * bucket_width, hi_b_raw - 1
+    ).otherwise(hi_b_raw)
+    # guard: sequence(a, b) DESCENDS for b < a (Spark 4), which would
+    # fabricate buckets for empty intervals — emit no buckets instead
+    buckets = F.when(hi_b >= lo_b, F.sequence(lo_b, hi_b)).otherwise(
+        F.array().cast("array<long>")
+    )
+    ib = intervals.withColumn("__bucket", F.explode(buckets))
+    return (
+        pb.join(ib, "__bucket")
+        .where((F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

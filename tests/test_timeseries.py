@@ -70,3 +70,48 @@ def test_asof_join_rejects_collisions(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["user_id"], ["v"])
+
+
+def test_range_join_edges(spark):
+    from bitfilters_spark.operators.timeseries import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 4.999), (3, 5.0), (4, 10.0), (5, 7.3)],
+        "pid long, v double",
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 5.0, 10.0), (12, 7.0, 8.0), (13, 9.0, 9.0)],
+        "iid long, lo double, hi double",
+    )  # 13 is empty (lo == hi): must emit nothing, not descend
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "v", bucket_width=2.0).collect()
+    )
+    # hi exclusive: v=5.0 not in [0,5), but in [5,10); 7.3 in both 11 and 12
+    assert got == [(1, 10), (2, 10), (3, 11), (5, 11), (5, 12)]
+
+
+def test_range_join_matches_nested_loop(spark):
+    import random
+
+    from bitfilters_spark.operators.timeseries import range_join
+
+    rng = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(0, 50)) for i in range(300)], "pid long, v double"
+    )
+    iv = spark.createDataFrame(
+        [(j, lo := rng.uniform(0, 45), lo + rng.uniform(0, 8)) for j in range(30)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "v", bucket_width=3.0).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (F.col("lo") <= F.col("v")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    )
+    assert got == want
