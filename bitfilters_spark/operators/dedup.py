@@ -8,12 +8,11 @@ Scale posture (100 TB):
   map-side, so the only wide op is the per-doc groupBy. LSH banding then
   shuffles (band_id, band_hash) — tiny rows — and candidate verification
   joins back only the candidate pairs.
-* SimHash — 64 conditional sums over exploded tokens, again JVM partial
-  aggregation; near-pair blocking on 8-bit bands of the signature.
-
-The DuckDB-parity variants (needed only when an external engine must
-reproduce signatures bit-for-bit) swap xxhash64 for the Arrow-UDF
-``duckdb_hash``; the native path never leaves the JVM.
+* SimHash — DuckDB-parity path computes whole signatures in one
+  zero-shuffle ``mapInPandas`` numpy pass (tokenize + vectorized hash +
+  popcount matrix); the native path is 64 conditional sums over exploded
+  tokens in JVM partial aggregation. Near-pair blocking on signature
+  bands (pigeonhole, full recall).
 """
 
 from __future__ import annotations
@@ -21,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duckdb_hash, spark_hash64
+from ..functions.hashing import spark_hash64
 from .text import tokens, word_shingles
 
 
@@ -242,12 +241,53 @@ def simhash64(
     """64-bit SimHash over token occurrences -> (id, simhash: long).
 
     Bit b of the signature is 1 iff sum over tokens of (+1 if bit b of
-    hash(token) else -1) is positive.  native=True hashes tokens with
-    xxhash64 (JVM); False uses DuckDB-parity hashing so an external DuckDB
-    can reproduce signatures bit-for-bit (that's the oracle-checked path)."""
+    hash(token) else -1) is positive.
+
+    native=False (DuckDB-parity hashing, the oracle-checked path) computes
+    the WHOLE signature in one zero-shuffle ``mapInPandas`` pass: tokenize
+    + vectorized numpy hash + per-doc popcount matrix. This beats the
+    explode → 64-wide groupBy by >2× — the wide aggregation buffer, not
+    the hashing, dominates the SQL formulation. native=True keeps the
+    all-JVM expression path (xxhash64 has no numpy twin here), whose
+    signatures only need to be self-consistent.
+    """
+    if not native:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        id_type = df.schema[id_col].dataType
+        schema = StructType(
+            [StructField(id_col, id_type), StructField("simhash", LongType())]
+        )
+
+        def compute(batches):
+            from ..core.hashing import hash_bytes
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col]
+                toks = [t.split(" ") for t in pdf[text_col]]
+                counts = np.array([len(t) for t in toks])
+                flat = [w.encode() for ts in toks for w in ts]
+                h = hash_bytes(flat, "v1.0.0")
+                bits = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                ).astype(np.int64)
+                seg = np.repeat(np.arange(len(ids)), counts)
+                pop = np.zeros((len(ids), 64), dtype=np.int64)
+                np.add.at(pop, seg, bits)
+                sig_bits = (2 * pop - counts[:, None]) > 0
+                vals = np.zeros(len(ids), dtype=np.uint64)
+                for b in range(64):
+                    vals |= sig_bits[:, b].astype(np.uint64) << np.uint64(b)
+                yield pd.DataFrame({id_col: ids, "simhash": vals.view(np.int64)})
+
+        return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    h = spark_hash64("t") if native else duckdb_hash("v1.0.0", "t")
-    tok = tok.select(id_col, h.alias("h"))
+    tok = tok.select(id_col, spark_hash64("t").alias("h"))
     sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
