@@ -71,3 +71,34 @@ def write_any(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    num_buckets: int = 32,
+    sort_cols: list | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist as a BUCKETED (optionally sorted) managed table.
+
+    Pre-bucketing is the 100 TB co-location strategy: two tables bucketed
+    by the same key into the same bucket count join with ZERO Exchange on
+    either side (asserted in tests/test_sources.py) — the shuffle is paid
+    once at write time instead of per query. Requires a table (bucket
+    metadata lives in the catalog), hence ``saveAsTable``.
+    """
+    w = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        # external table: data at ``path``, bucket metadata in the catalog
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -49,3 +49,44 @@ def test_make_session_reuses_active(spark):
 
     s = make_session(cpus=4)  # getOrCreate: reuses the test session
     assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key co-locate: the join plan must contain
+    no Exchange (the shuffle was paid once at write time)."""
+    import contextlib
+    import io as _io
+
+    from bitfilters_spark.sources.io import read_table, write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    write_bucketed(
+        orders, "b_orders", ["o_custkey"], num_buckets=8,
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "b_cust", ["o_custkey"], 8,
+        path=str(tmp_path / "b_cust"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must pick the co-located
+        # SortMergeJoin path (at real scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "b_orders").join(read_table(spark, "b_cust"), "o_custkey")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the join result is still correct
+        want = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
