@@ -289,6 +289,25 @@ def q_duckdb_bloom_false_positives(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates per o_custkey (d=4, w=1024 —
+    narrow enough that real collisions exercise the min-over-rows logic).
+    CMS overestimation is DETERMINISTIC given hash parity, so the oracle
+    recomputes the same bucket sums in SQL (full murmur-mix per row seed)
+    and the estimates match exactly."""
+    from bitfilters_spark.functions.filters import cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey", duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h")
+    )
+    sketch = build_filter(keyed, [], "h", "cms", d=4, w=1024)
+    keys = keyed.distinct()
+    return keys.crossJoin(F.broadcast(sketch)).select(
+        "o_custkey", cms_estimate("filter", "h").alias("est")
+    )
+
+
 def q_filter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter algebra: merge per-(o_orderkey%4) duckdb-blooms into
     per-(%4 div 2) filters; probe EVERY key against its coarse-group
@@ -678,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
         "q_duckdb_bloom_false_positives": q_duckdb_bloom_false_positives,
         "q_filter_union": q_filter_union,
+        "q_cms_counts": q_cms_counts,
         "q_duckdb_hash_int": q_duckdb_hash_int,
         "q_duckdb_hash_str": q_duckdb_hash_str,
         "q_duckdb_hash_multi": q_duckdb_hash_multi,
@@ -824,6 +844,47 @@ def _neardup_cc_sql(final_select: str, threshold: float = 0.1) -> str:
     """
 
 
+def _cms_oracle_sql(d: int = 4, w: int = 1024) -> str:
+    """Exact CMS estimates in DuckDB SQL: bucket_j(x) = murmur_mix(
+    hash(x) ^ SEED_j) & (w-1), est_j = per-bucket sum of exact counts,
+    answer = min over rows — deterministic given certified hash parity."""
+    from bitfilters_spark.core.cms import SEEDS
+
+    cols = [f"x{j}" for j in range(d)]
+    keep = "o_custkey, c"
+
+    def stage(expr_tpl: str) -> str:
+        return ", ".join(expr_tpl.format(c=c) + f" AS {c}" for c in cols)
+
+    seed_stage = ", ".join(
+        f"xor(h, {SEEDS[j]}::UBIGINT) AS x{j}" for j in range(d)
+    )
+    shift = stage("xor({c}, {c} >> 32)")
+    mul = ", ".join(_sql_wrap_mul_c(c) + f" AS {c}" for c in cols)
+    bucket = ", ".join(f"(xor(x{j}, x{j} >> 32) & {w - 1}) AS b{j}" for j in range(d))
+    ests = "\n".join(
+        f", e{j} AS (SELECT a.o_custkey, sum(o.c) AS e FROM b a "
+        f"JOIN b o ON a.b{j} = o.b{j} GROUP BY a.o_custkey)"
+        for j in range(d)
+    )
+    joins = " ".join(f"JOIN e{j} USING (o_custkey)" for j in range(d))
+    least = ", ".join(f"e{j}.e" for j in range(d))
+    return f"""
+      WITH cnt AS (
+        SELECT o_custkey, hash(o_custkey) AS h, count(*) AS c
+        FROM orders GROUP BY 1, 2),
+      s0 AS (SELECT {keep}, {seed_stage} FROM cnt),
+      s1 AS (SELECT {keep}, {shift} FROM s0),
+      s2 AS (SELECT {keep}, {mul} FROM s1),
+      s3 AS (SELECT {keep}, {shift} FROM s2),
+      s4 AS (SELECT {keep}, {mul} FROM s3),
+      b AS (SELECT {keep}, {bucket} FROM s4)
+      {ests}
+      SELECT b.o_custkey, least({least})::BIGINT AS est
+      FROM b {joins}
+    """
+
+
 _LANGID_CASE = """
   CASE WHEN (length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))::DOUBLE
             / length(text) > 0.3 THEN 'zh'
@@ -876,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
         "q_duckdb_bloom_false_positives": _duckdb_bloom_fp_oracle_sql(1024),
+        "q_cms_counts": _cms_oracle_sql(4, 1024),
         "q_filter_union": (
             lambda mask: f"""
             WITH keyed AS (

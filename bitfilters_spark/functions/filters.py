@@ -8,7 +8,7 @@ Build — ``build_filter(df, group_cols, hash_col, kind, ...)`` returns a
 DataFrame ``group_cols + [filter: binary]``.  Two physical strategies,
 chosen by filter algebra, NOT by data size:
 
-* **mergeable** (``bloom``, ``duckdb_bloom``, ``quotient``): two-phase —
+* **mergeable** (``bloom``, ``duckdb_bloom``, ``quotient``, ``cms``): two-phase —
   ``mapInPandas`` folds each *partition* into one partial blob per group,
   then a tiny shuffle of partials is OR/union-merged per group.  At 100 TB
   the shuffle carries ``#partitions × #groups`` small blobs instead of every
@@ -41,6 +41,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -51,13 +52,14 @@ import pyarrow.compute as pc
 from pyspark.sql.functions import arrow_udf
 
 from ..core import bloom as B
+from ..core import cms as CM
 from ..core import fuse as FU
 from ..core import quotient as Q
 from ..core import xor as X
 from ..core import hashing as H
 from .hashing import _hash_arrays
 
-MERGEABLE = {"bloom", "duckdb_bloom", "quotient"}
+MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms"}
 PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
 
 
@@ -81,6 +83,8 @@ def _bulk_build(kind: str, hashes: np.ndarray, p: dict) -> bytes:
     if kind == "bloom":
         m, k = B.bloom_params(p["n"], p["fpp"])
         return B.bloom_serialize(B.bloom_build(hashes, p["n"], p["fpp"]), k)
+    if kind == "cms":
+        return CM.cms_build(hashes, p["d"], p["w"])
     raise ValueError(f"unknown filter kind {kind!r}")
 
 
@@ -91,6 +95,8 @@ def _merge_blobs(kind: str, blobs: list) -> bytes:
         return B.duckdb_bloom_merge(blobs)
     if kind == "bloom":
         return B.bloom_merge(blobs)
+    if kind == "cms":
+        return CM.cms_merge(blobs)
     raise ValueError(f"filter kind {kind!r} is not mergeable")
 
 
@@ -106,6 +112,8 @@ def build_filter(
     n: int = 100_000,
     fpp: float = 0.01,
     num_shards: int | None = None,
+    d: int = 4,
+    w: int = 16384,
     filter_col: str = "filter",
 ) -> DataFrame:
     """Aggregate hashes into one serialized filter per group.
@@ -122,7 +130,7 @@ def build_filter(
     Probing routes each hash to its shard's sub-filter (same prefix
     function), so membership semantics are identical.
     """
-    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp}
+    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp, "d": d, "w": w}
     dummy = not group_cols
     if dummy:
         df = df.withColumn("__g", F.lit(0))
@@ -159,9 +167,12 @@ def build_filter(
                     elif kind == "duckdb_bloom":
                         sect = B.duckdb_bloom_build(hs[m], num_sectors)
                         acc[kk] = sect if kk not in acc else (acc[kk] | sect)
+                    elif kind == "cms":
+                        mat = CM.cms_counts(hs[m], d, w)
+                        acc[kk] = mat if kk not in acc else (acc[kk] + mat)
                     else:  # bloom
-                        w = B.bloom_build(hs[m], n, fpp)
-                        acc[kk] = w if kk not in acc else (acc[kk] | w)
+                        bits = B.bloom_build(hs[m], n, fpp)
+                        acc[kk] = bits if kk not in acc else (acc[kk] | bits)
             rows = []
             for kk, st in acc.items():
                 if kind == "quotient":
@@ -173,6 +184,8 @@ def build_filter(
                     )
                 elif kind == "duckdb_bloom":
                     blob = B.duckdb_bloom_serialize(st)
+                elif kind == "cms":
+                    blob = CM.cms_serialize(st)
                 else:
                     blob = B.bloom_serialize(st, B.bloom_params(n, fpp)[1])
                 rows.append((*kk, blob))
@@ -358,6 +371,11 @@ def _shard_probe(blob: bytes, hashes: np.ndarray) -> np.ndarray:
 
 def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
     magic = blob[:4]
+    if magic == CM.CMS_MAGIC:
+        raise ValueError(
+            "count-min sketch is a frequency sketch, not a membership "
+            "filter; probe with cms_estimate()"
+        )
     if magic == _SHARD_MAGIC:
         return _shard_probe(blob, hashes)
     if magic == b"QF01":
@@ -407,6 +425,34 @@ def filter_contains(filter_col, hash_col) -> Column:
     f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     return _probe(f, h)
+
+
+def cms_estimate(filter_col, hash_col) -> Column:
+    """Estimated occurrence count of the hashed key against a CMS1 blob.
+
+    Count-min semantics: exact or OVERestimate, never under (est(x) =
+    min over rows of the sum of counts colliding with x). Vectorized like
+    ``filter_contains``: each distinct blob deserialized once per batch.
+    NULL hash or NULL blob -> NULL.
+    """
+
+    @arrow_udf(LongType())
+    def _est(blobs: pa.Array, hashes: pa.Array) -> pa.Array:
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = np.zeros(len(h), dtype=np.int64)
+        if len(h):
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = CM.cms_estimate(bytes(blob), h[m]).astype(np.int64)
+        mask = hmask | np.asarray(blobs.is_null())
+        return pa.array(out, type=pa.int64(), mask=mask)
+
+    f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return _est(f, h)
 
 
 def probe_filter(
@@ -514,7 +560,9 @@ def merge_filters(
                 out.append(None)
                 continue
             magic = blobs[0][:4]
-            kind = {b"QF01": "quotient", b"SBL1": "bloom"}.get(magic, "duckdb_bloom")
+            kind = {b"QF01": "quotient", b"SBL1": "bloom", b"CMS1": "cms"}.get(
+                magic, "duckdb_bloom"
+            )
             if magic in (b"XORF", b"BFUS", _SHARD_MAGIC):
                 raise ValueError(
                     "peeled filters (xor/fuse) are not mergeable; rebuild instead"
@@ -534,6 +582,7 @@ _KIND_BY_MAGIC = {
     b"BFUS": "binary_fuse",
     b"SBL1": "bloom",
     b"SHRD": "sharded",
+    b"CMS1": "count_min",
 }
 
 

@@ -267,3 +267,40 @@ def test_merge_global(spark, orders):
         .count()
     )
     assert n == keyed.count()
+
+
+def test_cms_two_phase_build_and_merge(spark, orders):
+    """CMS rides the same mergeable machinery: per-group two-phase build is
+    byte-identical to a single-pass build, merge_filters to coarser groups
+    equals build-on-union, and estimates match exact counts at wide w."""
+    from bitfilters_spark.functions.filters import cms_estimate, merge_filters
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 4).alias("g4"), spark_hash64("o_custkey").alias("h")
+    ).withColumn("g2", F.floor(F.col("g4") / 2).cast("long"))
+    fine = build_filter(keyed, ["g4", "g2"], "h", "cms", d=4, w=1 << 15)
+    merged = merge_filters(fine, ["g2"])
+    direct = build_filter(keyed, ["g2"], "h", "cms", d=4, w=1 << 15)
+    got = {r["g2"]: bytes(r["filter"]) for r in merged.collect()}
+    want = {r["g2"]: bytes(r["filter"]) for r in direct.collect()}
+    assert got == want
+
+    # estimates == exact per-key counts (w wide enough for no collisions)
+    est = (
+        keyed.select("g2", "h").distinct()
+        .join(F.broadcast(direct), "g2")
+        .select("g2", "h", cms_estimate("filter", "h").alias("est"))
+    )
+    exact = keyed.groupBy("g2", "h").count()
+    j = est.join(exact, ["g2", "h"])
+    assert j.where(F.col("est") != F.col("count")).count() == 0
+
+
+def test_cms_rejected_by_membership_probe(spark, orders):
+    keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
+    blob = build_filter(keyed, [], "h", "cms", d=2, w=1024)
+    probed = keyed.crossJoin(F.broadcast(blob)).select(
+        filter_contains("filter", "h").alias("c")
+    )
+    with pytest.raises(Exception, match="not a membership"):
+        probed.collect()

@@ -146,3 +146,48 @@ def test_generic_bloom_merge_equals_bulk():
     a = bloom.bloom_serialize(bloom.bloom_build(KEYS[:25000], N, 0.01), k)
     b = bloom.bloom_serialize(bloom.bloom_build(KEYS[25000:], N, 0.01), k)
     assert bloom.bloom_merge([a, b]) == bloom.bloom_serialize(bloom.bloom_build(KEYS, N, 0.01), k)
+
+
+# ----------------------------------------------------------------- cms ---
+
+
+def test_cms_exact_when_no_collisions():
+    import numpy as np
+
+    from bitfilters_spark.core.cms import cms_build, cms_estimate
+
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 2**63, size=200, dtype=np.uint64)
+    reps = rng.integers(1, 9, size=200)
+    hashes = np.repeat(keys, reps)
+    blob = cms_build(hashes, d=4, w=1 << 16)  # wide: collisions vanish
+    est = cms_estimate(blob, keys)
+    assert (est == reps.astype(np.uint64)).all()
+
+
+def test_cms_never_underestimates():
+    import numpy as np
+
+    from bitfilters_spark.core.cms import cms_build, cms_estimate
+
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    reps = rng.integers(1, 6, size=500)
+    hashes = np.repeat(keys, reps)
+    blob = cms_build(hashes, d=4, w=256)  # narrow: collisions guaranteed
+    est = cms_estimate(blob, keys)
+    assert (est >= reps.astype(np.uint64)).all()
+    assert est.sum() > reps.sum()  # some overestimation must occur
+
+
+def test_cms_merge_equals_build_on_union():
+    import numpy as np
+
+    from bitfilters_spark.core.cms import cms_build, cms_merge
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 2**63, size=1000, dtype=np.uint64)
+    b = rng.integers(0, 2**63, size=800, dtype=np.uint64)
+    assert cms_merge([cms_build(a, 4, 1024), cms_build(b, 4, 1024)]) == cms_build(
+        np.concatenate([a, b]), 4, 1024
+    )
