@@ -308,6 +308,25 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per group: k=64 (at capacity — the
+    (k-1)*2^64 // kth_min integer-exact estimator) and k=65536
+    (under capacity at oracle/bench sf ⇒ exact distinct count)."""
+    from bitfilters_spark.functions.filters import kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h"),
+    )
+    s64 = build_filter(keyed, ["grp"], "h", "kmv", k=64)
+    sbig = build_filter(keyed, ["grp"], "h", "kmv", k=65536)
+    return (
+        s64.select("grp", kmv_distinct("filter").alias("est64"))
+        .join(sbig.select("grp", kmv_distinct("filter").alias("est_exact")), "grp")
+    )
+
+
 def q_filter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter algebra: merge per-(o_orderkey%4) duckdb-blooms into
     per-(%4 div 2) filters; probe EVERY key against its coarse-group
@@ -698,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duckdb_bloom_false_positives": q_duckdb_bloom_false_positives,
         "q_filter_union": q_filter_union,
         "q_cms_counts": q_cms_counts,
+        "q_kmv_distinct": q_kmv_distinct,
         "q_duckdb_hash_int": q_duckdb_hash_int,
         "q_duckdb_hash_str": q_duckdb_hash_str,
         "q_duckdb_hash_multi": q_duckdb_hash_multi,
@@ -938,6 +958,23 @@ def oracle_sql() -> dict[str, str]:
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
         "q_duckdb_bloom_false_positives": _duckdb_bloom_fp_oracle_sql(1024),
         "q_cms_counts": _cms_oracle_sql(4, 1024),
+        "q_kmv_distinct": """
+            WITH keyed AS (
+              SELECT o_orderkey % 2 AS grp, hash(o_custkey) AS h FROM orders),
+            d AS (SELECT DISTINCT grp, h FROM keyed),
+            r AS (
+              SELECT grp, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY grp) AS nd
+              FROM d)
+            SELECT grp,
+                   (CASE WHEN max(nd) < 64 THEN max(nd)::HUGEINT
+                         ELSE (63::HUGEINT * 18446744073709551616::HUGEINT)
+                              // max(CASE WHEN rn = 64 THEN h END)::HUGEINT
+                    END)::BIGINT AS est64,
+                   max(nd)::BIGINT AS est_exact
+            FROM r GROUP BY grp
+        """,
         "q_filter_union": (
             lambda mask: f"""
             WITH keyed AS (

@@ -53,13 +53,14 @@ from pyspark.sql.functions import arrow_udf
 
 from ..core import bloom as B
 from ..core import cms as CM
+from ..core import kmv as KV
 from ..core import fuse as FU
 from ..core import quotient as Q
 from ..core import xor as X
 from ..core import hashing as H
 from .hashing import _hash_arrays
 
-MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms"}
+MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms", "kmv"}
 PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
 
 
@@ -85,6 +86,8 @@ def _bulk_build(kind: str, hashes: np.ndarray, p: dict) -> bytes:
         return B.bloom_serialize(B.bloom_build(hashes, p["n"], p["fpp"]), k)
     if kind == "cms":
         return CM.cms_build(hashes, p["d"], p["w"])
+    if kind == "kmv":
+        return KV.kmv_build(hashes, p["k"])
     raise ValueError(f"unknown filter kind {kind!r}")
 
 
@@ -97,6 +100,8 @@ def _merge_blobs(kind: str, blobs: list) -> bytes:
         return B.bloom_merge(blobs)
     if kind == "cms":
         return CM.cms_merge(blobs)
+    if kind == "kmv":
+        return KV.kmv_merge(blobs)
     raise ValueError(f"filter kind {kind!r} is not mergeable")
 
 
@@ -114,6 +119,7 @@ def build_filter(
     num_shards: int | None = None,
     d: int = 4,
     w: int = 16384,
+    k: int = 64,
     filter_col: str = "filter",
 ) -> DataFrame:
     """Aggregate hashes into one serialized filter per group.
@@ -130,7 +136,7 @@ def build_filter(
     Probing routes each hash to its shard's sub-filter (same prefix
     function), so membership semantics are identical.
     """
-    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp, "d": d, "w": w}
+    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp, "d": d, "w": w, "k": k}
     dummy = not group_cols
     if dummy:
         df = df.withColumn("__g", F.lit(0))
@@ -170,6 +176,13 @@ def build_filter(
                     elif kind == "cms":
                         mat = CM.cms_counts(hs[m], d, w)
                         acc[kk] = mat if kk not in acc else (acc[kk] + mat)
+                    elif kind == "kmv":
+                        vals = np.unique(hs[m])[:k]
+                        prev = acc.get(kk)
+                        acc[kk] = (
+                            vals if prev is None
+                            else np.unique(np.concatenate([prev, vals]))[:k]
+                        )
                     else:  # bloom
                         bits = B.bloom_build(hs[m], n, fpp)
                         acc[kk] = bits if kk not in acc else (acc[kk] | bits)
@@ -186,6 +199,8 @@ def build_filter(
                     blob = B.duckdb_bloom_serialize(st)
                 elif kind == "cms":
                     blob = CM.cms_serialize(st)
+                elif kind == "kmv":
+                    blob = KV.kmv_serialize(k, st)
                 else:
                     blob = B.bloom_serialize(st, B.bloom_params(n, fpp)[1])
                 rows.append((*kk, blob))
@@ -376,6 +391,11 @@ def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
             "count-min sketch is a frequency sketch, not a membership "
             "filter; probe with cms_estimate()"
         )
+    if magic == KV.KMV_MAGIC:
+        raise ValueError(
+            "KMV is a cardinality sketch, not a membership filter; "
+            "use kmv_distinct()"
+        )
     if magic == _SHARD_MAGIC:
         return _shard_probe(blob, hashes)
     if magic == b"QF01":
@@ -453,6 +473,25 @@ def cms_estimate(filter_col, hash_col) -> Column:
     f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     return _est(f, h)
+
+
+def kmv_distinct(filter_col) -> Column:
+    """Deterministic distinct-count estimate from a KMV1 blob (exact while
+    the sketch is under-full; integer arithmetic at capacity, so an
+    external engine reproduces the value exactly)."""
+
+    @arrow_udf(LongType())
+    def _est(blobs: pa.Array) -> pa.Array:
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = [
+            None if b is None else KV.kmv_estimate(bytes(b))
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.int64())
+
+    f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
+    return _est(f)
 
 
 def probe_filter(
@@ -560,9 +599,12 @@ def merge_filters(
                 out.append(None)
                 continue
             magic = blobs[0][:4]
-            kind = {b"QF01": "quotient", b"SBL1": "bloom", b"CMS1": "cms"}.get(
-                magic, "duckdb_bloom"
-            )
+            kind = {
+                b"QF01": "quotient",
+                b"SBL1": "bloom",
+                b"CMS1": "cms",
+                b"KMV1": "kmv",
+            }.get(magic, "duckdb_bloom")
             if magic in (b"XORF", b"BFUS", _SHARD_MAGIC):
                 raise ValueError(
                     "peeled filters (xor/fuse) are not mergeable; rebuild instead"
@@ -583,6 +625,7 @@ _KIND_BY_MAGIC = {
     b"SBL1": "bloom",
     b"SHRD": "sharded",
     b"CMS1": "count_min",
+    b"KMV1": "kmv",
 }
 
 

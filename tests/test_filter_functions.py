@@ -304,3 +304,32 @@ def test_cms_rejected_by_membership_probe(spark, orders):
     )
     with pytest.raises(Exception, match="not a membership"):
         probed.collect()
+
+
+def test_kmv_two_phase_build_and_estimates(spark, orders):
+    """KMV rides the mergeable machinery: two-phase == single-pass
+    byte-exact, merged rollup == build-on-union, and estimates are exact
+    under capacity."""
+    from bitfilters_spark.functions.filters import kmv_distinct, merge_filters
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 4).alias("g4"), spark_hash64("o_custkey").alias("h")
+    ).withColumn("g2", F.floor(F.col("g4") / 2).cast("long"))
+    fine = build_filter(keyed, ["g4", "g2"], "h", "kmv", k=1 << 15)
+    merged = merge_filters(fine, ["g2"])
+    direct = build_filter(keyed, ["g2"], "h", "kmv", k=1 << 15)
+    got = {r["g2"]: bytes(r["filter"]) for r in merged.collect()}
+    want = {r["g2"]: bytes(r["filter"]) for r in direct.collect()}
+    assert got == want
+
+    est = {
+        r["g2"]: r["est"]
+        for r in direct.select("g2", kmv_distinct("filter").alias("est")).collect()
+    }
+    exact = {
+        r["g2"]: r["n"]
+        for r in keyed.groupBy("g2")
+        .agg(F.countDistinct("h").alias("n"))
+        .collect()
+    }
+    assert est == exact  # under capacity => exact

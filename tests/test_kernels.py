@@ -191,3 +191,42 @@ def test_cms_merge_equals_build_on_union():
     assert cms_merge([cms_build(a, 4, 1024), cms_build(b, 4, 1024)]) == cms_build(
         np.concatenate([a, b]), 4, 1024
     )
+
+
+# ----------------------------------------------------------------- kmv ---
+
+
+def test_kmv_exact_under_capacity():
+    import numpy as np
+
+    from bitfilters_spark.core.kmv import kmv_build, kmv_estimate
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 2**64, size=300, dtype=np.uint64))
+    hashes = np.repeat(keys, 3)  # duplicates must not inflate the count
+    assert kmv_estimate(kmv_build(hashes, k=1024)) == len(keys)
+
+
+def test_kmv_estimate_at_capacity_is_close():
+    import numpy as np
+
+    from bitfilters_spark.core.kmv import kmv_build, kmv_estimate
+
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 2**64, size=20_000, dtype=np.uint64)
+    est = kmv_estimate(kmv_build(keys, k=256))
+    true = len(np.unique(keys))
+    assert 0.8 * true < est < 1.2 * true  # ~1/sqrt(k) ≈ 6% rel. error
+
+
+def test_kmv_merge_equals_build_on_union():
+    import numpy as np
+
+    from bitfilters_spark.core.kmv import kmv_build, kmv_merge
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, size=4000, dtype=np.uint64)
+    assert kmv_merge([kmv_build(a, 128), kmv_build(b, 128)]) == kmv_build(
+        np.concatenate([a, b]), 128
+    )
