@@ -1,0 +1,121 @@
+"""Empty-input hardening: every operator must return an empty (or
+identity) result on empty input, never crash — the classic first-day
+production failure (empty partition, empty group, no matches)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.functions import build_filter, probe_filter
+from bitfilters_spark.functions.filters import (
+    cms_estimate,
+    filter_contains,
+    kmv_distinct,
+    merge_filters,
+)
+from bitfilters_spark.functions.hashing import spark_hash64
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture()
+def empty_keyed(spark):
+    return spark.createDataFrame([], "grp long, h long")
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("bloom", {"n": 100, "fpp": 0.01}),
+    ("duckdb_bloom", {"num_sectors": 64}),
+    ("quotient", {"q": 8, "r": 4}),
+    ("cms", {"d": 2, "w": 64}),
+    ("kmv", {"k": 16}),
+    ("xor8", {}),
+    ("fuse16", {}),
+])
+def test_build_filter_empty_input(spark, empty_keyed, kind, kw):
+    assert build_filter(empty_keyed, ["grp"], "h", kind, **kw).count() == 0
+
+
+def test_probe_against_empty_filter_map(spark, empty_keyed):
+    filters = build_filter(empty_keyed, ["grp"], "h", "bloom", n=100, fpp=0.01)
+    data = spark.createDataFrame([(0, 1), (1, 2)], "grp long, h long")
+    probed = probe_filter(data, filters, "h", on=["grp"])
+    # no filter for the group -> probe False, never crash
+    assert probed.where(F.col("__contains")).count() == 0
+
+
+def test_merge_filters_empty(spark, empty_keyed):
+    fine = build_filter(empty_keyed, ["grp"], "h", "bloom", n=100, fpp=0.01)
+    assert merge_filters(fine, []).collect()[0]["filter"] is None
+
+
+def test_clustering_empty_pairs(spark):
+    from bitfilters_spark.operators.clustering import connected_components, dedup_near
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+    assert connected_components(pairs, driver_max_edges=0).count() == 0
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert dedup_near(docs, pairs, "doc_id").count() == 1
+
+
+def test_dedup_pair_ops_empty_corpus(spark, empty_docs):
+    from bitfilters_spark.operators import dedup as D
+
+    assert D.shingle_jaccard_pairs(empty_docs, "doc_id", "text", df_cap=8).count() == 0
+    assert D.minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert D.simhash64(empty_docs, "doc_id", "text", native=False).count() == 0
+    assert D.simhash_near_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_text_ops_empty_corpus(spark, empty_docs):
+    from bitfilters_spark.operators import text as T
+
+    assert T.quality_metrics(empty_docs, "text").count() == 0
+    assert T.repetition_metrics(empty_docs, "doc_id", "text").count() == 0
+    assert T.tfidf(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_timeseries_empty(spark):
+    from bitfilters_spark.operators.timeseries import asof_join, range_join, sessionize
+
+    ev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+    assert sessionize(ev, "user_id").count() == 0
+    right = spark.createDataFrame([], "user_id long, ts timestamp, v double")
+    left = spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join(left, right, ["user_id"], ["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+    pts = spark.createDataFrame([], "pid long, v double")
+    iv = spark.createDataFrame([(1, 0.0, 1.0)], "iid long, lo double, hi double")
+    assert range_join(pts, iv, "v").count() == 0
+
+
+def test_skipping_empty_wanted_set(spark, tmp_path):
+    from bitfilters_spark.sources.skipping import (
+        build_file_index,
+        key_hashes,
+        prune_files,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dest = str(tmp_path / "o")
+    orders.repartition(2).write.parquet(dest)
+    idx = build_file_index(spark, dest, ["o_custkey"], "bloom", n=5000, fpp=0.01)
+    import numpy as np
+
+    assert prune_files(idx, np.array([], dtype=np.uint64)) == []
+
+
+def test_cms_kmv_estimates_on_empty_build(spark, empty_keyed):
+    # global build over zero rows yields one group row only when grouped by
+    # a dummy — with real group cols there are zero rows, so estimates are
+    # simply absent; this must not crash
+    cms = build_filter(empty_keyed, ["grp"], "h", "cms", d=2, w=64)
+    assert cms.select(cms_estimate("filter", F.lit(1))).count() == 0
+    kmv = build_filter(empty_keyed, ["grp"], "h", "kmv", k=8)
+    assert kmv.select(kmv_distinct("filter")).count() == 0
