@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hash64
-from .text import tokens, word_shingles
+from .text import hashed_word_shingles, tokens, word_shingles
 
 
 # ---------------------------------------------------------------- exact ---
@@ -176,8 +176,8 @@ def shingle_jaccard_pairs(
     # up to 5x
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("t"),
-    ).select("id", F.xxhash64("t").alias("s")).cache()
+        F.explode(F.array_distinct(hashed_word_shingles(text_col, shingle_n))).alias("s"),
+    ).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     empty = F.array().cast("array<bigint>")
     if df_cap is not None:

@@ -61,6 +61,32 @@ def word_shingles(col, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), shingles_of), 1)
 
 
+def hashed_word_shingles(col, n: int = 3) -> Column:
+    """Array of 64-bit shingle hashes WITHOUT building shingle strings:
+    each token is hashed once, then n consecutive token-hashes combine via
+    a variadic ``xxhash64`` — ~2× faster than hashing concatenated strings
+    (measured on the explode stage). Both intermediate arrays are bound to
+    lambda variables (1-element-array wrapper) so neither the token split
+    nor the token-hash array re-evaluates per shingle position."""
+    empty = F.array().cast("array<long>")
+
+    def of(arr: Column) -> Column:
+        th = F.transform(arr, lambda t: F.xxhash64(t))
+
+        def of2(tharr: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(tharr) - (n - 1))
+            made = F.transform(
+                idx,
+                lambda i: F.xxhash64(*[F.element_at(tharr, i + j) for j in range(n)]),
+            )
+            # guard: sequence(1, k) DESCENDS for k < 1
+            return F.when(F.size(tharr) >= n, made).otherwise(empty)
+
+        return F.element_at(F.transform(F.array(th), of2), 1)
+
+    return F.element_at(F.transform(F.array(tokens(col)), of), 1)
+
+
 def stopword_hits(col, lang: str) -> Column:
     """Number of token occurrences that are stopwords of ``lang``.
 
