@@ -682,6 +682,42 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, composed from the verified pieces:
+    quality gate (>= 30 tokens) → exact dedup (keep min doc_id per 5-token
+    fingerprint) → near-dedup (shingle-Jaccard pairs + connected
+    components, keep cluster min) → decontaminate (drop benchmark docs,
+    doc_id % 17 == 0 fingerprints) → deterministic train/val/test split.
+    The oracle reproduces the whole chain in one SQL statement."""
+    from bitfilters_spark.operators import clustering as _CL
+    from bitfilters_spark.operators import sampling as SP
+    from bitfilters_spark.plans.filter_join import antijoin_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring_index("text", " ", 5)
+
+    # 1. quality gate (>= 30 tokens — cuts a real fraction of the corpus)
+    survivors = docs.where(F.size(T.tokens("text")) >= 30)
+    # 2. exact dedup
+    survivors = D.dedup_exact(survivors.withColumn("fp", fp), "fp", "doc_id")
+    # 3. near-dedup (pairs over the surviving corpus)
+    pairs = D.shingle_jaccard_pairs(
+        survivors, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
+    )
+    survivors = _CL.dedup_near(survivors, pairs, "doc_id")
+    # 4. decontaminate against the benchmark fingerprints
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(fp.alias("bfp"))
+    survivors = antijoin_filter(
+        survivors.withColumn("fp", fp), bench, "fp", "bfp",
+        kind="bloom", n=10_000, fpp=0.01,
+    )
+    # 5. deterministic split
+    out = SP.hash_split(
+        survivors, "doc_id", {"train": 8, "val": 1, "test": 1}, native=False
+    )
+    return out.select("doc_id", "split")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (same code shape batch & streaming)."""
     ev = load_table(spark, sf_dir, "events")
@@ -746,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
         "q_events_window": q_events_window,
+        "q_pipeline_e2e": q_pipeline_e2e,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -1189,6 +1226,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_chars // 50 AS bucket, count(*) AS n,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents GROUP BY bucket
+        """,
+        "q_pipeline_e2e": """
+            WITH RECURSIVE
+            q AS (
+              SELECT doc_id, text,
+                     array_to_string(string_split(text, ' ')[1:5], ' ') AS fp
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 30),
+            ex AS (
+              SELECT * FROM q
+              QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                     || ' ' || string_split(text,' ')[i+2]))) AS s
+              FROM ex),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes na ON na.doc_id = id_a
+              JOIN sizes nb ON nb.doc_id = id_b
+              WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b AS a, id_a AS b FROM p),
+            walk(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+            comp AS (
+              SELECT a AS id, least(a, min(b)) AS component FROM walk GROUP BY a),
+            nd AS (
+              SELECT * FROM ex
+              WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)),
+            clean AS (
+              SELECT * FROM nd WHERE fp NOT IN (
+                SELECT array_to_string(string_split(text, ' ')[1:5], ' ')
+                FROM documents WHERE doc_id % 17 = 0))
+            SELECT doc_id,
+                   CASE WHEN (hash(doc_id) & 1023) < 819 THEN 'train'
+                        WHEN (hash(doc_id) & 1023) < 921 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clean
         """,
         "q_sessionize": """
             WITH l AS (
