@@ -698,13 +698,18 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 1. quality gate (>= 30 tokens — cuts a real fraction of the corpus)
     survivors = docs.where(F.size(T.tokens("text")) >= 30)
-    # 2. exact dedup
-    survivors = D.dedup_exact(survivors.withColumn("fp", fp), "fp", "doc_id")
-    # 3. near-dedup (pairs over the surviving corpus)
+    # 2. exact dedup — localCheckpoint (eager): the result feeds BOTH the
+    # pair generation self-join and the near-dedup anti-join; checkpointing
+    # makes it a leaf so no downstream branch re-runs the scan + window
+    survivors = D.dedup_exact(
+        survivors.withColumn("fp", fp), "fp", "doc_id"
+    ).localCheckpoint()
+    # 3. near-dedup (pairs over the surviving corpus); checkpointed again —
+    # the decontamination probe splits the plan into clean/suspect branches
     pairs = D.shingle_jaccard_pairs(
         survivors, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
     )
-    survivors = _CL.dedup_near(survivors, pairs, "doc_id")
+    survivors = _CL.dedup_near(survivors, pairs, "doc_id").localCheckpoint()
     # 4. decontaminate against the benchmark fingerprints
     bench = docs.where(F.col("doc_id") % 17 == 0).select(fp.alias("bfp"))
     survivors = antijoin_filter(
