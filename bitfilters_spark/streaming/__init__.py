@@ -4,10 +4,12 @@ from .dedup import (
     streaming_window_counts,
 )
 from .filter_join import streaming_filter_join
+from .sketches import streaming_distinct_counts
 
 __all__ = [
     "streaming_dedup_bloom",
     "streaming_dedup_exact",
+    "streaming_distinct_counts",
     "streaming_filter_join",
     "streaming_window_counts",
 ]

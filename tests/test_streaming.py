@@ -173,3 +173,63 @@ def test_streaming_filter_join_matches_batch_join(spark, tmp_path):
     )
     # ids 0..39, k = id % 10 ∈ {2,5,7} → 3 matches per 10 ids = 12 rows
     assert got == want and len(got) == 12
+
+
+def test_streaming_distinct_counts_exact_under_capacity(spark, tmp_path):
+    """Per-window KMV distinct counts across micro-batches: with k above
+    the true cardinality the estimates are exact; state stays bounded."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_distinct_counts
+
+    src = str(tmp_path / "dc_in")
+    ckpt = str(tmp_path / "dc_ckpt")
+
+    def rows(batch):
+        out = []
+        for i in batch:
+            # two 1-hour windows; key repeats to create duplicates
+            h = 10 + (i % 2)
+            out.append((i, str(i % 7), dt.datetime(2024, 1, 1, h, i % 60)))
+        return out
+
+    spark.createDataFrame(
+        rows(range(30)), "id long, k string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("id long, k string, ts timestamp").parquet(src)
+    counts = streaming_distinct_counts(stream, "k", "ts", "1 hour", k=64)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("dc_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows(range(30, 80)), "id long, k string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows_out = spark.sql(
+            "SELECT * FROM dc_sink ORDER BY win_start, n_rows"
+        ).collect()
+    finally:
+        q.stop()
+    # latest row per window
+    latest = {}
+    for r in rows_out:
+        latest[r["win_start"]] = (r["est_distinct"], r["n_rows"])
+    batch = spark.read.parquet(src)
+    exact = {
+        r["w"]: (r["d"], r["n"])
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").start.alias("w")
+        )
+        .agg(
+            F.countDistinct("k").alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert latest == exact
