@@ -308,6 +308,42 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duckdb_bloom_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column duckdb-bloom (reference: variadic
+    bitfilters_duckdb_hash + filter_create): build on CombineHash(user_id,
+    event_type), probe the cross of observed user_ids x event_types, and
+    count probable hits. Exact oracle: CombineHash and the sector/mask
+    algorithm are both SQL-expressible."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(duckdb_hash(ORACLE_VERSION, "user_id", "event_type").alias("h"))
+    filters = build_filter(keyed, [], "h", "duckdb_bloom", num_sectors=512)
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    cross = users.crossJoin(types).withColumn(
+        "h", duckdb_hash(ORACLE_VERSION, "user_id", "event_type")
+    )
+    return (
+        probe_filter(cross, filters, "h")
+        .where(F.col("__contains"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_probable_users"))
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composability rollup: language ID x quality metrics in one pass —
+    per-language doc count, total tokens, mean quality (rounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = T.quality_metrics(docs, "text").withColumn(
+        "lang_pred", T.langid("text")
+    )
+    return enriched.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch per group: k=64 (at capacity — the
     (k-1)*2^64 // kth_min integer-exact estimator) and k=65536
@@ -756,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
         "q_duckdb_bloom_false_positives": q_duckdb_bloom_false_positives,
+        "q_duckdb_bloom_multi": q_duckdb_bloom_multi,
+        "q_corpus_stats": q_corpus_stats,
         "q_filter_union": q_filter_union,
         "q_cms_counts": q_cms_counts,
         "q_kmv_distinct": q_kmv_distinct,
@@ -1000,6 +1038,53 @@ def oracle_sql() -> dict[str, str]:
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
         "q_duckdb_bloom_false_positives": _duckdb_bloom_fp_oracle_sql(1024),
         "q_cms_counts": _cms_oracle_sql(4, 1024),
+        "q_duckdb_bloom_multi": (
+            lambda h, mask: f"""
+            WITH keyed AS (SELECT {h} AS h FROM events),
+            ins AS (
+              SELECT h & 511 AS idx, bit_or({mask}) AS sector
+              FROM keyed GROUP BY idx),
+            cr AS (
+              SELECT u.user_id, t.event_type
+              FROM (SELECT DISTINCT user_id FROM events) u,
+                   (SELECT DISTINCT event_type FROM events) t),
+            probes AS (SELECT event_type, {h} AS h FROM cr),
+            p2 AS (SELECT event_type, h & 511 AS idx, {mask} AS mask FROM probes)
+            SELECT p.event_type, count(*) AS n_probable_users
+            FROM p2 p JOIN ins s ON s.idx = p.idx
+            WHERE (s.sector & p.mask) = p.mask
+            GROUP BY p.event_type
+        """
+        )(
+            _sql_combine("hash(user_id)", "hash(event_type)"),
+            " | ".join(
+                f"(1::HUGEINT << (((h >> {8 * i}) & 63)::INT))" for i in (4, 5, 6, 7)
+            ),
+        ),
+        "q_corpus_stats": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+                     {_sw_sql("en")} AS sw_en, {_sw_sql("de")} AS sw_de,
+                     {_sw_sql("fr")} AS sw_fr, {_sw_sql("es")} AS sw_es
+              FROM documents),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     round(least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
+                           + (n_uniq::DOUBLE / n_tokens) * 0.4
+                           + (1.0 - punct::DOUBLE / n_chars) * 0.1
+                           + (1.0 - digits::DOUBLE / n_chars) * 0.1, 6) AS quality_score,
+                     {_LANGID_CASE} AS lang_pred
+              FROM m)
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(quality_score), 6) AS avg_quality
+            FROM q GROUP BY lang_pred
+        """,
         "q_kmv_distinct": """
             WITH keyed AS (
               SELECT o_orderkey % 2 AS grp, hash(o_custkey) AS h FROM orders),
