@@ -82,3 +82,71 @@ def test_flat_packing_matches_list_packing(blobs):
         )
         slow = hashing.hash_bytes(list(blobs), version=version)
         assert (fast == slow).all()
+
+
+# ------------------------------------------------------------ cms / kmv ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s)
+def test_cms_never_underestimates_property(xs):
+    from bitfilters_spark.core import cms
+
+    h = _arr(xs)
+    blob = cms.cms_build(h, d=3, w=64)
+    if len(h):
+        uniq, counts = np.unique(h, return_counts=True)
+        est = cms.cms_estimate(blob, uniq)
+        assert (est >= counts.astype(np.uint64)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s, u64s)
+def test_cms_merge_is_build_on_union_property(xs, ys):
+    from bitfilters_spark.core import cms
+
+    a, b = _arr(xs), _arr(ys)
+    assert cms.cms_merge([cms.cms_build(a, 2, 32), cms.cms_build(b, 2, 32)]) == (
+        cms.cms_build(np.concatenate([a, b]), 2, 32)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s, st.integers(min_value=2, max_value=64))
+def test_kmv_exact_or_bounded_property(xs, k):
+    from bitfilters_spark.core import kmv
+
+    h = _arr(xs)
+    blob = kmv.kmv_build(h, k)
+    true = len(np.unique(h))
+    est = kmv.kmv_estimate(blob)
+    if true < k:
+        assert est == true  # under capacity: exact, always
+    else:
+        assert est >= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s, u64s, st.integers(min_value=2, max_value=32))
+def test_kmv_merge_is_build_on_union_property(xs, ys, k):
+    from bitfilters_spark.core import kmv
+
+    a, b = _arr(xs), _arr(ys)
+    assert kmv.kmv_merge([kmv.kmv_build(a, k), kmv.kmv_build(b, k)]) == (
+        kmv.kmv_build(np.concatenate([a, b]), k)
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(u64s)
+def test_cms_kmv_roundtrip_property(xs):
+    from bitfilters_spark.core import cms, kmv
+
+    h = _arr(xs)
+    mat = cms.cms_counts(h, 2, 16)
+    assert (cms.cms_deserialize(cms.cms_serialize(mat)) == mat).all()
+    k, vals = kmv.kmv_deserialize(kmv.kmv_build(h, 8))
+    assert k == 8
+    # strictly ascending, compared UNSIGNED (an i64 cast would flip order
+    # for values above 2^63)
+    assert bool(np.all(vals[1:] > vals[:-1]))
