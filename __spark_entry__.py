@@ -759,6 +759,21 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pipeline (stub encoder, real mapInPandas/Arrow
+    mechanics): emit each doc's feature dimensionality and argmax bin.
+    Integer-derived outputs so the float32 vectors never face a
+    cross-engine float comparison; the deterministic stub (byte-histogram
+    mod 16) is exactly reproducible in SQL over the ASCII corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.attach_payload(docs), "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        (F.array_position("features", F.array_max("features")) - 1).alias("top_bin"),
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup (same code shape batch & streaming)."""
     ev = load_table(spark, sf_dir, "events")
@@ -824,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_skipping": q_data_skipping,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_features": q_multimodal_features,
         "q_events_window": q_events_window,
         "q_pipeline_e2e": q_pipeline_e2e,
         "q_sessionize": q_sessionize,
@@ -1395,6 +1411,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN rates r
               ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
+        "q_multimodal_features": """
+            WITH res AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, length(text)),
+                       i -> ascii(substr(text, i, 1)) % 16)) AS bin
+              FROM documents),
+            hist AS (
+              SELECT doc_id, bin, count(*) AS c FROM res GROUP BY doc_id, bin),
+            top AS (
+              SELECT doc_id, bin, c,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+              FROM hist)
+            SELECT doc_id, 16 AS dim, bin AS top_bin FROM top WHERE rn = 1
         """,
         "q_events_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
