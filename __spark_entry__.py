@@ -223,9 +223,10 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter size comparison (reference 'Filter Comparison Example').
-    All 7 filters are built from ONE scan of the hashed projection
-    (build_filters_multi); sizes are engine-specific -> rows-only check."""
+    """Filter size comparison (reference 'Filter Comparison Example'),
+    extended with the sketch family. All 9 filters are built from ONE
+    scan of the hashed projection (build_filters_multi); sizes are
+    engine-specific -> rows-only check."""
     orders = load_table(spark, sf_dir, "orders")
     keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
     specs = [
@@ -236,6 +237,8 @@ def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fuse16", "fuse16", {}),
         ("bloom", "bloom", {"n": 50_000, "fpp": 0.01}),
         ("duckdb_bloom", "duckdb_bloom", {"num_sectors": 16384}),
+        ("cms", "cms", {"d": 4, "w": 16384}),
+        ("kmv", "kmv", {"k": 1024}),
     ]
     return build_filters_multi(keyed, "h", specs).select(
         "filter_type", F.length("filter").alias("size_bytes")

@@ -303,6 +303,16 @@ def build_filters_multi(
                 elif kind == "duckdb_bloom":
                     sect = B.duckdb_bloom_build(hs, p["num_sectors"])
                     merge_state[name] = sect if name not in merge_state else merge_state[name] | sect
+                elif kind == "cms":
+                    mat = CM.cms_counts(hs, p["d"], p["w"])
+                    merge_state[name] = mat if name not in merge_state else merge_state[name] + mat
+                elif kind == "kmv":
+                    vals = np.unique(hs)[: p["k"]]
+                    prev = merge_state.get(name)
+                    merge_state[name] = (
+                        vals if prev is None
+                        else np.unique(np.concatenate([prev, vals]))[: p["k"]]
+                    )
                 else:  # bloom
                     w = B.bloom_build(hs, p["n"], p["fpp"])
                     merge_state[name] = w if name not in merge_state else merge_state[name] | w
@@ -320,6 +330,10 @@ def build_filters_multi(
                     )
                 elif kind == "duckdb_bloom":
                     blob = B.duckdb_bloom_serialize(st)
+                elif kind == "cms":
+                    blob = CM.cms_serialize(st)
+                elif kind == "kmv":
+                    blob = KV.kmv_serialize(p["k"], st)
                 else:
                     blob = B.bloom_serialize(st, B.bloom_params(p["n"], p["fpp"])[1])
                 rows.append((name, blob))

@@ -333,3 +333,25 @@ def test_kmv_two_phase_build_and_estimates(spark, orders):
         .collect()
     }
     assert est == exact  # under capacity => exact
+
+
+def test_multi_build_includes_sketches(spark, orders):
+    """build_filters_multi covers the sketch kinds in the same single
+    scan, byte-identical to standalone builds."""
+    from bitfilters_spark.functions.filters import build_filters_multi
+
+    keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
+    multi = {
+        r["filter_type"]: bytes(r["filter"])
+        for r in build_filters_multi(
+            keyed, "h",
+            [("cms", "cms", {"d": 2, "w": 1024}), ("kmv", "kmv", {"k": 64})],
+        ).collect()
+    }
+    solo_cms = bytes(
+        build_filter(keyed, [], "h", "cms", d=2, w=1024).collect()[0]["filter"]
+    )
+    solo_kmv = bytes(
+        build_filter(keyed, [], "h", "kmv", k=64).collect()[0]["filter"]
+    )
+    assert multi == {"cms": solo_cms, "kmv": solo_kmv}
