@@ -233,3 +233,51 @@ def test_streaming_distinct_counts_exact_under_capacity(spark, tmp_path):
         .collect()
     }
     assert latest == exact
+
+
+def test_streaming_window_counts_drops_late_data(spark, tmp_path):
+    """Watermark semantics in APPEND mode: a window is emitted once the
+    watermark passes its end, and an event arriving after that is dropped
+    rather than mutating the finalized window."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # batch 1: two events in the 10:00 window, one at 13:30 that advances
+    # the watermark (1h) past 10:00-11:00's end
+    write([(1, t(10, 5), "click"), (2, t(10, 40), "click"), (3, t(13, 30), "view")])
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    counts = streaming_window_counts(stream, "ts", "event_type", "1 hour", "1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE click at 10:50 — watermark (12:30) is already past
+        # the 11:00 window end, so it must be dropped
+        write([(4, t(10, 50), "click")])
+        q.processAllAvailable()
+        # batch 3: advance watermark far enough to close every window
+        write([(5, t(20, 0), "view")])
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM late_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2024-01-01 10:00:00", "click")] == 2  # late event NOT counted
