@@ -6,7 +6,7 @@ group aggregates + row probes), plus large-scale training-data pipeline
 operators (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
-from . import functions, operators, plans, sources, streaming  # noqa: E402,F401
+from . import functions, operators, plans, sources, sql, streaming  # noqa: E402,F401
 from .session import make_session  # noqa: E402,F401

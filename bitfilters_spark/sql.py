@@ -1,0 +1,123 @@
+"""SQL surface: register the row-wise operators as Spark SQL functions.
+
+The reference is a SQL extension — its users write
+``SELECT ... WHERE quotient_filter_contains(f, hash(x))`` — so the probe
+side of this engine is exposed to ``spark.sql`` too (reference
+``docs/README.md`` usage examples). Registered functions:
+
+* ``bf_contains(filter, h)``      — membership, any filter blob format
+* ``bf_cms_estimate(filter, h)``  — count-min frequency estimate
+* ``bf_kmv_distinct(filter)``     — KMV cardinality estimate
+* ``bf_duckdb_hash(x)``           — DuckDB-parity hash (v1.0.0, one key)
+* ``bf_filter_kind(filter)``      — blob format sniff
+
+Builds stay on the DataFrame API: Python cannot register SQL AGGREGATE
+functions (Spark has no Python UDAF), and the two-phase mergeable build
+is deliberately a composed plan, not a black-box aggregate. The pattern
+is: build with ``build_filter`` / ``build_filters_multi``, register the
+result as a temp view, then query in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_REGISTERED: set = set()
+
+
+def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
+    """Idempotently register the scalar surface; returns the names."""
+    key = (id(spark.sparkContext), prefix)
+    names = [
+        f"{prefix}contains",
+        f"{prefix}cms_estimate",
+        f"{prefix}kmv_distinct",
+        f"{prefix}duckdb_hash",
+        f"{prefix}filter_kind",
+    ]
+    if key in _REGISTERED:
+        return names
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import BooleanType, LongType, StringType
+
+    from .functions.filters import (
+        _KIND_BY_MAGIC,
+        _arrow_hashes_u64,
+        _probe_blob,
+    )
+    from .core import cms as CM
+    from .core import kmv as KV
+    from .core import hashing as H
+
+    @arrow_udf(BooleanType())
+    def _contains(blobs, hashes):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = np.zeros(len(h), dtype=bool)
+        if len(h):
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = _probe_blob(bytes(blob), h[m])
+        return pa.array(out, type=pa.bool_(), mask=hmask | np.asarray(blobs.is_null()))
+
+    @arrow_udf(LongType())
+    def _cms_est(blobs, hashes):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = np.zeros(len(h), dtype=np.int64)
+        if len(h):
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = CM.cms_estimate(bytes(blob), h[m]).astype(np.int64)
+        return pa.array(out, type=pa.int64(), mask=hmask | np.asarray(blobs.is_null()))
+
+    @arrow_udf(LongType())
+    def _kmv_dist(blobs):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = [
+            None if b is None else KV.kmv_estimate(bytes(b))
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.int64())
+
+    @arrow_udf(LongType())
+    def _dhash(values):
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        mask = np.asarray(values.is_null())
+        if pa.types.is_integer(values.type):
+            v = values.cast(pa.int64()).fill_null(0).to_numpy().astype(np.int64)
+            h = H.hash_int64(v)
+        else:
+            data = ["" if x is None else str(x) for x in values.to_pylist()]
+            h = H.hash_bytes([s.encode() for s in data], "v1.0.0")
+        return pa.array(h.view(np.int64), type=pa.int64(), mask=mask)
+
+    @arrow_udf(StringType())
+    def _kind(blobs):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = [
+            None
+            if b is None
+            else _KIND_BY_MAGIC.get(bytes(b[:4]), "duckdb_bloom")
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.string())
+
+    spark.udf.register(f"{prefix}contains", _contains)
+    spark.udf.register(f"{prefix}cms_estimate", _cms_est)
+    spark.udf.register(f"{prefix}kmv_distinct", _kmv_dist)
+    spark.udf.register(f"{prefix}duckdb_hash", _dhash)
+    spark.udf.register(f"{prefix}filter_kind", _kind)
+    _REGISTERED.add(key)
+    return names

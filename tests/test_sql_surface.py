@@ -1,0 +1,78 @@
+"""The reference is a SQL extension; its query shapes must work from
+spark.sql too — build on the DataFrame API, probe/estimate in SQL."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.functions import build_filter
+from bitfilters_spark.functions.hashing import spark_hash64
+from bitfilters_spark.sql import register_sql_functions
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    register_sql_functions(spark)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"), spark_hash64("o_orderkey").alias("h")
+    )
+    keyed.createOrReplaceTempView("sql_keyed")
+    return keyed
+
+
+def test_sql_contains_member_counts(spark, ctx):
+    """The reference's member-count test shape, written in SQL."""
+    build_filter(ctx, ["grp"], "h", "duckdb_bloom", num_sectors=2048) \
+        .createOrReplaceTempView("sql_filters")
+    got = {
+        r["grp"]: r["n"]
+        for r in spark.sql("""
+            SELECT k.grp, count(*) AS n
+            FROM sql_keyed k JOIN sql_filters f USING (grp)
+            WHERE bf_contains(f.filter, k.h)
+            GROUP BY k.grp
+        """).collect()
+    }
+    want = {r["grp"]: r["count"] for r in ctx.groupBy("grp").count().collect()}
+    assert got == want
+
+
+def test_sql_sketch_estimates(spark, ctx):
+    build_filter(ctx, [], "h", "kmv", k=1 << 15).createOrReplaceTempView("sql_kmv")
+    est = spark.sql("SELECT bf_kmv_distinct(filter) AS d FROM sql_kmv").collect()[0]["d"]
+    assert est == ctx.select("h").distinct().count()
+
+    build_filter(ctx, [], "h", "cms", d=4, w=1 << 15).createOrReplaceTempView("sql_cms")
+    over = spark.sql("""
+        SELECT count(*) AS bad FROM (
+          SELECT k.h, any_value(c.n_exact) AS n_exact,
+                 any_value(bf_cms_estimate(s.filter, k.h)) AS est
+          FROM sql_keyed k
+          CROSS JOIN sql_cms s
+          JOIN (SELECT h, count(*) AS n_exact FROM sql_keyed GROUP BY h) c
+            ON c.h = k.h
+          GROUP BY k.h)
+        WHERE est < n_exact
+    """).collect()[0]["bad"]
+    assert over == 0  # never underestimates
+
+
+def test_sql_hash_parity(spark, ctx):
+    import duckdb
+
+    got = spark.sql(
+        "SELECT h, bf_duckdb_hash(h) AS dh FROM sql_keyed LIMIT 50"
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        want = con.sql(f"SELECT hash({r['h']}::BIGINT) AS h").fetchone()[0]
+        want_signed = want - (1 << 64) if want > (1 << 63) - 1 else want
+        assert r["dh"] == want_signed
+
+
+def test_sql_filter_kind(spark, ctx):
+    build_filter(ctx, [], "h", "xor8").createOrReplaceTempView("sql_x8")
+    k = spark.sql("SELECT bf_filter_kind(filter) AS k FROM sql_x8").collect()[0]["k"]
+    assert k == "xor"
