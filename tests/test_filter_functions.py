@@ -355,3 +355,22 @@ def test_multi_build_includes_sketches(spark, orders):
         build_filter(keyed, [], "h", "kmv", k=64).collect()[0]["filter"]
     )
     assert multi == {"cms": solo_cms, "kmv": solo_kmv}
+
+
+def test_merge_rejects_mismatched_params(spark, orders):
+    """Merging incompatible blobs must error clearly, never corrupt."""
+    from bitfilters_spark.functions.filters import merge_filters
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"), spark_hash64("o_orderkey").alias("h")
+    )
+    a = build_filter(keyed.where("grp = 0"), [], "h", "kmv", k=32)
+    b = build_filter(keyed.where("grp = 1"), [], "h", "kmv", k=64)
+    both = a.union(b)
+    with pytest.raises(Exception, match="different k"):
+        merge_filters(both, []).collect()
+
+    c = build_filter(keyed.where("grp = 0"), [], "h", "cms", d=2, w=64)
+    d = build_filter(keyed.where("grp = 1"), [], "h", "cms", d=2, w=128)
+    with pytest.raises(Exception, match="different"):
+        merge_filters(c.union(d), []).collect()

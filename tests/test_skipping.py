@@ -62,3 +62,31 @@ def test_index_roundtrip(spark, part_dir, tmp_path):
     assert prune_files(idx2, key_hashes(spark, keys)) == prune_files(
         idx, key_hashes(spark, keys)
     )
+
+
+def test_multi_column_index(spark, tmp_path):
+    """Index over a composite key: probes hash the same column tuple."""
+    import numpy as np
+
+    from bitfilters_spark.functions.hashing import spark_hash64
+
+    dest = str(tmp_path / "ev")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).repartitionByRange(4, "o_custkey").write.parquet(dest)
+    idx = build_file_index(
+        spark, dest, ["o_custkey", "o_orderpriority"], "bloom", n=5000, fpp=0.01
+    )
+    full = spark.read.parquet(dest)
+    probe = full.select("o_custkey", "o_orderpriority").limit(2)
+    hashes = np.array(
+        [
+            r["h"]
+            for r in probe.select(
+                spark_hash64("o_custkey", "o_orderpriority").alias("h")
+            ).collect()
+        ],
+        dtype=np.int64,
+    ).view(np.uint64)
+    files = prune_files(idx, hashes)
+    assert 1 <= len(files) <= 4
