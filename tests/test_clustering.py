@@ -92,3 +92,34 @@ def test_max_iter_caps_iterations(spark):
         driver_max_edges=0,
     )
     assert cc.count() == 6
+
+
+def test_components_distributed_large_random_graph(spark):
+    """Distributed fixpoint on a 5k-node / 8k-edge random graph (forced past
+    the driver path) must agree with union-find."""
+    import random
+
+    rng = random.Random(11)
+    edges = list({
+        tuple(sorted((rng.randrange(5000), rng.randrange(5000))))
+        for _ in range(8000)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    want = {n: find(n) for n in parent}
+    cc = connected_components(_pairs(spark, edges), driver_max_edges=0)
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == want

@@ -128,3 +128,27 @@ def test_cosine_topk_matches_brute(spark):
         )
         for rank in range(3):
             assert got[(q, rank + 1)] == order[rank][1]
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """MinHash-LSH pairs at j >= 0.5 must equal the exact shingle-Jaccard
+    operator on the real corpus (16-band LSH miss probability at the
+    corpus's qualifying similarities is negligible; candidates are
+    exact-verified, so precision is 1 by construction)."""
+    from bitfilters_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact

@@ -90,3 +90,11 @@ def test_multi_column_index(spark, tmp_path):
     ).view(np.uint64)
     files = prune_files(idx, hashes)
     assert 1 <= len(files) <= 4
+
+
+def test_skipping_read_autobuilds_index(spark, part_dir):
+    got = skipping_read(
+        spark, part_dir, "o_custkey", [5], kind="bloom", n=5000, fpp=0.01
+    )
+    want = spark.read.parquet(part_dir).where(F.col("o_custkey") == 5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -115,3 +115,21 @@ def test_range_join_matches_nested_loop(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_asof_join_multiple_right_cols(spark):
+    import datetime as dt
+
+    _t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), 7.0, "a"), (1, _t(20), 9.0, "b")],
+        "user_id long, ts timestamp, v double, tag string",
+    )
+    got = {
+        r["event_id"]: (r["v"], r["tag"])
+        for r in asof_join(left, right, ["user_id"], ["v", "tag"]).collect()
+    }
+    assert got == {1: (7.0, "a"), 2: (9.0, "b")}
