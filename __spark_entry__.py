@@ -561,6 +561,25 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling over events: keep ~80% of clicks,
+    ~25% of views, ~50% of everything else — keyed on event_id hash so the
+    draw is reproducible across engines (DuckDB-parity hash + low-bit
+    mask)."""
+    from bitfilters_spark.operators import sampling as SP
+
+    ev = load_table(spark, sf_dir, "events")
+    out = SP.stratified_hash_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"click": 819, "view": 256},
+        default_threshold=512,
+        native=False,
+    )
+    return out.select("event_id", "event_type")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: top-100 tokens by occurrence (tie-break on the
     token) with document frequency. The global rank window runs over the
@@ -838,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_hash_split": q_hash_split,
+        "q_stratified_sample": q_stratified_sample,
         "q_vocab_topk": q_vocab_topk,
         "q_data_skipping": q_data_skipping,
         "q_multimodal_meta": q_multimodal_meta,
@@ -1289,6 +1309,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (hash(doc_id) & 1023) < 921 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "q_stratified_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE (hash(event_id) & 1023) <
+                  CASE event_type WHEN 'click' THEN 819
+                                  WHEN 'view' THEN 256
+                                  ELSE 512 END
         """,
         "q_vocab_topk": """
             WITH tok AS (

@@ -70,6 +70,30 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    thresholds: dict,
+    default_threshold: int = 0,
+    mask: int = 1023,
+    native: bool = True,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its key-hash low
+    bits fall below the stratum's threshold (rate ≈ threshold/(mask+1)).
+    The training-data rebalancing shape — downsample dominant classes,
+    keep rare ones — with all of ``hash_sample``'s reproducibility, as a
+    pure map-side predicate. Strata absent from ``thresholds`` use
+    ``default_threshold`` (0 = drop)."""
+    if mask & (mask + 1):
+        raise ValueError("mask must be 2^k - 1")
+    b = _bucket(key_col, mask, native)
+    thr = F.lit(default_threshold)
+    for stratum, t in thresholds.items():
+        thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
+    return df.where(b < thr)
+
+
 def split_edges(weights: dict, mask: int = 1023) -> list:
     """The bucket edges ``hash_split`` uses — exposed so an oracle (or an
     external engine) can reproduce the exact assignment."""

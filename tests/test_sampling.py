@@ -38,3 +38,34 @@ def test_split_edges_exposed():
         ("train", 819),
         ("val", 921),
     ]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from bitfilters_spark.operators.sampling import stratified_hash_sample
+
+    from bitfilters_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    s1 = stratified_hash_sample(
+        ev, "event_id", "event_type", {"click": 819, "view": 0}, default_threshold=102
+    )
+    s2 = stratified_hash_sample(
+        ev, "event_id", "event_type", {"click": 819, "view": 0}, default_threshold=102
+    )
+    assert sorted(r["event_id"] for r in s1.collect()) == sorted(
+        r["event_id"] for r in s2.collect()
+    )
+    rates = {
+        r["event_type"]: r["n"]
+        for r in s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "view" not in rates  # threshold 0 drops the stratum entirely
+    assert 0.6 < rates["click"] / totals["click"] < 0.95  # ~80%
+    other = set(totals) - {"click", "view"}
+    got_other = sum(rates.get(t, 0) for t in other)
+    tot_other = sum(totals[t] for t in other)
+    assert 0.03 < got_other / tot_other < 0.25  # ~10%
