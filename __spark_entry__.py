@@ -366,6 +366,29 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: estimate the overlap between two groups' key sets
+    from their KMV sketches alone — no join of the underlying rows. The
+    combine (merge k smallest, count values present in both) is pure
+    integer arithmetic on two KB-size blobs, so the oracle reproduces the
+    numbers exactly."""
+    from bitfilters_spark.core.kmv import kmv_overlap
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h"),
+    )
+    sketches = {
+        r["grp"]: bytes(r["filter"])
+        for r in build_filter(keyed, ["grp"], "h", "kmv", k=128).collect()
+    }
+    k_eff, n_both, union_est = kmv_overlap(sketches[0], sketches[1])
+    return spark.createDataFrame(
+        [(k_eff, n_both, union_est)], "k_eff long, n_both long, union_est long"
+    )
+
+
 def q_filter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter algebra: merge per-(o_orderkey%4) duckdb-blooms into
     per-(%4 div 2) filters; probe EVERY key against its coarse-group
@@ -834,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_union": q_filter_union,
         "q_cms_counts": q_cms_counts,
         "q_kmv_distinct": q_kmv_distinct,
+        "q_kmv_overlap": q_kmv_overlap,
         "q_duckdb_hash_int": q_duckdb_hash_int,
         "q_duckdb_hash_str": q_duckdb_hash_str,
         "q_duckdb_hash_multi": q_duckdb_hash_multi,
@@ -1140,6 +1164,28 @@ def oracle_sql() -> dict[str, str]:
                     END)::BIGINT AS est64,
                    max(nd)::BIGINT AS est_exact
             FROM r GROUP BY grp
+        """,
+        "q_kmv_overlap": """
+            WITH keyed AS (
+              SELECT o_orderkey % 2 AS grp, hash(o_custkey) AS h FROM orders),
+            d AS (SELECT DISTINCT grp, h FROM keyed),
+            r AS (
+              SELECT grp, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+              FROM d),
+            s AS (SELECT grp, h FROM r WHERE rn <= 128),
+            m AS (
+              SELECT h FROM (SELECT DISTINCT h FROM s) ORDER BY h LIMIT 128),
+            mk AS (SELECT max(h) AS kth, count(*) AS n FROM m),
+            b AS (
+              SELECT count(*) AS n_both FROM m
+              WHERE h IN (SELECT h FROM s WHERE grp = 0)
+                AND h IN (SELECT h FROM s WHERE grp = 1))
+            SELECT 128 AS k_eff, b.n_both,
+                   (CASE WHEN mk.n < 128 THEN mk.n::HUGEINT
+                         ELSE (127::HUGEINT * 18446744073709551616::HUGEINT)
+                              // mk.kth::HUGEINT END)::BIGINT AS union_est
+            FROM b, mk
         """,
         "q_filter_union": (
             lambda mask: f"""

@@ -53,6 +53,32 @@ def kmv_merge(blobs: list) -> bytes:
     return kmv_serialize(k, vals)
 
 
+def kmv_overlap(blob_a: bytes, blob_b: bytes) -> tuple:
+    """Set-operation estimates from two sketches WITHOUT touching rows:
+    ``(k_eff, n_both, union_est)``.
+
+    Standard KMV combine: merge the two value sets, keep the
+    ``k_eff = min(k_a, k_b)`` smallest; every kept value is a uniform
+    sample of the union, so the count present in BOTH sketches over
+    ``k_eff`` estimates the Jaccard similarity, and ``union_est`` is the
+    plain KMV estimate of the merged sketch. All integers — an external
+    engine reproduces the numbers exactly.
+    """
+    ka, va = kmv_deserialize(blob_a)
+    kb, vb = kmv_deserialize(blob_b)
+    k_eff = min(ka, kb)
+    merged = np.unique(np.concatenate([va, vb]))[:k_eff]
+    if len(merged) == 0:
+        return (k_eff, 0, 0)
+    both = int((np.isin(merged, va) & np.isin(merged, vb)).sum())
+    if len(merged) < k_eff:
+        union_est = len(merged)
+    else:
+        kth = int(merged[k_eff - 1])
+        union_est = (k_eff - 1) * (1 << 64) // kth if kth else len(merged)
+    return (k_eff, both, union_est)
+
+
 def kmv_estimate(blob: bytes) -> int:
     """Deterministic distinct-count estimate (exact when the sketch is not
     full)."""

@@ -230,3 +230,26 @@ def test_kmv_merge_equals_build_on_union():
     assert kmv_merge([kmv_build(a, 128), kmv_build(b, 128)]) == kmv_build(
         np.concatenate([a, b]), 128
     )
+
+
+def test_kmv_overlap_identical_and_disjoint():
+    import numpy as np
+
+    from bitfilters_spark.core.kmv import kmv_build, kmv_overlap
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 2**64, size=3000, dtype=np.uint64)
+    sk = kmv_build(a, 64)
+    k_eff, both, union_est = kmv_overlap(sk, sk)
+    assert (k_eff, both) == (64, 64)  # identical sets: jaccard estimate 1
+
+    from bitfilters_spark.core.kmv import kmv_estimate
+
+    b = rng.integers(0, 2**64, size=3000, dtype=np.uint64)
+    sk_a, sk_b = kmv_build(a, 256), kmv_build(b, 256)
+    _, both2, union2 = kmv_overlap(sk_a, sk_b)
+    assert both2 <= 8  # disjoint random sets: near-zero overlap sample
+    true_union = len(np.unique(np.concatenate([a, b])))
+    assert 0.8 * true_union < union2 < 1.2 * true_union  # ~6% stderr at k=256
+    # combining two sketches must equal sketching the union directly
+    assert union2 == kmv_estimate(kmv_build(np.concatenate([a, b]), 256))
