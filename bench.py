@@ -40,10 +40,22 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name, fn in E.queries().items():
+        import gc
+
+        def _cleanup():
+            # operators cache/checkpoint intermediates internally and never
+            # unpersist (the DataFrame handle owns the lifetime); dropping
+            # them between EXECUTIONS keeps one run's blocks out of the
+            # next measurement — without this, cache-heavy plans measured
+            # 2-3x their isolated cost by the end of the suite
+            spark.catalog.clearCache()
+            gc.collect()
+
         samples = []
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
             for _ in range(runs):
+                _cleanup()
                 t0 = time.time()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 samples.append(time.time() - t0)
@@ -51,17 +63,7 @@ def main() -> None:
         except Exception as ex:  # a failing query must not hide the others
             times[name] = -1.0
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
-        # operators cache/checkpoint intermediates internally; drop them
-        # between queries so earlier queries' blocks don't occupy the
-        # block manager during later measurements. (Known residual: after
-        # the full ~200-execution suite the largest plan, q_pipeline_e2e,
-        # still measures ~2-3x its isolated-session cost — session-aging
-        # overhead in local mode, not a plan property; its isolated
-        # steady-state is ~5s at sf0.1.)
-        import gc
-
-        spark.catalog.clearCache()
-        gc.collect()
+        _cleanup()
 
     ok = [v for v in times.values() if v >= 0]
     print(
