@@ -634,6 +634,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization of embeddings (4x storage cut);
+    integer aggregates of the codes so nothing float crosses the
+    comparison. Explicit DOUBLE arithmetic + half-up floor makes the
+    codes engine-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = SIM.quantize_int8(emb, "vec_id", "embedding")
+    return qt.select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: synth payload -> stub decode -> typed meta
     rollup. Decode is a documented stub; the metadata is deterministic so
@@ -880,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup_pairs": q_embed_neardup_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ivf_topk": q_ivf_topk,
+        "q_quantize_int8": q_quantize_int8,
         "q_hash_split": q_hash_split,
         "q_stratified_sample": q_stratified_sample,
         "q_vocab_topk": q_vocab_topk,
@@ -1338,6 +1354,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
             FROM p QUALIFY rank <= 5
+        """,
+        "q_quantize_int8": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     greatest(list_max(list_transform(embedding,
+                       x -> abs(x::DOUBLE))), 1e-12) AS scale
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> floor(x::DOUBLE / scale * 127.0 + 0.5)::INT) AS qvec
+              FROM s)
+            SELECT vec_id,
+                   list_sum(qvec)::BIGINT AS q_sum,
+                   list_min(qvec) AS q_min,
+                   list_max(qvec) AS q_max
+            FROM q
         """,
         "q_ivf_topk": """
             WITH p AS (

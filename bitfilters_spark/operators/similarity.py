@@ -325,6 +325,38 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|e_i| (so the
+    range maps onto [-127, 127]), q_i = floor(e_i/scale*127 + 0.5).
+
+    The 4x storage cut for 100 TB embedding stores, as pure JVM array
+    expressions (no UDF). Arithmetic is done in DOUBLE with explicit
+    half-up rounding so any engine reproduces the codes bit-for-bit;
+    reconstruction is q_i * scale / 127.
+    """
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    out = df.withColumn("__scale", scale)
+    q = F.transform(
+        v,
+        lambda x: F.floor(
+            x.cast("double") / F.col("__scale") * 127.0 + F.lit(0.5)
+        ).cast("int"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__scale").alias("scale"),
+        q.alias("qvec"),
+    )
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -152,3 +152,21 @@ def test_minhash_lsh_recall_vs_exact(spark):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    """Codes stay in [-127, 127] and reconstruction error is bounded by
+    half a quantization step per element."""
+    import numpy as np
+
+    from bitfilters_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = quantize_int8(emb, "vec_id", "embedding").collect()
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for r in rows:
+        q = np.array(r["qvec"], dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        recon = q * r["scale"] / 127.0
+        step = r["scale"] / 127.0
+        assert np.abs(recon - orig[r["vec_id"]]).max() <= step / 2 + 1e-9
