@@ -536,6 +536,11 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster member counts (the dedup 'report' shape for near-dups)."""
+    return CL.cluster_report(_neardup_pairs(spark, sf_dir))
+
+
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: keep one representative (min doc_id) per
     near-dup cluster; singletons pass through."""
@@ -888,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_neardup_clusters": q_neardup_clusters,
+        "q_cluster_report": q_cluster_report,
         "q_dedup_near": q_dedup_near,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_values": q_simhash_values,
@@ -1332,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
         "q_neardup_clusters": _neardup_cc_sql(
             "SELECT id AS doc_id, component FROM comp"
+        ),
+        "q_cluster_report": _neardup_cc_sql(
+            "SELECT component, count(*) AS n_members FROM comp GROUP BY component"
         ),
         "q_dedup_near": _neardup_cc_sql(
             "SELECT doc_id FROM documents "
