@@ -164,6 +164,27 @@ def q_bloom_members(spark, sf_dir):
     return _member_count_query("bloom", n=50_000, fpp=0.01)(spark, sf_dir)
 
 
+def q_bloom_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT FP oracle for the generic bloom: Kirsch–Mitzenmacher position
+    derivation (pos_i = (h + i*(mix(h)|1)) mod 2^64 mod m,
+    core/bloom.py:_positions) is reimplemented in DuckDB SQL over HUGEINT,
+    and hash parity is certified — so the FP set is deterministic and
+    identical on both engines (upgrades the q_bloom_fp_bounded envelope)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    filters = build_filter(keyed, ["grp"], "h", "bloom", n=10_000, fpp=0.01)
+    flipped = keyed.withColumn("remainder", F.lit(1) - F.col("grp"))
+    return (
+        probe_filter(flipped, filters, "h", on=["remainder"])
+        .where(F.col("__contains"))
+        .groupBy("remainder")
+        .agg(F.count(F.lit(1)).alias("false_positives"))
+    )
+
+
 def q_duckdb_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """duckdb_bloom_filter_create + probe with values hashed inside the
     probe (multi-step reference workflow, docs/README.md §4)."""
@@ -870,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuse16_members": q_fuse16_members,
         "q_bloom_members": q_bloom_members,
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
+        "q_bloom_false_positives": q_bloom_false_positives,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
         "q_duckdb_bloom_false_positives": q_duckdb_bloom_false_positives,
         "q_duckdb_bloom_multi": q_duckdb_bloom_multi,
@@ -1029,6 +1051,40 @@ def _neardup_cc_sql(final_select: str, threshold: float = 0.1) -> str:
     """
 
 
+def _bloom_fp_oracle_sql(n: int = 10_000, fpp: float = 0.01) -> str:
+    """Exact generic-bloom membership in SQL: mix(h) via staged CTEs, then
+    Kirsch–Mitzenmacher positions (h + i*(mix|1)) mod 2^64 mod m; a probe
+    is a hit iff ALL k positions are in the group's inserted-position set."""
+    from bitfilters_spark.core.bloom import bloom_params
+
+    m, k = bloom_params(n, fpp)
+    u64 = "18446744073709551616::HUGEINT"
+    return f"""
+      WITH keyed AS (
+        SELECT o_orderkey % 2 AS grp, hash(o_orderkey) AS h FROM orders),
+      m1 AS (SELECT grp, h, xor(h, h >> 32) AS x FROM keyed),
+      m2 AS (SELECT grp, h, {_sql_wrap_mul_c("x")} AS x FROM m1),
+      m3 AS (SELECT grp, h, xor(x, x >> 32) AS x FROM m2),
+      m4 AS (SELECT grp, h, {_sql_wrap_mul_c("x")} AS x FROM m3),
+      hh AS (SELECT grp, h AS h1, xor(x, x >> 32) | 1 AS h2 FROM m4),
+      pos AS (
+        SELECT grp,
+               (((h1::HUGEINT + i::HUGEINT * h2::HUGEINT) % {u64}) % {m}) AS p
+        FROM hh, generate_series(0, {k - 1}) t(i)),
+      ins AS (SELECT DISTINCT grp, p FROM pos),
+      ppos AS (
+        SELECT 1 - grp AS tgt, h1,
+               (((h1::HUGEINT + i::HUGEINT * h2::HUGEINT) % {u64}) % {m}) AS p
+        FROM hh, generate_series(0, {k - 1}) t(i)),
+      hits AS (
+        SELECT pp.tgt, pp.h1, count(*) AS c
+        FROM ppos pp JOIN ins ON ins.grp = pp.tgt AND ins.p = pp.p
+        GROUP BY pp.tgt, pp.h1)
+      SELECT tgt AS remainder, count(*) AS false_positives
+      FROM hits WHERE c = {k} GROUP BY tgt
+    """
+
+
 def _cms_oracle_sql(d: int = 4, w: int = 1024) -> str:
     """Exact CMS estimates in DuckDB SQL: bucket_j(x) = murmur_mix(
     hash(x) ^ SEED_j) & (w-1), est_j = per-bucket sum of exact counts,
@@ -1120,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fuse16_members": _MEMBER_ORACLE,
         "q_bloom_members": _MEMBER_ORACLE,
         "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
+        "q_bloom_false_positives": _bloom_fp_oracle_sql(10_000, 0.01),
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
         "q_duckdb_bloom_false_positives": _duckdb_bloom_fp_oracle_sql(1024),
         "q_cms_counts": _cms_oracle_sql(4, 1024),
