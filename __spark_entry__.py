@@ -94,8 +94,53 @@ _MEMBER_ORACLE = (
 # --------------------------------------------------------------- queries ---
 
 
-def q_quotient_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _member_count_query("quotient", q=16, r=4)(spark, sf_dir)
+def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-count parity for the whole filter family in ONE query
+    (reference exercises them in one statement too,
+    test/sql/bitfilters.test:40-90): build quotient/xor8/xor16/fuse8/
+    fuse16/bloom per ``o_orderkey % 2`` group, probe every member, count
+    hits per (filter_type, group). No false negatives => every count
+    equals the group size, which is the SQL oracle."""
+    specs = [
+        ("quotient", "quotient", {"q": 16, "r": 4}),
+        ("xor8", "xor8", {}),
+        ("xor16", "xor16", {}),
+        ("fuse8", "fuse8", {}),
+        ("fuse16", "fuse16", {}),
+        ("bloom", "bloom", {"n": 50_000, "fpp": 0.01}),
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    # 12 branches (6 builds + 6 probes) hang off this tiny projection:
+    # materialize it once so each branch re-reads local blocks, not parquet.
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("remainder"),
+        spark_hash64("o_orderkey").alias("h"),
+    ).localCheckpoint()
+    parts = []
+    for name, kind, kw in specs:
+        filters = build_filter(keyed, ["remainder"], "h", kind, **kw)
+        parts.append(
+            probe_filter(keyed, filters, "h", on=["remainder"])
+            .where(F.col("__contains"))
+            .groupBy("remainder")
+            .agg(F.count(F.lit(1)).alias("matches"))
+            .select(F.lit(name).alias("filter_type"), "remainder", "matches")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_FILTER_MEMBERS_ORACLE = """
+    WITH m AS (
+      SELECT o_orderkey % 2 AS remainder, count(*) AS matches
+      FROM orders GROUP BY remainder)
+    SELECT ft.filter_type, m.remainder, m.matches
+    FROM (VALUES ('quotient'), ('xor8'), ('xor16'), ('fuse8'),
+                 ('fuse16'), ('bloom')) ft(filter_type)
+    CROSS JOIN m
+"""
 
 
 def q_quotient_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,26 +189,6 @@ def q_quotient_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_xor8_members(spark, sf_dir):
-    return _member_count_query("xor8")(spark, sf_dir)
-
-
-def q_xor16_members(spark, sf_dir):
-    return _member_count_query("xor16")(spark, sf_dir)
-
-
-def q_fuse8_members(spark, sf_dir):
-    return _member_count_query("fuse8")(spark, sf_dir)
-
-
-def q_fuse16_members(spark, sf_dir):
-    return _member_count_query("fuse16")(spark, sf_dir)
-
-
-def q_bloom_members(spark, sf_dir):
-    return _member_count_query("bloom", n=50_000, fpp=0.01)(spark, sf_dir)
-
-
 def q_bloom_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT FP oracle for the generic bloom: Kirsch–Mitzenmacher position
     derivation (pos_i = (h + i*(mix(h)|1)) mod 2^64 mod m,
@@ -203,24 +228,33 @@ def q_duckdb_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_duckdb_hash_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_duckdb_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three duckdb_hash shapes (int key, string, multi-column
+    CombineHash — reference bitfilters_duckdb_bloom_filter.cpp:171-174)
+    as one tagged union; every row still hash-checked against DuckDB."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey", duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h")
-    )
-
-
-def q_duckdb_hash_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", duckdb_hash(ORACLE_VERSION, "text").alias("h"))
-
-
-def q_duckdb_hash_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column CombineHash (reference semantics,
-    bitfilters_duckdb_bloom_filter.cpp:171-174)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", duckdb_hash(ORACLE_VERSION, "user_id", "event_type").alias("h")
+    return (
+        orders.select(
+            F.lit("int").alias("src"),
+            F.col("o_orderkey").alias("k"),
+            duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+        )
+        .unionByName(
+            docs.select(
+                F.lit("str").alias("src"),
+                F.col("doc_id").alias("k"),
+                duckdb_hash(ORACLE_VERSION, "text").alias("h"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("multi").alias("src"),
+                F.col("event_id").alias("k"),
+                duckdb_hash(ORACLE_VERSION, "user_id", "event_type").alias("h"),
+            )
+        )
     )
 
 
