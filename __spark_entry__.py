@@ -916,14 +916,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q_quotient_members": q_quotient_members,
+        "q_filter_members": q_filter_members,
         "q_quotient_false_positives": q_quotient_false_positives,
         "q_quotient_delete": q_quotient_delete,
-        "q_xor8_members": q_xor8_members,
-        "q_xor16_members": q_xor16_members,
-        "q_fuse8_members": q_fuse8_members,
-        "q_fuse16_members": q_fuse16_members,
-        "q_bloom_members": q_bloom_members,
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_bloom_false_positives": q_bloom_false_positives,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
@@ -934,9 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_counts": q_cms_counts,
         "q_kmv_distinct": q_kmv_distinct,
         "q_kmv_overlap": q_kmv_overlap,
-        "q_duckdb_hash_int": q_duckdb_hash_int,
-        "q_duckdb_hash_str": q_duckdb_hash_str,
-        "q_duckdb_hash_multi": q_duckdb_hash_multi,
+        "q_duckdb_hash": q_duckdb_hash,
         "q_filter_join": q_filter_join,
         "q_filter_sizes": q_filter_sizes,
         "q_dedup_exact": q_dedup_exact,
@@ -1181,7 +1174,7 @@ def oracle_sql() -> dict[str, str]:
     h_int = "hash(o_orderkey)"
     h_multi = _sql_combine("hash(user_id)", "hash(event_type)")
     return {
-        "q_quotient_members": _MEMBER_ORACLE,
+        "q_filter_members": _FILTER_MEMBERS_ORACLE,
         "q_quotient_false_positives": """
             WITH keyed AS (
               SELECT o_orderkey % 2 AS grp, hash(o_orderkey) & 1048575 AS sig
@@ -1204,11 +1197,6 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k JOIN kept s ON s.grp = k.grp AND s.sig = k.sig
             GROUP BY k.grp
         """,
-        "q_xor8_members": _MEMBER_ORACLE,
-        "q_xor16_members": _MEMBER_ORACLE,
-        "q_fuse8_members": _MEMBER_ORACLE,
-        "q_fuse16_members": _MEMBER_ORACLE,
-        "q_bloom_members": _MEMBER_ORACLE,
         "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
         "q_bloom_false_positives": _bloom_fp_oracle_sql(10_000, 0.01),
         "q_duckdb_bloom_members": _MEMBER_ORACLE,
@@ -1320,15 +1308,16 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "q_simhash_pairs": _simhash_pairs_oracle_sql(8),
-        "q_duckdb_hash_int": (
-            f"SELECT o_orderkey, {_sql_signed(h_int)} AS h FROM orders"
-        ),
-        "q_duckdb_hash_str": (
-            f"SELECT doc_id, {_sql_signed('hash(text)')} AS h FROM documents"
-        ),
-        "q_duckdb_hash_multi": (
-            f"SELECT event_id, {_sql_signed(h_multi)} AS h FROM events"
-        ),
+        "q_duckdb_hash": f"""
+            SELECT 'int' AS src, o_orderkey AS k, {_sql_signed(h_int)} AS h
+            FROM orders
+            UNION ALL
+            SELECT 'str' AS src, doc_id AS k, {_sql_signed("hash(text)")} AS h
+            FROM documents
+            UNION ALL
+            SELECT 'multi' AS src, event_id AS k, {_sql_signed(h_multi)} AS h
+            FROM events
+        """,
         "q_filter_join": """
             SELECT l_returnflag, count(*) AS n_items,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty
