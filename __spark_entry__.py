@@ -611,8 +611,9 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs, hamming <= 8, FULL recall (9-band pigeonhole
-    blocking + exact hamming verify). DuckDB-parity token hashing makes the
+    """SimHash near-pairs, hamming <= 8, FULL recall (3 wide bands with
+    1-bit-flip multi-probe — some band of a qualifying pair differs in <=2
+    bits — + exact hamming verify). DuckDB-parity token hashing makes the
     pair set bit-deterministic -> exact SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(
@@ -815,8 +816,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "session_id",
         "n_events",
-        F.unix_micros("start_ts").alias("start_us"),
-        F.unix_micros("end_ts").alias("end_us"),
+        TS.ts_micros(s, "start_ts").alias("start_us"),
+        TS.ts_micros(s, "end_ts").alias("end_us"),
     )
 
 

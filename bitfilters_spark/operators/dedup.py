@@ -274,17 +274,30 @@ def simhash64(
                 h = hash_bytes(flat, "v1.0.0")
                 bits = (
                     (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-                ).astype(np.int64)
-                seg = np.repeat(np.arange(len(ids)), counts)
-                pop = np.zeros((len(ids), 64), dtype=np.int64)
-                np.add.at(pop, seg, bits)
+                ).astype(np.int32)
+                # segment-sum via cumsum + boundary differences: O(tokens*64)
+                # vectorized (np.add.at's unbuffered scatter path is ~25x
+                # slower on this shape)
+                bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+                np.cumsum(counts, out=bounds[1:])
+                cs = np.zeros((len(bits) + 1, 64), dtype=np.int64)
+                np.cumsum(bits, axis=0, out=cs[1:])
+                pop = cs[bounds[1:]] - cs[bounds[:-1]]
                 sig_bits = (2 * pop - counts[:, None]) > 0
                 vals = np.zeros(len(ids), dtype=np.uint64)
                 for b in range(64):
                     vals |= sig_bits[:, b].astype(np.uint64) << np.uint64(b)
                 yield pd.DataFrame({id_col: ids, "simhash": vals.view(np.int64)})
 
-        return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+        src = df.select(id_col, text_col)
+        # tokenize+hash is the compute-heavy stage; a small parquet read
+        # can arrive as 1-2 splits, which would serialize it. Upscale only
+        # when under the session's parallelism — a real 100 TB scan already
+        # has plenty of partitions and skips this shuffle.
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+        return src.mapInPandas(compute, schema=schema)
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tok = tok.select(id_col, spark_hash64("t").alias("h"))
@@ -304,50 +317,139 @@ def simhash64(
     return sums.select(id_col, (low + sign_term).alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, native: bool = True
-) -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming, banded for FULL recall.
+def simhash_banding(max_hamming: int) -> tuple:
+    """Pick (n_bands, probe_radius, widths, starts) for exact-recall banding.
 
-    Pigeonhole: the 64 signature bits are split into ``max_hamming + 1``
-    contiguous bands, so any pair differing in <= max_hamming bits must agree
-    on at least one whole band — blocking on (band, value) therefore loses no
-    qualifying pair. Exact hamming is then verified on every candidate, so
-    the output is exactly {pairs: hamming <= max_hamming} (oracle-checkable
-    given identical signatures)."""
+    ASYMMETRIC multi-probe over wide bands: an index side emits each
+    band's exact value; a probe side emits every value within hamming
+    ``probe_radius`` of its band value. A pair collides on a band iff the
+    band values differ in <= probe_radius bits, with multiplicity exactly
+    1 per such band (the probe set contains the single index value) — so
+    candidate rows ∝ matching pairs × n_bands, never × probe count.
+
+    Recall proof (pigeonhole by averaging): a pair with total hamming
+    <= h has some band with <= floor(h / n_bands) differing bits, so any
+    ``probe_radius >= floor(h / n_bands)`` loses no qualifying pair.
+    Exact ``bit_count(xor)`` verification runs on every candidate, so
+    banding affects cost only, never the answer.
+
+    Band count picks the WIDEST bands with per-band budget <= 2
+    (``b = h // 3 + 1``): for the default h=8 that is 3 bands of
+    22/21/21 bits — ~2^21 distinct bucket values per band versus the
+    2^7 = 128 that h+1 exact-match bands would allow (128 values force
+    Θ(n/128) bucket occupancy and a quadratic self-join at scale). For
+    h <= 2, h+1 exact bands (radius 0) are already >= 21 bits wide.
+    """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
-    n_bands = max_hamming + 1
+    if max_hamming <= 2:
+        n_bands = max_hamming + 1
+    else:
+        n_bands = max_hamming // 3 + 1
+    radius = max_hamming // n_bands
     base, extra = divmod(64, n_bands)  # band widths: `extra` bands get +1 bit
     widths = [base + 1] * extra + [base] * (n_bands - extra)
     starts = [sum(widths[:i]) for i in range(n_bands)]
-    # 16 bytes/doc; cached so the band self-join doesn't run the 64-sum
-    # aggregation (the expensive part) once per side
-    sig = simhash64(df, id_col, text_col, native=native).cache()
-    bands = sig.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned("simhash", starts[i])
-                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                    .alias("bv"),
-                )
-                for i in range(n_bands)
-            ])
-        ).alias("e"),
-    ).select("id", "simhash", "e.band", "e.bv")
-    a, b = bands.alias("a"), bands.alias("b")
+    return n_bands, radius, widths, starts
+
+
+def _probe_masks(width: int, radius: int) -> list:
+    """All XOR masks of the given bit-width with popcount <= radius."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(width)]
+    if radius >= 2:
+        masks += [(1 << j) | (1 << k) for j in range(width) for k in range(j + 1, width)]
+    if radius >= 3:  # pragma: no cover - default h=8 never reaches radius 3
+        import itertools
+
+        masks = [
+            sum(1 << j for j in c)
+            for r in range(radius + 1)
+            for c in itertools.combinations(range(width), r)
+        ]
+    return masks
+
+
+def _signed64(v: int) -> int:
+    """Wrap an unsigned 64-bit literal into Spark's signed LongType (a
+    64-bit all-ones mask is -1 in two's complement)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def simhash_pairs_from_sigs(
+    sig: DataFrame, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Exact {(id_a, id_b, hamming): hamming <= max_hamming} from a
+    ``(id, simhash)`` DataFrame via asymmetric multi-probe banding (see
+    :func:`simhash_banding` for the recall math). Every candidate is
+    verified with an exact ``bit_count(xor)``, so banding only affects
+    cost, never the answer.
+
+    Plan shape: the index side is n_bands rows/doc; the probe side is
+    n_bands × |probe masks| rows/doc (untouched by any shuffle — the
+    index side is small enough for AQE to broadcast at moderate n, and at
+    cluster scale the equi-join shuffles only (band, bv) keyed rows).
+    Candidate output ∝ true pairs × n_bands + hash-collision noise
+    (∝ n²·probes/2^width), NOT Θ(n²/values) as exact narrow bands give.
+    """
     return (
-        a.join(b, ["band", "bv"])
-        .where(F.col("a.id") < F.col("b.id"))
+        simhash_candidates(sig, id_col, max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+
+def simhash_candidates(
+    sig: DataFrame, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """The pre-verify banded candidate join: columns (band, bv, a.id,
+    a.simhash, b.id, b.simhash) with a.id < b.id. Exposed separately so
+    tests can assert the candidate count stays bounded on skewed corpora."""
+    n_bands, radius, widths, starts = simhash_banding(max_hamming)
+    exact_entries = []
+    band_masks = []
+    for i in range(n_bands):
+        bv = F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
+            F.lit(_signed64((1 << widths[i]) - 1))
+        )
+        exact_entries.append(F.struct(F.lit(i).alias("band"), bv.alias("bv")))
+        band_masks.append([_signed64(m) for m in _probe_masks(widths[i], radius)])
+    index = sig.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(F.array(*exact_entries)).alias("e"),
+    ).select("id", "simhash", "e.band", "e.bv")
+    if radius == 0:
+        probes = index
+    else:
+        masks_col = F.when(F.col("band") == 0, F.lit(band_masks[0]))
+        for i in range(1, n_bands):
+            masks_col = masks_col.when(F.col("band") == i, F.lit(band_masks[i]))
+        probes = index.select(
+            "id",
+            "simhash",
+            "band",
+            F.explode(
+                F.transform(masks_col, lambda m: F.col("bv").bitwiseXOR(m))
+            ).alias("bv"),
+        )
+    a, b = probes.alias("a"), index.alias("b")
+    return a.join(b, ["band", "bv"]).where(F.col("a.id") < F.col("b.id"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, native: bool = True
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming — simhash64 + banded
+    self-join with exact verify (full recall; see simhash_banding)."""
+    # 16 bytes/doc; cached so the band self-join doesn't run the signature
+    # aggregation (the expensive part) once per side
+    sig = simhash64(df, id_col, text_col, native=native).cache()
+    return simhash_pairs_from_sigs(sig, id_col, max_hamming)

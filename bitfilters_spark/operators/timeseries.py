@@ -9,8 +9,23 @@ entity's history fits a task (salt mega-entities upstream if not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def ts_micros(df: DataFrame, ts_col: str) -> Column:
+    """Microseconds-since-epoch for a timestamp column of either flavor.
+
+    ``unix_micros`` only accepts TIMESTAMP (with local tz); the test data's
+    parquet reads as TIMESTAMP_NTZ. Cast NTZ through TIMESTAMP first —
+    with a fixed session timezone (tests pin UTC) this is exact, and gap
+    arithmetic only ever uses differences, where any constant offset
+    cancels."""
+    c = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        c = c.cast("timestamp")
+    return F.unix_micros(c)
 
 
 def sessionize(
@@ -29,12 +44,9 @@ def sessionize(
     """
     w = Window.partitionBy(by).orderBy(ts_col, id_col)
     gap_us = int(gap_minutes * 60_000_000)
-    prev = F.lag(ts_col).over(w)
-    is_new = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us),
-        1,
-    ).otherwise(0)
+    us = ts_micros(df, ts_col)
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_n = df.withColumn("__sess_n", F.sum(is_new).over(wcum))
     wsess = Window.partitionBy(by, "__sess_n")

@@ -57,14 +57,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and rebuild a (µs) timestamp.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with a schema-adaptive ``ts`` column.
+
+    Some generations of the test data store ``ts`` as TIMESTAMP(NANOS),
+    which Spark's vectorized parquet reader only accepts via the
+    ``spark.sql.legacy.parquet.nanosAsLong`` read option (yielding a
+    LongType of nanoseconds); newer generations store ``timestamp[us]``,
+    which Spark reads natively. Branch on the dtype actually read rather
+    than assuming either encoding — and never mutate session-wide conf."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) without the legacy option raises on read.
+        df = None
+    if df is None or isinstance(df.schema["ts"].dataType, LongType):
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict:

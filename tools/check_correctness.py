@@ -23,7 +23,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list | None = None) -> int:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -38,6 +38,8 @@ def main(sf_dir: str) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, osql = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -78,4 +80,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            only=sys.argv[2].split(",") if len(sys.argv) > 2 else None,
+        )
+    )
