@@ -64,28 +64,6 @@ def _sql_signed(u: str) -> str:
     )
 
 
-def _member_count_query(kind: str, **kw) -> Callable[[SparkSession, str], DataFrame]:
-    """Reference test shape (test/sql/bitfilters.test): build one filter per
-    ``o_orderkey % 2`` group, probe every member, count hits per group.
-    No false negatives => counts equal group sizes (the oracle)."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        orders = load_table(spark, sf_dir, "orders")
-        keyed = orders.select(
-            (F.col("o_orderkey") % 2).alias("remainder"),
-            spark_hash64("o_orderkey").alias("h"),
-        )
-        filters = build_filter(keyed, ["remainder"], "h", kind, **kw)
-        return (
-            probe_filter(keyed, filters, "h", on=["remainder"])
-            .where(F.col("__contains"))
-            .groupBy("remainder")
-            .agg(F.count(F.lit(1)).alias("matches"))
-        )
-
-    return run
-
-
 _MEMBER_ORACLE = (
     "SELECT o_orderkey % 2 AS remainder, count(*) AS matches "
     "FROM orders GROUP BY remainder"
@@ -161,6 +139,42 @@ def q_quotient_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__contains"))
         .groupBy("remainder")
         .agg(F.count(F.lit(1)).alias("false_positives"))
+    )
+
+
+def q_quotient_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient-filter RESIZE (reference docs/README.md §Quotient Filters:
+    "resizable"; vendor quotient_filter.hpp doubles the slot table).
+    Build (q=16, r=4) per group, GROW to (17, 3) — capacity doubles, the
+    20-bit fingerprint set is invariant — then SHRINK to (17, 2), which
+    truncates fingerprints to 19 bits exactly like rebuilding there.
+    Probing every key against BOTH groups' filters makes the truncation
+    observable: members always match, and the 19-bit cross-group
+    false-positive count exceeds the 20-bit one — the oracle recomputes
+    both from `hash & (2^19 - 1)`."""
+    from bitfilters_spark.functions import quotient_filter_resize
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    filters = build_filter(keyed, ["grp"], "h", "quotient", q=16, r=4)
+    grown = quotient_filter_resize(filters, 17)  # (17, 3): width unchanged
+    shrunk = quotient_filter_resize(grown, 17, 2)  # 19-bit truncation
+    both = keyed.withColumn(
+        "remainder", F.explode(F.array(F.lit(0), F.lit(1)))
+    )
+    probed = probe_filter(
+        both, shrunk.withColumnRenamed("grp", "remainder"), "h", on=["remainder"]
+    )
+    return (
+        probed.where(F.col("__contains"))
+        .groupBy("remainder")
+        .agg(
+            F.sum(F.when(F.col("grp") == F.col("remainder"), 1).otherwise(0)).alias("matches"),
+            F.sum(F.when(F.col("grp") != F.col("remainder"), 1).otherwise(0)).alias("false_positives"),
+        )
     )
 
 
@@ -934,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_members": q_filter_members,
         "q_quotient_false_positives": q_quotient_false_positives,
+        "q_quotient_resize": q_quotient_resize,
         "q_quotient_delete": q_quotient_delete,
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_bloom_false_positives": q_bloom_false_positives,
@@ -1198,6 +1213,17 @@ def oracle_sql() -> dict[str, str]:
             sigs AS (SELECT DISTINCT grp, sig FROM keyed)
             SELECT s.grp AS remainder, count(*) AS false_positives
             FROM keyed k JOIN sigs s ON s.sig = k.sig AND s.grp <> k.grp
+            GROUP BY s.grp
+        """,
+        "q_quotient_resize": """
+            WITH keyed AS (
+              SELECT o_orderkey % 2 AS grp, hash(o_orderkey) & 524287 AS sig
+              FROM orders),
+            sigs AS (SELECT DISTINCT grp, sig FROM keyed)
+            SELECT s.grp AS remainder,
+                   count(*) FILTER (WHERE k.grp = s.grp) AS matches,
+                   count(*) FILTER (WHERE k.grp <> s.grp) AS false_positives
+            FROM keyed k JOIN sigs s ON s.sig = k.sig
             GROUP BY s.grp
         """,
         "q_quotient_delete": """

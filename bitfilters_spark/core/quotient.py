@@ -77,6 +77,37 @@ def qf_merge(blobs: list) -> bytes:
     return _MAGIC + bytes([q, r]) + np.uint64(len(fps)).tobytes() + fps.astype("<u8").tobytes()
 
 
+def qf_resize(blob: bytes, new_q: int, new_r: int | None = None) -> bytes:
+    """Resize (the reference lists "resizable" among quotient-filter
+    characteristics, docs/README.md §Quotient Filters; vendor
+    ``quotient-filter/quotient_filter.hpp`` grows by doubling the slot
+    table). Growing moves one bit from every remainder into the quotient
+    (q+1, r-1): the stored fingerprint — the low q+r hash bits — is
+    INVARIANT under that move, so in this encoding growth rewrites the
+    header only and membership is bit-identical to rebuilding at
+    (q+1, r-1) over the same keys. Shrinking the total width
+    (new_q + new_r < q + r) truncates every fingerprint to the new width
+    (drops high remainder bits) and dedupes — again exactly what a
+    rebuild at the smaller width stores. Growing the total width is
+    impossible from a filter alone (the discarded hash bits are gone);
+    rebuild from the keys instead."""
+    q, r, fps = qf_deserialize(blob)
+    if new_r is None:
+        new_r = q + r - new_q
+    if not (0 < new_q <= 56 and 0 < new_r <= 56 and new_q + new_r <= 64):
+        raise ValueError("require 0 < new_q, new_r and new_q + new_r <= 64")
+    if new_q + new_r > q + r:
+        raise ValueError(
+            f"cannot widen fingerprints ({q}+{r} -> {new_q}+{new_r}): "
+            "the truncated hash bits are unrecoverable; rebuild from keys"
+        )
+    if new_q + new_r < q + r:
+        mask = np.uint64((1 << (new_q + new_r)) - 1)
+        fps = np.unique(fps & mask)
+    head = _MAGIC + bytes([new_q, new_r]) + np.uint64(len(fps)).tobytes()
+    return head + fps.astype("<u8").tobytes()
+
+
 def qf_remove(blob: bytes, hashes: np.ndarray) -> bytes:
     """Delete support (quotient filters' distinguishing capability)."""
     q, r, fps = qf_deserialize(blob)

@@ -9,6 +9,7 @@ from .filters import (  # noqa: F401
     probe_filter,
     quotient_filter_contains,
     quotient_filter_remove,
+    quotient_filter_resize,
     xor8_filter_contains,
     xor16_filter_contains,
 )

@@ -706,6 +706,30 @@ def quotient_filter_remove(
     return res.drop("__g") if dummy else res
 
 
+def quotient_filter_resize(
+    filters: DataFrame,
+    new_q: int,
+    new_r: int | None = None,
+    filter_col: str = "filter",
+) -> DataFrame:
+    """Resize every quotient-filter blob (reference docs/README.md
+    §Quotient Filters: "resizable"). Growing (q+1, r-1) keeps the stored
+    q+r-bit fingerprints; shrinking truncates them — both identical to
+    rebuilding at the new geometry over the same keys (core/quotient.py
+    ``qf_resize``). Pure per-row blob rewrite: no shuffle, no driver
+    work."""
+
+    @arrow_udf(BinaryType())
+    def _resize(blobs: pa.Array) -> pa.Array:
+        out = [
+            None if b is None else Q.qf_resize(bytes(b), new_q, new_r)
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.binary())
+
+    return filters.withColumn(filter_col, _resize(F.col(filter_col)))
+
+
 # reference-named aliases (docs/README.md API reference)
 quotient_filter_contains = filter_contains
 xor8_filter_contains = filter_contains

@@ -95,6 +95,43 @@ def test_quotient_merge_and_delete():
     assert (quotient.qf_probe(d, KEYS[:1000]) == expect).all()
 
 
+def test_quotient_resize_grow_is_membership_invariant():
+    blob = quotient.qf_build(KEYS, 16, 4)
+    grown = quotient.qf_resize(blob, 17)  # (17, 3): same 20-bit width
+    q, r, fps = quotient.qf_deserialize(grown)
+    assert (q, r) == (17, 3)
+    assert (quotient.qf_probe(grown, KEYS) == quotient.qf_probe(blob, KEYS)).all()
+    assert (quotient.qf_probe(grown, OTHERS) == quotient.qf_probe(blob, OTHERS)).all()
+
+
+def test_quotient_resize_shrink_equals_rebuild():
+    blob = quotient.qf_build(KEYS, 16, 8)  # 24-bit fingerprints
+    shrunk = quotient.qf_resize(blob, 16, 4)  # truncate to 20 bits
+    rebuilt = quotient.qf_build(KEYS, 16, 4)
+    assert shrunk == rebuilt
+    # truncation only ever ADDS accepts (fingerprints collide more)
+    wide = quotient.qf_probe(blob, OTHERS)
+    narrow = quotient.qf_probe(shrunk, OTHERS)
+    assert (narrow | ~wide).all() and narrow.sum() >= wide.sum()
+
+
+def test_quotient_merge_after_resize():
+    a = quotient.qf_resize(quotient.qf_build(KEYS[:1000], 16, 4), 17)
+    b = quotient.qf_resize(quotient.qf_build(KEYS[1000:2000], 16, 4), 17)
+    m = quotient.qf_merge([a, b])
+    assert quotient.qf_probe(m, KEYS[:2000]).all()
+    # geometry mismatch (resized vs not) must refuse to merge
+    c = quotient.qf_build(KEYS[2000:3000], 16, 4)
+    with pytest.raises(ValueError):
+        quotient.qf_merge([a, c])
+
+
+def test_quotient_resize_cannot_widen():
+    blob = quotient.qf_build(KEYS, 16, 4)
+    with pytest.raises(ValueError):
+        quotient.qf_resize(blob, 16, 8)
+
+
 def test_quotient_reference_fp_counts():
     """Reproduces the reference's deterministic FP expectation
     (test/sql/bitfilters.test: q=16, r=4, ids 1..100000 split by parity,
