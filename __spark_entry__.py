@@ -744,7 +744,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Decode is a documented stub; the metadata is deterministic so
     the oracle can recompute it from the source column."""
     docs = load_table(spark, sf_dir, "documents")
-    meta = MM.extract_media_meta(MM.attach_payload(docs), "doc_id", "payload")
+    meta = MM.extract_media_meta(MM.attach_payload(docs), "doc_id", "payload", codec="stub")
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
@@ -916,7 +916,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float comparison; the deterministic stub (byte-histogram
     mod 16) is exactly reproducible in SQL over the ASCII corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = MM.extract_features(MM.attach_payload(docs), "doc_id", "payload")
+    feats = MM.extract_features(MM.attach_payload(docs), "doc_id", "payload", codec="stub")
     return feats.select(
         "doc_id",
         F.size("features").alias("dim"),

@@ -3,14 +3,18 @@
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct. The Spark-side mechanics — schema, Arrow batch shape,
 ``mapInPandas`` partitioned decode, deterministic partitioning — are real
-and tested; the actual codec calls are STUBBED (the container has no
-image/audio libraries) behind ``_decode_payload``, which implements a
-deterministic fake parse so pipelines are end-to-end testable.  Swap the
-body of ``_decode_payload`` for PIL/libav calls in production.
+and tested. Codec calls are FEATURE-GATED: when Pillow imports, the
+``codec="auto"``/``codec="pil"`` paths decode/resize real image bytes;
+otherwise (and for payloads that aren't parseable images) a deterministic
+stub parse keeps pipelines end-to-end testable with byte-derived,
+oracle-expressible outputs. The entry queries pin ``codec="stub"`` so
+their DuckDB oracles hold in any environment; production pipelines use
+the default ``"auto"``.
 """
 
 from __future__ import annotations
 
+import io
 from typing import Iterator
 
 import numpy as np
@@ -27,6 +31,28 @@ from pyspark.sql.types import (
     StructType,
 )
 
+
+def _pil():
+    """Import Pillow lazily (inside executors too); None when absent."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+HAS_PIL = _pil() is not None
+
+
+def _resolve_codec(codec: str) -> str:
+    if codec not in ("auto", "stub", "pil"):
+        raise ValueError(f"codec must be auto|stub|pil, got {codec!r}")
+    if codec == "pil" and _pil() is None:
+        raise ImportError("codec='pil' requested but Pillow is not installed")
+    return codec
+
+
 FORMATS = ("png", "jpeg", "webp")
 
 MEDIA_META_SCHEMA = StructType(
@@ -41,11 +67,9 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def _decode_payload(payload: bytes) -> tuple:
-    """STUB decoder — deterministic fake "header parse".
-
-    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(b))``.
-    The fake derives metadata purely from byte content so results are
-    reproducible (and oracle-expressible for tests)."""
+    """STUB decoder — deterministic fake "header parse" deriving metadata
+    purely from byte content, so results are reproducible (and
+    oracle-expressible for tests)."""
     if not payload:
         return ("png", 0, 0, 0)
     fmt = FORMATS[len(payload) % 3]
@@ -54,17 +78,46 @@ def _decode_payload(payload: bytes) -> tuple:
     return (fmt, width, height, len(payload))
 
 
+def _decode_payload_real(payload: bytes) -> tuple:
+    """Pillow header parse; raises when the bytes aren't a known image."""
+    Image = _pil()
+    with Image.open(io.BytesIO(payload)) as im:
+        return ((im.format or "unknown").lower(), im.width, im.height, len(payload))
+
+
+def _decode_any(payload: bytes, codec: str) -> tuple:
+    if codec != "stub" and payload:
+        try:
+            return _decode_payload_real(payload)
+        except Exception:
+            if codec == "pil":
+                raise
+    return _decode_payload(payload)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize a binary payload column (stand-in for real image bytes)."""
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Decode payload headers into typed metadata via mapInPandas."""
+def extract_media_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "auto",
+) -> DataFrame:
+    """Decode payload headers into typed metadata via mapInPandas.
+
+    ``codec``: "auto" (Pillow when importable, per-payload stub fallback),
+    "stub" (always deterministic fake), "pil" (require Pillow, raise on
+    unparseable payloads)."""
+    codec = _resolve_codec(codec)
+    if codec == "auto" and not HAS_PIL:
+        codec = "stub"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_payload(bytes(b) if b is not None else b"") for b in pdf[payload_col]]
+            metas = [_decode_any(bytes(b) if b is not None else b"", codec) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
@@ -94,23 +147,45 @@ def resize_images(
     height: int,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    codec: str = "auto",
 ) -> DataFrame:
-    """STUB resize: a real implementation would decode, resample and
-    re-encode (PIL.Image.resize); the fake deterministically re-encodes the
+    """Resize every payload to (width, height). With Pillow (codec "auto"
+    when importable, or "pil") parseable payloads are decoded, resampled
+    and re-encoded as PNG; otherwise the deterministic stub re-encodes the
     payload to ``width*height // 64`` bytes by cycling the source bytes.
     The production mechanics — binary in/binary out mapInPandas, Arrow
-    batches, per-partition parallelism — are real."""
+    batches, per-partition parallelism — are identical on both paths."""
+    codec = _resolve_codec(codec)
+    if codec == "auto" and not HAS_PIL:
+        codec = "stub"
     target = max(1, width * height // 64)
+
+    def _resize_stub(b: bytes) -> bytes:
+        src = np.frombuffer(b or b"\0", dtype=np.uint8)
+        if not len(src):
+            src = np.zeros(1, dtype=np.uint8)
+        return src[np.arange(target) % len(src)].tobytes()
+
+    def _resize_real(b: bytes) -> bytes:
+        Image = _pil()
+        with Image.open(io.BytesIO(b)) as im:
+            buf = io.BytesIO()
+            im.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for b in pdf[payload_col]:
-                src = np.frombuffer(bytes(b) if b is not None else b"\0", dtype=np.uint8)
-                if not len(src):
-                    src = np.zeros(1, dtype=np.uint8)
-                resized = src[np.arange(target) % len(src)]
-                out.append(resized.tobytes())
+            for raw in pdf[payload_col]:
+                b = bytes(raw) if raw is not None else b""
+                if codec != "stub" and b:
+                    try:
+                        out.append(_resize_real(b))
+                        continue
+                    except Exception:
+                        if codec == "pil":
+                            raise
+                out.append(_resize_stub(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
@@ -135,10 +210,13 @@ FRAME_SCHEMA = StructType(
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """STUB frame sampler ("video" payload -> k frames). Deterministic
-    fake: a payload of L bytes yields k = (L % 4) + 1 frames of L // k
-    bytes each — so the row-explosion shape (1 input row -> k output rows
-    through mapInPandas) is real and the result is oracle-expressible."""
+    """STUB frame sampler ("video" payload -> k frames). Video decode has
+    no Pillow path (needs libav/ffmpeg, not in this environment), so this
+    stays stub-only: a payload of L bytes yields k = (L % 4) + 1 frames of
+    L // k bytes each — the row-explosion shape (1 input row -> k output
+    rows through mapInPandas) is real and the result is
+    oracle-expressible. Swap the loop body for av.open(...) frame
+    iteration in production."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,20 +243,43 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """STUB feature extractor: deterministic byte-histogram features in the
-    shape a real encoder (CLIP, wav2vec, ...) would produce. The Arrow
-    batching / array<float> schema / partition parallelism are the real
-    production mechanics."""
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "auto",
+) -> DataFrame:
+    """Feature extractor in the shape a real encoder (CLIP, wav2vec, ...)
+    would produce. With Pillow, parseable images yield a normalized
+    grayscale-luminance histogram (FEATURE_DIM bins); the stub path (and
+    unparseable payloads under "auto") yields the deterministic
+    byte-histogram. The Arrow batching / array<float> schema / partition
+    parallelism are the production mechanics on both paths."""
+    codec = _resolve_codec(codec)
+    if codec == "auto" and not HAS_PIL:
+        codec = "stub"
+
+    def _hist(vals: np.ndarray) -> np.ndarray:
+        hist = np.bincount(vals % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
+        total = hist.sum() or 1.0
+        return (hist / total).astype(np.float32)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for b in pdf[payload_col]:
-                arr = np.frombuffer(bytes(b) if b is not None else b"", dtype=np.uint8)
-                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
-                total = hist.sum() or 1.0
-                out.append((hist / total).astype(np.float32))
+            for raw in pdf[payload_col]:
+                b = bytes(raw) if raw is not None else b""
+                if codec != "stub" and b:
+                    try:
+                        Image = _pil()
+                        with Image.open(io.BytesIO(b)) as im:
+                            px = np.asarray(im.convert("L"), dtype=np.uint8).ravel()
+                        out.append(_hist(px // (256 // FEATURE_DIM)))
+                        continue
+                    except Exception:
+                        if codec == "pil":
+                            raise
+                out.append(_hist(np.frombuffer(b, dtype=np.uint8)))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].to_numpy(dtype=np.int64), "features": out}
             )

@@ -51,3 +51,63 @@ def test_features_shape_and_normalization(spark, payloads):
         v = np.array(r["features"])
         assert v.shape == (MM.FEATURE_DIM,)
         assert abs(v.sum() - 1.0) < 1e-5
+
+
+# ------------------------------------------------- codec feature gate ---
+
+
+def test_codec_stub_forced(spark, payloads):
+    # codec="stub" must give byte-derived metadata even if Pillow exists
+    meta = {
+        r["doc_id"]: r
+        for r in MM.extract_media_meta(payloads, codec="stub").collect()
+    }
+    assert meta[0]["format"] == MM.FORMATS[1 % 3]
+
+
+def test_codec_auto_falls_back_on_non_images(spark, payloads):
+    # text payloads are not parseable images -> auto == stub output
+    a = MM.extract_media_meta(payloads, codec="auto").collect()
+    s = MM.extract_media_meta(payloads, codec="stub").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, s))
+
+
+def test_codec_pil_requires_pillow(spark, payloads):
+    if MM.HAS_PIL:
+        pytest.skip("Pillow installed; rejection path not reachable")
+    with pytest.raises(ImportError):
+        MM.extract_media_meta(payloads, codec="pil")
+
+
+def test_codec_invalid_name(spark, payloads):
+    with pytest.raises(ValueError):
+        MM.extract_media_meta(payloads, codec="ffmpeg")
+
+
+def test_codec_real_path_with_pillow(spark):
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    def png_bytes(w, h):
+        buf = _io.BytesIO()
+        Image.new("RGB", (w, h), (120, 10, 200)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(8, 6)), (2, png_bytes(3, 5)), (3, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = {r["doc_id"]: r for r in MM.extract_media_meta(df, codec="auto").collect()}
+    assert (meta[1]["format"], meta[1]["width"], meta[1]["height"]) == ("png", 8, 6)
+    assert (meta[2]["width"], meta[2]["height"]) == (3, 5)
+    # unparseable payload fell back to the stub, not an error
+    assert meta[3]["n_bytes"] == len(b"not an image")
+
+    resized = {r["doc_id"]: r for r in MM.resize_images(df, 4, 4, codec="auto").collect()}
+    with Image.open(_io.BytesIO(bytes(resized[1]["payload"]))) as im:
+        assert (im.width, im.height) == (4, 4)
+
+    feats = {r["doc_id"]: r for r in MM.extract_features(df, codec="auto").collect()}
+    assert abs(sum(feats[1]["features"]) - 1.0) < 1e-5
+
+    # strict pil codec must raise on the non-image payload
+    with pytest.raises(Exception):
+        MM.extract_media_meta(df, codec="pil").collect()
