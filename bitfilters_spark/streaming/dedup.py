@@ -36,30 +36,68 @@ def streaming_dedup_exact(
     fingerprint_col: str,
     id_col: str,
     num_shards: int = 32,
+    ts_col: str | None = None,
+    ttl: str | None = None,
 ) -> DataFrame:
     """First-seen rows of a stream, deduplicated by fingerprint hash.
 
     Returns (id, fp_hash) for each fingerprint's FIRST occurrence (min id
     within a micro-batch, arrival order across batches). State per shard:
     one binary row packing the sorted u64 hash set.
-    """
-    hashed = stream.select(
-        F.col(id_col).alias("id"),
-        F.xxhash64(F.col(fingerprint_col)).alias("fp_hash"),
-        F.pmod(F.xxhash64(F.col(fingerprint_col)), F.lit(num_shards)).alias("shard"),
-    )
+
+    ``ts_col`` + ``ttl`` (e.g. "1 hour") enable WATERMARK-DRIVEN STATE
+    EXPIRY — without it the seen-set grows with distinct fingerprints
+    forever, which no production stream survives. Each fingerprint keeps
+    its last-seen event time; a sighting within ``ttl`` (in event time) of
+    the previous one is a duplicate and re-arms the clock, and entries
+    whose last sighting has fallen behind the watermark
+    (= max event time − ttl) are evicted, so the same fingerprint passes
+    again afterwards. Shards idle long enough for everything to expire
+    are removed wholesale via EventTimeTimeout — state strictly tracks
+    the active working set."""
+    if (ts_col is None) != (ttl is None):
+        raise ValueError("ts_col and ttl must be provided together")
+    fph = F.xxhash64(F.col(fingerprint_col))
+    if ts_col is not None:
+        ttl_ms = int(pd.Timedelta(ttl).total_seconds() * 1000)
+        hashed = stream.withWatermark(ts_col, ttl).select(
+            F.col(id_col).alias("id"),
+            fph.alias("fp_hash"),
+            F.pmod(fph, F.lit(num_shards)).alias("shard"),
+            F.col(ts_col).alias("ts"),
+        )
+    else:
+        hashed = stream.select(
+            F.col(id_col).alias("id"),
+            fph.alias("fp_hash"),
+            F.pmod(fph, F.lit(num_shards)).alias("shard"),
+        )
 
     out_schema = StructType(
         [StructField("id", LongType()), StructField("fp_hash", LongType())]
     )
-    state_schema = StructType([StructField("seen", BinaryType())])
+    state_schema = StructType(
+        [StructField("seen", BinaryType()), StructField("tss", BinaryType())]
+    )
 
     def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # the timeout fires only once the watermark has passed every
+            # entry's last sighting + ttl — the whole shard is stale
+            state.remove()
+            return
         if state.exists:
-            (seen_blob,) = state.get
+            seen_blob, tss_blob = state.get
             seen = np.frombuffer(seen_blob, dtype="<u8")
+            tss = np.frombuffer(tss_blob, dtype="<i8")
         else:
             seen = np.zeros(0, dtype=np.uint64)
+            tss = np.zeros(0, dtype=np.int64)
+        with_ttl = ts_col is not None
+        if with_ttl:
+            wm = state.getCurrentWatermarkMs()
+            live = tss >= wm
+            seen, tss = seen[live], tss[live]
         out = []
         for pdf in pdfs:
             if not len(pdf):
@@ -71,8 +109,35 @@ def streaming_dedup_exact(
             fresh = ~np.isin(h, seen)
             if fresh.any():
                 out.append(pdf.loc[fresh, ["id", "fp_hash"]])
+            if with_ttl:
+                ev_ms = (
+                    pdf["ts"].to_numpy(dtype="datetime64[ms]").astype(np.int64)
+                )
+                # every sighting (fresh or duplicate) re-arms its entry
+                order = np.argsort(h, kind="stable")
+                h_s, ev_s = h[order], ev_ms[order]
+                if len(seen):
+                    idx = np.searchsorted(seen, h_s)
+                    hit = (idx < len(seen)) & (
+                        seen[np.minimum(idx, len(seen) - 1)] == h_s
+                    )
+                else:
+                    idx = np.zeros(len(h_s), dtype=np.int64)
+                    hit = np.zeros(len(h_s), dtype=bool)
+                np.maximum.at(tss, idx[hit], ev_s[hit])
+                add = ~hit
+                if add.any():
+                    merged = np.concatenate([seen, h_s[add]])
+                    mtss = np.concatenate([tss, ev_s[add]])
+                    o = np.argsort(merged, kind="stable")
+                    seen, tss = merged[o], mtss[o]
+            elif fresh.any():
                 seen = np.union1d(seen, h[fresh])
-        state.update((seen.astype("<u8").tobytes(),))
+        state.update((seen.astype("<u8").tobytes(), tss.astype("<i8").tobytes()))
+        if with_ttl:
+            wm = state.getCurrentWatermarkMs()
+            horizon = int(tss.max()) + ttl_ms if len(tss) else wm + ttl_ms
+            state.setTimeoutTimestamp(max(horizon, wm + 1))
         if out:
             yield pd.concat(out)
 
@@ -81,7 +146,11 @@ def streaming_dedup_exact(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ts_col is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -31,18 +31,34 @@ def streaming_distinct_counts(
     ts_col: str = "ts",
     window: str = "1 hour",
     k: int = 1024,
+    watermark: str | None = None,
 ) -> DataFrame:
     """(window_start, est_distinct, n_rows) per tumbling window, updated
     every micro-batch. est_distinct is the KMV estimate — exact while a
     window has seen < k distinct keys; use outputMode("update") and read
     the LATEST row per window (estimates only improve as batches arrive).
+
+    ``watermark`` (e.g. "30 minutes") bounds OPEN-WINDOW state: once the
+    event-time watermark passes a window's end + allowance, its sketch row
+    is dropped via EventTimeTimeout — without it, every window ever seen
+    stays in the store forever. (A straggler arriving after eviction would
+    restart that window's count from empty; pick the allowance to cover
+    the stream's real lateness.)
     """
     from ..core.kmv import kmv_build, kmv_deserialize, kmv_estimate, kmv_merge
 
-    keyed = stream.select(
+    src = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    win_ms = int(pd.Timedelta(window).total_seconds() * 1000)
+    allow_ms = 0 if watermark is None else int(pd.Timedelta(watermark).total_seconds() * 1000)
+    cols = [
         F.window(F.col(ts_col), window).start.alias("win_start"),
         F.xxhash64(F.col(key_col)).alias("h"),
-    )
+    ]
+    if watermark is not None:
+        # the event-time-tagged column must survive projection for
+        # EventTimeTimeout's analysis check (window(...).start drops the tag)
+        cols.append(F.col(ts_col).alias("__ts"))
+    keyed = src.select(*cols)
 
     out_schema = StructType(
         [
@@ -56,6 +72,11 @@ def streaming_distinct_counts(
     )
 
     def agg(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed this window's end + allowance: final value
+            # was already emitted in update mode; free the sketch row
+            state.remove()
+            return
         if state.exists:
             blob, n = state.get
             blob = bytes(blob)
@@ -70,6 +91,10 @@ def streaming_distinct_counts(
             n += len(h)
         if blob is not None:
             state.update((blob, n))
+            if watermark is not None:
+                win_end = int(pd.Timestamp(key[0]).value // 1_000_000) + win_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win_end + allow_ms, wm + 1))
             yield pd.DataFrame(
                 {
                     "win_start": [key[0]],
@@ -83,5 +108,9 @@ def streaming_distinct_counts(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -281,3 +281,123 @@ def test_streaming_window_counts_drops_late_data(spark, tmp_path):
     finally:
         q.stop()
     assert got[("2024-01-01 10:00:00", "click")] == 2  # late event NOT counted
+
+
+def test_streaming_dedup_ttl_evicts_and_readmits(spark, tmp_path):
+    """Watermark-driven state expiry: a fingerprint's entry is dropped once
+    its last sighting falls behind the watermark (= max event time - ttl),
+    after which the SAME fingerprint passes again. Duplicates within the
+    ttl horizon stay suppressed."""
+    import datetime as dt
+
+    src = str(tmp_path / "ttl_in")
+    ckpt = str(tmp_path / "ttl_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "id long, fp string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write([(1, "a", t(10, 0)), (2, "b", t(10, 10))])
+
+    stream = spark.readStream.schema("id long, fp string, ts timestamp").parquet(src)
+    dedup = streaming_dedup_exact(
+        stream, "fp", "id", num_shards=4, ts_col="ts", ttl="1 hour"
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("ttl_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+
+    def got():
+        return {r["id"] for r in spark.sql("SELECT id FROM ttl_sink").collect()}
+
+    try:
+        q.processAllAvailable()
+        assert got() == {1, 2}
+
+        # duplicate of "a" 30 min after the first sighting: inside ttl
+        write([(3, "a", t(10, 30))])
+        q.processAllAvailable()
+        assert got() == {1, 2}
+
+        # fresh fp advances the watermark to 12:00 (13:00 - 1h ttl)
+        write([(4, "c", t(13, 0))])
+        q.processAllAvailable()
+        assert got() == {1, 2, 4}
+
+        # "a" last seen 10:30 < watermark 12:00 -> evicted -> re-admitted
+        write([(5, "a", t(12, 30))])
+        q.processAllAvailable()
+        assert got() == {1, 2, 4, 5}
+
+        # and the re-admitted entry suppresses again within its new window
+        write([(6, "a", t(12, 45))])
+        q.processAllAvailable()
+        assert got() == {1, 2, 4, 5}
+    finally:
+        q.stop()
+
+
+def test_streaming_distinct_counts_watermark_closes_windows(spark, tmp_path):
+    """KMV window state is dropped once the watermark passes window end +
+    allowance: the state store's row count (query progress metrics) shrinks
+    after the watermark advances — closed windows no longer hold sketches."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_distinct_counts
+
+    src = str(tmp_path / "wmc_in")
+    ckpt = str(tmp_path / "wmc_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "id long, k string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def state_rows(q):
+        return q.lastProgress["stateOperators"][0]["numRowsTotal"]
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write([(1, "x", t(10, 0)), (2, "y", t(10, 20)), (3, "x", t(10, 40))])
+
+    stream = spark.readStream.schema("id long, k string, ts timestamp").parquet(src)
+    counts = streaming_distinct_counts(
+        stream, "k", "ts", "1 hour", k=64, watermark="30 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wmc_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+
+    def latest():
+        out = {}
+        for r in spark.sql("SELECT * FROM wmc_sink ORDER BY n_rows").collect():
+            out[str(r["win_start"])] = (r["est_distinct"], r["n_rows"])
+        return out
+
+    try:
+        q.processAllAvailable()
+        assert latest()["2024-01-01 10:00:00"] == (2, 3)
+        assert state_rows(q) == 1  # the open 10:00 window
+
+        # advance the watermark (15:00 - 30min = 14:30) far past the 10:00
+        # window's end + allowance (11:30): its timeout becomes due
+        write([(4, "z", t(15, 0))])
+        q.processAllAvailable()
+        assert latest()["2024-01-01 15:00:00"] == (1, 1)
+
+        # the timeout fires in the batch AFTER the watermark advances; any
+        # subsequent batch shows the 10:00 sketch row gone
+        write([(5, "w", t(15, 10))])
+        q.processAllAvailable()
+        assert state_rows(q) == 1, "closed 10:00 window must be evicted"
+    finally:
+        q.stop()
