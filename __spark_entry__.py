@@ -605,9 +605,12 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint (not cache): materializes the edge set once, cuts
+    # the lineage the iterative component search would otherwise replay,
+    # and survives catalog.clearCache() between consumers
     pairs = D.shingle_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
-    ).persist()
+    ).localCheckpoint()
     _NEARDUP_PAIRS_CACHE[key] = pairs
     return pairs
 

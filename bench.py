@@ -65,6 +65,42 @@ def main() -> None:
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
         _cleanup()
 
+    # ---- scaling curve: one timed run per query at every smaller SF dir
+    # (warmed), so super-linear cost growth is measured, not argued.
+    # Linear scaling predicts t(sf*10)/t(sf) <= ~10 once past fixed
+    # overhead; queries above SUPERLINEAR_RATIO are named in the output.
+    SUPERLINEAR_RATIO = 10.0
+    curve: dict[str, dict] = {}
+    superlinear: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_CURVE", "1") != "0":
+        base = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
+        smaller = []
+        for cand in ("sf0.001", "sf0.01", "sf0.1"):
+            d = os.path.join(base, cand)
+            csf = float(cand[2:])
+            if os.path.isdir(d) and (sf is None or csf < sf):
+                smaller.append((csf, d))
+        for name, fn in E.queries().items():
+            if times.get(name, -1) < 0:
+                continue
+            curve[name] = {str(sf): times[name]}
+            for csf, d in smaller:
+                try:
+                    fn(spark, d).write.mode("overwrite").format("noop").save()
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    fn(spark, d).write.mode("overwrite").format("noop").save()
+                    curve[name][str(csf)] = round(time.time() - t0, 3)
+                except Exception as ex:
+                    print(f"bench curve: {name}@{d} failed: {ex}", file=sys.stderr)
+                spark.catalog.clearCache()
+            pts = sorted((float(s), t) for s, t in curve[name].items())
+            for (s0, t0_), (s1, t1_) in zip(pts, pts[1:]):
+                if t0_ > 0.05 and s1 / s0 <= 10.001:
+                    ratio = t1_ / t0_
+                    if ratio > SUPERLINEAR_RATIO:
+                        superlinear[name] = round(ratio, 2)
+
     ok = [v for v in times.values() if v >= 0]
     print(
         json.dumps(
@@ -77,6 +113,8 @@ def main() -> None:
                 "cpus": int(cpus),
                 "n_queries": len(times),
                 "n_failed": len(times) - len(ok),
+                "scale_curve": curve,
+                "superlinear_over_10x": superlinear,
             }
         )
     )
