@@ -698,9 +698,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: top-100 tokens by occurrence (tie-break on the
-    token) with document frequency. The global rank window runs over the
-    VOCABULARY (already aggregated), not the corpus — the only full sort
-    is vocab-sized."""
+    token) with document frequency. orderBy + limit plans as
+    TakeOrderedAndProject — every partition keeps its own top-100 and the
+    driver merges 100 x n_partitions rows — so no single-partition sort of
+    the vocabulary ever happens; the rank window runs over the 100
+    surviving rows only."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -708,10 +710,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
     )
+    top = agg.orderBy(F.col("n").desc(), "token").limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w))
         .select("token", "n", "df", "rank")
     )
 

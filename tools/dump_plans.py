@@ -26,9 +26,11 @@ NOTES = {
     ),
     "q_ngram_jaccard_pairs": (
         "Skew-guarded blocking: shingles become 8-byte hashes before any wide "
-        "op; the pair count HashAggregate appears below its Exchange (map-side "
-        "partial aggregation); hot shingles ride BroadcastHashJoins "
-        "(left_anti / left_semi), never the blocking self-join."
+        "op; ONE window count over s computes document frequency and leaves "
+        "rows hash-partitioned by s for the blocking self-join (no separate "
+        "freq aggregate, no broadcast anti/semi joins); per-doc set sizes "
+        "ride the join as group keys; the pair-count HashAggregate "
+        "partial-aggregates below its Exchange."
     ),
     "q_minhash_lsh_pairs": (
         "One xxhash64 per shingle, k=64 affine permutations as plain JVM "
@@ -36,9 +38,20 @@ NOTES = {
         "InMemoryTableScan (cached) on both band-join sides."
     ),
     "q_simhash_pairs": (
-        "Signature aggregation cached (InMemoryTableScan on both self-join "
-        "branches); pigeonhole banding keys the only wide join; exact hamming "
-        "verify after a distinct on (id_a, id_b)."
+        "Asymmetric multi-probe banding: 3 wide bands (22/21/21 bits); the "
+        "exact-value index side broadcasts (BroadcastHashJoin BuildRight) "
+        "under the radius-2 probe side, the hamming<=8 verify runs INSIDE "
+        "the join condition, and the distinct's HashAggregate "
+        "partial-aggregates before its Exchange — candidate multiplicity "
+        "is capped at n_bands per pair, never per probe value."
+    ),
+    "q_neardup_clusters": (
+        "Connected components over the near-dup edge set. The edge set is a "
+        "localCheckpoint LEAF shared by all three clustering queries "
+        "(components / report / dedup_near) — the suite derives the "
+        "shingle-pair subplan once per session, and the component search "
+        "(driver union-find under 5M edges, else min-label + pointer "
+        "jumping) never replays its lineage."
     ),
     "q_embed_neardup_pairs": (
         "Distributed exact all-pairs: per-block pack (FlatMapGroupsInPandas), "
