@@ -94,20 +94,38 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("remainder"),
         spark_hash64("o_orderkey").alias("h"),
     ).localCheckpoint()
-    parts = []
-    for name, kind, kw in specs:
-        filters = build_filter(keyed, ["remainder"], "h", kind, **kw)
-        parts.append(
-            probe_filter(keyed, filters, "h", on=["remainder"])
-            .where(F.col("__contains"))
-            .groupBy("remainder")
-            .agg(F.count(F.lit(1)).alias("matches"))
-            .select(F.lit(name).alias("filter_type"), "remainder", "matches")
+    # ONE build job constructs all six filters per group (single scan,
+    # partial payloads per (group, kind), one merge stage), collected once;
+    # all six probes then ride ONE pass over the checkpointed projection
+    # (each a map-side Arrow UDF against its broadcast blob), and one
+    # aggregation emits all six counts, unpivoted via stack — 2 jobs
+    # instead of 12
+    from bitfilters_spark.functions import build_filters_multi
+
+    all_filters = build_filters_multi(
+        keyed, "h", [(n, k, kw) for n, k, kw in specs], group_cols=["remainder"]
+    ).collect()
+    by_kind: dict = {}
+    for row in all_filters:
+        by_kind.setdefault(row["filter_type"], {})[(row["remainder"],)] = bytes(
+            row["filter"]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    probed = keyed
+    for name, kind, kw in specs:
+        probed = probe_filter(
+            probed, by_kind[name], "h", on=["remainder"], result_col=f"__c_{name}"
+        )
+    agg = probed.groupBy("remainder").agg(
+        *[
+            F.sum(F.col(f"__c_{name}").cast("int")).alias(name)
+            for name, _, _ in specs
+        ]
+    )
+    stack_args = ", ".join(f"'{name}', {name}" for name, _, _ in specs)
+    return agg.select(
+        F.expr(f"stack({len(specs)}, {stack_args}) as (filter_type, matches)"),
+        "remainder",
+    ).select("filter_type", "remainder", "matches")
 
 
 _FILTER_MEMBERS_ORACLE = """

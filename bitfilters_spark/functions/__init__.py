@@ -3,6 +3,7 @@ from .filters import (  # noqa: F401
     binary_fuse16_filter_contains,
     bloom_filter_contains,
     build_filter,
+    build_filters_multi,
     duckdb_bloom_probe,
     filter_contains,
     filter_describe,

@@ -262,84 +262,102 @@ def build_filter(
 
 
 def build_filters_multi(
-    df: DataFrame, hash_col: str, specs: list, filter_col: str = "filter"
+    df: DataFrame,
+    hash_col: str,
+    specs: list,
+    filter_col: str = "filter",
+    group_cols: list | None = None,
 ) -> DataFrame:
     """Build MANY filters over the same key set in ONE scan.
 
     ``specs`` is ``[(name, kind, params_dict), ...]``. A single
-    ``mapInPandas`` pass folds each partition into one payload per spec —
-    a partial blob for mergeable kinds, the partition's distinct raw hashes
-    for peeled kinds (which need the full key set anyway) — and a per-name
-    merge task finishes each filter. The input is scanned exactly once
-    regardless of how many filters are requested (vs. one scan per filter).
-    Returns ``(filter_type, filter)``.
+    ``mapInPandas`` pass folds each partition into one payload per
+    (group, spec) — a partial blob for mergeable kinds, the partition's
+    distinct raw hashes for peeled kinds (which need the full key set
+    anyway) — and a per-(group, name) merge task finishes each filter.
+    The input is scanned exactly once regardless of how many filters are
+    requested (vs. one scan per filter). Returns
+    ``group_cols + (filter_type, filter)``.
     """
     _RAW = b"HSHS"  # payload prefix: partition's raw distinct hashes
+    group_cols = list(group_cols or [])
     by_name = {name: (kind, p) for name, kind, p in specs}
-    proj = df.select(F.col(hash_col).cast("long").alias("__h")).where(
-        F.col("__h").isNotNull()
-    )
+    proj = df.select(
+        *group_cols, F.col(hash_col).cast("long").alias("__h")
+    ).where(F.col("__h").isNotNull())
+    gfields = [proj.schema[c] for c in group_cols]
     out_schema = StructType(
-        [StructField("filter_type", StringType()), StructField(filter_col, BinaryType())]
+        gfields
+        + [StructField("filter_type", StringType()), StructField(filter_col, BinaryType())]
     )
+
+    def _fold(state: dict, gkey, hs: np.ndarray) -> None:
+        for name, (kind, p) in by_name.items():
+            if kind not in MERGEABLE:
+                continue
+            skey = (gkey, name)
+            prev = state.get(skey)
+            if kind == "quotient":
+                part = np.unique(Q.qf_fingerprints(hs, p["q"], p["r"]))
+                state[skey] = part if prev is None else np.union1d(prev, part)
+            elif kind == "duckdb_bloom":
+                sect = B.duckdb_bloom_build(hs, p["num_sectors"])
+                state[skey] = sect if prev is None else prev | sect
+            elif kind == "cms":
+                mat = CM.cms_counts(hs, p["d"], p["w"])
+                state[skey] = mat if prev is None else prev + mat
+            elif kind == "kmv":
+                vals = np.unique(hs)[: p["k"]]
+                state[skey] = (
+                    vals if prev is None
+                    else np.unique(np.concatenate([prev, vals]))[: p["k"]]
+                )
+            else:  # bloom
+                w = B.bloom_build(hs, p["n"], p["fpp"])
+                state[skey] = w if prev is None else prev | w
+
+    def _partial_blob(kind: str, p: dict, st) -> bytes:
+        if kind == "quotient":
+            return (
+                Q._MAGIC + bytes([p["q"], p["r"]])
+                + np.uint64(len(st)).tobytes() + st.astype("<u8").tobytes()
+            )
+        if kind == "duckdb_bloom":
+            return B.duckdb_bloom_serialize(st)
+        if kind == "cms":
+            return CM.cms_serialize(st)
+        if kind == "kmv":
+            return KV.kmv_serialize(p["k"], st)
+        return B.bloom_serialize(st, B.bloom_params(p["n"], p["fpp"])[1])
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         merge_state: dict = {}
-        raw: list = []
-        any_rows = False
+        raw: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            any_rows = True
-            hs = _to_u64(pdf["__h"])
-            raw.append(hs)
-            for name, (kind, p) in by_name.items():
-                if kind not in MERGEABLE:
-                    continue
-                if kind == "quotient":
-                    part = np.unique(Q.qf_fingerprints(hs, p["q"], p["r"]))
-                    prev = merge_state.get(name)
-                    merge_state[name] = part if prev is None else np.union1d(prev, part)
-                elif kind == "duckdb_bloom":
-                    sect = B.duckdb_bloom_build(hs, p["num_sectors"])
-                    merge_state[name] = sect if name not in merge_state else merge_state[name] | sect
-                elif kind == "cms":
-                    mat = CM.cms_counts(hs, p["d"], p["w"])
-                    merge_state[name] = mat if name not in merge_state else merge_state[name] + mat
-                elif kind == "kmv":
-                    vals = np.unique(hs)[: p["k"]]
-                    prev = merge_state.get(name)
-                    merge_state[name] = (
-                        vals if prev is None
-                        else np.unique(np.concatenate([prev, vals]))[: p["k"]]
-                    )
-                else:  # bloom
-                    w = B.bloom_build(hs, p["n"], p["fpp"])
-                    merge_state[name] = w if name not in merge_state else merge_state[name] | w
-        if not any_rows:
+            if group_cols:
+                for gkey, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                    gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+                    hs = _to_u64(sub["__h"])
+                    raw.setdefault(gkey, []).append(hs)
+                    _fold(merge_state, gkey, hs)
+            else:
+                hs = _to_u64(pdf["__h"])
+                raw.setdefault((), []).append(hs)
+                _fold(merge_state, (), hs)
+        if not raw:
             return
         rows = []
-        all_h = np.unique(np.concatenate(raw))
-        for name, (kind, p) in by_name.items():
-            if kind in MERGEABLE:
-                st = merge_state[name]
-                if kind == "quotient":
-                    blob = (
-                        Q._MAGIC + bytes([p["q"], p["r"]])
-                        + np.uint64(len(st)).tobytes() + st.astype("<u8").tobytes()
-                    )
-                elif kind == "duckdb_bloom":
-                    blob = B.duckdb_bloom_serialize(st)
-                elif kind == "cms":
-                    blob = CM.cms_serialize(st)
-                elif kind == "kmv":
-                    blob = KV.kmv_serialize(p["k"], st)
+        for gkey, parts in raw.items():
+            all_h = np.unique(np.concatenate(parts))
+            for name, (kind, p) in by_name.items():
+                if kind in MERGEABLE:
+                    payload = _partial_blob(kind, p, merge_state[(gkey, name)])
                 else:
-                    blob = B.bloom_serialize(st, B.bloom_params(p["n"], p["fpp"])[1])
-                rows.append((name, blob))
-            else:
-                rows.append((name, _RAW + all_h.astype("<u8").tobytes()))
-        yield pd.DataFrame(rows, columns=["filter_type", filter_col])
+                    payload = _RAW + all_h.astype("<u8").tobytes()
+                rows.append((*gkey, name, payload))
+        yield pd.DataFrame(rows, columns=group_cols + ["filter_type", filter_col])
 
     partial_df = proj.mapInPandas(partials, schema=out_schema)
 
@@ -354,9 +372,13 @@ def build_filters_multi(
                 [np.frombuffer(b[len(_RAW):], dtype="<u8") for b in payloads]
             ))
             blob = _bulk_build(kind, hs, p)
-        return pd.DataFrame([(name, blob)], columns=["filter_type", filter_col])
+        out = pdf.iloc[[0]].copy()
+        out[filter_col] = [blob]
+        return out
 
-    return partial_df.groupBy("filter_type").applyInPandas(finish, schema=out_schema)
+    return partial_df.groupBy(*group_cols, "filter_type").applyInPandas(
+        finish, schema=out_schema
+    )
 
 
 _SHARD_MAGIC = b"SHRD"

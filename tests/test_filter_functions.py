@@ -169,6 +169,41 @@ def test_build_filters_multi_matches_individual_builds(spark, orders):
         assert _probe_blob(multi[name], hashes).all()
 
 
+def test_build_filters_multi_grouped_matches_per_group_builds(spark, orders):
+    """Group-aware one-scan multi-build: per-(group, kind) blobs must be
+    byte-identical (mergeable kinds) / membership-equivalent (peeled) to
+    separate per-group build_filter calls."""
+    from bitfilters_spark.functions.filters import _probe_blob, build_filters_multi
+    import numpy as np
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 3).alias("g"), spark_hash64("o_orderkey").alias("h")
+    )
+    specs = [
+        ("quotient", "quotient", {"q": 16, "r": 4}),
+        ("fuse8", "fuse8", {}),
+        ("bloom", "bloom", {"n": 2000, "fpp": 0.01}),
+    ]
+    multi = {
+        (r["g"], r["filter_type"]): bytes(r["filter"])
+        for r in build_filters_multi(keyed, "h", specs, group_cols=["g"]).collect()
+    }
+    assert {g for g, _ in multi} == {0, 1, 2}
+    for name, kind, kw in specs:
+        singles = {
+            r["g"]: bytes(r["filter"])
+            for r in build_filter(keyed, ["g"], "h", kind, **kw).collect()
+        }
+        for g in (0, 1, 2):
+            members = np.array(
+                [r["h"] for r in keyed.where(F.col("g") == g).collect()],
+                dtype=np.int64,
+            ).view(np.uint64)
+            assert _probe_blob(multi[(g, name)], members).all()
+            if kind in ("quotient", "bloom"):
+                assert multi[(g, name)] == singles[g], f"{name}@{g} differs"
+
+
 def test_filter_describe_sniffs_kinds(spark, orders):
     from bitfilters_spark.functions import filter_describe
 
