@@ -64,6 +64,19 @@ def _minhash_perm_params(k: int, seed: int = 0x5EED):
     ]
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives
+    under-partitioned (a small parquet scan can be 1-2 splits, which would
+    serialize every compute-heavy map/partial-agg stage downstream). A
+    real large scan already has plenty of partitions and skips the
+    shuffle; the repartition moves pre-explode rows (documents), never
+    the exploded token/shingle stream."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 64, shingle_n: int = 3
 ) -> DataFrame:
@@ -76,7 +89,7 @@ def minhash_signatures(
     the only wide op is the per-doc groupBy, shuffling k longs per doc."""
     perms = _minhash_perm_params(k)
     p = F.lit(_MERSENNE31).cast("long")
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("s")
     )
     h = F.pmod(F.xxhash64("s"), p).alias("h")
@@ -174,7 +187,7 @@ def shingle_jaccard_pairs(
     # work on 8-byte shingle hashes, not strings, and carry each doc's
     # distinct-shingle count alongside so |set| never needs its own
     # aggregation + re-join: it rides the blocking join as a group key
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(hashed_word_shingles(text_col, shingle_n)).alias("sarr"),
     ).select("id", F.size("sarr").alias("n"), F.explode("sarr").alias("s"))
@@ -294,14 +307,7 @@ def simhash64(
                     vals |= sig_bits[:, b].astype(np.uint64) << np.uint64(b)
                 yield pd.DataFrame({id_col: ids, "simhash": vals.view(np.int64)})
 
-        src = df.select(id_col, text_col)
-        # tokenize+hash is the compute-heavy stage; a small parquet read
-        # can arrive as 1-2 splits, which would serialize it. Upscale only
-        # when under the session's parallelism — a real 100 TB scan already
-        # has plenty of partitions and skips this shuffle.
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < target:
-            src = src.repartition(target)
+        src = ensure_parallelism(df.select(id_col, text_col))
         return src.mapInPandas(compute, schema=schema)
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
