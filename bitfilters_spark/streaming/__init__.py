@@ -4,6 +4,7 @@ from .dedup import (
     streaming_window_counts,
 )
 from .filter_join import streaming_filter_join
+from .sessions import streaming_sessionize
 from .sketches import streaming_distinct_counts
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_distinct_counts",
     "streaming_filter_join",
+    "streaming_sessionize",
     "streaming_window_counts",
 ]

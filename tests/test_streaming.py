@@ -401,3 +401,73 @@ def test_streaming_distinct_counts_watermark_closes_windows(spark, tmp_path):
         assert state_rows(q) == 1, "closed 10:00 window must be evicted"
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Streaming sessionization emits exactly the sessions the batch
+    operator computes, closing them via next-event and via watermark
+    timeout (entity that stops emitting)."""
+    import datetime as dt
+
+    from bitfilters_spark.operators.timeseries import session_stats
+    from bitfilters_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # user 1: session A (10:00, 10:10), then gap > 30min, session B (11:00)
+    # user 2: one session (10:05)
+    write([(1, 1, t(10, 0)), (2, 1, t(10, 10)), (3, 2, t(10, 5))])
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).parquet(src)
+    sess = streaming_sessionize(stream, "user_id", "ts", gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+
+    def got():
+        return {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_sink").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        assert got() == set()  # everything still open
+
+        # 11:00 closes user 1's session A in-stream (gap exceeded)
+        write([(4, 1, t(11, 0))])
+        q.processAllAvailable()
+        assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got()
+
+        # advance the watermark far ahead: every open session times out
+        write([(5, 3, t(15, 0))])
+        q.processAllAvailable()
+        write([(6, 3, t(15, 1))])  # one more batch so timeouts fire
+        q.processAllAvailable()
+        final = got()
+        assert (1, "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1) in final
+        assert (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1) in final
+    finally:
+        q.stop()
+
+    # batch parity on the fully-closed prefix (users 1 and 2)
+    batch = spark.read.parquet(src).where(F.col("user_id").isin(1, 2))
+    want = {
+        (r["user_id"], str(r["start_ts"]), str(r["end_ts"]), r["n_events"])
+        for r in session_stats(batch, "user_id", "ts", "event_id", 30.0).collect()
+    }
+    stream_sessions = {x for x in got() if x[0] in (1, 2)}
+    assert stream_sessions == want
