@@ -161,6 +161,8 @@ def streaming_dedup_bloom(
     num_shards: int = 32,
     n: int = 1_000_000,
     fpp: float = 0.01,
+    ts_col: str | None = None,
+    ttl: str | None = None,
 ) -> DataFrame:
     """Bounded-state streaming dedup: per-shard BLOOM state instead of the
     exact seen-set. State is a fixed ``m``-bit array per shard regardless
@@ -168,40 +170,98 @@ def streaming_dedup_bloom(
     is ALWAYS dropped (no false negatives in the filter), while a fresh
     item is dropped spuriously at ~fpp — i.e. exactness of deduplication
     trades for bounded memory, never the other way around.
-    """
+
+    ``ts_col`` + ``ttl`` add GENERATIONAL EXPIRY: bloom bits cannot be
+    deleted individually, so the state keeps TWO generations (current +
+    previous), each covering one ttl of event time. Probes check both;
+    inserts go to current; when the watermark crosses a generation
+    boundary the previous generation is dropped and current rotates back.
+    A fingerprint therefore stays suppressed for between ttl and 2×ttl
+    after its last insertion — the rotating-bloom standard — with state
+    still exactly 2 fixed bitmaps per shard. Fully idle shards are
+    removed via EventTimeTimeout."""
     from ..core import bloom as B
 
     m_bits, k = B.bloom_params(n, fpp)
+    if (ts_col is None) != (ttl is None):
+        raise ValueError("ts_col and ttl must be provided together")
+    with_ttl = ts_col is not None
+    ttl_ms = int(pd.Timedelta(ttl).total_seconds() * 1000) if with_ttl else 0
 
-    hashed = stream.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.xxhash64(F.col(fingerprint_col)).alias("fp_hash"),
         F.pmod(F.xxhash64(F.col(fingerprint_col)), F.lit(num_shards)).alias("shard"),
-    )
+    ]
+    src = stream.withWatermark(ts_col, ttl) if with_ttl else stream
+    if with_ttl:
+        cols.append(F.col(ts_col).alias("ts"))
+    hashed = src.select(*cols)
+
     out_schema = StructType(
         [StructField("id", LongType()), StructField("fp_hash", LongType())]
     )
-    state_schema = StructType([StructField("words", BinaryType())])
+    state_schema = StructType(
+        [
+            StructField("words", BinaryType()),
+            StructField("prev_words", BinaryType()),
+            StructField("gen_start", LongType()),
+        ]
+    )
+    n_words = m_bits // 64
 
     def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
-            (blob,) = state.get
+            blob, prev_blob, gen_start = state.get
             words = np.frombuffer(blob, dtype="<u8").copy()
+            prev = (
+                np.frombuffer(prev_blob, dtype="<u8").copy()
+                if prev_blob is not None
+                else np.zeros(n_words, dtype=np.uint64)
+            )
         else:
-            words = np.zeros(m_bits // 64, dtype=np.uint64)
-        serialized = B.bloom_serialize(words, k)
+            words = np.zeros(n_words, dtype=np.uint64)
+            prev = np.zeros(n_words, dtype=np.uint64)
+            gen_start = None
+        if with_ttl and gen_start is not None:
+            wm = state.getCurrentWatermarkMs()
+            if wm >= gen_start + 2 * ttl_ms:
+                words[:] = 0
+                prev[:] = 0
+                gen_start = (wm // ttl_ms) * ttl_ms
+            elif wm >= gen_start + ttl_ms:
+                prev, words = words, np.zeros(n_words, dtype=np.uint64)
+                gen_start += ttl_ms
+        s_cur = B.bloom_serialize(words, k)
+        s_prev = B.bloom_serialize(prev, k)
         out = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            if with_ttl and gen_start is None:
+                ev = pdf["ts"].to_numpy(dtype="datetime64[ms]").astype(np.int64)
+                gen_start = (int(ev.min()) // ttl_ms) * ttl_ms
             pdf = pdf.sort_values("id").drop_duplicates("fp_hash", keep="first")
             h = pdf["fp_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            fresh = ~B.bloom_probe(serialized, h)
+            fresh = ~(B.bloom_probe(s_cur, h) | B.bloom_probe(s_prev, h))
             if fresh.any():
                 out.append(pdf.loc[fresh, ["id", "fp_hash"]])
                 words |= B.bloom_build(h[fresh], n, fpp)
-                serialized = B.bloom_serialize(words, k)
-        state.update((words.astype("<u8").tobytes(),))
+                s_cur = B.bloom_serialize(words, k)
+        state.update(
+            (
+                words.astype("<u8").tobytes(),
+                prev.astype("<u8").tobytes(),
+                gen_start if gen_start is not None else 0,
+            )
+        )
+        if with_ttl:
+            wm = state.getCurrentWatermarkMs()
+            base = gen_start if gen_start is not None else wm
+            state.setTimeoutTimestamp(max(base + 2 * ttl_ms, wm + 1))
         if out:
             yield pd.concat(out)
 
@@ -210,7 +270,11 @@ def streaming_dedup_bloom(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if with_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

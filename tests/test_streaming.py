@@ -471,3 +471,60 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     stream_sessions = {x for x in got() if x[0] in (1, 2)}
     assert stream_sessions == want
+
+
+def test_streaming_dedup_bloom_generational_ttl(spark, tmp_path):
+    """Rotating-bloom expiry: a duplicate within ttl is dropped; once the
+    watermark crosses two generation boundaries the fingerprint's bits are
+    gone and it is re-admitted — with state still two fixed bitmaps."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_dedup_bloom
+
+    src = str(tmp_path / "gb_in")
+    ckpt = str(tmp_path / "gb_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "id long, fp string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write([(1, "a", t(10, 0)), (2, "b", t(10, 10))])
+
+    stream = spark.readStream.schema("id long, fp string, ts timestamp").parquet(src)
+    dedup = streaming_dedup_bloom(
+        stream, "fp", "id", num_shards=4, n=10_000, fpp=0.001,
+        ts_col="ts", ttl="1 hour",
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("gb_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+
+    def got():
+        return {r["id"] for r in spark.sql("SELECT id FROM gb_sink").collect()}
+
+    try:
+        q.processAllAvailable()
+        assert got() == {1, 2}
+
+        # duplicate inside ttl: suppressed
+        write([(3, "a", t(10, 30))])
+        q.processAllAvailable()
+        assert got() == {1, 2}
+
+        # advance the watermark two generations past 10:00
+        write([(4, "c", t(14, 0))])
+        q.processAllAvailable()
+        assert got() == {1, 2, 4}
+
+        # both generations rotated away -> "a" re-admitted
+        write([(5, "a", t(13, 30))])
+        q.processAllAvailable()
+        assert got() == {1, 2, 4, 5}
+    finally:
+        q.stop()
