@@ -10,6 +10,7 @@ side of this engine is exposed to ``spark.sql`` too (reference
 * ``bf_kmv_distinct(filter)``     — KMV cardinality estimate
 * ``bf_duckdb_hash(x)``           — DuckDB-parity hash (v1.0.0, one key)
 * ``bf_filter_kind(filter)``      — blob format sniff
+* ``bf_qf_resize(filter, q, r)``  — quotient-filter resize (r may be NULL)
 
 Builds stay on the DataFrame API: Python cannot register SQL AGGREGATE
 functions (Spark has no Python UDAF), and the two-phase mergeable build
@@ -34,6 +35,7 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         f"{prefix}kmv_distinct",
         f"{prefix}duckdb_hash",
         f"{prefix}filter_kind",
+        f"{prefix}qf_resize",
     ]
     if key in _REGISTERED:
         return names
@@ -42,7 +44,7 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql.functions import arrow_udf
-    from pyspark.sql.types import BooleanType, LongType, StringType
+    from pyspark.sql.types import BinaryType, BooleanType, LongType, StringType
 
     from .functions.filters import (
         _KIND_BY_MAGIC,
@@ -50,6 +52,7 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         _probe_blob,
     )
     from .core import cms as CM
+    from .core import quotient as Q
     from .core import kmv as KV
     from .core import hashing as H
 
@@ -114,10 +117,26 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         ]
         return pa.array(out, type=pa.string())
 
+    @arrow_udf(BinaryType())
+    def _qf_resize(blobs, qs, rs):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = []
+        for b, qv, rv in zip(blobs.to_pylist(), qs.to_pylist(), rs.to_pylist()):
+            out.append(
+                None
+                if b is None
+                else Q.qf_resize(
+                    bytes(b), int(qv), None if rv is None else int(rv)
+                )
+            )
+        return pa.array(out, type=pa.binary())
+
     spark.udf.register(f"{prefix}contains", _contains)
     spark.udf.register(f"{prefix}cms_estimate", _cms_est)
     spark.udf.register(f"{prefix}kmv_distinct", _kmv_dist)
     spark.udf.register(f"{prefix}duckdb_hash", _dhash)
     spark.udf.register(f"{prefix}filter_kind", _kind)
+    spark.udf.register(f"{prefix}qf_resize", _qf_resize)
     _REGISTERED.add(key)
     return names

@@ -76,3 +76,36 @@ def test_sql_filter_kind(spark, ctx):
     build_filter(ctx, [], "h", "xor8").createOrReplaceTempView("sql_x8")
     k = spark.sql("SELECT bf_filter_kind(filter) AS k FROM sql_x8").collect()[0]["k"]
     assert k == "xor"
+
+
+def test_sql_qf_resize(spark, ctx):
+    """Resize from SQL: grow keeps membership; shrink truncates exactly
+    like a rebuild at the smaller width."""
+    build_filter(ctx, ["grp"], "h", "quotient", q=16, r=4) \
+        .createOrReplaceTempView("sql_qf")
+    # grow (17, 3): membership identical for every member
+    got = {
+        r["grp"]: r["n"]
+        for r in spark.sql(
+            """
+            SELECT k.grp, count(*) AS n
+            FROM sql_keyed k JOIN sql_qf f ON f.grp = k.grp
+            WHERE bf_contains(bf_qf_resize(f.filter, 17, NULL), k.h)
+            GROUP BY k.grp
+            """
+        ).collect()
+    }
+    want = {
+        r["grp"]: r["n"]
+        for r in spark.sql(
+            "SELECT grp, count(*) AS n FROM sql_keyed GROUP BY grp"
+        ).collect()
+    }
+    assert got == want
+    # geometry check via the kind sniffer + a shrink round-trip
+    row = spark.sql(
+        "SELECT bf_filter_kind(bf_qf_resize(filter, 17, 2)) AS kind, "
+        "octet_length(bf_qf_resize(filter, 17, 2)) <= octet_length(filter) AS smaller "
+        "FROM sql_qf LIMIT 1"
+    ).collect()[0]
+    assert row["kind"] == "quotient" and row["smaller"]
