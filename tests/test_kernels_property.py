@@ -150,3 +150,30 @@ def test_cms_kmv_roundtrip_property(xs):
     # strictly ascending, compared UNSIGNED (an i64 cast would flip order
     # for values above 2^63)
     assert bool(np.all(vals[1:] > vals[:-1]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    u64s,
+    st.integers(min_value=4, max_value=20),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=6),
+)
+def test_quotient_resize_equals_rebuild_property(xs, q, r, shrink_by):
+    """For ANY key set and geometry: growing (q+1, r-1) is
+    membership-invariant, and shrinking by any amount equals rebuilding
+    at the smaller width."""
+    h = _arr(xs)
+    blob = quotient.qf_build(h, q, r)
+    if r >= 2:
+        grown = quotient.qf_resize(blob, q + 1)  # (q+1, r-1), same width
+        if len(h):
+            assert quotient.qf_probe(grown, h).all()
+        probes = _arr([0, 1, 2**64 - 1, 12345])
+        assert (
+            quotient.qf_probe(grown, probes) == quotient.qf_probe(blob, probes)
+        ).all()
+    new_r = r - shrink_by
+    if new_r >= 1:
+        shrunk = quotient.qf_resize(blob, q, new_r)
+        assert shrunk == quotient.qf_build(h, q, new_r)
