@@ -524,6 +524,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (the training-data pipeline's write
+    step): docs in doc_id order are assigned to ~10k-token shards via a
+    TWO-PHASE distributed prefix sum (range partition + per-partition
+    totals to the driver + offset pass) — never a one-partition global
+    window. Exactly the sequential greedy assignment, so a SQL
+    SUM() OVER (ORDER BY ... 1 PRECEDING) window is a bit-exact oracle."""
+    from bitfilters_spark.operators.packing import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    return pack_shards(weighted, "doc_id", "n_tokens", 10_000)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.quality_metrics(docs, "text").select(
@@ -988,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_sizes": q_filter_sizes,
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
+        "q_pack_shards": q_pack_shards,
         "q_quality_score": q_quality_score,
         "q_langid": q_langid,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1400,6 +1415,21 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
             FROM documents
+        """,
+        "q_pack_shards": """
+            WITH w AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prefix_weight
+              FROM w)
+            SELECT doc_id, n_tokens, prefix_weight,
+                   prefix_weight // 10000 AS shard
+            FROM p
         """,
         "q_quality_score": r"""
             WITH m AS (

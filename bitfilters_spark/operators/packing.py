@@ -1,0 +1,110 @@
+"""Token-budget shard packing: assign ordered documents to training
+shards of ~``shard_weight`` tokens each.
+
+A training-data pipeline's last step is writing shards ("this shard holds
+docs until ~100M tokens"). Sequential greedy packing is a prefix sum:
+``shard(doc) = exclusive_prefix_tokens(doc) // shard_weight`` over a total
+document order. A single ORDER BY window would compute it in one
+partition — a non-starter at corpus scale — so this is the classic
+TWO-PHASE DISTRIBUTED PREFIX SUM:
+
+1. range-repartition by the order key and sort within partitions (the
+   shuffle a global sort pays anyway — but nothing ever coalesces to one
+   task);
+2. one pass computes per-partition totals (P rows to the driver, one per
+   partition — metadata-scale);
+3. a second pass over the SAME cached partitioning adds each partition's
+   driver-computed offset to its local running sum.
+
+The partitioned projection is cached between the two passes because
+``repartitionByRange`` samples boundaries — two independent executions
+could split differently and misalign the offsets. The cache holds
+(id, weight) pairs only — 16 bytes/row.
+
+Result is EXACTLY the sequential greedy assignment, so a SQL window
+(``SUM() OVER (ORDER BY id ROWS UNBOUNDED PRECEDING ... 1 PRECEDING)``)
+is a bit-exact oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    shard_weight: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, weight, prefix_weight, shard) — ``prefix_weight`` is the sum of
+    weights of all ids strictly before this one (in ``id_col`` order) and
+    ``shard = prefix_weight // shard_weight``. NULL weights count as 0."""
+    if shard_weight <= 0:
+        raise ValueError("shard_weight must be positive")
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
+    )
+    parts = (
+        w.repartitionByRange(n_partitions, F.col("id"))
+        .sortWithinPartitions("id")
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in parts.groupBy("__pid").agg(F.sum("w").alias("t")).collect()
+    }
+    max_pid = max(totals, default=-1)
+    offsets = {}
+    running = 0
+    for pid in range(max_pid + 1):
+        offsets[pid] = running
+        running += totals.get(pid, 0)
+
+    out_schema = StructType(
+        [
+            StructField("id", parts.schema["id"].dataType),
+            StructField("w", LongType()),
+            StructField("prefix_weight", LongType()),
+            StructField("shard", LongType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if local is None:
+                local = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            ws = pdf["w"].to_numpy()
+            prefix = local + ws.cumsum() - ws  # exclusive prefix
+            local += int(ws.sum())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "w": ws,
+                    "prefix_weight": prefix,
+                    "shard": prefix // shard_weight,
+                }
+            )
+
+    return (
+        parts.mapInPandas(assign, schema=out_schema)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("w").alias(weight_col),
+            "prefix_weight",
+            "shard",
+        )
+    )
