@@ -728,6 +728,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: keep sources at a 3:1:1 target (src0
+    over-weighted, everything else dropped) with thresholds derived from
+    the observed per-source counts in pure integer arithmetic — so the
+    oracle recomputes the SAME thresholds from the same counts in SQL and
+    draws the identical deterministic hash sample."""
+    from bitfilters_spark.operators import sampling as SP
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = SP.mixture_sample(
+        docs, "doc_id", "source", {"src0": 3, "src1": 1, "src2": 1}, native=False
+    )
+    return out.select("doc_id", "source")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: top-100 tokens by occurrence (tie-break on the
     token) with document frequency. orderBy + limit plans as
@@ -1003,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
         "q_pack_shards": q_pack_shards,
+        "q_mixture_sample": q_mixture_sample,
         "q_quality_score": q_quality_score,
         "q_langid": q_langid,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1579,6 +1595,19 @@ def oracle_sql() -> dict[str, str]:
                   CASE event_type WHEN 'click' THEN 819
                                   WHEN 'view' THEN 256
                                   ELSE 512 END
+        """,
+        "q_mixture_sample": """
+            WITH w(s, wt) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)),
+            counts AS (
+              SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+            k AS (
+              SELECT min(n * 1024 // wt) AS kk FROM counts JOIN w USING (s)),
+            thr AS (
+              SELECT s, wt * kk // n AS t
+              FROM counts JOIN w USING (s) CROSS JOIN k)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON thr.s = d.source
+            WHERE (hash(d.doc_id) & 1023) < thr.t
         """,
         "q_vocab_topk": """
             WITH tok AS (

@@ -94,6 +94,53 @@ def stratified_hash_sample(
     return df.where(b < thr)
 
 
+def mixture_thresholds(counts: dict, weights: dict, mask: int = 1023) -> dict:
+    """Per-stratum hash thresholds that rebalance observed ``counts`` to
+    the target ``weights`` mixture with MAXIMUM retention.
+
+    Pure integer arithmetic (so an external engine reproduces the exact
+    thresholds): ``K = min_s(n_s * (mask+1) // w_s)`` is the scale set by
+    the scarcest stratum relative to its target share, and
+    ``threshold_s = w_s * K // n_s`` keeps each stratum's expected volume
+    ∝ ``w_s``. The binding stratum's threshold is ~``mask+1`` (kept
+    whole); abundant strata are downsampled. Strata absent from
+    ``weights`` get no threshold (dropped by the sampler's default)."""
+    if mask & (mask + 1):
+        raise ValueError("mask must be 2^k - 1")
+    live = {s: w for s, w in weights.items() if counts.get(s)}
+    if not live:
+        return {}
+    K = min(counts[s] * (mask + 1) // w for s, w in live.items())
+    return {s: w * K // counts[s] for s, w in live.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict,
+    mask: int = 1023,
+    native: bool = True,
+) -> DataFrame:
+    """Rebalance a multi-source corpus to a target mixture: keep each
+    stratum at the deterministic hash rate that makes retained volumes
+    proportional to ``weights``, dropping nothing from the scarcest
+    stratum. ONE count aggregate collects #strata rows to the driver
+    (metadata-scale); the sample itself is a pure map-side predicate —
+    the training-data "mix sources at 3:1:1" shape with
+    ``hash_sample``'s reproducibility."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    thresholds = mixture_thresholds(counts, weights, mask)
+    return stratified_hash_sample(
+        df, key_col, strata_col, thresholds, 0, mask, native
+    )
+
+
 def split_edges(weights: dict, mask: int = 1023) -> list:
     """The bucket edges ``hash_split`` uses — exposed so an oracle (or an
     external engine) can reproduce the exact assignment."""

@@ -69,3 +69,34 @@ def test_stratified_sample_rates_and_determinism(spark):
     got_other = sum(rates.get(t, 0) for t in other)
     tot_other = sum(totals[t] for t in other)
     assert 0.03 < got_other / tot_other < 0.25  # ~10%
+
+
+def test_mixture_thresholds_integer_exact():
+    from bitfilters_spark.operators.sampling import mixture_thresholds
+
+    counts = {"a": 1000, "b": 5000, "c": 300, "d": 42}
+    # binding stratum is c (300/1 is scarcest vs its weight)
+    thr = mixture_thresholds(counts, {"a": 1, "b": 1, "c": 1}, mask=1023)
+    K = 300 * 1024 // 1
+    assert thr == {"a": K // 1000, "b": K // 5000, "c": 1024}
+    # d absent from weights -> no threshold (dropped)
+    assert "d" not in thr
+    # empty / missing strata
+    assert mixture_thresholds({}, {"a": 1}) == {}
+    assert mixture_thresholds({"a": 10}, {"a": 1, "zz": 5}) == {"a": 1024}
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    from bitfilters_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(df, "id", "src", {"big": 1, "small": 1})
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small (2000 rows) is binding and kept whole; big downsampled to ~2000
+    assert got["small"] == 2000
+    assert abs(got["big"] - 2000) < 250
+    # deterministic: second draw identical
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in mixture_sample(df, "id", "src", {"big": 1, "small": 1}).collect()}
+    assert ids1 == ids2
