@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -668,7 +669,11 @@ _KIND_BY_MAGIC = {
 def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame:
     """Metadata companion to the reference's `octet_length(filter)` sizing
     examples (docs/README.md 'Filter Comparison'): adds the sniffed blob
-    kind and serialized size for every filter row."""
+    kind, serialized size, stored-entry count where the format records one
+    (quotient fingerprints, KMV values), the bit fill ratio for bitmap
+    kinds, and the estimated false-positive rate the fill implies
+    (`fill^k` for the generic bloom; per-sector mask expectation is not
+    derivable for the duckdb format, so it reports bit fill only)."""
 
     @arrow_udf(StringType())
     def _kind(blobs: pa.Array) -> pa.Array:
@@ -680,8 +685,66 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
                 out.append(_KIND_BY_MAGIC.get(bytes(b[:4]), "duckdb_bloom"))
         return pa.array(out, type=pa.string())
 
-    return filters.withColumn("filter_kind", _kind(F.col(filter_col))).withColumn(
-        "size_bytes", F.length(filter_col)
+    @arrow_udf(LongType())
+    def _entries(blobs: pa.Array) -> pa.Array:
+        out = []
+        for b in blobs.to_pylist():
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            magic = b[:4]
+            if magic == Q._MAGIC:
+                out.append(int(np.frombuffer(b[6:14], dtype="<u8")[0]))
+            elif magic == KV.KMV_MAGIC:
+                k, vals = KV.kmv_deserialize(b)
+                out.append(int(len(vals)))
+            else:
+                out.append(None)
+        return pa.array(out, type=pa.int64())
+
+    @arrow_udf(DoubleType())
+    def _fill(blobs: pa.Array) -> pa.Array:
+        out = []
+        for b in blobs.to_pylist():
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            magic = b[:4]
+            if magic == B._MAGIC:
+                words, m_bits, k = B.bloom_deserialize(b)
+                out.append(float(np.unpackbits(words.view(np.uint8)).sum()) / m_bits)
+            elif magic not in _KIND_BY_MAGIC:  # duckdb_bloom (no magic)
+                sect = B.duckdb_bloom_deserialize(b)
+                bits = np.unpackbits(sect.view(np.uint8)).sum()
+                out.append(float(bits) / (len(sect) * 64))
+            else:
+                out.append(None)
+        return pa.array(out, type=pa.float64())
+
+    @arrow_udf(DoubleType())
+    def _est_fpp(blobs: pa.Array) -> pa.Array:
+        out = []
+        for b in blobs.to_pylist():
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            if b[:4] == B._MAGIC:
+                words, m_bits, k = B.bloom_deserialize(b)
+                fill = float(np.unpackbits(words.view(np.uint8)).sum()) / m_bits
+                out.append(fill**k)
+            else:
+                out.append(None)
+        return pa.array(out, type=pa.float64())
+
+    return (
+        filters.withColumn("filter_kind", _kind(F.col(filter_col)))
+        .withColumn("size_bytes", F.length(filter_col))
+        .withColumn("n_entries", _entries(F.col(filter_col)))
+        .withColumn("fill_ratio", _fill(F.col(filter_col)))
+        .withColumn("est_fpp", _est_fpp(F.col(filter_col)))
     )
 
 

@@ -409,3 +409,22 @@ def test_merge_rejects_mismatched_params(spark, orders):
     d = build_filter(keyed.where("grp = 1"), [], "h", "cms", d=2, w=128)
     with pytest.raises(Exception, match="different"):
         merge_filters(c.union(d), []).collect()
+
+
+def test_filter_describe_diagnostics(spark, orders):
+    """n_entries for set-storing kinds, fill ratio + implied FPP for
+    bitmap kinds (fill^k must sit near the configured target when the
+    filter is built at capacity)."""
+    from bitfilters_spark.functions import filter_describe
+
+    keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
+    n = keyed.count()
+    bloom = build_filter(keyed, [], "h", "bloom", n=n, fpp=0.01)
+    row = filter_describe(bloom).collect()[0]
+    assert 0.3 < row["fill_ratio"] < 0.7  # ~half full at capacity
+    assert 0.001 < row["est_fpp"] < 0.05  # implied FPP near the target
+
+    qf = build_filter(keyed, [], "h", "quotient", q=16, r=8)
+    row = filter_describe(qf).collect()[0]
+    assert row["n_entries"] == n  # 24-bit fingerprints: no collisions at this n
+    assert row["fill_ratio"] is None and row["est_fpp"] is None
