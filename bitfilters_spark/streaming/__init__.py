@@ -1,3 +1,4 @@
+from .asof import streaming_asof_enrich
 from .dedup import (
     streaming_dedup_bloom,
     streaming_dedup_exact,
@@ -8,6 +9,7 @@ from .sessions import streaming_sessionize
 from .sketches import streaming_distinct_counts
 
 __all__ = [
+    "streaming_asof_enrich",
     "streaming_dedup_bloom",
     "streaming_dedup_exact",
     "streaming_distinct_counts",

@@ -528,3 +528,59 @@ def test_streaming_dedup_bloom_generational_ttl(spark, tmp_path):
         assert got() == {1, 2, 4, 5}
     finally:
         q.stop()
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Map-side broadcast as-of enrichment must agree row-for-row with the
+    batch asof_join on the same data, across micro-batches."""
+    import datetime as dt
+
+    from bitfilters_spark.operators.timeseries import asof_join
+    from bitfilters_spark.streaming import streaming_asof_enrich
+
+    src = str(tmp_path / "ae_in")
+    ckpt = str(tmp_path / "ae_ckpt")
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rates = spark.createDataFrame(
+        [(1, t(9), 1.0), (1, t(11), 2.0), (2, t(10), 5.0)],
+        "user_id long, ts timestamp, rate double",
+    )
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, 1, t(8)), (2, 1, t(10)), (3, 2, t(10))])
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).parquet(src)
+    enriched = streaming_asof_enrich(
+        stream, rates, "user_id", "rate", left_ts="ts", right_ts="ts"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ae_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(4, 1, t(11)), (5, 1, t(12)), (6, 3, t(12))])
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["rate"]
+            for r in spark.sql("SELECT event_id, rate FROM ae_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: None, 2: 1.0, 3: 5.0, 4: 2.0, 5: 2.0, 6: None}
+
+    batch = spark.read.parquet(src)
+    want = {
+        r["event_id"]: r["rate"]
+        for r in asof_join(batch, rates, ["user_id"], ["rate"]).collect()
+    }
+    assert got == want
