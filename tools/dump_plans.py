@@ -19,10 +19,19 @@ NOTES = {
         "the row cut."
     ),
     "q_filter_members": (
-        "All six filter kinds built+probed off ONE localCheckpointed projection. "
-        "Two-phase mergeable builds: MapInPandas (per-partition partials) feeds a "
-        "tiny per-group shuffle, then FlatMapGroupsInPandas merges. Raw rows "
-        "never shuffle for the builds; the probe sides are map-side."
+        "All six filter kinds build in ONE grouped multi-build job (single "
+        "MapInPandas pass folds per-(group, kind) partials, one merge stage), "
+        "collected once; all six probes ride one pass over the "
+        "localCheckpointed projection as map-side Arrow UDF columns, and one "
+        "aggregation emits every count, unpivoted via stack. Raw rows never "
+        "shuffle for the builds."
+    ),
+    "q_pack_shards": (
+        "Two-phase distributed prefix sum: range repartition + sort-within "
+        "(the shuffle a global sort pays anyway, but never one task), "
+        "per-partition totals to the driver (one row per partition), offset "
+        "pass over the same cached partitioning. NO Window anywhere — a "
+        "1-partition global window is the anti-pattern this replaces."
     ),
     "q_ngram_jaccard_pairs": (
         "Skew-guarded blocking: shingles become 8-byte hashes before any wide "
