@@ -728,6 +728,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram contamination scoring (the GPT-3-style 13-gram
+    rule, here 5-grams for the synthetic corpus): score every training
+    doc (doc_id % 17 != 0) by how many of its distinct 5-grams appear in
+    the held-out benchmark slice (doc_id % 17 == 0). Integer outputs
+    (n_grams, n_hit) keep the cross-engine compare exact; raw-string
+    grams here (the oracle path) — production uses hashed=True."""
+    from bitfilters_spark.operators.text import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return ngram_contamination(train, bench, "doc_id", "text", n=5, hashed=False)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture rebalancing: keep sources at a 3:1:1 target (src0
     over-weighted, everything else dropped) with thresholds derived from
@@ -1019,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_pack_shards": q_pack_shards,
         "q_mixture_sample": q_mixture_sample,
+        "q_contamination": q_contamination,
         "q_quality_score": q_quality_score,
         "q_langid": q_langid,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -1595,6 +1611,21 @@ def oracle_sql() -> dict[str, str]:
                   CASE event_type WHEN 'click' THEN 819
                                   WHEN 'view' THEN 256
                                   ELSE 512 END
+        """,
+        "q_contamination": """
+            WITH dg AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+                i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))) AS g
+              FROM documents WHERE doc_id % 17 <> 0),
+            bg AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+                i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))) AS g
+              FROM documents WHERE doc_id % 17 = 0)
+            SELECT d.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+            FROM dg d LEFT JOIN bg b USING (g)
+            GROUP BY d.doc_id
         """,
         "q_mixture_sample": """
             WITH w(s, wt) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)),

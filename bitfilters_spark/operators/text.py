@@ -261,3 +261,48 @@ def doc_fingerprint(text_col: str, native: bool = True) -> Column:
     native=True -> xxhash64 (JVM); False -> DuckDB-parity hash (Arrow UDF)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return spark_hash64(norm) if native else duckdb_hash("v1.0.0", norm)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hashed: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination scoring by n-gram overlap — the standard
+    "drop documents sharing too many 13-grams with an eval set" rule
+    (Brown et al. 2020 App. C / GPT-3 decontamination).
+
+    Per doc: (id, n_grams, n_hit) over DISTINCT n-grams, where n_hit
+    counts grams present in the benchmark's distinct gram set. Docs
+    shorter than n tokens produce no rows (nothing to match on).
+    Thresholding (e.g. drop when 2*n_hit >= n_grams) stays integer-exact
+    across engines.
+
+    Scale shape: the benchmark gram set is eval-corpus-sized — tiny next
+    to the training corpus — so it broadcasts and the corpus-side gram
+    stream never shuffles before its per-doc aggregation (map-side
+    partial). ``hashed=True`` keys grams by 64-bit hashes (8-byte rows,
+    the 100 TB path); ``hashed=False`` uses raw gram strings, bit-exact
+    reproducible in any engine (the oracle path)."""
+    gram = (lambda c: hashed_word_shingles(c, n)) if hashed else (
+        lambda c: word_shingles(c, n)
+    )
+    dg = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(gram(text_col))).alias("g")
+    )
+    bg = (
+        bench.select(F.explode(F.array_distinct(gram(text_col))).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        dg.join(F.broadcast(bg), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )

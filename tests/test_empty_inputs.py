@@ -119,3 +119,32 @@ def test_cms_kmv_estimates_on_empty_build(spark, empty_keyed):
     assert cms.select(cms_estimate("filter", F.lit(1))).count() == 0
     kmv = build_filter(empty_keyed, ["grp"], "h", "kmv", k=8)
     assert kmv.select(kmv_distinct("filter")).count() == 0
+
+
+def test_ngram_contamination_hashed_matches_raw(spark):
+    from bitfilters_spark.operators.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y z w v u t s"),
+            (3, "a b c d e q r s"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    raw = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination(docs, bench, n=5, hashed=False).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination(docs, bench, n=5, hashed=True).collect()
+    }
+    assert raw == hashed
+    # doc 1: all 4 of its 5-grams appear in the benchmark; doc 2: none;
+    # doc 3: only "a b c d e"; doc 4 (<5 tokens): no rows
+    assert raw == {1: (4, 4), 2: (4, 0), 3: (4, 1)}
