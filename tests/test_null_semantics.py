@@ -88,3 +88,35 @@ def test_probe_null_propagates_and_build_skips_null(spark, nullable_ints):
         ).collect()
     }
     assert got2[1] is None and got2[0] and got2[2] and got2[3]
+
+
+def test_mixture_sample_null_stratum_dropped(spark):
+    from bitfilters_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, src string"
+    )
+    kept = {r["src"] for r in mixture_sample(df, "id", "src", {"a": 1, "b": 1}).collect()}
+    assert None not in kept  # NULL stratum has no threshold -> dropped
+
+
+def test_contamination_null_and_empty_text(spark):
+    from bitfilters_spark.operators.text import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    got = {r["doc_id"] for r in ngram_contamination(docs, bench, n=5).collect()}
+    assert got == {1}  # null/empty text yields no grams, hence no rows
+
+
+def test_pack_shards_null_ids_sort_first_deterministically(spark):
+    from bitfilters_spark.operators.packing import pack_shards
+
+    df = spark.createDataFrame(
+        [(None, 5), (1, 5), (2, 5)], "doc_id long, w long"
+    )
+    rows = {r["doc_id"]: r["prefix_weight"] for r in pack_shards(df, "doc_id", "w", 100).collect()}
+    # NULL orders first in both engines' default ASC ordering
+    assert rows[None] == 0 and rows[1] == 5 and rows[2] == 10
