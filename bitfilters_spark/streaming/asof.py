@@ -54,6 +54,9 @@ def streaming_asof_enrich(
         k: (np.asarray(ts, dtype=np.int64), vals) for k, (ts, vals) in hist.items()
     }
     val_type = right.schema[value_col].dataType
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_val_type = to_arrow_type(val_type)
 
     @arrow_udf(val_type)
     def _lookup(keys: pa.Array, tss: pa.Array) -> pa.Array:
@@ -71,6 +74,7 @@ def streaming_asof_enrich(
                 continue
             idx = int(np.searchsorted(h[0], t, side="right")) - 1
             out.append(h[1][idx] if idx >= 0 else None)
-        return pa.array(out)
+        # explicit type: an all-miss batch would otherwise infer pa.null()
+        return pa.array(out, type=arrow_val_type)
 
     return stream.withColumn(out_col, _lookup(F.col(by), F.col(left_ts)))
