@@ -1,6 +1,13 @@
 """Benchmark harness: runs every implemented query from __spark_entry__ at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+and prints ONE compact JSON line as its FINAL output:
+{"metric", "value", "unit", "queries", "sf", ...}.
+
+The per-query detail that does not fit a single short line — the cold
+(first-run) times, the scaling curve across SF dirs — is written to
+BENCH_CURVE.json next to this script instead of inlined (an inlined curve
+once blew past the driver's ~2 KB tail capture and the round lost its
+headline number).
 
 Materialization is a noop-sink write (full computation, no driver collect).
 """
@@ -14,6 +21,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def main() -> None:
@@ -34,11 +43,13 @@ def main() -> None:
     # JVM/py4j warm-up so the first measured query doesn't pay startup costs
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
 
-    # one uncounted warm-up (worker spawn, JIT, page cache), then the best
-    # of 3 timed runs: sporadic GC pauses / host contention must not
-    # distort the gate, and steady-state cost is what scales to a cluster
+    # The first (cold) execution is timed and reported separately: a cluster
+    # reading fresh data runs everything cold, and the cold/warm gap is 2-4x
+    # on the heavy queries. The gate value stays best-of-N steady-state:
+    # sporadic GC pauses / host contention must not distort it.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in E.queries().items():
         import gc
 
@@ -53,7 +64,9 @@ def main() -> None:
 
         samples = []
         try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            cold[name] = round(time.time() - t0, 3)  # cold first run
             for _ in range(runs):
                 _cleanup()
                 t0 = time.time()
@@ -69,16 +82,17 @@ def main() -> None:
     # (warmed), so super-linear cost growth is measured, not argued.
     # Linear scaling predicts t(sf*10)/t(sf) <= ~10 once past fixed
     # overhead; queries above SUPERLINEAR_RATIO are named in the output.
+    # Skipped when the SF dir name carries no sf (no ratio is computable).
     SUPERLINEAR_RATIO = 10.0
     curve: dict[str, dict] = {}
     superlinear: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_CURVE", "1") != "0":
+    if sf is not None and os.environ.get("SPARK_GRAFT_CURVE", "1") != "0":
         base = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
         smaller = []
         for cand in ("sf0.001", "sf0.01", "sf0.1"):
             d = os.path.join(base, cand)
             csf = float(cand[2:])
-            if os.path.isdir(d) and (sf is None or csf < sf):
+            if os.path.isdir(d) and csf < sf:
                 smaller.append((csf, d))
         for name, fn in E.queries().items():
             if times.get(name, -1) < 0:
@@ -102,6 +116,27 @@ def main() -> None:
                         superlinear[name] = round(ratio, 2)
 
     ok = [v for v in times.values() if v >= 0]
+
+    # Full detail to a side file; keep the stdout line small enough for the
+    # driver's tail capture.
+    detail = {
+        "sf": sf,
+        "cpus": int(cpus),
+        "runs": runs,
+        "best_of_n": times,
+        "cold_first_run": cold,
+        "scale_curve": curve,
+        "superlinear_over_10x": superlinear,
+    }
+    try:
+        with open(os.path.join(_HERE, "BENCH_CURVE.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as ex:
+        print(f"bench: could not write BENCH_CURVE.json: {ex}", file=sys.stderr)
+
+    # FINAL line (driver contract): one compact JSON object. Per-query
+    # best-of-N times stay inline (the driver records them); everything
+    # bulky lives in BENCH_CURVE.json.
     print(
         json.dumps(
             {
@@ -113,9 +148,11 @@ def main() -> None:
                 "cpus": int(cpus),
                 "n_queries": len(times),
                 "n_failed": len(times) - len(ok),
-                "scale_curve": curve,
+                "cold_sum_seconds": round(sum(cold.values()), 3),
                 "superlinear_over_10x": superlinear,
-            }
+                "detail_file": "BENCH_CURVE.json",
+            },
+            separators=(",", ":"),
         )
     )
 
