@@ -1,4 +1,4 @@
-from .asof import streaming_asof_enrich
+from .asof import streaming_asof_enrich, streaming_asof_join
 from .dedup import (
     streaming_dedup_bloom,
     streaming_dedup_exact,
@@ -10,6 +10,7 @@ from .sketches import streaming_distinct_counts
 
 __all__ = [
     "streaming_asof_enrich",
+    "streaming_asof_join",
     "streaming_dedup_bloom",
     "streaming_dedup_exact",
     "streaming_distinct_counts",

@@ -584,3 +584,94 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
         for r in asof_join(batch, rates, ["user_id"], ["rate"]).collect()
     }
     assert got == want
+
+
+def test_streaming_asof_enrich_rejects_large_right(spark):
+    """The static-right contract collects + broadcasts the right table;
+    a right side above max_right_rows must fail fast at construction,
+    pointing at the keyed-state stream-right path."""
+    import datetime as dt
+
+    import pytest
+
+    from bitfilters_spark.streaming import streaming_asof_enrich
+
+    rates = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 9), float(i)) for i in range(20)],
+        "user_id long, ts timestamp, rate double",
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "timestamp AS ts")
+    )
+    with pytest.raises(ValueError, match="streaming_asof_join"):
+        streaming_asof_enrich(
+            stream, rates, "user_id", "rate", max_right_rows=10
+        )
+
+
+def test_streaming_asof_join_matches_batch(spark, tmp_path):
+    """Stream-right as-of (keyed last-known-values state) must agree
+    row-for-row with the batch asof_join once both sides are fully fed,
+    including the <= tie (a right row at the same ts wins) and the
+    cross-batch carry (a right row from an earlier micro-batch resolves
+    later left rows)."""
+    import datetime as dt
+
+    from bitfilters_spark.operators.timeseries import asof_join
+    from bitfilters_spark.streaming import streaming_asof_join
+
+    lsrc = str(tmp_path / "aj_left")
+    rsrc = str(tmp_path / "aj_right")
+    ckpt = str(tmp_path / "aj_ckpt")
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+
+    def write(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    lschema = "event_id long, user_id long, ts timestamp"
+    rschema = "user_id long, ts timestamp, rate double"
+    # batch 1: rates for users 1,2; left rows before/at/after them
+    write(rsrc, rschema, [(1, t(9), 1.0), (2, t(10), 5.0)])
+    write(lsrc, lschema, [(1, 1, t(8)), (2, 1, t(9)), (3, 2, t(10, 30))])
+
+    left = spark.readStream.schema(lschema).parquet(lsrc)
+    right = spark.readStream.schema(rschema).parquet(rsrc)
+    enriched = streaming_asof_join(
+        left, right, "user_id", "rate", left_ts="ts", right_ts="ts"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("aj_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a newer rate for user 1 + left rows exercising the
+        # carry (event 4 uses batch-1 state; event 5 the batch-2 rate;
+        # event 6 has no rate history at all)
+        write(rsrc, rschema, [(1, t(11), 2.0)])
+        write(lsrc, lschema, [(4, 1, t(10)), (5, 1, t(11)), (6, 3, t(12))])
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["rate"]
+            for r in spark.sql("SELECT event_id, rate FROM aj_sink").collect()
+        }
+    finally:
+        q.stop()
+    # tie at t(9) for event 2: right row wins (<= semantics); event 5 ties
+    # with the t(11) rate arriving in the SAME batch
+    assert got == {1: None, 2: 1.0, 3: 5.0, 4: 1.0, 5: 2.0, 6: None}
+
+    rates = spark.read.parquet(rsrc)
+    want = {
+        r["event_id"]: r["rate"]
+        for r in asof_join(
+            spark.read.parquet(lsrc), rates, ["user_id"], ["rate"]
+        ).collect()
+    }
+    assert got == want
