@@ -195,7 +195,14 @@ def shingle_jaccard_pairs(
     if df_cap is not None:
         # ONE shuffle on s computes every shingle's document frequency AND
         # leaves the rows hash-partitioned by s — exactly the distribution
-        # the blocking self-join needs, so the join adds no exchange
+        # the blocking self-join needs, so the join adds no exchange.
+        # SKEW CAVEAT: the window materializes every occurrence of a hot
+        # shingle in one task BEFORE the df_cap filter can drop it, so a
+        # pathologically hot shingle (≫ rows/partitions occurrences) skews
+        # this stage even though its rows never reach the join. If that
+        # profile is expected, pre-compute the (tiny) hot-shingle list with
+        # a map-side partial groupBy + broadcast anti-filter first, then
+        # run this window over the pre-thinned rows.
         sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         cold = sh.where(F.col("df") <= df_cap).drop("df").cache()
         hotsets = (

@@ -54,11 +54,17 @@ def pack_shards(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
     )
+    # localCheckpoint (eager), NOT cache: the driver offsets computed below
+    # are only valid for THIS materialization's range boundaries. A cached
+    # plan can be evicted (clearCache by a consumer, block loss) and
+    # recomputed with drifted boundaries — silently wrong shard
+    # assignments; a checkpoint truncates lineage so recompute is
+    # impossible, and there is no per-call unpersist leak.
     parts = (
         w.repartitionByRange(n_partitions, F.col("id"))
         .sortWithinPartitions("id")
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint()
     )
     totals = {
         r["__pid"]: r["t"]

@@ -107,7 +107,12 @@ def mixture_thresholds(counts: dict, weights: dict, mask: int = 1023) -> dict:
     ``weights`` get no threshold (dropped by the sampler's default)."""
     if mask & (mask + 1):
         raise ValueError("mask must be 2^k - 1")
-    live = {s: w for s, w in weights.items() if counts.get(s)}
+    bad = sorted(s for s, w in weights.items() if w < 0)
+    if bad:
+        raise ValueError(f"mixture weights must be >= 0; negative for strata {bad}")
+    # w == 0 means "drop this stratum": it gets no threshold (the
+    # sampler's default drops unlisted strata) and never binds K
+    live = {s: w for s, w in weights.items() if w > 0 and counts.get(s)}
     if not live:
         return {}
     K = min(counts[s] * (mask + 1) // w for s, w in live.items())

@@ -198,12 +198,20 @@ def test_vocab_topk_plans_take_ordered(spark):
 
 def test_pack_shards_has_no_global_single_partition_sort(spark):
     """The prefix sum must never plan a 1-partition global window: the
-    range repartition + mapInPandas pass is the whole story."""
+    range repartition + mapInPandas pass is the whole story. The range
+    exchange itself is no longer visible in the final plan — it runs
+    inside the eager localCheckpoint that pins the partitioning the
+    driver offsets were computed against (a cached plan could be evicted
+    and recomputed with drifted boundaries) — so assert the checkpoint
+    leaf + the requested partition count instead."""
     from bitfilters_spark.operators.packing import pack_shards
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", F.length("text").alias("w")
     )
-    plan = plan_of(pack_shards(docs, "doc_id", "w", 1000))
+    out = pack_shards(docs, "doc_id", "w", 1000, n_partitions=7)
+    plan = plan_of(out)
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "scan existingrdd" in plan.lower()  # checkpointed leaf, lineage cut
+    assert "mapinpandas" in plan.lower()
+    assert out.rdd.getNumPartitions() == 7  # range partitioning held
