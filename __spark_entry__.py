@@ -310,12 +310,21 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter size comparison (reference 'Filter Comparison Example'),
-    extended with the sketch family. All 9 filters are built from ONE
-    scan of the hashed projection (build_filters_multi); sizes are
-    engine-specific -> rows-only check."""
+    """Filter size + metadata comparison (reference 'Filter Comparison
+    Example'), extended with the sketch family. All 9 filters are built
+    from ONE scan of the hashed projection (build_filters_multi).
+
+    Fully oracle-checked since round 5: the build hash is duckdb_hash
+    (DuckDB's native hash() reproduces it), n_entries is the exact
+    stored-entry count where the format records one (quotient distinct
+    fingerprints, KMV retained minima), and every serialized size is a
+    closed-form function of the distinct-hash count n — the blob layouts
+    are this engine's documented formats (core/{quotient,xor,fuse,bloom,
+    cms,kmv}.py), so the oracle recomputes each size from n in SQL. The
+    xor/fuse sizes assume first-attempt peeling success (deterministic
+    for given data; verified at the driver SF)."""
     orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(spark_hash64("o_orderkey").alias("h"))
+    keyed = orders.select(duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"))
     specs = [
         ("quotient", "quotient", {"q": 16, "r": 4}),
         ("xor8", "xor8", {}),
@@ -327,8 +336,15 @@ def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cms", "cms", {"d": 4, "w": 16384}),
         ("kmv", "kmv", {"k": 1024}),
     ]
-    return build_filters_multi(keyed, "h", specs).select(
-        "filter_type", F.length("filter").alias("size_bytes")
+    from bitfilters_spark.functions.filters import filter_describe
+
+    # n_entries = -1 where the format records no entry count (xor/fuse/
+    # bloom/cms bitmaps): keeps both engines' pandas exports int64 (a
+    # nullable int column exports as float64 and the compare turns fragile)
+    return filter_describe(build_filters_multi(keyed, "h", specs)).select(
+        "filter_type",
+        "size_bytes",
+        F.coalesce("n_entries", F.lit(-1).cast("long")).alias("n_entries"),
     )
 
 
@@ -1850,5 +1866,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n, min(event_id) AS first_event
             FROM events GROUP BY hour, event_type
+        """,
+        # Exact size/metadata oracle: every blob layout is this engine's
+        # documented format (core/{quotient,xor,fuse,bloom,cms,kmv}.py),
+        # so each serialized size is a closed-form function of the
+        # distinct-hash count n — recomputed here in SQL. n_entries is the
+        # stored-entry count where the format records one (quotient
+        # fingerprints = distinct low q+r=20 hash bits; KMV = k smallest
+        # retained values), -1 elsewhere. xor/fuse sizes assume
+        # first-attempt peel success — deterministic for given data,
+        # verified at the driver SF.
+        "q_filter_sizes": """
+            WITH base AS (
+              SELECT count(DISTINCT hash(o_orderkey)) AS n,
+                     count(DISTINCT (hash(o_orderkey) & 1048575)) AS nfp
+              FROM orders),
+            geo AS (
+              SELECT n, nfp,
+                     greatest(16, ceil((32 + 1.23 * n) / 3)::BIGINT) AS bl,
+                     (1::BIGINT << least(greatest(
+                        floor(ln(n) / ln(3.33) + 2.25)::BIGINT, 3), 18)) AS sl
+              FROM base),
+            geo2 AS (
+              SELECT *,
+                     greatest(3, ceil((ceil(n * 1.125)::BIGINT + 3 * sl)::DOUBLE
+                                      / sl)::BIGINT) AS sc
+              FROM geo),
+            bloom AS (
+              SELECT greatest(64, (ceil(-50000 * ln(0.01) / (ln(2) * ln(2)))::BIGINT
+                                   + 63) // 64 * 64) AS mbits)
+            SELECT 'quotient' AS filter_type, (14 + 8 * nfp)::INTEGER AS size_bytes,
+                   nfp::BIGINT AS n_entries FROM geo2
+            UNION ALL SELECT 'xor8', (21 + 3 * bl)::INTEGER, -1::BIGINT FROM geo2
+            UNION ALL SELECT 'xor16', (21 + 6 * bl)::INTEGER, -1::BIGINT FROM geo2
+            UNION ALL SELECT 'fuse8', (29 + sl * sc)::INTEGER, -1::BIGINT FROM geo2
+            UNION ALL SELECT 'fuse16', (29 + 2 * sl * sc)::INTEGER, -1::BIGINT FROM geo2
+            UNION ALL SELECT 'bloom', (20 + mbits // 8)::INTEGER, -1::BIGINT FROM bloom
+            UNION ALL SELECT 'duckdb_bloom', (8 + 16384 * 8)::INTEGER, -1::BIGINT
+            UNION ALL SELECT 'cms', (12 + 8 * 4 * 16384)::INTEGER, -1::BIGINT
+            UNION ALL SELECT 'kmv', (12 + 8 * least(1024, n))::INTEGER,
+                   least(1024, n)::BIGINT FROM geo2
         """,
     }
