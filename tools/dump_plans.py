@@ -30,8 +30,10 @@ NOTES = {
         "Two-phase distributed prefix sum: range repartition + sort-within "
         "(the shuffle a global sort pays anyway, but never one task), "
         "per-partition totals to the driver (one row per partition), offset "
-        "pass over the same cached partitioning. NO Window anywhere — a "
-        "1-partition global window is the anti-pattern this replaces."
+        "pass over the same partitioning, pinned by an eager localCheckpoint "
+        "so the driver offsets can never drift from a recomputed boundary. "
+        "NO Window anywhere — a 1-partition global window is the "
+        "anti-pattern this replaces."
     ),
     "q_ngram_jaccard_pairs": (
         "Skew-guarded blocking: shingles become 8-byte hashes before any wide "
@@ -67,11 +69,14 @@ NOTES = {
         "block-pair equi-joins, one BLAS matmul per task (MapInPandas). No "
         "driver collect, no full-corpus broadcast."
     ),
-    "q_decontaminate": (
-        "Filter-accelerated anti-join: the probe (ArrowEvalPython) sits on the "
-        "corpus scan with no Exchange; the definitely-clean branch is a pure "
-        "filter (no join at all); only the probable-hit branch carries a "
-        "BroadcastHashJoin(left_anti) against the benchmark keys."
+    "q_contamination": (
+        "Two legs, one result: the n-gram scoring side hashes grams before "
+        "the explode and broadcasts the eval-corpus gram set; the fp_clean "
+        "leg is the filter-accelerated anti-join — the bloom probe "
+        "(ArrowEvalPython) sits on the corpus scan with no Exchange, the "
+        "definitely-clean branch is a pure filter (no join at all), and only "
+        "the probable-hit branch carries a BroadcastHashJoin(left_anti) "
+        "against the benchmark keys."
     ),
     "q_asof_join": (
         "As-of join as union + carry-forward window: each union branch "
