@@ -471,3 +471,82 @@ def simhash_near_pairs(
     # aggregation (the expensive part) once per side
     sig = simhash64(df, id_col, text_col, native=native).cache()
     return simhash_pairs_from_sigs(sig, id_col, max_hamming)
+
+
+# ---------------------------------------------------- paragraph dedup ---
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Sub-document dedup: drop every repeated paragraph corpus-wide
+    (boilerplate headers, license blocks, navigation chrome), keeping only
+    its FIRST occurrence — lowest ``(id, position)`` — and reassemble each
+    document's surviving paragraphs in their original order. Paragraphs
+    shorter than ``min_chars`` bypass dedup (always kept), mirroring the
+    common "only dedup substantial paragraphs" rule.
+
+    ``sep`` is used both as the split REGEX and the rejoin literal — pass
+    a regex-safe literal separator (the default ``"\\n\\n"`` is one).
+
+    Scale posture: the winner election never shuffles paragraph text —
+    paragraphs become 8-byte xxhash64 keys at the explode, the
+    first-occurrence choice is a map-side-partial ``min(struct(id, pos))``
+    aggregate (no per-paragraph window, so a boilerplate paragraph
+    repeated 10^8 times partial-aggregates instead of landing in one
+    task), and survivors rejoin as ``(id, pos)`` longs. Document text
+    shuffles exactly once, in the final doc-level join that rebuilds the
+    text JVM-side (``filter`` + ``array_join`` over the re-split array).
+    Two equal-hash distinct paragraphs (2^-64 per pair) would merge; the
+    same tradeoff as every hashed-fingerprint dedup in this module.
+    """
+    parts = F.split(F.col(text_col), sep)
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(parts).alias("__pos", "__p")
+    ).select(
+        "__id",
+        "__pos",
+        F.xxhash64("__p").alias("__h"),
+        F.length("__p").alias("__len"),
+    )
+    dedupable = ex.where(F.col("__len") >= min_chars)
+    winners = dedupable.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    )
+    surviving = (
+        dedupable.join(winners, "__h")
+        .where(
+            (F.col("__id") == F.col("__w.__id"))
+            & (F.col("__pos") == F.col("__w.__pos"))
+        )
+        .select("__id", "__pos")
+    )
+    if min_chars > 0:
+        surviving = surviving.unionByName(
+            ex.where(F.col("__len") < min_chars).select("__id", "__pos")
+        )
+    keep_sets = surviving.groupBy("__id").agg(
+        F.collect_list("__pos").alias("__keep")
+    )
+    rebuilt = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                parts,
+                lambda p, i: F.array_contains(
+                    F.coalesce(F.col("__keep"), F.array().cast("array<int>")), i
+                ),
+            ),
+            sep,
+        )
+    )
+    return (
+        df.join(keep_sets, df[id_col] == keep_sets["__id"], "left")
+        .withColumn(text_col, rebuilt)
+        .drop("__id", "__keep")
+    )

@@ -156,3 +156,44 @@ def split_edges(weights: dict, mask: int = 1023) -> list:
         edge += weights[lab] * n_buckets // total
         edges.append((lab, edge))
     return edges
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    native: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, deterministically: the k rows
+    whose key-hash (then key, as tiebreak) ranks smallest within the
+    group — a reproducible uniform-without-replacement sample per group.
+
+    The training-data "per-domain cap" shape (RefinedWeb/FineWeb-style:
+    bound any single domain's share of the corpus) with
+    ``hash_sample``'s properties: stable under repartitioning, identical
+    across engines with ``native=False`` (DuckDB-parity hash), and
+    correlated across tables sharing the key.
+
+    One shuffle on ``group_col``; rank is a per-group window. SKEW NOTE:
+    a pathologically hot group (≫ rows/partition) sorts in one task. If
+    that profile is expected, pre-thin it map-side first: per-group
+    counts (metadata-scale, like ``mixture_sample``) give a hash
+    threshold ≈ a few × k/n_g, whose survivors this exact window then
+    ranks — same result, bounded task size.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    h = spark_hash64(key_col) if native else duckdb_hash("v1.0.0", key_col)
+    # rank in UNSIGNED hash order: the i64 column carries a u64 value, and
+    # an external engine (DuckDB UBIGINT) sorts it unsigned — XOR-ing the
+    # sign bit makes the signed sort agree
+    h_unsigned = h.bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.partitionBy(group_col).orderBy(h_unsigned.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -100,3 +100,53 @@ def test_mixture_sample_proportions_and_determinism(spark):
     ids1 = {r["id"] for r in out.collect()}
     ids2 = {r["id"] for r in mixture_sample(df, "id", "src", {"big": 1, "small": 1}).collect()}
     assert ids1 == ids2
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    from bitfilters_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"d{i % 5}") for i in range(1_000)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = cap_per_group(df, "id", "domain", 30)
+    sizes = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {f"d{g}": 30 for g in range(5)}  # every group exactly capped
+    # a group under the cap is kept whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, domain string")
+    assert cap_per_group(small, "id", "domain", 30).count() == 2
+    # deterministic + repartition-stable
+    ids1 = {r["id"] for r in out.collect()}
+    ids2 = {r["id"] for r in cap_per_group(df.repartition(13), "id", "domain", 30).collect()}
+    assert ids1 == ids2
+
+
+def test_cap_per_group_duckdb_parity(spark):
+    """native=False draws the SAME per-domain sample DuckDB would: rank by
+    hash(id) within domain, keep the k smallest."""
+    import duckdb
+
+    from bitfilters_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"d{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    got = {
+        (r["id"], r["domain"])
+        for r in cap_per_group(df, "id", "domain", 25, native=False).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ",".join(f"({i},'d{i % 3}')" for i in range(600)) +
+                ") v(id, domain)")
+    want = {
+        (i, d)
+        for i, d in con.sql(
+            """
+            SELECT id, domain FROM t
+            QUALIFY row_number() OVER (
+              PARTITION BY domain ORDER BY hash(id), id) <= 25
+            """
+        ).fetchall()
+    }
+    assert got == want
