@@ -215,3 +215,17 @@ def test_pack_shards_has_no_global_single_partition_sort(spark):
     assert "scan existingrdd" in plan.lower()  # checkpointed leaf, lineage cut
     assert "mapinpandas" in plan.lower()
     assert out.rdd.getNumPartitions() == 7  # range partitioning held
+
+
+def test_dedup_paragraphs_elects_winners_without_a_paragraph_window(spark):
+    """The first-occurrence election must be a partial-aggregating
+    min(struct) groupBy (hot boilerplate paragraphs fold map-side), never
+    a per-paragraph Window that would pull every copy of a hot paragraph
+    into one task."""
+    from bitfilters_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup_paragraphs(docs, "doc_id", "text", sep=" "))
+    assert "Window" not in plan
+    # partial aggregation below the exchange for the winner election
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan
