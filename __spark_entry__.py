@@ -533,11 +533,61 @@ def q_filter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by canonical fingerprint (5-token prefix creates real
-    duplicate groups in the synthetic corpus): keeper + copy count."""
+    """The three granularity levels of dedup/capping in one doc-level
+    result (keeps queries() under the driver's 50-row cap):
+
+    - document-level exact dedup (`n_copies`): copy count for the keeper
+      of each 5-token-prefix fingerprint group, 0 for dropped copies;
+    - paragraph-level dedup (`para_text`): the corpus is given paragraph
+      structure deterministically (a boilerplate block keyed on
+      doc_id % 7 planted between a 40-char prefix and the remainder —
+      the corpus itself is single-paragraph), then `dedup_paragraphs`
+      drops every corpus-wide repeated paragraph except its first
+      (doc_id, position) occurrence and reassembles survivors in order;
+    - per-domain caps (`cap_keep`): whether the doc survives
+      `cap_per_group(source, k=7)` — the k rows per source whose
+      DuckDB-parity key-hash ranks smallest (RefinedWeb-style domain
+      caps), reproducible in SQL via QUALIFY over unsigned hash order.
+    """
+    from bitfilters_spark.operators.dedup import dedup_paragraphs
+    from bitfilters_spark.operators.sampling import cap_per_group
+
+    sep = "\n\n"
     docs = load_table(spark, sf_dir, "documents")
     fp = F.substring_index("text", " ", 5)
-    return D.dedup_groups(docs.withColumn("fp", fp), "fp", "doc_id")
+    keepers = D.dedup_groups(docs.withColumn("fp", fp), "fp", "doc_id").select(
+        F.col("keeper").alias("doc_id"), "n_copies"
+    )
+    para_docs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            sep,
+            F.substring("text", 1, 40),
+            F.concat(
+                F.lit("shared boilerplate block "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.expr("substring(text, 41)"),
+        ).alias("text"),
+    )
+    para = dedup_paragraphs(para_docs, "doc_id", "text", sep=sep).select(
+        "doc_id", F.col("text").alias("para_text")
+    )
+    capped = cap_per_group(
+        docs.select("doc_id", "source"), "doc_id", "source", 7, native=False
+    ).select("doc_id", F.lit(1).alias("cap_keep"))
+    return (
+        docs.select("doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(para, "doc_id")
+        .join(capped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_copies", F.lit(0)).alias("n_copies"),
+            "para_text",
+            F.coalesce("cap_keep", F.lit(0)).alias("cap_keep"),
+        )
+    )
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,9 +1565,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "q_dedup_exact": """
-            SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS fp,
-                   min(doc_id) AS keeper, count(*) AS n_copies
-            FROM documents GROUP BY fp
+            WITH keepers AS (
+              SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+              FROM documents
+              GROUP BY array_to_string(string_split(text, ' ')[1:5], ' ')),
+            pd AS (
+              SELECT doc_id,
+                     concat_ws(chr(10)||chr(10),
+                               substr(text, 1, 40),
+                               'shared boilerplate block ' || (doc_id % 7),
+                               substr(text, 41)) AS text
+              FROM documents),
+            ex AS (
+              SELECT doc_id, unnest(ps) AS p,
+                     unnest(generate_series(1, len(ps))) AS i
+              FROM (SELECT doc_id,
+                           string_split(text, chr(10)||chr(10)) AS ps
+                    FROM pd)),
+            winners AS (
+              SELECT doc_id, i, p FROM ex
+              QUALIFY row_number() OVER (PARTITION BY p ORDER BY doc_id, i) = 1),
+            para AS (
+              SELECT pd.doc_id,
+                     coalesce(
+                       string_agg(w.p, chr(10)||chr(10) ORDER BY w.i), '')
+                       AS para_text
+              FROM pd LEFT JOIN winners w USING (doc_id)
+              GROUP BY pd.doc_id),
+            cap AS (
+              SELECT doc_id FROM documents
+              QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY hash(doc_id), doc_id) <= 7)
+            SELECT d.doc_id,
+                   coalesce(k.n_copies, 0) AS n_copies,
+                   para.para_text,
+                   CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS cap_keep
+            FROM documents d
+            LEFT JOIN keepers k ON d.doc_id = k.doc_id
+            JOIN para ON d.doc_id = para.doc_id
+            LEFT JOIN cap c ON d.doc_id = c.doc_id
         """,
         "q_token_count": r"""
             SELECT doc_id, length(text) AS n_chars,
