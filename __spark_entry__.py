@@ -547,10 +547,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     - per-domain caps (`cap_keep`): whether the doc survives
       `cap_per_group(source, k=7)` — the k rows per source whose
       DuckDB-parity key-hash ranks smallest (RefinedWeb-style domain
-      caps), reproducible in SQL via QUALIFY over unsigned hash order.
+      caps), reproducible in SQL via QUALIFY over unsigned hash order;
+    - exact substring dedup (`dup_tokens`): tokens covered by maximal
+      duplicated 5-gram spans that are NOT the corpus-wide first
+      occurrence of the region (Lee et al. 2022 token-level formulation;
+      `operators/substring.py`) — 0 for clean docs.
     """
     from bitfilters_spark.operators.dedup import dedup_paragraphs
     from bitfilters_spark.operators.sampling import cap_per_group
+    from bitfilters_spark.operators.substring import dup_token_coverage
 
     sep = "\n\n"
     docs = load_table(spark, sf_dir, "documents")
@@ -576,16 +581,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_per_group(
         docs.select("doc_id", "source"), "doc_id", "source", 7, native=False
     ).select("doc_id", F.lit(1).alias("cap_keep"))
+    dup = dup_token_coverage(docs, "doc_id", "text", n=5)
     return (
         docs.select("doc_id")
         .join(keepers, "doc_id", "left")
         .join(para, "doc_id")
         .join(capped, "doc_id", "left")
+        .join(dup, "doc_id")
         .select(
             "doc_id",
             F.coalesce("n_copies", F.lit(0)).alias("n_copies"),
             "para_text",
             F.coalesce("cap_keep", F.lit(0)).alias("cap_keep"),
+            "dup_tokens",
         )
     )
 
@@ -1595,15 +1603,37 @@ def oracle_sql() -> dict[str, str]:
             cap AS (
               SELECT doc_id FROM documents
               QUALIFY row_number() OVER (
-                PARTITION BY source ORDER BY hash(doc_id), doc_id) <= 7)
+                PARTITION BY source ORDER BY hash(doc_id), doc_id) <= 7),
+            tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS i,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ts) - 4, 0)),
+                       i -> array_to_string(ts[i:i+4], ' '))) AS g
+              FROM tok),
+            marked AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY g) AS cnt,
+                     row_number() OVER (PARTITION BY g ORDER BY doc_id, i)
+                       AS rn
+              FROM grams),
+            covered AS (
+              SELECT doc_id, count(DISTINCT t) AS dup_tokens
+              FROM (SELECT doc_id, unnest(generate_series(i, i + 4)) AS t
+                    FROM marked WHERE cnt > 1 AND rn > 1)
+              GROUP BY doc_id)
             SELECT d.doc_id,
                    coalesce(k.n_copies, 0) AS n_copies,
                    para.para_text,
-                   CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS cap_keep
+                   CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS cap_keep,
+                   coalesce(cov.dup_tokens, 0) AS dup_tokens
             FROM documents d
             LEFT JOIN keepers k ON d.doc_id = k.doc_id
             JOIN para ON d.doc_id = para.doc_id
             LEFT JOIN cap c ON d.doc_id = c.doc_id
+            LEFT JOIN covered cov ON d.doc_id = cov.doc_id
         """,
         "q_token_count": r"""
             SELECT doc_id, length(text) AS n_chars,

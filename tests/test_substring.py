@@ -1,0 +1,159 @@
+"""Exact substring (token-span) dedup: span extraction, coverage, and
+removal vs a brute-force reference, plus DuckDB parity for the coverage
+profile (the shape the driver oracle uses)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.substring import (
+    dup_token_coverage,
+    duplicated_spans,
+    remove_duplicated_spans,
+)
+
+DOCS = [
+    # doc 1 is the first occurrence of everything it contains
+    (1, "a b c d e f g h"),
+    # doc 2 repeats doc 1's full text -> one span covering all 8 tokens
+    (2, "a b c d e f g h"),
+    # doc 3 embeds doc 1's prefix (a..e = grams a-e only) plus unique tail
+    (3, "a b c d e x y z w"),
+    # doc 4: two disjoint duplicated regions separated by unique tokens
+    (4, "a b c d e q r s t u d e f g h"),
+    # doc 5: too short for any 5-gram
+    (5, "p q"),
+    # doc 6: unique text, no spans
+    (6, "m n o p q r s t"),
+]
+N = 5
+
+
+def _brute(docs, n):
+    """(id -> set of covered token positions) by literal gram strings."""
+    first = {}
+    occs = []
+    for doc_id, text in docs:
+        ts = text.split(" ")
+        for i in range(max(len(ts) - n + 1, 0)):
+            g = " ".join(ts[i : i + n])
+            occs.append((doc_id, i, g))
+            if g not in first or (doc_id, i) < first[g]:
+                first[g] = (doc_id, i)
+    counts = {}
+    for _, _, g in occs:
+        counts[g] = counts.get(g, 0) + 1
+    covered = {doc_id: set() for doc_id, _ in docs}
+    for doc_id, i, g in occs:
+        if counts[g] > 1 and first[g] != (doc_id, i):
+            covered[doc_id].update(range(i, i + n))
+    return covered
+
+
+def test_spans_match_brute_force_coverage(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in duplicated_spans(df, "doc_id", "text", n=N).collect():
+        got.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"])
+        )
+    want = {k: v for k, v in _brute(DOCS, N).items() if v}
+    assert got == want
+
+
+def test_spans_are_maximal_and_disjoint(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    spans = duplicated_spans(df, "doc_id", "text", n=N).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for doc_id, ss in per_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, f"doc {doc_id}: spans {ss} overlap or touch"
+    # doc 4 has two separate regions
+    assert len(per_doc[4]) == 2
+
+
+def test_coverage_counts(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_token_coverage(df, "doc_id", "text", n=N).collect()
+    }
+    want = {doc_id: len(c) for doc_id, c in _brute(DOCS, N).items()}
+    assert got == want
+    assert got[1] == 0 and got[2] == 8 and got[5] == 0 and got[6] == 0
+
+
+def test_removal_keeps_first_copy_and_uncovered_tokens(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=N).collect()
+    }
+    covered = _brute(DOCS, N)
+    for doc_id, text in DOCS:
+        ts = text.split(" ")
+        want = " ".join(
+            t for i, t in enumerate(ts) if i not in covered[doc_id]
+        )
+        assert got[doc_id] == want, doc_id
+    assert got[1] == "a b c d e f g h"  # first copy intact
+    assert got[2] == ""  # full duplicate emptied
+
+
+def test_null_text_passes_through(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None)], "doc_id long, text string"
+    )
+    out = remove_duplicated_spans(df, "doc_id", "text", n=N)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[2] is None and got[1] == "a b c d e f"
+
+
+def test_duckdb_parity_coverage(spark):
+    """The driver-oracle shape: dup_tokens per doc vs DuckDB computing the
+    same first-occurrence rule on literal gram strings."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_token_coverage(df, "doc_id", "text", n=N).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    want = dict(
+        con.sql(
+            f"""
+            WITH tok AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(ts) - {N - 1}, 0)))
+                       AS i,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ts) - {N - 1}, 0)),
+                       i -> array_to_string(ts[i:i+{N - 1}], ' '))) AS g
+              FROM tok),
+            marked AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY g) AS c,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY doc_id, i) AS rn
+              FROM grams),
+            flagged AS (
+              SELECT doc_id, i FROM marked WHERE c > 1 AND rn > 1),
+            covered AS (
+              SELECT doc_id, count(DISTINCT t) AS dup_tokens
+              FROM (SELECT doc_id, unnest(generate_series(i, i + {N - 1}))
+                      AS t FROM flagged)
+              GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(c.dup_tokens, 0) AS dup_tokens
+            FROM documents d LEFT JOIN covered c USING (doc_id)
+            """
+        ).fetchall()
+    )
+    assert got == want
