@@ -461,10 +461,20 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-count sketch per group: k=64 (at capacity — the
-    (k-1)*2^64 // kth_min integer-exact estimator) and k=65536
-    (under capacity at oracle/bench sf ⇒ exact distinct count)."""
+    """Cardinality + row-sample sketches per group, one driver row:
+
+    - KMV distinct-count: k=64 (at capacity — the (k-1)*2^64 // kth_min
+      integer-exact estimator) and k=65536 (under capacity at
+      oracle/bench sf ⇒ exact distinct count);
+    - bottom-k hash SAMPLE sketch (`functions/sample.py`): a mergeable
+      uniform 128-row sample of each group keyed on hash(o_orderkey),
+      carrying the order date (days since epoch) as payload —
+      `p50_day`/`p90_day` are nearest-rank quantiles of the sample,
+      reproduced exactly by the oracle ranking the same rows by the
+      same hash.
+    """
     from bitfilters_spark.functions.filters import kmv_distinct
+    from bitfilters_spark.functions.sample import bks_quantile_col, bottomk_sample
 
     orders = load_table(spark, sf_dir, "orders")
     keyed = orders.select(
@@ -473,9 +483,25 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s64 = build_filter(keyed, ["grp"], "h", "kmv", k=64)
     sbig = build_filter(keyed, ["grp"], "h", "kmv", k=65536)
+    sampled = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias(
+            "day"
+        ),
+    )
+    bks = bottomk_sample(sampled, ["grp"], "h", "day", k=128)
     return (
         s64.select("grp", kmv_distinct("filter").alias("est64"))
         .join(sbig.select("grp", kmv_distinct("filter").alias("est_exact")), "grp")
+        .join(
+            bks.select(
+                "grp",
+                bks_quantile_col("sample", 0.5).alias("p50_day"),
+                bks_quantile_col("sample", 0.9).alias("p90_day"),
+            ),
+            "grp",
+        )
     )
 
 
@@ -1504,14 +1530,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT grp, h,
                      row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
                      count(*) OVER (PARTITION BY grp) AS nd
-              FROM d)
-            SELECT grp,
-                   (CASE WHEN max(nd) < 64 THEN max(nd)::HUGEINT
-                         ELSE (63::HUGEINT * 18446744073709551616::HUGEINT)
-                              // max(CASE WHEN rn = 64 THEN h END)::HUGEINT
-                    END)::BIGINT AS est64,
-                   max(nd)::BIGINT AS est_exact
-            FROM r GROUP BY grp
+              FROM d),
+            kmv AS (
+              SELECT grp,
+                     (CASE WHEN max(nd) < 64 THEN max(nd)::HUGEINT
+                           ELSE (63::HUGEINT * 18446744073709551616::HUGEINT)
+                                // max(CASE WHEN rn = 64 THEN h END)::HUGEINT
+                      END)::BIGINT AS est64,
+                     max(nd)::BIGINT AS est_exact
+              FROM r GROUP BY grp),
+            kept AS (
+              SELECT grp, day FROM (
+                SELECT o_orderkey % 2 AS grp,
+                       (o_orderdate::DATE - DATE '1970-01-01') AS day,
+                       row_number() OVER (
+                         PARTITION BY o_orderkey % 2
+                         ORDER BY hash(o_orderkey)) AS rn
+                FROM orders) WHERE rn <= 128),
+            ranked AS (
+              SELECT grp, day,
+                     row_number() OVER (PARTITION BY grp ORDER BY day) AS vr,
+                     count(*) OVER (PARTITION BY grp) AS m
+              FROM kept),
+            qs AS (
+              SELECT grp,
+                     max(CASE WHEN vr = greatest(1, ceil(0.5 * m))
+                         THEN day END)::BIGINT AS p50_day,
+                     max(CASE WHEN vr = greatest(1, ceil(0.9 * m))
+                         THEN day END)::BIGINT AS p90_day
+              FROM ranked GROUP BY grp)
+            SELECT kmv.grp, kmv.est64, kmv.est_exact, qs.p50_day, qs.p90_day
+            FROM kmv JOIN qs ON kmv.grp = qs.grp
         """,
         "q_kmv_overlap": """
             WITH keyed AS (
