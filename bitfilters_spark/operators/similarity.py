@@ -424,3 +424,95 @@ def lsh_bucket_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------- semdedup ---
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Within-cluster cosine pairs >= threshold — the candidate step of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings with the bounded-sample coarse quantizer
+    (:func:`ivf_centroids`, broadcast), then compare ONLY rows sharing a
+    cell. Pair volume drops from n^2 to ~sum(cell_size^2) ≈ n^2 /
+    n_centroids; cross-cell near-dups are missed by design (the SemDeDup
+    approximation).
+
+    One cell-key shuffle; each cell's similarity matrix is one BLAS
+    matmul in its own task. SKEW NOTE: a pathologically popular cell
+    (many near-identical embeddings) serializes into one task — raise
+    ``n_centroids`` (cells shrink ~linearly) or pre-thin with
+    :func:`lsh_bucket_pairs` if that profile is expected.
+    """
+    C = ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    cell_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cell", LongType()),
+            StructField("vec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            mat /= norms
+            yield pd.DataFrame(
+                {"id": ids, "cell": np.argmax(mat @ C_.T, axis=1), "vec": list(mat)}
+            )
+
+    cells = df.select(id_col, vec_col).mapInPandas(assign, schema=cell_schema)
+
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+
+    def within(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        sims = mat @ mat.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[ai], ids[bj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+
+    return cells.groupBy("cell").applyInPandas(within, schema=out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: drop all but one representative of every within-cluster
+    semantic-duplicate group. Pairs from :func:`semantic_dup_pairs` are
+    closed into components (transitive semantic duplicates) and the
+    lowest id per component survives; rows with no >= threshold
+    within-cell neighbor all survive. Returns the surviving
+    ``(id_col,)`` rows — join back to the corpus to materialize.
+    """
+    from .clustering import connected_components
+
+    pairs = semantic_dup_pairs(df, id_col, vec_col, threshold, n_centroids, seed)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.select(id_col).join(losers, id_col, "left_anti")
