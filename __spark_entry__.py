@@ -625,13 +625,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting plus the chunking profile (one driver row): counts
+    per tokenizer, and `chunk_documents(chunk_tokens=64, overlap=16)`
+    rolled up per doc — `n_chunks` and `chunk_token_sum` (which must equal
+    n_tokens + (n_chunks-1)*overlap except for the short-tail rule, so the
+    start/stride/slice arithmetic is fully pinned by the oracle)."""
+    from bitfilters_spark.operators.text import chunk_documents
+
     docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("chunk_token_sum"),
+        )
+    )
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpeish"),
-    )
+    ).join(chunks, "doc_id")
 
 
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,10 +1700,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN covered cov ON d.doc_id = cov.doc_id
         """,
         "q_token_count": r"""
-            SELECT doc_id, length(text) AS n_chars,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
-            FROM documents
+            WITH chunks AS (
+              SELECT doc_id, count(*) AS n_chunks,
+                     sum(least(64, n - s)) AS chunk_token_sum
+              FROM (
+                SELECT doc_id, len(string_split(text, ' ')) AS n,
+                       unnest(generate_series(
+                         0, len(string_split(text, ' ')) - 1, 48)) AS s
+                FROM documents)
+              GROUP BY doc_id)
+            SELECT d.doc_id, length(d.text) AS n_chars,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(
+                     d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+                   c.n_chunks, c.chunk_token_sum
+            FROM documents d JOIN chunks c ON d.doc_id = c.doc_id
         """,
         "q_pack_shards": """
             WITH w AS (

@@ -306,3 +306,60 @@ def ngram_contamination(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-budget training chunks: chunk ``c``
+    covers tokens ``[c*stride, c*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap`` (``overlap`` tokens of context
+    carried between consecutive chunks). Returns
+    ``(id_col, chunk_id, chunk_text, n_tokens)``; chunk starts run while
+    ``start < n_tokens(doc)``, so the tail chunk may be short. NULL text
+    produces no rows.
+
+    Pure JVM array expressions: one ``sequence`` of starts per doc, one
+    ``posexplode`` — the token array is built once per row and sliced per
+    chunk; no UDF, no shuffle (chunking is embarrassingly row-local; at
+    100 TB the output inherits the scan's partitioning).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+
+    def of(arr: Column) -> Column:
+        starts = F.sequence(F.lit(0), F.size(arr) - 1, F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(arr, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.least(F.lit(chunk_tokens), F.size(arr) - s).alias(
+                    "n_tokens"
+                ),
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(toks), of), 1)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "__c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )
