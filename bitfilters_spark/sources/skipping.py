@@ -122,3 +122,64 @@ def make_file_partitioned_copy(
         "overwrite"
     ).parquet(dest_dir)
     return dest_dir
+
+
+def build_zone_index(
+    spark: SparkSession, path: str, stat_cols: list
+) -> DataFrame:
+    """(file, <c>_min, <c>_max, ...) — per-file min/max ZONE MAPS, the
+    Delta/Iceberg column-stats analog and the range-predicate complement
+    to the membership index: blooms answer ``key IN (...)``, zone maps
+    answer ``col BETWEEN lo AND hi``. ONE scan, plain map-side-combined
+    min/max aggregate; the result is metadata-scale (a row per file)."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        df.select(F.input_file_name().alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def prune_files_range(
+    zone_index: DataFrame, col: str, lo=None, hi=None
+) -> list[str]:
+    """Files whose [min, max] intersects [lo, hi] (None = open bound).
+    No false negatives: a pruned file provably holds no row in range."""
+    rows = zone_index.collect()  # metadata-scale
+    out = []
+    for r in rows:
+        mn, mx = r[f"{col}_min"], r[f"{col}_max"]
+        if mn is None and mx is None:
+            continue  # file had only NULLs: no row can satisfy a range
+        if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            out.append(r["file"])
+    return sorted(out)
+
+
+def zone_read(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    zone_index: DataFrame | None = None,
+) -> DataFrame:
+    """``SELECT * FROM path WHERE col BETWEEN lo AND hi`` reading only
+    files the zone map cannot rule out; the exact predicate re-checks
+    survivors, so the result is full-scan-identical. On a range-ordered
+    layout (``make_file_partitioned_copy``) this prunes to
+    ~range-width/file-width of the files."""
+    if zone_index is None:
+        zone_index = build_zone_index(spark, path, [col])
+    files = prune_files_range(zone_index, col, lo, hi)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) <= hi)
+    return spark.read.parquet(*files).where(pred)

@@ -114,3 +114,110 @@ def streaming_distinct_counts(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_cms_counts(
+    stream: DataFrame,
+    key_col: str,
+    tracked: list,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    d: int = 4,
+    w: int = 16384,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window frequency estimates for a watchlist of keys with
+    BOUNDED state — the frequency sibling of
+    :func:`streaming_distinct_counts`.
+
+    Exact per-key streaming counts need a counter per distinct key
+    (unbounded). A Count-Min sketch per window caps state at d×w u64
+    counters (fixed bytes) regardless of how many distinct keys flow
+    through; micro-batch partials merge by ADDITION (the batch CMS
+    algebra), and each update emits ``(win_start, key, est_count,
+    n_rows)`` for every tracked key — estimates are exact-or-over, never
+    under, and exact while a window's distinct keys colliding into any
+    tracked counter stay absent. ``tracked`` is the dashboard watchlist
+    (small by contract); its hashes are computed once at query
+    construction with the same JVM ``xxhash64`` the stream uses.
+    ``watermark`` evicts closed windows' sketches via EventTimeTimeout,
+    exactly like the KMV variant.
+    """
+    from ..core.cms import cms_counts, cms_deserialize, cms_estimate, cms_merge, cms_serialize
+
+    spark = stream.sparkSession
+    trows = spark.createDataFrame(
+        [(t,) for t in tracked], f"k {stream.schema[key_col].dataType.simpleString()}"
+    ).select("k", F.xxhash64("k").alias("h")).collect()
+    tracked_keys = [r["k"] for r in trows]
+    tracked_hs = np.array([r["h"] for r in trows], dtype=np.int64).view(np.uint64)
+
+    src = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    win_ms = int(pd.Timedelta(window).total_seconds() * 1000)
+    allow_ms = 0 if watermark is None else int(
+        pd.Timedelta(watermark).total_seconds() * 1000
+    )
+    cols = [
+        F.window(F.col(ts_col), window).start.alias("win_start"),
+        F.xxhash64(F.col(key_col)).alias("h"),
+    ]
+    if watermark is not None:
+        cols.append(F.col(ts_col).alias("__ts"))
+    keyed = src.select(*cols)
+
+    key_dt = stream.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("win_start", TimestampType()),
+            StructField("key", key_dt),
+            StructField("est_count", LongType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sketch", BinaryType()), StructField("n", LongType())]
+    )
+
+    def agg(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            blob, n = state.get
+            blob = bytes(blob)
+        else:
+            blob, n = None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            part = cms_serialize(cms_counts(h, d, w))
+            blob = part if blob is None else cms_merge([blob, part])
+            n += len(h)
+        if blob is not None:
+            state.update((blob, n))
+            if watermark is not None:
+                win_end = int(pd.Timestamp(key[0]).value // 1_000_000) + win_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win_end + allow_ms, wm + 1))
+            ests = cms_estimate(blob, tracked_hs)
+            yield pd.DataFrame(
+                {
+                    "win_start": [key[0]] * len(tracked_keys),
+                    "key": tracked_keys,
+                    "est_count": ests.astype(np.int64),
+                    "n_rows": [n] * len(tracked_keys),
+                }
+            )
+
+    return keyed.groupBy("win_start").applyInPandasWithState(
+        agg,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

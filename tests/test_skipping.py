@@ -98,3 +98,39 @@ def test_skipping_read_autobuilds_index(spark, part_dir):
     )
     want = spark.read.parquet(part_dir).where(F.col("o_custkey") == 5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zone_index_prunes_ranges_and_read_is_exact(spark, part_dir):
+    from bitfilters_spark.sources.skipping import (
+        build_zone_index,
+        prune_files_range,
+        zone_read,
+    )
+
+    zi = build_zone_index(spark, part_dir, ["o_custkey"])
+    n_files = len(glob.glob(f"{part_dir}/part-*.parquet"))
+    assert zi.count() == n_files
+    full = spark.read.parquet(part_dir)
+    lo, hi = 20, 40
+    keep = prune_files_range(zi, "o_custkey", lo, hi)
+    # range-ordered layout: a narrow range must prune most files
+    assert 0 < len(keep) < n_files
+    got = zone_read(spark, part_dir, "o_custkey", lo, hi, zone_index=zi)
+    want = full.where((F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi))
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+    # open bounds
+    got_open = zone_read(spark, part_dir, "o_custkey", lo=None, hi=5, zone_index=zi)
+    want_open = full.where(F.col("o_custkey") <= 5)
+    assert got_open.count() == want_open.count()
+
+
+def test_zone_index_empty_range_reads_nothing(spark, part_dir):
+    from bitfilters_spark.sources.skipping import build_zone_index, zone_read
+
+    zi = build_zone_index(spark, part_dir, ["o_custkey"])
+    out = zone_read(
+        spark, part_dir, "o_custkey", 10_000_000, 20_000_000, zone_index=zi
+    )
+    assert out.count() == 0

@@ -675,3 +675,68 @@ def test_streaming_asof_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_counts_match_batch_exact(spark, tmp_path):
+    """Per-window CMS frequency estimates for tracked keys across
+    micro-batches: with w far above the distinct-key count there are no
+    collisions, so the latest estimate per (window, key) equals the exact
+    batch count; state is one fixed d x w matrix per window."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming.sketches import streaming_cms_counts
+
+    src = str(tmp_path / "cms_in")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def rows(batch):
+        out = []
+        for i in batch:
+            h = 10 + (i % 2)  # two 1-hour windows
+            out.append((i, f"k{i % 5}", dt.datetime(2024, 1, 1, h, i % 60)))
+        return out
+
+    spark.createDataFrame(
+        rows(range(40)), "id long, k string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    tracked = ["k0", "k3", "k_absent"]
+    stream = spark.readStream.schema("id long, k string, ts timestamp").parquet(src)
+    counts = streaming_cms_counts(
+        stream, "k", tracked, "ts", "1 hour", d=4, w=4096
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("cms_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows(range(40, 90)), "id long, k string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows_out = spark.sql(
+            "SELECT * FROM cms_sink ORDER BY win_start, n_rows"
+        ).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows_out:  # ordered by n_rows: last write wins per window/key
+        latest[(r["win_start"], r["key"])] = r["est_count"]
+    batch = spark.read.parquet(src)
+    exact = {
+        (r["w"], r["k"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").start.alias("w"), "k"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wins = {w for (w, _) in latest}
+    assert len(wins) == 2
+    for w in wins:
+        for k in tracked:
+            assert latest[(w, k)] == exact.get((w, k), 0), (w, k)
