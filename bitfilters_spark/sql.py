@@ -11,6 +11,8 @@ side of this engine is exposed to ``spark.sql`` too (reference
 * ``bf_duckdb_hash(x)``           — DuckDB-parity hash (v1.0.0, one key)
 * ``bf_filter_kind(filter)``      — blob format sniff
 * ``bf_qf_resize(filter, q, r)``  — quotient-filter resize (r may be NULL)
+* ``bf_bks_quantile(sample, q)``  — bottom-k sample nearest-rank quantile
+* ``bf_bks_size(sample)``         — bottom-k sample kept-row count
 
 Builds stay on the DataFrame API: Python cannot register SQL AGGREGATE
 functions (Spark has no Python UDAF), and the two-phase mergeable build
@@ -36,6 +38,8 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         f"{prefix}duckdb_hash",
         f"{prefix}filter_kind",
         f"{prefix}qf_resize",
+        f"{prefix}bks_quantile",
+        f"{prefix}bks_size",
     ]
     if key in _REGISTERED:
         return names
@@ -51,6 +55,7 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         _arrow_hashes_u64,
         _probe_blob,
     )
+    from .core import bksample as BK
     from .core import cms as CM
     from .core import quotient as Q
     from .core import kmv as KV
@@ -132,11 +137,36 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
             )
         return pa.array(out, type=pa.binary())
 
+    @arrow_udf(LongType())
+    def _bks_quant(blobs, qs):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = []
+        for b, qv in zip(blobs.to_pylist(), qs.to_pylist()):
+            out.append(
+                None
+                if b is None or qv is None
+                else BK.bks_quantile(bytes(b), float(qv))
+            )
+        return pa.array(out, type=pa.int64())
+
+    @arrow_udf(LongType())
+    def _bks_size(blobs):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = [
+            None if b is None else len(BK.bks_deserialize(bytes(b))[2])
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.int64())
+
     spark.udf.register(f"{prefix}contains", _contains)
     spark.udf.register(f"{prefix}cms_estimate", _cms_est)
     spark.udf.register(f"{prefix}kmv_distinct", _kmv_dist)
     spark.udf.register(f"{prefix}duckdb_hash", _dhash)
     spark.udf.register(f"{prefix}filter_kind", _kind)
     spark.udf.register(f"{prefix}qf_resize", _qf_resize)
+    spark.udf.register(f"{prefix}bks_quantile", _bks_quant)
+    spark.udf.register(f"{prefix}bks_size", _bks_size)
     _REGISTERED.add(key)
     return names

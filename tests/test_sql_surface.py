@@ -109,3 +109,33 @@ def test_sql_qf_resize(spark, ctx):
         "FROM sql_qf LIMIT 1"
     ).collect()[0]
     assert row["kind"] == "quotient" and row["smaller"]
+
+
+def test_sql_bks_quantile(spark, ctx):
+    """Bottom-k sample sketch probed from SQL: under-capacity, quantiles
+    are exact group quantiles."""
+    from bitfilters_spark.functions.sample import bottomk_sample
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        spark_hash64("o_orderkey").alias("h"),
+        F.col("o_custkey").alias("v"),
+    )
+    bottomk_sample(keyed, ["grp"], "h", "v", k=1_000_000).createOrReplaceTempView(
+        "sql_bks"
+    )
+    got = {
+        r["grp"]: (r["m"], r["p50"])
+        for r in spark.sql(
+            "SELECT grp, bf_bks_size(sample) AS m, "
+            "bf_bks_quantile(sample, 0.5d) AS p50 FROM sql_bks"
+        ).collect()
+    }
+    import math
+
+    pdf = keyed.toPandas()
+    for g, sub in pdf.groupby("grp"):
+        vs = sorted(sub["v"])
+        assert got[g][0] == len(vs)
+        assert got[g][1] == vs[max(1, math.ceil(0.5 * len(vs))) - 1]
