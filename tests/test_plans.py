@@ -229,3 +229,50 @@ def test_dedup_paragraphs_elects_winners_without_a_paragraph_window(spark):
     assert "Window" not in plan
     # partial aggregation below the exchange for the winner election
     assert "partial_min" in plan.lower() or "HashAggregate" in plan
+
+
+def test_duplicated_spans_elects_winners_without_a_gram_window(spark):
+    """Same invariant as the paragraph election, at gram granularity: the
+    winner choice must be a partial-aggregating min(struct) groupBy — a
+    boilerplate gram with 10^8 copies folds map-side — and span merging
+    is the only Window, partitioned per document."""
+    from bitfilters_spark.operators.substring import duplicated_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(duplicated_spans(docs, "doc_id", "text", n=5))
+    # the per-doc span merge is the only Window in the plan
+    assert plan.count("Window") >= 1
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan
+    # the election side (gram hash -> min struct) must aggregate, not rank
+    assert "row_number" not in plan.lower().replace("span", "")
+
+
+def test_bottomk_sample_shuffles_blobs_not_rows(spark):
+    """The BKS build must be two-phase: a map-side MapInPandas partial pass
+    feeding a grouped merge — the exchange between them carries one blob
+    per (partition, group), never the sampled table's rows."""
+    from bitfilters_spark.functions.sample import bottomk_sample
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        spark_hash64("o_orderkey").alias("h"),
+        F.col("o_custkey").alias("v"),
+    )
+    plan = plan_of(bottomk_sample(keyed, ["grp"], "h", "v", k=64))
+    # partial pass below the exchange, grouped merge above it
+    i_map = plan.find("MapInPandas")
+    i_exc = plan.find("Exchange")
+    i_fmap = plan.find("FlatMapGroupsInPandas")
+    assert -1 < i_fmap < i_exc < i_map  # formatted plans print top-down
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is row-local: no Exchange anywhere in the plan, and the
+    document scan prunes to the two referenced columns."""
+    from bitfilters_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(chunk_documents(docs, "doc_id", "text", chunk_tokens=64))
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan and "lang" not in plan.split("ReadSchema")[1][:200]
