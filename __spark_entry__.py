@@ -664,10 +664,21 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + the Gopher rule-pack verdict (Rae et al. 2021
+    Table A1 gates, evaluated in integer arithmetic so the oracle is
+    bit-exact): one driver row covers both the composite score and the
+    standard pre-training document gate."""
+    from bitfilters_spark.operators.text import gopher_rules
+
     docs = load_table(spark, sf_dir, "documents")
+    gates = gopher_rules(docs, "text", min_words=50).select(
+        "doc_id",
+        "n_stopwords_distinct",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    )
     return T.quality_metrics(docs, "text").select(
         "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "ttr", "avg_token_len", "quality_score"
-    )
+    ).join(gates, "doc_id")
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,15 +1752,36 @@ def oracle_sql() -> dict[str, str]:
                      len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
                      length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
                      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(replace(text, ' ', '')) AS word_chars,
+                     length(text) - length(replace(text, '#', '')) AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) // 3
+                       AS n_ellipsis,
+                     len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                     len(list_intersect(string_split(text, ' '),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS n_stop
               FROM documents)
-            SELECT doc_id, n_chars, n_tokens, n_uniq_tokens,
+            SELECT m.doc_id, n_chars, n_tokens, n_uniq_tokens,
                    round(n_uniq_tokens::DOUBLE / n_tokens, 6) AS ttr,
                    round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6) AS avg_token_len,
                    round(least(n_tokens::DOUBLE / 64.0, 1.0) * 0.4
                          + (n_uniq_tokens::DOUBLE / n_tokens) * 0.4
                          + (1.0 - punct::DOUBLE / n_chars) * 0.1
-                         + (1.0 - digits::DOUBLE / n_chars) * 0.1, 6) AS quality_score
-            FROM m
+                         + (1.0 - digits::DOUBLE / n_chars) * 0.1, 6) AS quality_score,
+                   g.n_stop AS n_stopwords_distinct,
+                   CASE WHEN (g.n_words BETWEEN 50 AND 100000)
+                         AND (3 * g.n_words <= g.word_chars
+                              AND g.word_chars <= 10 * g.n_words)
+                         AND (10 * (g.n_hash + g.n_ellipsis) <= g.n_words)
+                         AND (5 * g.n_alpha >= 4 * g.n_words)
+                         AND (g.n_stop >= 2)
+                    THEN 1 ELSE 0 END AS gopher_pass
+            FROM m JOIN g ON m.doc_id = g.doc_id
         """,
         "q_langid": f"""
             WITH s AS (

@@ -363,3 +363,57 @@ def chunk_documents(
             F.col("__c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule pack (Rae et al. 2021, arXiv:2112.11446,
+    Table A1) as per-document boolean flags plus the overall verdict —
+    the standard pre-training document gate. Every rule is evaluated in
+    INTEGER arithmetic (``3*n_words <= word_chars`` instead of
+    ``mean >= 3``), so the flags are bit-reproducible in any engine:
+
+    - ``rule_word_count``:   min_words <= n_words <= max_words
+    - ``rule_mean_len``:     mean word length in [3, 10]
+    - ``rule_symbol_ratio``: (# + ellipsis occurrences) / words <= 0.1
+    - ``rule_alpha_words``:  >= 80% of words contain a letter
+    - ``rule_stopwords``:    >= 2 distinct common stopwords present
+
+    Pure JVM expressions over one pass; no shuffle, no UDF.
+    """
+    c = F.col(text_col)
+    t = tokens(text_col)
+    n_words = F.size(t)
+    # sum of token lengths == chars after removing separator spaces
+    word_chars = F.length(F.regexp_replace(c, " ", ""))
+    n_hash = F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ellipsis = (
+        F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), stop_arr))
+
+    r_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+    r_symbol = 10 * (n_hash + n_ellipsis.cast("long")) <= n_words
+    r_alpha = 5 * n_alpha >= 4 * n_words
+    r_stop = n_stop >= 2
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords_distinct"),
+        r_count.alias("rule_word_count"),
+        r_mean.alias("rule_mean_len"),
+        r_symbol.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_count & r_mean & r_symbol & r_alpha & r_stop).alias("gopher_pass"),
+    )

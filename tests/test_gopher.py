@@ -1,0 +1,90 @@
+"""Gopher quality-rule pack: each rule triggers on a targeted document;
+flags are integer-exact and DuckDB-reproducible."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.text import gopher_rules
+
+GOOD = (
+    "the quick brown fox jumps over that lazy dog and it continues to "
+    "run with great speed through fields of wheat and corn because "
+    "morning light makes every path look open and the long day have "
+    "only begun for creatures that wander with purpose and hope while "
+    "evening shadows gather slowly across quiet meadows"
+)
+
+DOCS = [
+    (1, GOOD),  # passes everything
+    (2, "too short to pass the word count and that is all of it"),  # < 50 words
+    (3, GOOD + " " + " ".join(["a"] * 60)),  # mean word length < 3
+    (4, GOOD + " " + " ".join(["####"] * 20)),  # symbol ratio > 0.1
+    (5, GOOD + " " + " ".join(["1234"] * 40)),  # < 80% alphabetic words
+    (6, " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 12)),  # no stopwords
+    (7, GOOD + " " + " ".join(["..."] * 20)),  # ellipsis symbol ratio
+]
+
+
+def _got(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, "text", min_words=50).collect()
+    }
+
+
+def test_each_rule_fires_on_its_target(spark):
+    got = _got(spark)
+    assert got[1]["gopher_pass"]
+    assert not got[2]["rule_word_count"] and not got[2]["gopher_pass"]
+    assert not got[3]["rule_mean_len"] and not got[3]["gopher_pass"]
+    assert not got[4]["rule_symbol_ratio"] and not got[4]["gopher_pass"]
+    assert not got[5]["rule_alpha_words"] and not got[5]["gopher_pass"]
+    assert not got[6]["rule_stopwords"] and not got[6]["gopher_pass"]
+    assert not got[7]["rule_symbol_ratio"] and not got[7]["gopher_pass"]
+    # targeted docs keep unrelated rules green
+    assert got[2]["rule_mean_len"] and got[2]["rule_stopwords"]
+    assert got[4]["rule_word_count"] and got[4]["rule_stopwords"]
+    assert got[5]["rule_word_count"] and got[5]["rule_symbol_ratio"]
+
+
+def test_duckdb_parity(spark):
+    got = {
+        d: (
+            r["n_words"],
+            r["n_stopwords_distinct"],
+            r["gopher_pass"],
+        )
+        for d, r in _got(spark).items()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    want = dict()
+    for doc_id, n_words, n_stop, gp in con.sql(
+        """
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 length(replace(text, ' ', '')) AS word_chars,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ellipsis,
+                 len(list_filter(string_split(text, ' '),
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+                 len(list_intersect(string_split(text, ' '),
+                     ['the','be','to','of','and','that','have','with']))
+                   AS n_stop
+          FROM documents)
+        SELECT doc_id, n_words, n_stop,
+               (n_words BETWEEN 50 AND 100000)
+               AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+               AND (10 * (n_hash + n_ellipsis) <= n_words)
+               AND (5 * n_alpha >= 4 * n_words)
+               AND (n_stop >= 2) AS gopher_pass
+        FROM m
+        """
+    ).fetchall():
+        want[doc_id] = (n_words, n_stop, gp)
+    assert got == want
