@@ -1,1 +1,11 @@
-from . import clustering, dedup, multimodal, sampling, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    clustering,
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    substring,
+    text,
+    timeseries,
+)

@@ -6,12 +6,13 @@ from .dedup import (
 )
 from .filter_join import streaming_filter_join
 from .sessions import streaming_sessionize
-from .sketches import streaming_distinct_counts
+from .sketches import streaming_cms_counts, streaming_distinct_counts
 
 __all__ = [
     "streaming_asof_enrich",
     "streaming_asof_join",
     "streaming_dedup_bloom",
+    "streaming_cms_counts",
     "streaming_dedup_exact",
     "streaming_distinct_counts",
     "streaming_filter_join",
