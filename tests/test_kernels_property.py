@@ -177,3 +177,50 @@ def test_quotient_resize_equals_rebuild_property(xs, q, r, shrink_by):
     if new_r >= 1:
         shrunk = quotient.qf_resize(blob, q, new_r)
         assert shrunk == quotient.qf_build(h, q, new_r)
+
+
+pairs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**64 - 1),  # hash
+        st.integers(min_value=-(2**62), max_value=2**62),  # value
+    ),
+    min_size=0,
+    max_size=300,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pairs_strategy, st.integers(min_value=1, max_value=64), st.integers(min_value=0, max_value=300))
+def test_bks_merge_is_build_on_union_property(ps, k, cut):
+    """Any split of any (hash, value) multiset merges to the bulk build,
+    byte-for-byte — including duplicate hashes with conflicting values
+    (the min-value tie rule must be associative)."""
+    from bitfilters_spark.core import bksample as BK
+
+    h = np.array([p[0] for p in ps], dtype=np.uint64)
+    v = np.array([p[1] for p in ps], dtype=np.int64)
+    cut = min(cut, len(ps))
+    a = BK.bks_build(h[:cut], v[:cut], k)
+    b = BK.bks_build(h[cut:], v[cut:], k)
+    assert BK.bks_merge([a, b]) == BK.bks_build(h, v, k)
+    assert BK.bks_merge([b, a]) == BK.bks_build(h, v, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pairs_strategy, st.integers(min_value=2, max_value=64))
+def test_bks_quantile_matches_nearest_rank_reference(ps, k):
+    import math
+
+    from bitfilters_spark.core import bksample as BK
+
+    h = np.array([p[0] for p in ps], dtype=np.uint64)
+    v = np.array([p[1] for p in ps], dtype=np.int64)
+    blob = BK.bks_build(h, v, k)
+    _, hh, vv = BK.bks_deserialize(blob)
+    for q in (0.01, 0.5, 0.99, 1.0):
+        got = BK.bks_quantile(blob, q)
+        if len(vv) == 0:
+            assert got is None
+        else:
+            want = sorted(vv)[max(1, math.ceil(q * len(vv))) - 1]
+            assert got == want

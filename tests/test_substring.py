@@ -157,3 +157,24 @@ def test_duckdb_parity_coverage(spark):
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_corpus_matches_brute_force(spark, seed):
+    """Random corpora over a 4-token alphabet (dense gram collisions,
+    intra-doc repeats, many cross-doc ties) — coverage must equal the
+    literal brute-force reference for every doc."""
+    import random
+
+    rng = random.Random(seed)
+    docs = [
+        (i, " ".join(rng.choice("abcd") for _ in range(rng.randint(3, 30))))
+        for i in range(1, 26)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_token_coverage(df, "doc_id", "text", n=N).collect()
+    }
+    want = {doc_id: len(c) for doc_id, c in _brute(docs, N).items()}
+    assert got == want
