@@ -102,3 +102,46 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    order_col: str | None = None,
+    format: str = "parquet",
+) -> int:
+    """Rewrite a dataset into ~``target_file_bytes`` files — the ingest
+    maintenance step every long-lived 100 TB table needs (streaming sinks
+    and over-parallel writers leave thousands of KB-scale files whose
+    per-file open/footer/listing overhead dominates scans).
+
+    File count is sized from the dataset's actual on-disk bytes (from the
+    file-listing metadata Spark already has — no data read). With
+    ``order_col`` the rewrite is ``repartitionByRange + sortWithinPartitions``
+    so files carry disjoint key ranges (zone maps / skipping indexes then
+    prune to ~1 file per point lookup); without it, a plain
+    ``repartition(n)`` balances bytes. Returns the file count written.
+    """
+    df = spark.read.format(format).load(src)
+    # on-disk size via the input files' metadata (driver-side listing)
+    total = 0
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    n = max(1, -(-total // target_file_bytes))  # ceil
+    from pyspark.sql import functions as F
+
+    if order_col is not None:
+        out = df.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        out = df.repartition(n)
+    out.write.format(format).mode("overwrite").save(dest)
+    return n

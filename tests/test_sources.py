@@ -90,3 +90,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    """Many tiny files -> few target-sized files; content identical; with
+    order_col the output files hold disjoint key ranges."""
+    import glob
+
+    from bitfilters_spark.sources.io import compact_files
+
+    src = str(tmp_path / "frag")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartition(40).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+
+    dest = str(tmp_path / "compact")
+    n = compact_files(spark, src, dest, target_file_bytes=64 * 1024)
+    files = glob.glob(f"{dest}/part-*.parquet")
+    assert len(files) == n and n < 40
+    got = spark.read.parquet(dest)
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in orders.collect()
+    )
+
+    # ordered compaction: disjoint per-file key ranges
+    dest2 = str(tmp_path / "compact_ordered")
+    n2 = compact_files(
+        spark, src, dest2, target_file_bytes=16 * 1024, order_col="o_orderkey"
+    )
+    assert n2 > 1  # the layout claim below needs several files
+    stats = (
+        spark.read.parquet(dest2)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
