@@ -550,3 +550,90 @@ def dedup_paragraphs(
         .withColumn(text_col, rebuilt)
         .drop("__id", "__keep")
     )
+
+
+# ---------------------------------------------------- snapshot diff ------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fingerprint_col,
+) -> DataFrame:
+    """Diff two corpus snapshots by id + content fingerprint — the
+    incremental-pipeline primitive ("what changed since the last run
+    decides what re-processes"). Returns ``(id_col, change)`` with
+    ``change`` in ``added`` (id only in new), ``removed`` (id only in
+    old), ``changed`` (id in both, fingerprint differs); unchanged rows
+    produce no output.
+
+    One full-outer join on the id — the same single shuffle an exact
+    dedup pays; fingerprints travel as values so content comparison
+    costs no second pass. At 100 TB, feed a cheap fingerprint
+    (``xxhash64(text)``/``doc_fingerprint``) rather than raw content.
+    """
+    o = old.select(F.col(id_col).alias("__id"), F.col(fingerprint_col).alias("__fo")) \
+        if isinstance(fingerprint_col, str) else old.select(
+            F.col(id_col).alias("__id"), fingerprint_col.alias("__fo"))
+    n = new.select(F.col(id_col).alias("__id"), F.col(fingerprint_col).alias("__fn")) \
+        if isinstance(fingerprint_col, str) else new.select(
+            F.col(id_col).alias("__id"), fingerprint_col.alias("__fn"))
+    j = o.join(n, "__id", "full_outer")
+    change = (
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") != F.col("__fn"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(F.col("__id").alias(id_col), "change")
+    )
+
+
+def cross_dedup(
+    new: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Drop every NEW document that near-duplicates (shingle Jaccard >=
+    threshold) ANY reference document — dedup an incoming crawl against
+    the existing training set without re-deduping the reference corpus.
+
+    Implementation: tag both sides, run the same df-capped blocking
+    self-join machinery as :func:`shingle_jaccard_pairs` over the union,
+    then drop new docs appearing in any cross-side pair. New-vs-new
+    duplicates are KEPT (run a normal dedup for those) so the operator
+    composes: ``cross_dedup`` then ``dedup_near`` ≡ full-union dedup
+    with the reference side immutable.
+    """
+    tag_new = new.select(
+        F.col(id_col).alias("__cid"), F.col(text_col).alias("__ct"), F.lit(1).alias("__is_new")
+    )
+    tag_ref = reference.select(
+        F.col(id_col).alias("__cid"), F.col(text_col).alias("__ct"), F.lit(0).alias("__is_new")
+    )
+    # ids may collide across corpora: carry the side bit in the join key
+    both = tag_new.unionByName(tag_ref).select(
+        (F.col("__cid") * 2 + F.col("__is_new")).alias("__uid"), "__ct"
+    )
+    pairs = shingle_jaccard_pairs(
+        both, "__uid", "__ct", shingle_n=shingle_n, threshold=threshold, df_cap=df_cap
+    )
+    # a cross pair has exactly one odd (new) member; recover its real id
+    a, b = F.col("id_a"), F.col("id_b")
+    hit_new = (
+        pairs.where((a % 2) != (b % 2))
+        .select(
+            F.when(a % 2 == 1, (a - 1) / 2).otherwise((b - 1) / 2)
+            .cast("long")
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return new.join(hit_new, id_col, "left_anti")
