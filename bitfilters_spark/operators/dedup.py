@@ -637,3 +637,35 @@ def cross_dedup(
         .distinct()
     )
     return new.join(hit_new, id_col, "left_anti")
+
+
+def corpus_checksum(
+    df: DataFrame,
+    group_cols: list,
+    content_cols: list,
+) -> DataFrame:
+    """Order-independent per-group content checksum + row count — verify
+    two 100 TB copies of a corpus are identical (replication, migration,
+    re-partitioned rewrite) without sorting or moving content: rows hash
+    to 64 bits (`xxhash64` over the content columns) and fold with the
+    commutative-associative pair (bit_xor, count), so ANY partitioning
+    or row order yields the same (checksum, n_rows). Map-side partial
+    aggregation; shuffle carries one 16-byte row per group per
+    partition. ``group_cols=[]`` checksums the whole corpus (one row).
+
+    XOR caveat (documented tradeoff): a row appearing an even number of
+    times cancels out of the xor — the row COUNT catches any
+    multiplicity change, but two same-size corpora differing by swapping
+    a duplicated row pair would collide; pair with ``snapshot_diff``
+    when per-row attribution matters.
+    """
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    dummy = not group_cols
+    if dummy:
+        df = df.withColumn("__g", F.lit(0))
+        group_cols = ["__g"]
+    out = df.withColumn("__h", h).groupBy(*group_cols).agg(
+        F.expr("bit_xor(__h)").alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return out.drop("__g") if dummy else out

@@ -197,3 +197,33 @@ def cap_per_group(
         .where(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    native: bool = True,
+    bits: int = 20,
+) -> DataFrame:
+    """Keep each row with its OWN probability ``weight_col`` ∈ [0, 1]
+    (importance sampling — e.g. retain docs proportionally to a quality
+    score), deterministically: the row survives iff its key-hash's low
+    ``bits`` bits fall under ``floor(weight * 2^bits)``.
+
+    Same guarantees as ``hash_sample``: map-side predicate (zero
+    shuffle), stable under repartitioning, reproducible across engines
+    with ``native=False``, and correlated across tables sharing the key
+    — a row kept at weight w stays kept at any weight ≥ w, so
+    tightening a quality threshold only removes rows, never reshuffles
+    the sample. Weights outside [0, 1] are clamped (NULL drops the row).
+    """
+    from pyspark.sql import functions as F
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    mask = (1 << bits) - 1
+    h = spark_hash64(key_col) if native else duckdb_hash("v1.0.0", key_col)
+    thresh = F.floor(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * (mask + 1)
+    )
+    return df.where(h.bitwiseAND(F.lit(mask)) < thresh)

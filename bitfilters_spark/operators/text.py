@@ -9,6 +9,7 @@ reproducibility; the native variant is xxhash64.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -416,4 +417,40 @@ def gopher_rules(
         r_alpha.alias("rule_alpha_words"),
         r_stop.alias("rule_stopwords"),
         (r_count & r_mean & r_symbol & r_alpha & r_stop).alias("gopher_pass"),
+    )
+
+
+def compression_signal(
+    df: DataFrame, id_col: str, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib-compressibility — the classic "too repetitive /
+    too templated" filter signal (highly compressible text is boilerplate
+    or spam; near-incompressible text is noise or binary junk). Returns
+    ``(id_col, n_bytes, n_compressed)``; filter on the ratio, e.g. keep
+    ``0.3 <= n_compressed / n_bytes <= 0.9``.
+
+    Arrow-batched pandas UDF (zlib is C-speed; the cost is the
+    compression itself, not Python row overhead); map-side, zero
+    shuffle. Integer outputs — deterministic for a fixed zlib version
+    and level, so results are comparable across runs of the same
+    cluster image.
+    """
+    import zlib
+
+    @F.pandas_udf("long")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else len(zlib.compress(t.encode("utf-8"), level))
+                for t in texts
+            ],
+            dtype="Int64",
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_bytes"),
+        comp_len(F.col(text_col)).alias("n_compressed"),
     )

@@ -1,0 +1,124 @@
+"""Weighted sampling, compression signal, corpus checksum."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.dedup import corpus_checksum
+from bitfilters_spark.operators.sampling import weighted_hash_sample
+from bitfilters_spark.operators.text import compression_signal
+
+
+def test_weighted_sample_rates_and_monotonicity(spark):
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2).alias("w"),
+    )
+    kept = weighted_hash_sample(df, "id", "w")
+    rates = {
+        r["k"]: r["n"] / 10_000
+        for r in kept.groupBy((F.col("id") % 2).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert abs(rates[0] - 0.8) < 0.03 and abs(rates[1] - 0.2) < 0.03
+    # monotone in the weight: everything kept at w stays kept at w' > w
+    ids_low = {r["id"] for r in weighted_hash_sample(
+        df.withColumn("w", F.lit(0.2)), "id", "w").collect()}
+    ids_high = {r["id"] for r in weighted_hash_sample(
+        df.withColumn("w", F.lit(0.5)), "id", "w").collect()}
+    assert ids_low <= ids_high
+    # deterministic under repartitioning
+    again = {r["id"] for r in weighted_hash_sample(
+        df.repartition(13), "id", "w").collect()}
+    assert again == {r["id"] for r in kept.collect()}
+
+
+def test_weighted_sample_clamps_and_drops_null(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, -1.0), (3, None)], "id long, w double"
+    )
+    got = {r["id"] for r in weighted_hash_sample(df, "id", "w").collect()}
+    assert 1 in got and 2 not in got and 3 not in got  # clamp / drop
+
+
+def test_compression_signal_matches_local_zlib(spark):
+    docs = [
+        (1, "abc " * 200),            # highly compressible
+        (2, "k9!x Qz7# mN2$ vB5%"),   # short, little structure
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"])
+        for r in compression_signal(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in docs:
+        if text is None:
+            assert got[doc_id] == (None, None)
+        else:
+            assert got[doc_id] == (
+                len(text),
+                len(zlib.compress(text.encode(), 6)),
+            )
+    # the boilerplate doc compresses far better
+    assert got[1][1] / got[1][0] < 0.1 < got[2][1] / got[2][0]
+
+
+def test_corpus_checksum_is_order_and_partitioning_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = corpus_checksum(docs, ["source"], ["doc_id", "text"]).collect()
+    b = corpus_checksum(
+        docs.repartition(17).sortWithinPartitions("n_chars"),
+        ["source"],
+        ["doc_id", "text"],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a single changed row flips the group checksum and only that group
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("TAMPERED")).otherwise(F.col("text")),
+    )
+    c = {r["source"]: r["checksum"] for r in corpus_checksum(
+        mutated, ["source"], ["doc_id", "text"]).collect()}
+    orig = {r["source"]: r["checksum"] for r in a}
+    src3 = docs.where("doc_id = 3").collect()[0]["source"]
+    diff = {s for s in orig if orig[s] != c[s]}
+    assert diff == {src3}
+    # global (ungrouped) checksum: one row
+    g = corpus_checksum(docs, [], ["doc_id", "text"]).collect()
+    assert len(g) == 1 and g[0]["n_rows"] == docs.count()
+
+
+def test_corpus_checksum_duckdb_parity(spark):
+    """bit_xor over the same hash is engine-reproducible given hash
+    parity; use DuckDB-parity hashes so the oracle agrees bit-for-bit."""
+    import duckdb
+
+    from bitfilters_spark.functions.hashing import duckdb_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keyed = docs.select(
+        "source", duckdb_hash("v1.0.0", "doc_id").alias("__h")
+    )
+    got = {
+        (r["source"],): (r["checksum"], r["n_rows"])
+        for r in keyed.groupBy("source")
+        .agg(
+            F.expr("bit_xor(__h)").alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (s,): (chk, n)
+        for s, chk, n in con.sql(
+            "SELECT source, (bit_xor(hash(doc_id))::HUGEINT - CASE WHEN "
+            "bit_xor(hash(doc_id)) >= 9223372036854775808 THEN "
+            "18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT, count(*) "
+            "FROM '/root/testdata/sf0.001/documents.parquet' GROUP BY source"
+        ).fetchall()
+    }
+    assert got == want
