@@ -148,3 +148,65 @@ def test_ngram_contamination_hashed_matches_raw(spark):
     # doc 1: all 4 of its 5-grams appear in the benchmark; doc 2: none;
     # doc 3: only "a b c d e"; doc 4 (<5 tokens): no rows
     assert raw == {1: (4, 4), 2: (4, 0), 3: (4, 1)}
+
+
+def test_round5_ops_empty_corpus(spark, empty_docs):
+    from bitfilters_spark.operators.dedup import (
+        corpus_checksum,
+        dedup_paragraphs,
+        snapshot_diff,
+    )
+    from bitfilters_spark.operators.sampling import (
+        cap_per_group,
+        weighted_hash_sample,
+    )
+    from bitfilters_spark.operators.substring import (
+        dup_token_coverage,
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+    from bitfilters_spark.operators.text import (
+        chunk_documents,
+        compression_signal,
+        gopher_rules,
+    )
+
+    assert duplicated_spans(empty_docs, "doc_id", "text").count() == 0
+    assert dup_token_coverage(empty_docs, "doc_id", "text").count() == 0
+    assert remove_duplicated_spans(empty_docs, "doc_id", "text").count() == 0
+    assert dedup_paragraphs(empty_docs, "doc_id", "text").count() == 0
+    assert chunk_documents(empty_docs, "doc_id", "text", 8).count() == 0
+    assert gopher_rules(empty_docs).count() == 0
+    assert compression_signal(empty_docs, "doc_id").count() == 0
+    assert corpus_checksum(empty_docs, [], ["doc_id", "text"]).count() == 0
+    docs2 = empty_docs.withColumn("w", F.lit(0.5)).withColumn(
+        "src", F.lit("a")
+    )
+    assert weighted_hash_sample(docs2, "doc_id", "w").count() == 0
+    assert cap_per_group(docs2, "doc_id", "src", 3).count() == 0
+    assert snapshot_diff(empty_docs, empty_docs, "doc_id", "text").count() == 0
+
+
+def test_round5_sketch_and_sample_empty(spark, empty_keyed):
+    from bitfilters_spark.core.bksample import bks_build, bks_quantile
+    from bitfilters_spark.functions.sample import bottomk_sample
+
+    import numpy as np
+
+    blob = bks_build(np.array([], dtype=np.uint64), np.array([], dtype=np.int64), 8)
+    assert bks_quantile(blob, 0.5) is None
+    keyed = empty_keyed.withColumn("v", F.lit(0).cast("long"))
+    assert bottomk_sample(keyed, ["grp"], "h", "v", k=8).count() == 0
+
+
+def test_round5_semdedup_empty_pairs(spark):
+    """A corpus with no >= threshold pair keeps every row."""
+    from bitfilters_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert semantic_dedup(df, threshold=0.9, n_centroids=2).count() == 3
