@@ -740,3 +740,67 @@ def test_streaming_cms_counts_match_batch_exact(spark, tmp_path):
     for w in wins:
         for k in tracked:
             assert latest[(w, k)] == exact.get((w, k), 0), (w, k)
+
+
+def test_stateless_text_ops_run_unchanged_on_streams(spark, tmp_path):
+    """The whole stateless text family (quality metrics, Gopher gate,
+    chunking, token counts) is streaming-ready with ZERO code changes —
+    they are pure row-local expressions, so the same function applies to
+    a readStream DataFrame and produces batch-identical rows."""
+    from bitfilters_spark.operators.text import chunk_documents, gopher_rules
+
+    src = str(tmp_path / "txt_in")
+    ckpt1 = str(tmp_path / "txt_ckpt1")
+    ckpt2 = str(tmp_path / "txt_ckpt2")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(100).coalesce(1).write.mode("append").parquet(src)
+
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    q1 = (
+        gopher_rules(stream)
+        .select("doc_id", "n_words", "gopher_pass")
+        .writeStream.format("memory")
+        .queryName("txt_gopher")
+        .option("checkpointLocation", ckpt1)
+        .outputMode("append")
+        .start()
+    )
+    q2 = (
+        chunk_documents(stream, "doc_id", "text", chunk_tokens=64)
+        .writeStream.format("memory")
+        .queryName("txt_chunks")
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got_g = {
+            (r["doc_id"], r["n_words"], r["gopher_pass"])
+            for r in spark.sql("SELECT * FROM txt_gopher").collect()
+        }
+        got_c = {
+            (r["doc_id"], r["chunk_id"], r["chunk_text"])
+            for r in spark.sql(
+                "SELECT doc_id, chunk_id, chunk_text FROM txt_chunks"
+            ).collect()
+        }
+    finally:
+        q1.stop()
+        q2.stop()
+    batch = spark.read.parquet(src)
+    want_g = {
+        (r["doc_id"], r["n_words"], r["gopher_pass"])
+        for r in gopher_rules(batch)
+        .select("doc_id", "n_words", "gopher_pass")
+        .collect()
+    }
+    want_c = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(batch, "doc_id", "text", chunk_tokens=64).collect()
+    }
+    assert got_g == want_g
+    assert got_c == want_c
