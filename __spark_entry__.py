@@ -835,14 +835,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by DuckDB-parity hash bucket
     (low-bit mask, not modulo, so two's-complement i64 agrees with the
-    oracle's u64). Reproducible across engines and repartitioning."""
+    oracle's u64), plus the per-row-probability sampler on the same
+    machinery: `w_kept` marks survival of `weighted_hash_sample` with
+    weight = (doc_id % 10)/10 — floor(weight·2^20) is IEEE-identical in
+    any engine, so the oracle reproduces the draw exactly. Reproducible
+    across engines and repartitioning."""
     from bitfilters_spark.operators import sampling as SP
 
     docs = load_table(spark, sf_dir, "documents")
     out = SP.hash_split(
         docs, "doc_id", {"train": 8, "val": 1, "test": 1}, native=False
     )
-    return out.select("doc_id", "split")
+    weighted = SP.weighted_hash_sample(
+        docs.withColumn("w", (F.col("doc_id") % 10) / 10.0),
+        "doc_id",
+        "w",
+        native=False,
+    ).select("doc_id", F.lit(1).alias("w_kept"))
+    return (
+        out.select("doc_id", "split")
+        .join(weighted, "doc_id", "left")
+        .select(
+            "doc_id", "split", F.coalesce("w_kept", F.lit(0)).alias("w_kept")
+        )
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1910,7 +1926,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN (hash(doc_id) & 1023) < 819 THEN 'train'
                         WHEN (hash(doc_id) & 1023) < 921 THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS split,
+                   CASE WHEN (hash(doc_id) & 1048575) <
+                             floor(((doc_id % 10) / 10.0) * 1048576)
+                        THEN 1 ELSE 0 END AS w_kept
             FROM documents
         """,
         "q_stratified_sample": """
