@@ -724,9 +724,33 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints plus the snapshot-diff built on them: the
+    corpus is diffed against a deterministically mutated copy (doc_id%13
+    == 0 rewritten, %11 == 0 removed, nothing added ⇒ per-doc `change` in
+    unchanged/changed/removed — `snapshot_diff` drops unchanged rows; the
+    left join restores them as the 'unchanged' label)."""
+    from bitfilters_spark.operators.dedup import snapshot_diff
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.doc_fingerprint("text", native=False).alias("fp")
+    fp = T.doc_fingerprint("text", native=False)
+    mutated = docs.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.lit("v2 "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    diff = snapshot_diff(
+        docs.select("doc_id", fp.alias("f")),
+        mutated.select("doc_id", fp.alias("f")),
+        "doc_id",
+        "f",
+    )
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .join(diff, "doc_id", "left")
+        .select(
+            "doc_id", "fp", F.coalesce("change", F.lit("unchanged")).alias("change")
+        )
     )
 
 
@@ -1816,7 +1840,11 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": (
             "SELECT doc_id, "
             + _sql_signed(r"hash(lower(regexp_replace(text, '\s+', ' ', 'g')))")
-            + " AS fp FROM documents"
+            + """ AS fp,
+                   CASE WHEN doc_id % 11 = 0 THEN 'removed'
+                        WHEN doc_id % 13 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS change
+               FROM documents"""
         ),
         "q_tfidf": """
             WITH tok AS (
