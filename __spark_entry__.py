@@ -451,13 +451,24 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = T.quality_metrics(docs, "text").withColumn(
         "lang_pred", T.langid("text")
     )
-    return enriched.groupBy("lang_pred", "bucket").agg(
+    stats = enriched.groupBy("lang_pred", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         F.min("src_chars").alias("min_chars"),
         F.max("src_chars").alias("max_chars"),
     )
+    # per-group content checksum (order/partitioning-independent bit_xor
+    # fold of DuckDB-parity row hashes — `corpus_checksum`, #65)
+    from bitfilters_spark.operators.dedup import corpus_checksum
+
+    chk = corpus_checksum(
+        enriched.select("lang_pred", "bucket", "doc_id"),
+        ["lang_pred", "bucket"],
+        ["doc_id"],
+        native=False,
+    ).select("lang_pred", "bucket", "checksum")
+    return stats.join(chk, ["lang_pred", "bucket"])
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,7 +1602,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, bucket, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality_score), 6) AS avg_quality,
-                   min(src_chars) AS min_chars, max(src_chars) AS max_chars
+                   min(src_chars) AS min_chars, max(src_chars) AS max_chars,
+                   {_sql_signed("bit_xor(hash(doc_id))")} AS checksum
             FROM q GROUP BY lang_pred, bucket
         """,
         "q_kmv_distinct": """

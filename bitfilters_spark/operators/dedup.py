@@ -643,6 +643,7 @@ def corpus_checksum(
     df: DataFrame,
     group_cols: list,
     content_cols: list,
+    native: bool = True,
 ) -> DataFrame:
     """Order-independent per-group content checksum + row count — verify
     two 100 TB copies of a corpus are identical (replication, migration,
@@ -659,7 +660,12 @@ def corpus_checksum(
     a duplicated row pair would collide; pair with ``snapshot_diff``
     when per-row attribution matters.
     """
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    if native:
+        h = F.xxhash64(*[F.col(c) for c in content_cols])
+    else:  # DuckDB-parity (CombineHash) row hashes => SQL-reproducible
+        from ..functions.hashing import duckdb_hash
+
+        h = duckdb_hash("v1.0.0", *content_cols)
     dummy = not group_cols
     if dummy:
         df = df.withColumn("__g", F.lit(0))
