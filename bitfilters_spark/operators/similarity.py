@@ -232,6 +232,18 @@ def ivf_centroids(
     return C
 
 
+def save_ivf_index(centroids: np.ndarray, path: str) -> None:
+    """Persist a coarse quantizer so repeated ANN sessions skip the
+    k-means pass (the index of a 100 TB embedding store is trained once
+    at ingest and reused by every query session). Plain .npy file —
+    centroids are driver-side metadata (n_centroids x dim floats)."""
+    np.save(path if path.endswith(".npy") else path + ".npy", centroids)
+
+
+def load_ivf_index(path: str) -> np.ndarray:
+    return np.load(path if path.endswith(".npy") else path + ".npy")
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -241,14 +253,19 @@ def ivf_topk(
     n_centroids: int = 64,
     nprobe: int = 8,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     centroid cell (one mapInPandas pass, centroids broadcast); each query
     scans only its ``nprobe`` nearest cells. The cell equi-join is the only
     wide op — candidate volume is ~corpus * nprobe / n_centroids instead
     of the full corpus per query. nprobe == n_centroids degrades to exact
-    brute force (recall 1.0), which the tests exploit."""
-    C = ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    brute force (recall 1.0), which the tests exploit. Pass ``centroids``
+    (from :func:`load_ivf_index`) to reuse a trained quantizer and skip
+    the k-means pass entirely."""
+    C = centroids if centroids is not None else ivf_centroids(
+        df, vec_col, n_centroids, seed=seed
+    )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(C)
 

@@ -170,3 +170,37 @@ def test_quantize_int8_roundtrip_error(spark):
         recon = q * r["scale"] / 127.0
         step = r["scale"] / 127.0
         assert np.abs(recon - orig[r["vec_id"]]).max() <= step / 2 + 1e-9
+
+
+def test_ivf_index_roundtrip_reuses_quantizer(spark, tmp_path):
+    """Persisted centroids reproduce identical ANN results (and skip the
+    k-means pass — results must match a fresh build with the same seed)."""
+    import numpy as np
+
+    from bitfilters_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = df.limit(5)
+    C = ivf_centroids(df, "embedding", 8, seed=42)
+    p = str(tmp_path / "ivf_index")
+    save_ivf_index(C, p)
+    C2 = load_ivf_index(p)
+    assert np.array_equal(C, C2)
+    fresh = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            df, queries, k=3, n_centroids=8, nprobe=8, seed=42
+        ).collect()
+    }
+    reused = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(
+            df, queries, k=3, n_centroids=8, nprobe=8, centroids=C2
+        ).collect()
+    }
+    assert fresh == reused

@@ -1,0 +1,107 @@
+"""Single-node throughput comparison vs DuckDB: time every oracle-backed
+query BOTH ways — the Spark DataFrame implementation and the equivalent
+ANSI SQL on DuckDB — over the same parquet at the same SF.
+
+The reference engine is a DuckDB extension, so DuckDB running the oracle
+SQL is the closest 'reference single-node throughput' stand-in we can
+measure in this container. This is deliberately an UNFAIR baseline for
+Spark at bench scale (DuckDB runs a fused vectorized plan with zero task
+scheduling; Spark pays per-stage/task overhead that only amortizes at
+real data sizes) — the interesting signals are the ratio's trend across
+SFs and any query where Spark is slower by far more than that fixed
+overhead explains.
+
+Usage: python tools/duckdb_compare.py [sf_dir] [runs]
+Writes DUCKDB_COMPARE.json and prints one summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from bitfilters_spark.session import make_session
+
+    spark = make_session(app="duckdb-compare", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+
+    qs, osql = E.queries(), E.oracle_sql()
+    out: dict = {}
+    for name, fn in qs.items():
+        if name not in osql:
+            continue
+        row: dict = {}
+        try:
+            import gc
+
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            ts = []
+            for _ in range(runs):
+                # same hygiene as bench.py: drop cached/checkpointed blocks
+                # from the previous execution so they don't inflate the next
+                spark.catalog.clearCache()
+                gc.collect()
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                ts.append(time.time() - t0)
+            row["spark_s"] = round(min(ts), 3)
+        except Exception as ex:
+            row["spark_err"] = str(ex)[:200]
+        try:
+            con.sql(osql[name]).fetchall()
+            ts = []
+            for _ in range(runs):
+                t0 = time.time()
+                con.sql(osql[name]).fetchall()
+                ts.append(time.time() - t0)
+            row["duckdb_s"] = round(min(ts), 3)
+        except Exception as ex:
+            row["duckdb_err"] = str(ex)[:200]
+        if "spark_s" in row and "duckdb_s" in row and row["duckdb_s"] > 0:
+            row["ratio"] = round(row["spark_s"] / row["duckdb_s"], 2)
+        out[name] = row
+        print(name, row, file=sys.stderr)
+
+    ok = [r for r in out.values() if "ratio" in r]
+    spark_total = round(sum(r["spark_s"] for r in ok), 3)
+    duck_total = round(sum(r["duckdb_s"] for r in ok), 3)
+    summary = {
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "n_compared": len(ok),
+        "spark_total_s": spark_total,
+        "duckdb_total_s": duck_total,
+        "total_ratio": round(spark_total / duck_total, 2) if duck_total else None,
+        "median_ratio": sorted(r["ratio"] for r in ok)[len(ok) // 2] if ok else None,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "DUCKDB_COMPARE.json"), "w") as f:
+        json.dump({"summary": summary, "queries": out}, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
