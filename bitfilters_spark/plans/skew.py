@@ -40,3 +40,38 @@ def salted_join(
         salted_fact["__salt"] == salted_dim["__salt"]
     )
     return salted_fact.join(salted_dim, cond, how).drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> dict:
+    """Diagnose join/groupBy key skew before paying for a bad shuffle:
+    returns ``{n_rows, n_keys, top: [(key, count, share)...],
+    max_share, skew_factor}`` where ``skew_factor`` is the heaviest
+    key's count over the mean per-key count (1.0 = perfectly even).
+
+    One map-side-combined count aggregate; the top-k plans as
+    TakeOrderedAndProject (per-partition top-k, no global sort) and only
+    ``top_k + 2`` scalars reach the driver. Rule of thumb: a skew_factor
+    in the hundreds on a join key means AQE skew-split territory; in the
+    thousands, reach for ``salted_join`` or pre-thin the hot keys.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    top = counts.orderBy(F.col("__n").desc(), F.col(key_col)).limit(top_k).collect()
+    agg = counts.agg(
+        F.sum("__n").alias("rows"), F.count(F.lit(1)).alias("keys")
+    ).collect()[0]
+    n_rows, n_keys = int(agg["rows"] or 0), int(agg["keys"] or 0)
+    if n_rows == 0:
+        return {"n_rows": 0, "n_keys": 0, "top": [], "max_share": 0.0,
+                "skew_factor": 1.0}
+    mean = n_rows / n_keys
+    top_list = [
+        (r[key_col], int(r["__n"]), round(int(r["__n"]) / n_rows, 6))
+        for r in top
+    ]
+    return {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "top": top_list,
+        "max_share": top_list[0][2] if top_list else 0.0,
+        "skew_factor": round(top_list[0][1] / mean, 2) if top_list else 1.0,
+    }

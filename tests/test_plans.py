@@ -276,3 +276,22 @@ def test_chunk_documents_is_shuffle_free(spark):
     plan = plan_of(chunk_documents(docs, "doc_id", "text", chunk_tokens=64))
     assert "Exchange" not in plan
     assert "ReadSchema" in plan and "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_skew_report_finds_hot_key_and_plans_take_ordered(spark):
+    from bitfilters_spark.plans.skew import skew_report
+
+    rows = [(i, 999 if i % 2 == 0 else i) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    rep = skew_report(df, "k", top_k=5)
+    assert rep["n_rows"] == 10_000
+    assert rep["top"][0][0] == 999 and rep["top"][0][1] == 5_001
+    assert abs(rep["max_share"] - 0.5) < 0.001
+    assert rep["skew_factor"] > 1000  # one key holds half the rows
+    # plan shape: per-partition top-k, no global sort of the counts
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("__n"))
+    plan = plan_of(counts.orderBy(F.col("__n").desc(), "k").limit(5))
+    assert "TakeOrderedAndProject" in plan
+    # empty input
+    empty = spark.createDataFrame([], "id long, k long")
+    assert skew_report(empty, "k")["n_rows"] == 0
