@@ -675,3 +675,28 @@ def corpus_checksum(
         F.count(F.lit(1)).alias("n_rows"),
     )
     return out.drop("__g") if dummy else out
+
+
+def dedup_best(
+    df: DataFrame,
+    fingerprint_col,
+    order_by: list,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per fingerprint instead of the
+    lowest id: rank within each fingerprint group by ``order_by``
+    (list of Columns, e.g. ``[F.col("quality_score").desc(),
+    F.col("doc_id")]``) and keep rank 1. Pass ``id_col`` as the final
+    deterministic tiebreak. Same single fingerprint shuffle as
+    ``dedup_exact``; the common "keep the highest-quality copy of a
+    duplicated page" policy (dedup_exact == dedup_best with
+    ``order_by=[id]``)."""
+    order = list(order_by)
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(fingerprint_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

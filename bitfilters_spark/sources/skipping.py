@@ -183,3 +183,39 @@ def zone_read(
     if hi is not None:
         pred = pred & (F.col(col) <= hi)
     return spark.read.parquet(*files).where(pred)
+
+
+def refresh_file_index(
+    spark: SparkSession,
+    path: str,
+    old_index: DataFrame,
+    key_cols: list,
+    kind: str = "bloom",
+    filter_col: str = "filter",
+    **filter_kw,
+) -> DataFrame:
+    """Incrementally maintain a file index as the dataset evolves (the
+    module contract: "rebuild only for files that changed"): rows for
+    files still present are KEPT byte-identical (their data is immutable
+    — parquet files don't mutate in place), rows for deleted files are
+    dropped, and ONLY files new since ``old_index`` are scanned and
+    filtered. The refresh scan cost is proportional to the NEW data, not
+    the table."""
+    df = spark.read.parquet(path)
+    current = {f for f in df.inputFiles()}
+    old_rows = old_index.collect()  # metadata-scale
+    kept = [(r["file"], bytes(r[filter_col])) for r in old_rows if r["file"] in current]
+    known = {f for f, _ in kept}
+    new_files = sorted(current - known)
+    out_rows = kept
+    if new_files:
+        new_df = spark.read.parquet(*new_files)
+        keyed = new_df.select(
+            F.input_file_name().alias("file"),
+            spark_hash64(*key_cols).alias("h"),
+        )
+        built = build_filter(keyed, ["file"], "h", kind, **filter_kw)
+        out_rows = kept + [
+            (r["file"], bytes(r[filter_col])) for r in built.collect()
+        ]
+    return spark.createDataFrame(out_rows, f"file string, {filter_col} binary")

@@ -84,3 +84,29 @@ def test_cross_dedup_then_self_dedup_composes(spark):
     pairs = shingle_jaccard_pairs(stage1, "doc_id", "text", threshold=0.5)
     final = dedup_near(stage1, pairs, "doc_id")
     assert {r["doc_id"] for r in final.collect()} == {10, 12}
+
+
+def test_dedup_best_keeps_highest_quality_copy(spark):
+    from bitfilters_spark.operators.dedup import dedup_best, dedup_exact
+
+    rows = [
+        (1, "fp1", 0.2),
+        (2, "fp1", 0.9),
+        (3, "fp1", 0.9),  # tie -> lower id wins
+        (4, "fp2", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp string, q double")
+    best = {
+        r["doc_id"]
+        for r in dedup_best(
+            df, "fp", [F.col("q").desc()], id_col="doc_id"
+        ).collect()
+    }
+    assert best == {2, 4}
+    # dedup_exact ≡ dedup_best ordered by id
+    a = {r["doc_id"] for r in dedup_exact(df, "fp", "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in dedup_best(df, "fp", [F.col("doc_id").asc()]).collect()
+    }
+    assert a == b == {1, 4}

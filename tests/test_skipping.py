@@ -134,3 +134,58 @@ def test_zone_index_empty_range_reads_nothing(spark, part_dir):
         spark, part_dir, "o_custkey", 10_000_000, 20_000_000, zone_index=zi
     )
     assert out.count() == 0
+
+
+def test_refresh_file_index_scans_only_new_files(spark, tmp_path):
+    """Incremental index maintenance: surviving rows keep their exact
+    blobs, deleted files drop out, only new files are built; the
+    refreshed index prunes exactly like a from-scratch rebuild."""
+    import os
+    import shutil
+
+    from bitfilters_spark.sources.skipping import (
+        key_hashes,
+        refresh_file_index,
+    )
+
+    d = str(tmp_path / "evolving")
+    os.makedirs(d)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lo = orders.where("o_custkey < 50")
+    hi = orders.where("o_custkey >= 50")
+    lo.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lo"))
+    hi.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "hi"))
+    f_lo = glob.glob(str(tmp_path / "lo" / "part-*.parquet"))[0]
+    f_hi = glob.glob(str(tmp_path / "hi" / "part-*.parquet"))[0]
+    shutil.copy(f_lo, f"{d}/a.parquet")
+
+    idx1 = build_file_index(spark, d, ["o_custkey"], "bloom", n=5000, fpp=0.01)
+    blobs1 = {r["file"]: bytes(r["filter"]) for r in idx1.collect()}
+
+    # dataset evolves: one file added
+    shutil.copy(f_hi, f"{d}/b.parquet")
+    idx2 = refresh_file_index(
+        spark, d, idx1, ["o_custkey"], "bloom", n=5000, fpp=0.01
+    )
+    blobs2 = {r["file"]: bytes(r["filter"]) for r in idx2.collect()}
+    assert len(blobs2) == 2
+    (old_file,) = blobs1
+    assert blobs2[old_file] == blobs1[old_file]  # kept byte-identical
+    # refreshed index ≡ from-scratch rebuild
+    scratch = {
+        r["file"]: bytes(r["filter"])
+        for r in build_file_index(
+            spark, d, ["o_custkey"], "bloom", n=5000, fpp=0.01
+        ).collect()
+    }
+    assert blobs2 == scratch
+    # pruning still exact: keys only in file b prune file a
+    keep = prune_files(idx2, key_hashes(spark, [55, 61]))
+    assert keep and all(f.endswith("b.parquet") for f in keep)
+
+    # file removed: its row drops
+    os.remove(f"{d}/a.parquet")
+    idx3 = refresh_file_index(
+        spark, d, idx2, ["o_custkey"], "bloom", n=5000, fpp=0.01
+    )
+    assert [os.path.basename(r["file"]) for r in idx3.collect()] == ["b.parquet"]
