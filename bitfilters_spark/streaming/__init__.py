@@ -4,6 +4,7 @@ from .dedup import (
     streaming_dedup_exact,
     streaming_window_counts,
 )
+from .filter_build import load_filter_blob, streaming_filter_build
 from .filter_join import streaming_filter_join
 from .sessions import streaming_sessionize
 from .sketches import streaming_cms_counts, streaming_distinct_counts
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_cms_counts",
     "streaming_dedup_exact",
     "streaming_distinct_counts",
+    "streaming_filter_build",
     "streaming_filter_join",
     "streaming_sessionize",
     "streaming_window_counts",

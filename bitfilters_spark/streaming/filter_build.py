@@ -1,0 +1,72 @@
+"""Maintain a corpus-wide membership filter from a STREAM.
+
+The batch engine builds filters with a two-phase mergeable aggregate;
+the same algebra makes the filter maintainable incrementally: each
+micro-batch builds a partial filter and MERGES it into a persisted blob
+(``merge(build(A), build(B)) == build(A ∪ B)``, byte-exact — the tested
+family invariant). The stored blob is at all times a valid filter over
+every key ever streamed, loadable by the batch probe / ``antijoin_filter``
+path — the bridge from streaming ingest to batch decontamination
+("drop new docs whose fingerprint was ever seen in the firehose").
+
+State lives in ONE blob file (bloom: fixed bytes forever; quotient/KMV:
+bounded by their k / fingerprint capacity), not in the state store —
+foreachBatch is the right tool because the result must outlive the query
+and be readable by other engines/sessions mid-stream. Exactly-once:
+micro-batch recomputation after failure re-merges the same keys, and
+mergeable-filter insertion is idempotent (OR/union), so replays are
+harmless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..functions.filters import MERGEABLE, _merge_blobs, build_filter
+
+
+def load_filter_blob(path: str) -> bytes | None:
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def streaming_filter_build(
+    stream: DataFrame,
+    hash_col: str,
+    store_path: str,
+    kind: str = "bloom",
+    **filter_kw,
+):
+    """Returns a ``foreachBatch`` writer over ``stream``: every
+    micro-batch folds its keys into the blob at ``store_path`` (written
+    atomically: tmp + rename). Start it like any stream::
+
+        q = streaming_filter_build(keyed, "h", "/store/corpus.bloom",
+                                   n=10**9, fpp=0.01) \\
+            .option("checkpointLocation", ckpt).start()
+
+    Mergeable kinds only (bloom / duckdb_bloom / quotient / cms / kmv).
+    """
+    if kind not in MERGEABLE:
+        raise ValueError(
+            f"streaming build needs a mergeable kind, got {kind!r}"
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = build_filter(batch_df, [], hash_col, kind, **filter_kw).collect()
+        if not rows:
+            return
+        part = bytes(rows[0]["filter"])
+        prev = load_filter_blob(store_path)
+        blob = part if prev is None else _merge_blobs(kind, [prev, part])
+        tmp = store_path + ".tmp"
+        os.makedirs(os.path.dirname(store_path) or ".", exist_ok=True)
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, store_path)
+
+    return stream.writeStream.foreachBatch(fold).outputMode("update")

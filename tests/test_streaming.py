@@ -804,3 +804,60 @@ def test_stateless_text_ops_run_unchanged_on_streams(spark, tmp_path):
     }
     assert got_g == want_g
     assert got_c == want_c
+
+
+def test_streaming_filter_build_accumulates_across_batches(spark, tmp_path):
+    """The persisted blob is a valid filter over every key ever streamed
+    (no false negatives mid-stream), usable by the batch probe path."""
+    import numpy as np
+
+    from bitfilters_spark.functions.filters import _probe_blob
+    from bitfilters_spark.streaming.filter_build import (
+        load_filter_blob,
+        streaming_filter_build,
+    )
+
+    src = str(tmp_path / "fb_in")
+    ckpt = str(tmp_path / "fb_ckpt")
+    store = str(tmp_path / "store" / "corpus.bloom")
+
+    def write(ids):
+        spark.createDataFrame([(i,) for i in ids], "k long").select(
+            "k", F.xxhash64("k").alias("h")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write(range(100))
+    stream = spark.readStream.schema("k long, h long").parquet(src)
+    q = (
+        streaming_filter_build(stream, "h", store, "bloom", n=10_000, fpp=0.01)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        blob1 = load_filter_blob(store)
+        write(range(100, 250))
+        q.processAllAvailable()
+        blob2 = load_filter_blob(store)
+    finally:
+        q.stop()
+    assert blob1 is not None and blob2 is not None
+    # every streamed key probes TRUE on the final blob (batch probe path)
+    hs = (
+        spark.read.parquet(src)
+        .select("h")
+        .toPandas()["h"]
+        .to_numpy(np.int64)
+        .view(np.uint64)
+    )
+    assert _probe_blob(blob2, hs).all()
+    # the mid-stream snapshot already covered everything streamed so far
+    h1 = (
+        spark.createDataFrame([(i,) for i in range(100)], "k long")
+        .select(F.xxhash64("k").alias("h"))
+        .toPandas()["h"]
+        .to_numpy(np.int64)
+        .view(np.uint64)
+    )
+    assert _probe_blob(blob1, h1).all()
+    assert len(blob1) == len(blob2)  # bloom state is fixed-size forever
