@@ -663,6 +663,7 @@ _KIND_BY_MAGIC = {
     b"SHRD": "sharded",
     b"CMS1": "count_min",
     b"KMV1": "kmv",
+    b"BKS1": "bottomk_sample",
 }
 
 
@@ -699,6 +700,10 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
             elif magic == KV.KMV_MAGIC:
                 k, vals = KV.kmv_deserialize(b)
                 out.append(int(len(vals)))
+            elif magic == b"BKS1":
+                from ..core import bksample as BKS
+
+                out.append(int(len(BKS.bks_deserialize(b)[2])))
             else:
                 out.append(None)
         return pa.array(out, type=pa.int64())

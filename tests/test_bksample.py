@@ -146,3 +146,16 @@ def test_duckdb_parity_build_and_quantiles(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_filter_describe_sniffs_bks(spark):
+    from bitfilters_spark.functions.filters import filter_describe
+
+    rows = [(int(i), int(i % 2), int(i * 3)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp long, val long")
+    keyed = df.select("grp", spark_hash64("id").alias("h"), "val")
+    sk = bottomk_sample(keyed, ["grp"], "h", "val", k=32, filter_col="filter")
+    desc = filter_describe(sk).collect()
+    for r in desc:
+        assert r["filter_kind"] == "bottomk_sample"
+        assert r["n_entries"] == 32
