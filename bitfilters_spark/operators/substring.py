@@ -106,14 +106,28 @@ def dup_token_coverage(
 
 
 def remove_duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_span_tokens: int = 0,
 ) -> DataFrame:
     """Rewrite ``text_col`` with every duplicated span's tokens removed
     (the first corpus-wide copy of each region survives).  Null text
     passes through; token positions outside every span rejoin with a
     single space.  Document text shuffles once, in the rebuild join.
+
+    ``min_span_tokens`` only removes spans at least that long (the Lee
+    et al. setup removes repeats of >= 50 tokens; short incidental
+    matches — common phrases — are kept), mirroring
+    ``dedup_paragraphs``'s ``min_chars`` bypass one level down.
     """
-    spans = duplicated_spans(df, id_col, text_col, n).groupBy(id_col).agg(
+    all_spans = duplicated_spans(df, id_col, text_col, n)
+    if min_span_tokens > 0:
+        all_spans = all_spans.where(
+            F.col("span_end") - F.col("span_start") >= min_span_tokens
+        )
+    spans = all_spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = tokens(F.col(text_col))

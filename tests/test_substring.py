@@ -178,3 +178,29 @@ def test_random_corpus_matches_brute_force(spark, seed):
     }
     want = {doc_id: len(c) for doc_id, c in _brute(docs, N).items()}
     assert got == want
+
+
+def test_min_span_tokens_keeps_short_repeats(spark):
+    """Only long duplicated regions are removed; short incidental matches
+    (common phrases) survive everywhere."""
+    docs = [
+        (1, "a b c d e f g h i j"),       # source of the long region
+        (2, "a b c d e f g h i j"),       # 10-token repeat -> removed
+        (3, "z z a b c d e y y w w q"),   # only a 5-token repeat -> kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", n=N, min_span_tokens=8
+        ).collect()
+    }
+    assert got[1] == docs[0][1]
+    assert got[2] == ""                   # long repeat removed
+    assert got[3] == docs[2][1]           # short repeat kept intact
+    # with the knob off, the short region is removed too
+    got0 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=N).collect()
+    }
+    assert got0[3] == "z z y y w w q"
