@@ -7,7 +7,11 @@ from .dedup import (
 from .filter_build import load_filter_blob, streaming_filter_build
 from .filter_join import streaming_filter_join
 from .sessions import streaming_sessionize
-from .sketches import streaming_cms_counts, streaming_distinct_counts
+from .sketches import (
+    streaming_cms_counts,
+    streaming_distinct_counts,
+    streaming_quantiles,
+)
 
 __all__ = [
     "streaming_asof_enrich",
@@ -18,6 +22,7 @@ __all__ = [
     "streaming_distinct_counts",
     "streaming_filter_build",
     "streaming_filter_join",
+    "streaming_quantiles",
     "streaming_sessionize",
     "streaming_window_counts",
 ]

@@ -221,3 +221,92 @@ def streaming_cms_counts(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_quantiles(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    k: int = 1024,
+    qs: tuple = (0.5, 0.9, 0.99),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window value quantiles with BOUNDED state — the third member
+    of the streaming sketch family (KMV: distinct, CMS: frequency, BKS:
+    sample/quantiles).
+
+    A bottom-k hash sample per open window caps state at 16k bytes
+    regardless of stream length; micro-batch partials merge with the
+    family algebra (order-independent — replays and batch boundaries
+    can't change the sample), and each update emits nearest-rank
+    quantile estimates (EXACT while a window has seen < k distinct
+    keys). ``key_col`` should uniquely identify rows (the hash decides
+    sample membership); ``watermark`` evicts closed windows via
+    EventTimeTimeout like the siblings.
+    """
+    from ..core.bksample import bks_build, bks_merge, bks_quantile
+
+    src = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    win_ms = int(pd.Timedelta(window).total_seconds() * 1000)
+    allow_ms = 0 if watermark is None else int(
+        pd.Timedelta(watermark).total_seconds() * 1000
+    )
+    cols = [
+        F.window(F.col(ts_col), window).start.alias("win_start"),
+        F.xxhash64(F.col(key_col)).alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    ]
+    if watermark is not None:
+        cols.append(F.col(ts_col).alias("__ts"))
+    keyed = src.select(*cols)
+
+    out_fields = [
+        StructField("win_start", TimestampType()),
+        StructField("n_rows", LongType()),
+    ] + [StructField(f"p{int(q * 100)}", LongType()) for q in qs]
+    out_schema = StructType(out_fields)
+    state_schema = StructType(
+        [StructField("sketch", BinaryType()), StructField("n", LongType())]
+    )
+
+    def agg(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            blob, n = state.get
+            blob = bytes(blob)
+        else:
+            blob, n = None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            v = pdf["v"].to_numpy(dtype=np.int64)
+            part = bks_build(h, v, k)
+            blob = part if blob is None else bks_merge([blob, part])
+            n += len(h)
+        if blob is not None:
+            state.update((blob, n))
+            if watermark is not None:
+                win_end = int(pd.Timestamp(key[0]).value // 1_000_000) + win_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win_end + allow_ms, wm + 1))
+            row = {"win_start": [key[0]], "n_rows": [n]}
+            for q in qs:
+                row[f"p{int(q * 100)}"] = [bks_quantile(blob, q)]
+            yield pd.DataFrame(row)
+
+    return keyed.groupBy("win_start").applyInPandasWithState(
+        agg,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -861,3 +861,56 @@ def test_streaming_filter_build_accumulates_across_batches(spark, tmp_path):
     )
     assert _probe_blob(blob1, h1).all()
     assert len(blob1) == len(blob2)  # bloom state is fixed-size forever
+
+
+def test_streaming_quantiles_exact_under_capacity(spark, tmp_path):
+    """Per-window BKS quantiles across micro-batches: with k above the
+    window's row count the nearest-rank estimates equal exact batch
+    quantiles; state is one bounded sketch per window."""
+    import datetime as dt
+    import math
+
+    from bitfilters_spark.streaming.sketches import streaming_quantiles
+
+    src = str(tmp_path / "q_in")
+    ckpt = str(tmp_path / "q_ckpt")
+
+    def rows(batch):
+        out = []
+        for i in batch:
+            h = 10 + (i % 2)
+            out.append((i, (i * 131) % 997, dt.datetime(2024, 1, 1, h, i % 60)))
+        return out
+
+    spark.createDataFrame(
+        rows(range(50)), "id long, val long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, val long, ts timestamp").parquet(src)
+    out = streaming_quantiles(stream, "id", "val", "ts", "1 hour", k=256)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows(range(50, 120)), "id long, val long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows_out = spark.sql("SELECT * FROM q_sink ORDER BY n_rows").collect()
+    finally:
+        q.stop()
+    latest = {r["win_start"]: (r["n_rows"], r["p50"], r["p90"]) for r in rows_out}
+    batch = spark.read.parquet(src).toPandas()
+    batch["w"] = batch["ts"].dt.floor("h")
+    assert len(latest) == 2
+    for w, grp in batch.groupby("w"):
+        vs = sorted(grp["val"])
+        m = len(vs)
+        want_p50 = vs[max(1, math.ceil(0.5 * m)) - 1]
+        want_p90 = vs[max(1, math.ceil(0.9 * m)) - 1]
+        got = latest[w.to_pydatetime()]
+        assert got == (m, want_p50, want_p90), w
