@@ -84,3 +84,25 @@ def cms_estimate(blob: bytes, hashes: np.ndarray) -> np.ndarray:
     for j in range(d):
         est = np.minimum(est, counts[j][_row_index(h, j, w)])
     return est
+
+
+def cms_join_size(blob_a: bytes, blob_b: bytes) -> int:
+    """Equi-join output-size estimate from two CMS sketches alone — the
+    classic CMS inner-product estimator (Cormode & Muthukrishnan 2005,
+    §4.2): |A ⋈ B| = Σ_k a_k·b_k <= min_j Σ_i A[j,i]·B[j,i].  Row
+    estimates only OVERcount (hash collisions add cross terms), so the
+    min over the d rows is a deterministic UPPER bound, exact when no
+    row has a colliding key pair — join planning ("will this join
+    explode?") from metadata-scale blobs, before shuffling a single row.
+    Requires identical (d, w) geometry (same build parameters).
+    """
+    A = cms_deserialize(blob_a)
+    B = cms_deserialize(blob_b)
+    if A.shape != B.shape:
+        raise ValueError(
+            f"geometry mismatch: {A.shape} vs {B.shape} — build both "
+            "sketches with the same (d, w)"
+        )
+    # object dtype avoids u64 overflow on adversarial counts
+    dots = [int(np.dot(A[j].astype(object), B[j].astype(object))) for j in range(A.shape[0])]
+    return min(dots)

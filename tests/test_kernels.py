@@ -290,3 +290,33 @@ def test_kmv_overlap_identical_and_disjoint():
     assert 0.8 * true_union < union2 < 1.2 * true_union  # ~6% stderr at k=256
     # combining two sketches must equal sketching the union directly
     assert union2 == kmv_estimate(kmv_build(np.concatenate([a, b]), 256))
+
+
+def test_cms_join_size_exact_without_collisions_and_upper_bound():
+    """Inner-product join-size estimate: exact when w is large enough that
+    no row collides; always an upper bound; geometry mismatch raises."""
+    import numpy as np
+    import pytest
+
+    from bitfilters_spark.core.cms import cms_build, cms_join_size
+    from bitfilters_spark.core.hashing import hash_int64
+
+    rng = np.random.default_rng(5)
+    # multiset A: keys 0..99 with multiplicity 1..3; B: keys 50..149 w/ 1..2
+    ka = np.repeat(np.arange(100), rng.integers(1, 4, 100))
+    kb = np.repeat(np.arange(50, 150), rng.integers(1, 3, 100))
+    ha, hb = hash_int64(ka.astype(np.int64)), hash_int64(kb.astype(np.int64))
+    exact = 0
+    ca = {int(k): int((ka == k).sum()) for k in np.unique(ka)}
+    cb = {int(k): int((kb == k).sum()) for k in np.unique(kb)}
+    for k in set(ca) & set(cb):
+        exact += ca[k] * cb[k]
+    big_a = cms_build(ha, d=4, w=1 << 16)
+    big_b = cms_build(hb, d=4, w=1 << 16)
+    assert cms_join_size(big_a, big_b) == exact
+    # tight geometry: collisions only ever ADD -> upper bound
+    small_a = cms_build(ha, d=4, w=64)
+    small_b = cms_build(hb, d=4, w=64)
+    assert cms_join_size(small_a, small_b) >= exact
+    with pytest.raises(ValueError):
+        cms_join_size(big_a, small_b)
