@@ -13,6 +13,7 @@ side of this engine is exposed to ``spark.sql`` too (reference
 * ``bf_qf_resize(filter, q, r)``  — quotient-filter resize (r may be NULL)
 * ``bf_bks_quantile(sample, q)``  — bottom-k sample nearest-rank quantile
 * ``bf_bks_size(sample)``         — bottom-k sample kept-row count
+* ``bf_cms_join_size(a, b)``      — CMS inner-product join-size bound
 
 Builds stay on the DataFrame API: Python cannot register SQL AGGREGATE
 functions (Spark has no Python UDAF), and the two-phase mergeable build
@@ -40,6 +41,7 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         f"{prefix}qf_resize",
         f"{prefix}bks_quantile",
         f"{prefix}bks_size",
+        f"{prefix}cms_join_size",
     ]
     if key in _REGISTERED:
         return names
@@ -167,6 +169,21 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
     spark.udf.register(f"{prefix}filter_kind", _kind)
     spark.udf.register(f"{prefix}qf_resize", _qf_resize)
     spark.udf.register(f"{prefix}bks_quantile", _bks_quant)
+    @arrow_udf(LongType())
+    def _cms_join(a_blobs, b_blobs):
+        if isinstance(a_blobs, pa.ChunkedArray):
+            a_blobs = a_blobs.combine_chunks()
+        if isinstance(b_blobs, pa.ChunkedArray):
+            b_blobs = b_blobs.combine_chunks()
+        out = []
+        for a, b in zip(a_blobs.to_pylist(), b_blobs.to_pylist()):
+            out.append(
+                None if a is None or b is None
+                else CM.cms_join_size(bytes(a), bytes(b))
+            )
+        return pa.array(out, type=pa.int64())
+
     spark.udf.register(f"{prefix}bks_size", _bks_size)
+    spark.udf.register(f"{prefix}cms_join_size", _cms_join)
     _REGISTERED.add(key)
     return names

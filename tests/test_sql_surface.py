@@ -139,3 +139,26 @@ def test_sql_bks_quantile(spark, ctx):
         vs = sorted(sub["v"])
         assert got[g][0] == len(vs)
         assert got[g][1] == vs[max(1, math.ceil(0.5 * len(vs))) - 1]
+
+
+def test_sql_cms_join_size(spark, ctx):
+    """Join-size planning from SQL: estimate |orders ⋈ customer| on
+    custkey from two sketches; collision-free geometry => exact."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    a = build_filter(
+        orders.select(spark_hash64("o_custkey").alias("h")),
+        [], "h", "cms", d=4, w=1 << 16,
+    ).select(F.col("filter").alias("fa"))
+    b = build_filter(
+        customer.select(spark_hash64("c_custkey").alias("h")),
+        [], "h", "cms", d=4, w=1 << 16,
+    ).select(F.col("filter").alias("fb"))
+    a.crossJoin(b).createOrReplaceTempView("sql_cms_join")
+    got = spark.sql(
+        "SELECT bf_cms_join_size(fa, fb) AS est FROM sql_cms_join"
+    ).collect()[0]["est"]
+    exact = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).count()
+    assert got == exact
