@@ -56,12 +56,14 @@ from ..core import bloom as B
 from ..core import cms as CM
 from ..core import kmv as KV
 from ..core import fuse as FU
+from ..core import hll as HL
+from ..core import mg as MG
 from ..core import quotient as Q
 from ..core import xor as X
 from ..core import hashing as H
 from .hashing import _hash_arrays
 
-MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms", "kmv"}
+MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms", "kmv", "hll", "mg"}
 PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
 
 
@@ -89,6 +91,10 @@ def _bulk_build(kind: str, hashes: np.ndarray, p: dict) -> bytes:
         return CM.cms_build(hashes, p["d"], p["w"])
     if kind == "kmv":
         return KV.kmv_build(hashes, p["k"])
+    if kind == "hll":
+        return HL.hll_build(hashes, p["p"])
+    if kind == "mg":
+        return MG.mg_build(hashes, p["k"])
     raise ValueError(f"unknown filter kind {kind!r}")
 
 
@@ -103,6 +109,10 @@ def _merge_blobs(kind: str, blobs: list) -> bytes:
         return CM.cms_merge(blobs)
     if kind == "kmv":
         return KV.kmv_merge(blobs)
+    if kind == "hll":
+        return HL.hll_merge(blobs)
+    if kind == "mg":
+        return MG.mg_merge(blobs)
     raise ValueError(f"filter kind {kind!r} is not mergeable")
 
 
@@ -121,6 +131,7 @@ def build_filter(
     d: int = 4,
     w: int = 16384,
     k: int = 64,
+    p: int = 12,
     filter_col: str = "filter",
 ) -> DataFrame:
     """Aggregate hashes into one serialized filter per group.
@@ -137,7 +148,7 @@ def build_filter(
     Probing routes each hash to its shard's sub-filter (same prefix
     function), so membership semantics are identical.
     """
-    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp, "d": d, "w": w, "k": k}
+    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp, "d": d, "w": w, "k": k, "p": p}
     dummy = not group_cols
     if dummy:
         df = df.withColumn("__g", F.lit(0))
@@ -184,6 +195,25 @@ def build_filter(
                             vals if prev is None
                             else np.unique(np.concatenate([prev, vals]))[:k]
                         )
+                    elif kind == "hll":
+                        regs = HL.hll_registers(hs[m], p)
+                        acc[kk] = regs if kk not in acc else np.maximum(acc[kk], regs)
+                    elif kind == "mg":
+                        bk, bc = np.unique(hs[m], return_counts=True)
+                        prev = acc.get(kk)
+                        if prev is not None:
+                            allk = np.concatenate([prev[0], bk])
+                            allc = np.concatenate(
+                                [prev[1], bc.astype(np.uint64)]
+                            )
+                            uk, inv = np.unique(allk, return_inverse=True)
+                            uc = np.zeros(len(uk), dtype=np.uint64)
+                            np.add.at(uc, inv, allc)
+                            bk, bc = uk, uc
+                        # compress after each batch: per-group state stays
+                        # <= k counters regardless of partition size (the
+                        # PODS'12 merge keeps the n/(k+1) bound)
+                        acc[kk] = MG.mg_summarize(bk, bc.astype(np.uint64), k)
                     else:  # bloom
                         bits = B.bloom_build(hs[m], n, fpp)
                         acc[kk] = bits if kk not in acc else (acc[kk] | bits)
@@ -202,6 +232,10 @@ def build_filter(
                     blob = CM.cms_serialize(st)
                 elif kind == "kmv":
                     blob = KV.kmv_serialize(k, st)
+                elif kind == "hll":
+                    blob = HL.hll_serialize(p, st)
+                elif kind == "mg":
+                    blob = MG.mg_serialize(k, st[0], st[1])
                 else:
                     blob = B.bloom_serialize(st, B.bloom_params(n, fpp)[1])
                 rows.append((*kk, blob))
@@ -531,6 +565,91 @@ def kmv_distinct(filter_col) -> Column:
     return _est(f)
 
 
+def hll_distinct(filter_col) -> Column:
+    """Distinct-count estimate from an HLL1 blob (deterministic; exact in
+    the small range while every key owns its own register via the linear
+    counting correction). The fixed-2^p-byte sibling of
+    :func:`kmv_distinct` for billion-group rollups."""
+
+    @arrow_udf(LongType())
+    def _est(blobs: pa.Array) -> pa.Array:
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = [
+            None if b is None else HL.hll_estimate(bytes(b))
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.int64())
+
+    f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
+    return _est(f)
+
+
+def mg_estimate(filter_col, hash_col) -> Column:
+    """Misra–Gries lower-bound count of the hashed key (0 = not tracked;
+    the CMS complement: CMS only overcounts, MG only undercounts, and
+    their interval brackets the true count). Vectorized like
+    ``filter_contains``: each distinct blob deserialized once per batch."""
+
+    @arrow_udf(LongType())
+    def _est(blobs: pa.Array, hashes: pa.Array) -> pa.Array:
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = np.zeros(len(h), dtype=np.int64)
+        if len(h):
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = MG.mg_estimate(bytes(blob), h[m]).astype(np.int64)
+        mask = hmask | np.asarray(blobs.is_null())
+        return pa.array(out, type=pa.int64(), mask=mask)
+
+    f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    return _est(f, h)
+
+
+def heavy_hitters(
+    filters: DataFrame,
+    top_k: int | None = None,
+    filter_col: str = "filter",
+) -> DataFrame:
+    """Explode per-group MGS1 blobs into ``(group_cols…, key_hash i64,
+    est_count)`` rows, count-descending per group (key-hash tiebreak so
+    the order is total). ``est_count`` is the MG lower bound; every key
+    whose true count exceeds n/(k+1) is guaranteed present. The input is
+    the (metadata-scale) output of ``build_filter(kind='mg')`` — the
+    explode costs one row per tracked counter, never a corpus scan."""
+
+    out_fields = [f for f in filters.schema.fields if f.name != filter_col]
+    schema = StructType(
+        out_fields
+        + [StructField("key_hash", LongType()), StructField("est_count", LongType())]
+    )
+    group_names = [f.name for f in out_fields]
+
+    def explode(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        for _, row in pdf.iterrows():
+            b = row[filter_col]
+            if b is None:
+                continue
+            keys, counts = MG.mg_topk(bytes(b), top_k)
+            yield pd.DataFrame(
+                {
+                    **{g: [row[g]] * len(keys) for g in group_names},
+                    "key_hash": keys.view(np.int64),
+                    "est_count": counts.astype(np.int64),
+                }
+            )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield from explode(pdf)
+
+    return filters.mapInPandas(gen, schema=schema)
+
+
 def probe_filter(
     df: DataFrame,
     filters,
@@ -641,6 +760,8 @@ def merge_filters(
                 b"SBL1": "bloom",
                 b"CMS1": "cms",
                 b"KMV1": "kmv",
+                b"HLL1": "hll",
+                b"MGS1": "mg",
             }.get(magic, "duckdb_bloom")
             if magic in (b"XORF", b"BFUS", _SHARD_MAGIC):
                 raise ValueError(
@@ -664,6 +785,8 @@ _KIND_BY_MAGIC = {
     b"CMS1": "count_min",
     b"KMV1": "kmv",
     b"BKS1": "bottomk_sample",
+    b"HLL1": "hyperloglog",
+    b"MGS1": "misra_gries",
 }
 
 
@@ -704,6 +827,8 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
                 from ..core import bksample as BKS
 
                 out.append(int(len(BKS.bks_deserialize(b)[2])))
+            elif magic == MG.MG_MAGIC:
+                out.append(int(len(MG.mg_deserialize(b)[1])))
             else:
                 out.append(None)
         return pa.array(out, type=pa.int64())
@@ -720,6 +845,9 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
             if magic == B._MAGIC:
                 words, m_bits, k = B.bloom_deserialize(b)
                 out.append(float(np.unpackbits(words.view(np.uint8)).sum()) / m_bits)
+            elif magic == HL.HLL_MAGIC:
+                p_, regs = HL.hll_deserialize(b)
+                out.append(float(np.count_nonzero(regs)) / len(regs))
             elif magic not in _KIND_BY_MAGIC:  # duckdb_bloom (no magic)
                 sect = B.duckdb_bloom_deserialize(b)
                 bits = np.unpackbits(sect.view(np.uint8)).sum()

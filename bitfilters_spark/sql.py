@@ -14,6 +14,8 @@ side of this engine is exposed to ``spark.sql`` too (reference
 * ``bf_bks_quantile(sample, q)``  — bottom-k sample nearest-rank quantile
 * ``bf_bks_size(sample)``         — bottom-k sample kept-row count
 * ``bf_cms_join_size(a, b)``      — CMS inner-product join-size bound
+* ``bf_hll_distinct(filter)``     — HyperLogLog cardinality estimate
+* ``bf_mg_estimate(filter, h)``   — Misra–Gries lower-bound count
 
 Builds stay on the DataFrame API: Python cannot register SQL AGGREGATE
 functions (Spark has no Python UDAF), and the two-phase mergeable build
@@ -42,6 +44,8 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
         f"{prefix}bks_quantile",
         f"{prefix}bks_size",
         f"{prefix}cms_join_size",
+        f"{prefix}hll_distinct",
+        f"{prefix}mg_estimate",
     ]
     if key in _REGISTERED:
         return names
@@ -59,6 +63,8 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
     )
     from .core import bksample as BK
     from .core import cms as CM
+    from .core import hll as HL
+    from .core import mg as MG
     from .core import quotient as Q
     from .core import kmv as KV
     from .core import hashing as H
@@ -183,7 +189,32 @@ def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:
             )
         return pa.array(out, type=pa.int64())
 
+    @arrow_udf(LongType())
+    def _hll_dist(blobs):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        out = [
+            None if b is None else HL.hll_estimate(bytes(b))
+            for b in blobs.to_pylist()
+        ]
+        return pa.array(out, type=pa.int64())
+
+    @arrow_udf(LongType())
+    def _mg_est(blobs, hashes):
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = np.zeros(len(h), dtype=np.int64)
+        if len(h):
+            codes, uniq = pd.factorize(blobs.to_pandas(), use_na_sentinel=True)
+            for code, blob in enumerate(uniq):
+                m = codes == code
+                out[m] = MG.mg_estimate(bytes(blob), h[m]).astype(np.int64)
+        return pa.array(out, type=pa.int64(), mask=hmask | np.asarray(blobs.is_null()))
+
     spark.udf.register(f"{prefix}bks_size", _bks_size)
     spark.udf.register(f"{prefix}cms_join_size", _cms_join)
+    spark.udf.register(f"{prefix}hll_distinct", _hll_dist)
+    spark.udf.register(f"{prefix}mg_estimate", _mg_est)
     _REGISTERED.add(key)
     return names
