@@ -11,6 +11,7 @@ from .sketches import (
     streaming_cms_counts,
     streaming_distinct_counts,
     streaming_quantiles,
+    streaming_topk,
 )
 
 __all__ = [
@@ -24,5 +25,6 @@ __all__ = [
     "streaming_filter_join",
     "streaming_quantiles",
     "streaming_sessionize",
+    "streaming_topk",
     "streaming_window_counts",
 ]

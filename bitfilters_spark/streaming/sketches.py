@@ -310,3 +310,101 @@ def streaming_quantiles(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_topk(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    k: int = 256,
+    top_k: int = 10,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window heavy hitters with BOUNDED state — the fourth member of
+    the streaming sketch family (KMV: distinct, CMS: frequency for a
+    KNOWN watchlist, BKS: quantiles, MG: WHICH keys are frequent).
+
+    Unlike :func:`streaming_cms_counts` this needs no up-front watchlist:
+    a Misra-Gries summary per open window tracks at most ``k`` counters
+    (16k bytes at k=1024) and DISCOVERS the hot keys. Micro-batch
+    partials merge with the PODS'12 counter algebra, so over any batch
+    split each emitted count is a lower bound with undercount
+    <= n/(k+1), every key whose true in-window count exceeds n/(k+1) is
+    guaranteed emitted, and counts are EXACT while a window's distinct
+    keys stay <= k. Each update emits the current top ``top_k``
+    candidates as ``(win_start, key_hash, est_count, n_rows)`` —
+    key_hash is the stream-side ``xxhash64(key)``; join back to raw keys
+    on the same expression. ``watermark`` evicts closed windows via
+    EventTimeTimeout like the siblings.
+    """
+    from ..core.mg import mg_build, mg_merge, mg_topk
+
+    src = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    win_ms = int(pd.Timedelta(window).total_seconds() * 1000)
+    allow_ms = 0 if watermark is None else int(
+        pd.Timedelta(watermark).total_seconds() * 1000
+    )
+    cols = [
+        F.window(F.col(ts_col), window).start.alias("win_start"),
+        F.xxhash64(F.col(key_col)).alias("h"),
+    ]
+    if watermark is not None:
+        cols.append(F.col(ts_col).alias("__ts"))
+    keyed = src.select(*cols)
+
+    out_schema = StructType(
+        [
+            StructField("win_start", TimestampType()),
+            StructField("key_hash", LongType()),
+            StructField("est_count", LongType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sketch", BinaryType()), StructField("n", LongType())]
+    )
+
+    def agg(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            blob, n = state.get
+            blob = bytes(blob)
+        else:
+            blob, n = None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            part = mg_build(h, k)
+            blob = part if blob is None else mg_merge([blob, part])
+            n += len(h)
+        if blob is not None:
+            state.update((blob, n))
+            if watermark is not None:
+                win_end = int(pd.Timestamp(key[0]).value // 1_000_000) + win_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win_end + allow_ms, wm + 1))
+            keys, counts = mg_topk(blob, top_k)
+            yield pd.DataFrame(
+                {
+                    "win_start": [key[0]] * len(keys),
+                    "key_hash": keys.view(np.int64),
+                    "est_count": counts.astype(np.int64),
+                    "n_rows": [n] * len(keys),
+                }
+            )
+
+    return keyed.groupBy("win_start").applyInPandasWithState(
+        agg,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

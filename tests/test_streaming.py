@@ -914,3 +914,78 @@ def test_streaming_quantiles_exact_under_capacity(spark, tmp_path):
         want_p90 = vs[max(1, math.ceil(0.9 * m)) - 1]
         got = latest[w.to_pydatetime()]
         assert got == (m, want_p50, want_p90), w
+
+
+def test_streaming_topk_exact_under_capacity(spark, tmp_path):
+    """Per-window MG heavy hitters across micro-batches: with k above the
+    window's distinct-key count the latest emitted counts are EXACT batch
+    counts, and the hot key ranks first; state is one bounded summary per
+    window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.streaming.sketches import streaming_topk
+
+    src = str(tmp_path / "tk_in")
+    ckpt = str(tmp_path / "tk_ckpt")
+
+    def rows(batch):
+        out = []
+        for i in batch:
+            h = 10 + (i % 2)
+            key = 777 if i % 3 == 0 else (i % 20)  # 777 is hot in both windows
+            out.append((key, dt.datetime(2024, 1, 1, h, i % 60)))
+        return out
+
+    spark.createDataFrame(rows(range(60)), "key long, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("key long, ts timestamp").parquet(src)
+    out = streaming_topk(stream, "key", "ts", "1 hour", k=64, top_k=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tk_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows(range(60, 140)), "key long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows_out = spark.sql("SELECT * FROM tk_sink").collect()
+    finally:
+        q.stop()
+    # latest update per window = the rows with the max n_rows for that window
+    latest: dict = {}
+    for r in rows_out:
+        cur = latest.setdefault(r["win_start"], [])
+        cur.append(r)
+    batch = spark.read.parquet(src)
+    hot_hash = spark.range(1).select(
+        F.xxhash64(F.lit(777).cast("long")).alias("h")
+    ).collect()[0]["h"]
+    assert len(latest) == 2
+    for w, rs in latest.items():
+        n_max = max(r["n_rows"] for r in rs)
+        final = [r for r in rs if r["n_rows"] == n_max]
+        assert len(final) == 5
+        # hot key ranks first with its exact in-window count
+        assert final[0]["key_hash"] == hot_hash
+        win = batch.where(
+            (F.date_trunc("hour", "ts") == w) & (F.col("key") == 777)
+        ).count()
+        assert final[0]["est_count"] == win
+        # under capacity (20 distinct < k=64): every emitted count is exact
+        exact = {
+            r["h"]: r["c"]
+            for r in batch.where(F.date_trunc("hour", "ts") == w)
+            .groupBy(F.xxhash64(F.col("key")).alias("h"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        for r in final:
+            assert exact[r["key_hash"]] == r["est_count"]
