@@ -502,6 +502,20 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bks = bottomk_sample(sampled, ["grp"], "h", "day", k=128)
+    # hll_occupied leg: the HyperLogLog register file (p=12, kind='hll' on
+    # the same two-phase mergeable build) — occupied-register count is
+    # INTEGER-exact by construction (a register is nonzero iff some key's
+    # top-12 hash bits index it), so the oracle reproduces it as
+    # count(DISTINCT h >> 52); fill_ratio * 4096 is exact IEEE arithmetic
+    # (power-of-two divide then multiply). The float HLL *estimate* is
+    # pytest-verified instead (tests/test_hll_mg.py).
+    from bitfilters_spark.functions import filter_describe
+
+    hllf = build_filter(keyed, ["grp"], "h", "hll", p=12)
+    hocc = filter_describe(hllf).select(
+        "grp",
+        F.round(F.col("fill_ratio") * 4096).cast("long").alias("hll_occupied"),
+    )
     return (
         s64.select("grp", kmv_distinct("filter").alias("est64"))
         .join(sbig.select("grp", kmv_distinct("filter").alias("est_exact")), "grp")
@@ -513,6 +527,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "grp",
         )
+        .join(hocc, "grp")
     )
 
 
@@ -989,9 +1004,21 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = agg.orderBy(F.col("n").desc(), "token").limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    # mg_n leg: a global Misra-Gries heavy-hitters sketch over the hashed
+    # token stream (functions/filters.py build_filter kind='mg'; two-phase
+    # partial build, <= k counters shuffle, never rows). k=4096 far exceeds
+    # this corpus's vocabulary, so the MG lower bound is in its EXACT
+    # regime and must equal the plain GROUP BY count the oracle computes.
+    from bitfilters_spark.functions.filters import mg_estimate
+
+    mgf = build_filter(
+        tok.select(F.xxhash64("token").alias("h")), [], "h", "mg", k=4096
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
-        .select("token", "n", "df", "rank")
+        .crossJoin(F.broadcast(mgf))
+        .withColumn("mg_n", mg_estimate("filter", F.xxhash64("token")))
+        .select("token", "n", "df", "rank", "mg_n")
     )
 
 
@@ -1643,8 +1670,11 @@ def oracle_sql() -> dict[str, str]:
                      max(CASE WHEN vr = greatest(1, ceil(0.9 * m))
                          THEN day END)::BIGINT AS p90_day
               FROM ranked GROUP BY grp)
-            SELECT kmv.grp, kmv.est64, kmv.est_exact, qs.p50_day, qs.p90_day
+            SELECT kmv.grp, kmv.est64, kmv.est_exact, qs.p50_day, qs.p90_day,
+                   hocc.hll_occupied
             FROM kmv JOIN qs ON kmv.grp = qs.grp
+            JOIN (SELECT grp, count(DISTINCT h >> 52)::BIGINT AS hll_occupied
+                  FROM d GROUP BY grp) hocc ON kmv.grp = hocc.grp
         """,
         "q_kmv_overlap": """
             WITH keyed AS (
@@ -2024,7 +2054,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
               FROM tok GROUP BY token)
             SELECT token, n, df,
-                   row_number() OVER (ORDER BY n DESC, token) AS rank
+                   row_number() OVER (ORDER BY n DESC, token) AS rank,
+                   n AS mg_n
             FROM agg QUALIFY rank <= 100
         """,
         "q_data_skipping": (
