@@ -2,6 +2,7 @@ from . import (  # noqa: F401
     clustering,
     dedup,
     multimodal,
+    neardup_index,
     packing,
     sampling,
     similarity,

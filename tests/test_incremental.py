@@ -110,3 +110,140 @@ def test_dedup_best_keeps_highest_quality_copy(spark):
         for r in dedup_best(df, "fp", [F.col("doc_id").asc()]).collect()
     }
     assert a == b == {1, 4}
+
+
+# -------------------------------------------------------- lsh index ---
+
+
+def _lsh_corpus(spark):
+    ref_text = "the cat sat on the mat and watched the birds outside all day"
+    docs = [
+        (1, ref_text),
+        (2, "an entirely different reference document about query engines"),
+        (3, "third reference text with its own vocabulary and shingle set"),
+    ]
+    new = [
+        (101, ref_text),  # exact copy -> hit
+        (102, ref_text + " plus a small suffix"),  # near-dup -> hit
+        (103, "novel crawl document that matches no reference text at all"),
+        (104, "novel crawl document that matches no reference text at all"),
+    ]
+    return (
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(new, "doc_id long, text string"),
+    )
+
+
+def test_lsh_index_probe_matches_full_corpus_run(spark, tmp_path):
+    """Composition law: probing the persisted index with the new crawl
+    returns exactly the cross-side pairs of a full minhash_lsh_pairs run
+    over ref ∪ new (same permutations, band hashing, exact verify)."""
+    from bitfilters_spark.operators.dedup import minhash_lsh_pairs
+    from bitfilters_spark.operators.neardup_index import (
+        build_lsh_index,
+        dedup_against_index,
+        probe_lsh_index,
+    )
+
+    ref, new = _lsh_corpus(spark)
+    spark.sql("DROP TABLE IF EXISTS lshix_bands")
+    spark.sql("DROP TABLE IF EXISTS lshix_shingles")
+    build_lsh_index(ref, "doc_id", "text", "lshix", num_buckets=4,
+                    path=str(tmp_path / "lshix"))
+
+    got = {
+        (r["new_id"], r["ref_id"], r["jaccard"])
+        for r in probe_lsh_index(spark, new, "doc_id", "text", "lshix").collect()
+    }
+    full = minhash_lsh_pairs(
+        ref.unionByName(new), "doc_id", "text", threshold=0.5
+    ).collect()
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["jaccard"])
+        for r in full
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)  # cross-side only
+    }
+    assert got == want and len(got) == 2
+
+    kept = {
+        r["doc_id"]
+        for r in dedup_against_index(spark, new, "doc_id", "text", "lshix").collect()
+    }
+    assert kept == {103, 104}  # new-new dup kept by the cross_dedup contract
+
+
+def test_lsh_index_append_then_probe_sees_new_reference(spark, tmp_path):
+    """append_to_lsh_index folds a crawl in with cost ∝ new data; the next
+    probe must hit documents that only exist in the appended part."""
+    from bitfilters_spark.operators.neardup_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    ref, new = _lsh_corpus(spark)
+    spark.sql("DROP TABLE IF EXISTS lshap_bands")
+    spark.sql("DROP TABLE IF EXISTS lshap_shingles")
+    build_lsh_index(ref, "doc_id", "text", "lshap", num_buckets=4,
+                    path=str(tmp_path / "lshap"))
+    appended = spark.createDataFrame(
+        [(50, "freshly appended corpus text never seen in the original index")],
+        "doc_id long, text string",
+    )
+    append_to_lsh_index(appended, "doc_id", "text", "lshap", num_buckets=4)
+    probe = spark.createDataFrame(
+        [(200, "freshly appended corpus text never seen in the original index")],
+        "doc_id long, text string",
+    )
+    hits = probe_lsh_index(spark, probe, "doc_id", "text", "lshap").collect()
+    assert {(r["new_id"], r["ref_id"]) for r in hits} == {(200, 50)}
+    assert hits[0]["jaccard"] == 1.0
+
+
+def test_lsh_index_probe_plan_never_shuffles_index_side(spark, tmp_path):
+    """Bucketing the index tables on their join keys must eliminate the
+    index-side shuffles: with broadcast disabled (at real scale neither
+    side broadcasts), the probe against the bucketed index plans exactly
+    two fewer Exchanges than the same probe against unbucketed copies —
+    one saved per index table. Only the new side moves."""
+    import re
+
+    from bitfilters_spark.operators.neardup_index import (
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    ref, new = _lsh_corpus(spark)
+    spark.sql("DROP TABLE IF EXISTS lshpl_bands")
+    spark.sql("DROP TABLE IF EXISTS lshpl_shingles")
+    spark.sql("DROP TABLE IF EXISTS lshplflat_bands")
+    spark.sql("DROP TABLE IF EXISTS lshplflat_shingles")
+    build_lsh_index(ref, "doc_id", "text", "lshpl", num_buckets=4,
+                    path=str(tmp_path / "lshpl"))
+    # unbucketed copies of the same index tables
+    for t in ("bands", "shingles"):
+        spark.table(f"lshpl_{t}").write.mode("overwrite").option(
+            "path", str(tmp_path / f"flat_{t}")
+        ).saveAsTable(f"lshplflat_{t}")
+
+    def n_exchanges(df):
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = n_exchanges(
+            probe_lsh_index(spark, new, "doc_id", "text", "lshpl")
+        )
+        flat = n_exchanges(
+            probe_lsh_index(spark, new, "doc_id", "text", "lshplflat")
+        )
+        assert flat - bucketed == 2, (bucketed, flat)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
