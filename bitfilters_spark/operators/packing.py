@@ -114,3 +114,111 @@ def pack_shards(
             "shard",
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Training example packing: combine variable-length documents into
+    fixed-``capacity`` token sequences (the T5/GPT "pack short examples
+    together so no context window is wasted on padding" step; pair with
+    ``chunk_documents`` (operators/text.py) upstream so no row exceeds
+    the capacity — an oversize row raises).
+
+    Returns ``(id, weight, seq, offset)``: per-sequence weights sum to
+    <= capacity and ``offset`` is the row's start position inside its
+    sequence.
+
+    Spark realization: packing has no cross-partition semantics (any
+    bin cover works; FILL FACTOR is the objective), so each partition
+    packs independently with BEST-FIT-DECREASING over (weight desc, id)
+    — embarrassingly parallel, ZERO shuffle, and only (id, weight) pairs
+    are held (16 B/row; the text never moves). Best-fit keeps the open
+    bins in a remaining-capacity-sorted list probed by bisect (O(log B)
+    search per row — a first-fit index scan would be O(B) per row, and
+    B = partition_tokens/capacity is huge at corpus scale). Any-fit
+    algorithms share the classical guarantee that makes waste testable:
+    no two bins can end <= half full (the later bin's rows would have
+    fit in the earlier), so per partition at most ONE sequence is under
+    half capacity. Sequence ids are globally unique via
+    (partition_id << 40) | local index — deterministic for a fixed
+    partitioning of ids."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    proj = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id", proj.schema["id"].dataType),
+            StructField("w", LongType()),
+            StructField("seq", LongType()),
+            StructField("offset", LongType()),
+        ]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pid = int(pdf["__pid"].iloc[0])
+        too_big = pdf["w"] > capacity
+        if too_big.any():
+            bad = pdf.loc[too_big].iloc[0]
+            raise ValueError(
+                f"row {bad['id']!r} has weight {int(bad['w'])} > capacity "
+                f"{capacity}; chunk oversize documents first "
+                "(operators/text.py chunk_documents)"
+            )
+        pdf = pdf.sort_values(["w", "id"], ascending=[False, True])
+        import bisect
+
+        rems: list = []  # open-bin remaining capacities, ascending
+        rem_bins: list = []  # bin index aligned with rems
+        fills: list = []  # fill level per bin index
+        seqs = []
+        offs = []
+        for w in pdf["w"].to_numpy():
+            w = int(w)
+            # best-fit: tightest bin with room (leftmost rem >= w)
+            i = bisect.bisect_left(rems, w)
+            if i < len(rems):
+                rem, b = rems.pop(i), rem_bins.pop(i)
+                seqs.append(b)
+                offs.append(fills[b])
+                fills[b] += w
+                nr = rem - w
+                j = bisect.bisect_left(rems, nr)
+                rems.insert(j, nr)
+                rem_bins.insert(j, b)
+            else:
+                b = len(fills)
+                seqs.append(b)
+                offs.append(0)
+                fills.append(w)
+                nr = capacity - w
+                j = bisect.bisect_left(rems, nr)
+                rems.insert(j, nr)
+                rem_bins.insert(j, b)
+        base = pid << 40
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "w": pdf["w"],
+                "seq": [base | s for s in seqs],
+                "offset": offs,
+            }
+        )
+
+    return proj.mapInPandas(pack, schema=out_schema).select(
+        F.col("id").alias(id_col),
+        F.col("w").alias(weight_col),
+        "seq",
+        "offset",
+    )

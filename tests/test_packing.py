@@ -65,3 +65,79 @@ def test_pack_shard_sizes_bounded(spark):
     for r in per_shard:
         if r["shard"] != last:
             assert 5000 - 200 < r["t"] < 5000 + 200
+
+
+# ---------------------------------------------------- sequence packing ---
+
+
+def test_pack_sequences_invariants(spark):
+    """Every row lands in exactly one sequence, no sequence exceeds
+    capacity, offsets tile each sequence without overlap, and per
+    partition at most one sequence ends <= half full (the any-fit
+    guarantee that bounds padding waste)."""
+    from collections import defaultdict
+
+    from bitfilters_spark.operators.packing import pack_sequences
+
+    rows = [(i, 1 + (i * 37) % 900) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=1024).collect()
+    assert len(out) == 2000
+    assert {r["doc_id"] for r in out} == {i for i, _ in rows}
+    by_seq = defaultdict(list)
+    for r in out:
+        by_seq[r["seq"]].append(r)
+    half_empty_by_pid = defaultdict(int)
+    for seq, members in by_seq.items():
+        total = sum(r["n_tokens"] for r in members)
+        assert total <= 1024
+        # offsets tile the sequence: sorted offsets == running prefix
+        members.sort(key=lambda r: r["offset"])
+        run = 0
+        for r in members:
+            assert r["offset"] == run
+            run += r["n_tokens"]
+        if total * 2 <= 1024:
+            half_empty_by_pid[seq >> 40] += 1
+    assert all(v <= 1 for v in half_empty_by_pid.values()), half_empty_by_pid
+    # weights survive the round trip
+    w_in = dict(rows)
+    assert all(r["n_tokens"] == w_in[r["doc_id"]] for r in out)
+
+
+def test_pack_sequences_oversize_row_raises(spark):
+    import pytest
+
+    from bitfilters_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10), (2, 5000)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="chunk oversize"):
+        pack_sequences(df, "doc_id", "n_tokens", capacity=1024).collect()
+
+
+def test_pack_sequences_empty_and_null_weights(spark):
+    from bitfilters_spark.operators.packing import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(empty, "doc_id", "n_tokens", 128).count() == 0
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 100)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(withnull, "doc_id", "n_tokens", 128).collect()}
+    assert out[1]["n_tokens"] == 0  # NULL counts as 0, still packed
+    assert len(out) == 2
+
+
+def test_pack_sequences_beats_no_packing(spark):
+    """Fill-factor sanity: packed sequence count approaches the token
+    lower bound instead of one-sequence-per-doc."""
+    import math
+
+    from bitfilters_spark.operators.packing import pack_sequences
+
+    rows = [(i, 100 + (i % 5)) for i in range(1000)]  # ~100-token docs
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(4)
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=2048)
+    n_seqs = out.select("seq").distinct().count()
+    lower = math.ceil(sum(w for _, w in rows) / 2048)
+    assert n_seqs <= lower + 4  # at most one slack bin per partition
