@@ -6,6 +6,7 @@ from .dedup import (
 )
 from .filter_build import load_filter_blob, streaming_filter_build
 from .filter_join import streaming_filter_join
+from .neardup import streaming_neardup_dedup
 from .sessions import streaming_sessionize
 from .sketches import (
     streaming_cms_counts,
@@ -23,6 +24,7 @@ __all__ = [
     "streaming_distinct_counts",
     "streaming_filter_build",
     "streaming_filter_join",
+    "streaming_neardup_dedup",
     "streaming_quantiles",
     "streaming_sessionize",
     "streaming_topk",

@@ -989,3 +989,58 @@ def test_streaming_topk_exact_under_capacity(spark, tmp_path):
         }
         for r in final:
             assert exact[r["key_hash"]] == r["est_count"]
+
+
+def test_streaming_neardup_dedup_across_batches(spark, tmp_path):
+    """Near-dup dedup with the persisted LSH index as state: in-batch
+    pairs keep the min id, later batches drop docs near-duplicating any
+    earlier SURVIVOR, novel docs pass, and survivors land in the output
+    dataset exactly once."""
+    from bitfilters_spark.streaming.neardup import streaming_neardup_dedup
+
+    base_a = "the cat sat on the mat and watched the birds outside all day long"
+    base_e = "completely different words describing spark engines and parquet files"
+    src = str(tmp_path / "nd_in")
+    ckpt = str(tmp_path / "nd_ckpt")
+    idx = str(tmp_path / "nd_idx")
+    outp = str(tmp_path / "nd_out")
+    for t in ("ndix_bands", "ndix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    batch1 = [
+        (1, base_a),
+        (2, base_a + " with a tiny suffix"),  # near-dup of 1 -> dropped
+        (3, "unrelated third document full of its own distinct vocabulary"),
+    ]
+    batch2 = [
+        (10, base_a + " again with another suffix"),  # ~ survivor 1 -> dropped
+        (11, base_e),
+        (12, base_e + " trailing bit"),  # in-batch near-dup of 11 -> dropped
+    ]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_neardup_dedup(
+            stream, "doc_id", "text", "ndix", idx, outp
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            batch2, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(outp).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3, 11]
+    # survivors are in the index: a fresh probe matches them
+    from bitfilters_spark.operators.neardup_index import probe_lsh_index
+
+    probe = spark.createDataFrame([(99, base_e)], "doc_id long, text string")
+    hits = probe_lsh_index(spark, probe, "doc_id", "text", "ndix").collect()
+    assert {r["ref_id"] for r in hits} == {11}
