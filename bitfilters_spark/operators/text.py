@@ -454,3 +454,112 @@ def compression_signal(
         F.length(F.col(text_col)).alias("n_bytes"),
         comp_len(F.col(text_col)).alias("n_compressed"),
     )
+
+
+# -------------------------------------------------------- n-gram LM score ---
+
+
+def train_ngram_lm(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 1 << 16
+) -> dict:
+    """Train a unigram+bigram language model for quality scoring (the
+    CCNet/Gopher-style "perplexity against an in-domain LM" filter
+    signal, with a 2-gram model standing in for KenLM).
+
+    Returns ``{"uni": DataFrame(h, c), "bi": DataFrame(hb, cb),
+    "n_tokens": int}`` — gram tables capped at ``vocab_size`` rows by
+    count (TakeOrderedAndProject: per-partition top-k, no global sort),
+    so the model is METADATA-scale regardless of corpus size and both
+    tables broadcast at score time. Hashes are JVM ``xxhash64`` (token)
+    and ``xxhash64(prev_hash, cur_hash)`` (bigram) — training and
+    scoring share the expression, nothing crosses into Python."""
+    toks = df.select(F.posexplode(tokens(text_col)).alias("pos", "tok")).select(
+        F.xxhash64("tok").alias("h")
+    )
+    uni = (
+        toks.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "h")
+        .limit(vocab_size)
+    )
+    seq = df.select(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
+    )
+    bi = (
+        seq.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("hs", 1, F.greatest(F.size("hs") - 1, F.lit(0))),
+                    F.slice("hs", 2, F.greatest(F.size("hs") - 1, F.lit(0))),
+                    lambda a, b: F.xxhash64(a, b),
+                )
+            ).alias("hb")
+        )
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.col("cb").desc(), "hb")
+        .limit(vocab_size)
+    )
+    n_tokens = toks.count()
+    return {"uni": uni, "bi": bi, "n_tokens": int(n_tokens)}
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    lambda_bi: float = 0.7,
+) -> DataFrame:
+    """(id, n_scored, avg_logp) — mean interpolated log-probability of
+    each document's bigrams under the trained model:
+
+    ``P(w_i | w_{i-1}) = λ · c(bigram)/c(prev) + (1-λ) · c(w_i)/N``,
+    floored at ``1/(10N)`` so OOV tokens score harshly but finitely.
+    Higher (closer to 0) = more in-distribution; threshold downstream
+    like any quality signal (`gopher_rules`, `compression_signal`).
+
+    Plan shape: explode bigrams → THREE BROADCAST joins against the
+    vocab-bounded gram tables (map-side, no fact shuffle) → one per-doc
+    groupBy. Pure `F.*` arithmetic end to end — no Python in the path."""
+    uni = lm["uni"]
+    bi = lm["bi"]
+    n = float(lm["n_tokens"])
+    floor = 1.0 / (10.0 * max(n, 1.0))
+    seq = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+    )
+    grams = seq.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("hs", 1, F.greatest(F.size("hs") - 1, F.lit(0))),
+                F.slice("hs", 2, F.greatest(F.size("hs") - 1, F.lit(0))),
+                lambda a, b: F.struct(
+                    a.alias("hp"), b.alias("hc"), F.xxhash64(a, b).alias("hb")
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.hp", "g.hc", "g.hb")
+    scored = (
+        grams.join(F.broadcast(uni.withColumnRenamed("h", "hp").withColumnRenamed("c", "c_prev")), "hp", "left")
+        .join(F.broadcast(uni.withColumnRenamed("h", "hc").withColumnRenamed("c", "c_cur")), "hc", "left")
+        .join(F.broadcast(bi), "hb", "left")
+        .withColumn(
+            "p",
+            F.greatest(
+                F.lit(lambda_bi)
+                * F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("c_prev"), F.lit(0)), F.lit(1)).cast("double")
+                + F.lit(1.0 - lambda_bi)
+                * F.coalesce(F.col("c_cur"), F.lit(0)).cast("double")
+                / F.lit(n),
+                F.lit(floor),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.log("p")).alias("avg_logp"),
+    )

@@ -122,3 +122,66 @@ def test_corpus_checksum_duckdb_parity(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ----------------------------------------------------------- lm score ---
+
+
+def test_lm_score_hand_computed_probability(spark):
+    """Tiny corpus with hand-derivable counts: the interpolated bigram
+    probability must match exactly."""
+    import math
+
+    from bitfilters_spark.operators.text import lm_score, train_ngram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm = train_ngram_lm(train, "text")
+    assert lm["n_tokens"] == 7  # a:3 b:3 c:1
+    probe = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    row = lm_score(probe, "doc_id", "text", lm).collect()[0]
+    assert row["n_scored"] == 1
+    # P = 0.7 * c(ab)/c(a) + 0.3 * c(b)/N = 0.7 * 3/3 + 0.3 * 3/7
+    want = math.log(0.7 * 3 / 3 + 0.3 * 3 / 7)
+    assert abs(row["avg_logp"] - want) < 1e-12
+
+
+def test_lm_score_separates_in_domain_from_noise(spark):
+    from bitfilters_spark.operators.text import lm_score, train_ngram_lm
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    train = spark.createDataFrame(
+        [(i, base) for i in range(20)], "doc_id long, text string"
+    )
+    lm = train_ngram_lm(train, "text")
+    probe = spark.createDataFrame(
+        [
+            (1, base),  # in-domain
+            (2, "dog the bank fox river quick near lazy the brown"),  # shuffled
+            (3, "zq wv xk pj qqq unseen gibberish tokens entirely zz"),  # OOV
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_logp"] for r in lm_score(probe, "doc_id", "text", lm).collect()}
+    assert got[1] > got[2] > got[3]
+    # OOV text bottoms out at the floor probability
+    import math
+
+    assert abs(got[3] - math.log(1.0 / (10.0 * lm["n_tokens"]))) < 1e-9
+
+
+def test_lm_score_repartition_invariant(spark):
+    from bitfilters_spark.operators.text import lm_score, train_ngram_lm
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 7} token{(i + 1) % 7} token{(i + 2) % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(docs, "text")
+    a = {r["doc_id"]: r["avg_logp"] for r in lm_score(docs, "doc_id", "text", lm).collect()}
+    b = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_score(docs.repartition(13), "doc_id", "text", lm).collect()
+    }
+    assert a == b
