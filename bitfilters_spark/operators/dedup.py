@@ -170,6 +170,7 @@ def shingle_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    prethin_hot: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard over distinct word-shingle sets, shingle-join blocking.
 
@@ -181,6 +182,17 @@ def shingle_jaccard_pairs(
     carries its exact Jaccard. Recall is complete whenever each qualifying
     pair shares at least one sub-cap shingle (guaranteed-in-practice for
     near-dup text; set df_cap=None for unconditional exactness).
+
+    ``prethin_hot`` picks the skew-hardened physical strategy for the cap:
+    the default window path computes df in the SAME shuffle the blocking
+    join reuses (fewest stages), but it materializes every occurrence of a
+    hot shingle in one task before the filter can drop it. With
+    ``prethin_hot=True`` the (tiny, ≤ rows/df_cap entries) hot-shingle
+    list is computed with a map-side-partial groupBy and BROADCAST, hot
+    occurrences are dropped map-side before any wide shuffle, and the
+    blocking join pays its own exchange over pre-thinned rows — two more
+    stages, but no task ever holds a hot shingle's full occurrence list.
+    Results are identical (tested); choose by the corpus's skew profile.
     """
     from pyspark.sql import Window
 
@@ -192,7 +204,20 @@ def shingle_jaccard_pairs(
         F.array_distinct(hashed_word_shingles(text_col, shingle_n)).alias("sarr"),
     ).select("id", F.size("sarr").alias("n"), F.explode("sarr").alias("s"))
     empty = F.array().cast("array<bigint>")
-    if df_cap is not None:
+    if df_cap is not None and prethin_hot:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("s")
+        )
+        cold = sh.join(F.broadcast(hot), "s", "left_anti").cache()
+        hotsets = (
+            sh.join(F.broadcast(hot), "s")
+            .groupBy("id")
+            .agg(F.collect_list("s").alias("hs"))
+        )
+    elif df_cap is not None:
         # ONE shuffle on s computes every shingle's document frequency AND
         # leaves the rows hash-partitioned by s — exactly the distribution
         # the blocking self-join needs, so the join adds no exchange.

@@ -204,3 +204,31 @@ def test_ivf_index_roundtrip_reuses_quantizer(spark, tmp_path):
         ).collect()
     }
     assert fresh == reused
+
+
+def test_shingle_jaccard_prethin_equals_window_path(spark):
+    """The two df_cap physical strategies (window count reusing the join
+    shuffle vs broadcast hot-list pre-thin) must return identical pairs on
+    a corpus with a deliberately hot boilerplate shingle."""
+    from bitfilters_spark.operators.dedup import shingle_jaccard_pairs
+
+    boiler = "copyright notice all rights reserved"  # hot in every doc
+    rows = [
+        (i, f"{boiler} unique body {i} tokens alpha beta gamma {i}")
+        for i in range(30)
+    ]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # true near-dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.3, df_cap=5)
+    window_path = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in shingle_jaccard_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    prethin_path = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in shingle_jaccard_pairs(
+            docs, "doc_id", "text", prethin_hot=True, **kw
+        ).collect()
+    }
+    assert window_path == prethin_path
+    assert {(a, b) for a, b, _ in window_path} >= {(0, 100), (1, 101)}
