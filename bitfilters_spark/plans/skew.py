@@ -75,3 +75,47 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> dict:
         "max_share": top_list[0][2] if top_list else 0.0,
         "skew_factor": round(top_list[0][1] / mean, 2) if top_list else 1.0,
     }
+
+
+def shuffle_report(df: DataFrame) -> dict:
+    """Static plan audit: how much data movement will this DataFrame pay?
+
+    Returns ``{n_exchanges, n_broadcasts, n_sorts, n_codegen_spans,
+    exchange_keys: [partitioning-expression strings…]}`` parsed from the
+    physical plan (pre-execution — nothing runs). ``n_codegen_spans`` is
+    best-effort: with AQE on, WholeStageCodegen stars only annotate the
+    FINAL plan, so it reads 0 until the DataFrame has executed once —
+    re-call after an action to see the realized spans. The per-operator
+    discipline this engine applies by hand ("would this plan survive a
+    100x scale-up?") as a callable: assert ``n_exchanges`` in tests,
+    print it in notebooks before launching a 100 TB job, diff it across
+    refactors. Pairs with :func:`skew_report` (is the shuffle key safe?)
+    and ``cms_join_size`` (how big is the join?) as the pre-flight
+    toolkit."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    # codegen spans (*(n)) only annotate the spark-plan after codegen prep,
+    # not the AQE-wrapped formatted tree
+    plan = buf.getvalue() + df._jdf.queryExecution().executedPlan().toString()
+    # formatted tree prints "Exchange (3)"; hashpartitioning args live in
+    # the details section
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    ]
+    return {
+        "n_exchanges": len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)),
+        "n_broadcasts": len(
+            re.findall(
+                r"Broadcast(?:Exchange|HashJoin|NestedLoopJoin) \(\d+\)", plan
+            )
+        ),
+        "n_sorts": len(re.findall(r"(?<!Merge)\bSort \(\d+\)", plan)),
+        "n_codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "exchange_keys": keys,
+    }

@@ -295,3 +295,35 @@ def test_skew_report_finds_hot_key_and_plans_take_ordered(spark):
     # empty input
     empty = spark.createDataFrame([], "id long, k long")
     assert skew_report(empty, "k")["n_rows"] == 0
+
+
+def test_shuffle_report_counts_known_plans(spark):
+    """The static audit must count the movement ops of plans whose shape
+    is known: a map-side filter has zero exchanges, a groupBy has one
+    (with its key named), and a broadcast join adds a broadcast, not an
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.plans import shuffle_report
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    narrow = shuffle_report(orders.where(F.col("o_custkey") > 10).select("o_orderkey"))
+    assert narrow["n_exchanges"] == 0 and narrow["n_broadcasts"] == 0
+
+    agg = shuffle_report(orders.groupBy("o_custkey").count())
+    assert agg["n_exchanges"] == 1
+    assert any("o_custkey" in k for k in agg["exchange_keys"])
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    bj = shuffle_report(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+    )
+    assert bj["n_broadcasts"] >= 1
+    assert bj["n_exchanges"] == 0
+
+    # codegen spans surface once AQE has finalized the plan (post-action)
+    ran = orders.groupBy("o_custkey").count()
+    ran.collect()
+    assert shuffle_report(ran)["n_codegen_spans"] >= 1
