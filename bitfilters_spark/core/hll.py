@@ -9,6 +9,11 @@ cardinality estimation algorithm") with the standard small-range linear
 counting correction (Heule et al. 2013 practice); large-range correction
 is unnecessary with 64-bit hashes.
 
+Like every sketch in this engine, the input must be a UNIFORM 64-bit
+hash (a ``spark_hash64`` / ``duckdb_hash`` column) — raw un-hashed keys
+share top bits and collapse registers (property-tested contract,
+tests/test_kernels_property.py).
+
 Blob format (little-endian): ``HLL1 | u8 p | u8 registers[2^p]``.
 Register index = top p bits of the key hash; register value = number of
 leading zeros of the remaining 64-p bits, + 1 (capped at 64-p+1).

@@ -224,3 +224,45 @@ def test_bks_quantile_matches_nearest_rank_reference(ps, k):
         else:
             want = sorted(vv)[max(1, math.ceil(q * len(vv))) - 1]
             assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s, st.integers(min_value=1, max_value=5))
+def test_hll_merge_is_build_on_union_property(xs, n_parts):
+    """Register max is canonical: any split of any key set merges to the
+    byte-identical bulk blob, and the estimate of a small-range set is
+    near-exact (linear counting)."""
+    from bitfilters_spark.core import hll
+
+    # the engine contract feeds sketches UNIFORM 64-bit hashes (spark_hash64
+    # / duckdb_hash columns) — raw small integers all share top bits and are
+    # out of contract, so mirror the real input distribution here
+    h = hashing.hash_int64(_arr(xs).view(np.int64))
+    bulk = hll.hll_build(h, p=8)
+    parts = [hll.hll_build(p_, p=8) for p_ in np.array_split(h, n_parts)]
+    assert hll.hll_merge(parts) == bulk
+    d = len(np.unique(h))
+    if d <= 25:  # well under 256 registers: linear counting regime
+        assert abs(hll.hll_estimate(bulk) - d) <= max(3, d // 4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(u64s, st.integers(min_value=1, max_value=64), st.integers(min_value=1, max_value=5))
+def test_mg_bounds_property(xs, k, n_parts):
+    """For ANY data, k, and split: estimates never exceed true counts,
+    undercount <= n/(k+1), keys above the threshold are always tracked,
+    and the exact regime (distinct <= k) reproduces true counts."""
+    from bitfilters_spark.core import mg
+
+    h = _arr(xs)
+    merged = mg.mg_merge([mg.mg_build(p_, k=k) for p_ in np.array_split(h, n_parts)])
+    keys, counts = np.unique(h, return_counts=True) if len(h) else (
+        np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    est = mg.mg_estimate(merged, keys) if len(keys) else np.zeros(0, np.uint64)
+    n = len(h)
+    bound = n // (k + 1)
+    assert (est.astype(np.int64) <= counts).all()
+    assert (counts - est.astype(np.int64) <= bound).all()
+    assert (est[counts > bound] > 0).all()
+    if len(keys) <= k:
+        assert (est.astype(np.int64) == counts).all()
