@@ -524,8 +524,10 @@ def lm_score(
     groupBy. Pure `F.*` arithmetic end to end — no Python in the path."""
     uni = lm["uni"]
     bi = lm["bi"]
-    n = float(lm["n_tokens"])
-    floor = 1.0 / (10.0 * max(n, 1.0))
+    # clamp: an empty model (n_tokens == 0) must not divide by zero (ANSI
+    # mode raises); with all counts 0 every gram then scores the floor
+    n = max(float(lm["n_tokens"]), 1.0)
+    floor = 1.0 / (10.0 * n)
     seq = df.select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),

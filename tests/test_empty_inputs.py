@@ -210,3 +210,54 @@ def test_round5_semdedup_empty_pairs(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert semantic_dedup(df, threshold=0.9, n_centroids=2).count() == 3
+
+
+def test_new_sketches_empty_input(spark, empty_keyed):
+    from bitfilters_spark.functions import heavy_hitters
+    from bitfilters_spark.functions.filters import hll_distinct, mg_estimate
+
+    for kind, kw in [("hll", {"p": 8}), ("mg", {"k": 16})]:
+        # no rows -> no groups -> no sketch rows (matches the family)
+        assert build_filter(empty_keyed, ["grp"], "h", kind, **kw).count() == 0
+        assert build_filter(empty_keyed, [], "h", kind, **kw).count() == 0
+    # probes over an empty FILTER TABLE (not null blobs) stay empty
+    one = spark.createDataFrame([(0, 7)], "grp long, h long")
+    g_hll = build_filter(one, [], "h", "hll", p=8)
+    assert g_hll.select(hll_distinct("filter").alias("e")).collect()[0]["e"] == 1
+    g_mg = build_filter(one, [], "h", "mg", k=16)
+    assert heavy_hitters(g_mg).count() == 1
+    miss = g_mg.withColumn("c", mg_estimate("filter", F.lit(12345).cast("long")))
+    assert miss.collect()[0]["c"] == 0
+
+
+def test_lsh_index_empty_probe_side(spark, empty_docs, tmp_path):
+    from bitfilters_spark.operators.neardup_index import (
+        build_lsh_index,
+        dedup_against_index,
+        probe_lsh_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "some reference document text for the empty probe test case")],
+        "doc_id long, text string",
+    )
+    for t in ("emptyix_bands", "emptyix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_lsh_index(ref, "doc_id", "text", "emptyix", num_buckets=2,
+                    path=str(tmp_path / "emptyix"))
+    assert probe_lsh_index(spark, empty_docs, "doc_id", "text", "emptyix").count() == 0
+    assert dedup_against_index(spark, empty_docs, "doc_id", "text", "emptyix").count() == 0
+
+
+def test_lm_score_empty_sides(spark, empty_docs):
+    from bitfilters_spark.operators.text import lm_score, train_ngram_lm
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    lm_empty = train_ngram_lm(empty_docs, "text")
+    assert lm_empty["n_tokens"] == 0
+    # scoring with an empty model: every bigram hits the OOV floor
+    out = lm_score(docs, "doc_id", "text", lm_empty).collect()
+    assert len(out) == 1 and out[0]["n_scored"] == 2
+    # empty corpus scored with a real model: no rows
+    lm = train_ngram_lm(docs, "text")
+    assert lm_score(empty_docs, "doc_id", "text", lm).count() == 0
