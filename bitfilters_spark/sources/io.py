@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _EXT_FORMAT = {
     ".parquet": "parquet",
@@ -125,16 +126,7 @@ def compact_files(
     ``repartition(n)`` balances bytes. Returns the file count written.
     """
     df = spark.read.format(format).load(src)
-    # on-disk size via the input files' metadata (driver-side listing)
-    total = 0
-    sc = spark.sparkContext
-    hconf = sc._jsc.hadoopConfiguration()
-    jvm = sc._jvm
-    for f in df.inputFiles():
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        fs = p.getFileSystem(hconf)
-        total += fs.getFileStatus(p).getLen()
-    n = max(1, -(-total // target_file_bytes))  # ceil
+    n = _target_file_count(spark, src, target_file_bytes, format)
     from pyspark.sql import functions as F
 
     if order_col is not None:
@@ -144,4 +136,95 @@ def compact_files(
     else:
         out = df.repartition(n)
     out.write.format(format).mode("overwrite").save(dest)
+    return n
+
+
+def _target_file_count(
+    spark: SparkSession, src: str, target_file_bytes: int, format: str
+) -> int:
+    """Ceil(on-disk bytes / target) from the input files' metadata
+    (driver-side listing — no data read)."""
+    df = spark.read.format(format).load(src)
+    total = 0
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    return max(1, -(-total // target_file_bytes))
+
+
+def zorder_column(
+    df: DataFrame, cols: list, bits: int = 16, out_col: str = "__z"
+) -> DataFrame:
+    """Morton (Z-order) interleave of ``cols``, the multi-column layout
+    key behind Delta's OPTIMIZE ZORDER: sorting by one column makes zone
+    maps selective on THAT column only; sorting by the bit-interleaved
+    key keeps every participating column's values locally clustered, so
+    per-file min/max stats prune range queries on ANY of them.
+
+    Each column min-max scales to ``bits`` integer buckets (one
+    metadata-scale min/max aggregate for the whole list — no data
+    moves), then the bucket bits interleave into one long via plain
+    shift/or expressions (pure whole-stage-codegen arithmetic, no UDF).
+    NULL scales to bucket 0; a constant column contributes nothing.
+    ``bits * len(cols)`` must fit 63 bits."""
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols exceeds a long")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    n_buckets = (1 << bits) - 1
+    parts = []
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # empty or constant: no bits to contribute
+        scaled = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+            * F.lit(float(n_buckets))
+            / F.lit(float(mx - mn))
+        ).cast("long")
+        bucket = F.greatest(F.least(scaled, F.lit(n_buckets)), F.lit(0))
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    z = parts[0] if parts else F.lit(0).cast("long")
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return df.withColumn(out_col, z)
+
+
+def zorder_layout(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    cols: list,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    bits: int = 16,
+    format: str = "parquet",
+) -> int:
+    """Rewrite a dataset Z-ordered on ``cols`` (sized like
+    :func:`compact_files`): repartitionByRange + sortWithinPartitions on
+    the Morton key, so the written files tile the multi-dimensional
+    space and ``build_zone_index`` + ``prune_files_range`` stay
+    selective on EVERY listed column. Returns the file count written."""
+    df = spark.read.format(format).load(src)
+    n = _target_file_count(spark, src, target_file_bytes, format)
+    zdf = zorder_column(df, cols, bits=bits)
+    (
+        zdf.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format(format)
+        .save(dest)
+    )
     return n

@@ -189,3 +189,50 @@ def test_refresh_file_index_scans_only_new_files(spark, tmp_path):
         spark, d, idx2, ["o_custkey"], "bloom", n=5000, fpp=0.01
     )
     assert [os.path.basename(r["file"]) for r in idx3.collect()] == ["b.parquet"]
+
+
+# ------------------------------------------------------------- z-order ---
+
+
+def test_zorder_layout_prunes_on_every_column(spark, tmp_path):
+    """A Z-ordered rewrite keeps zone maps selective on BOTH interleaved
+    columns: a narrow range predicate on either column must prune most
+    files, while a single-column ordered layout only prunes on its own
+    column. Content must survive the rewrite exactly."""
+    from bitfilters_spark.sources.io import compact_files, zorder_layout
+    from bitfilters_spark.sources.skipping import (
+        build_zone_index,
+        prune_files_range,
+    )
+
+    src = str(tmp_path / "zsrc")
+    zdest = str(tmp_path / "zdest")
+    odest = str(tmp_path / "odest")
+    # a 100x100 grid: x and y are independent, so ordering by x leaves y
+    # scattered across every file
+    rows = [(i, i % 100, i // 100) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    df.repartition(8).write.parquet(src)
+
+    target = 6_000  # ~16 files from this dataset
+    zorder_layout(spark, src, zdest, ["x", "y"], target_file_bytes=target)
+    compact_files(spark, src, odest, target_file_bytes=target, order_col="x")
+
+    def frac_pruned(path, col, lo, hi):
+        zi = build_zone_index(spark, path, ["x", "y"])
+        all_files = [r["file"] for r in zi.collect()]
+        kept = prune_files_range(zi, col, lo, hi)
+        return 1.0 - len(kept) / len(all_files), len(all_files)
+
+    zx, nz = frac_pruned(zdest, "x", 10, 19)
+    zy, _ = frac_pruned(zdest, "y", 10, 19)
+    ox, no = frac_pruned(odest, "x", 10, 19)
+    oy, _ = frac_pruned(odest, "y", 10, 19)
+    assert nz >= 8 and no >= 8  # enough files for pruning to mean anything
+    assert ox > 0.5  # ordered layout prunes on its own column...
+    assert oy == 0.0  # ...but not at all on the other
+    assert zx > 0.4 and zy > 0.4  # z-order prunes on BOTH
+    # rewrite is content-identical
+    a = sorted(tuple(r) for r in spark.read.parquet(zdest).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    assert a == b
