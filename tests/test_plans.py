@@ -327,3 +327,44 @@ def test_shuffle_report_counts_known_plans(spark):
     ran = orders.groupBy("o_custkey").count()
     ran.collect()
     assert shuffle_report(ran)["n_codegen_spans"] >= 1
+
+
+def test_join_plan_report_recommendations(spark):
+    """The advisor must pick the strategy the data shape demands: small
+    dim -> broadcast, hot key -> salted, disjoint keys -> bloom
+    pre-filter note; est_join_rows upper-bounds (and at collision-free
+    geometry equals) the true join size."""
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.plans import join_plan_report
+
+    fact = spark.range(20_000).select(
+        (F.col("id") % 500).alias("fk"), F.col("id").alias("payload")
+    )
+    dim = spark.range(500).select(F.col("id").alias("pk"))
+    rep = join_plan_report(fact, dim, "fk", "pk", broadcast_threshold_rows=10_000)
+    assert rep["recommendation"] == "broadcast_right"
+    true_rows = fact.join(dim, fact.fk == dim.pk).count()
+    # CMS inner product: deterministic UPPER bound, tight up to the few
+    # birthday collisions 500 keys produce in 2^15 buckets
+    assert true_rows <= rep["est_join_rows"] <= true_rows * 1.05
+    assert rep["key_jaccard"] == 1.0  # dim keys == fact key set
+
+    # hot key: one fk carries half the fact table
+    hot = spark.range(40_000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("fk"),
+        F.col("id").alias("payload"),
+    )
+    big = spark.range(30_000).select(F.col("id").alias("pk"))
+    rep2 = join_plan_report(
+        hot, big, "fk", "pk", broadcast_threshold_rows=100, skew_factor_salt=100
+    )
+    assert rep2["recommendation"] == "salted"
+    assert rep2["left"]["top_key"] == 7
+
+    # disjoint key ranges: the bloom pre-filter advice must fire
+    a = spark.range(50_000).select(F.col("id").alias("k"))
+    b = spark.range(50_000).select((F.col("id") + 10_000_000).alias("k"))
+    rep3 = join_plan_report(a, b, "k", "k", broadcast_threshold_rows=100)
+    assert any("barely overlap" in r for r in rep3["reasons"])
+    assert rep3["key_jaccard"] < 0.05
