@@ -565,3 +565,78 @@ def lm_score(
         F.count(F.lit(1)).alias("n_scored"),
         F.avg(F.log("p")).alias("avg_logp"),
     )
+
+
+# ----------------------------------------------------------- corpus drift ---
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list,
+    n_buckets: int = 20,
+) -> dict:
+    """Population-stability-index drift between two corpus snapshots, per
+    numeric column — the data-quality gate an evolving 100 TB ingest
+    needs ("did this crawl's length/quality/score distribution move?").
+
+    Bucket edges come from snapshot A's min/max (one metadata-scale agg);
+    both sides then bucket map-side and aggregate counts (shuffle =
+    n_buckets rows per column, never data). PSI convention:
+    ``Σ (p_b - p_a) · ln(p_b / p_a)`` over buckets with the standard
+    1e-6 zero-floor; < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major
+    shift. B values outside A's range clamp into the edge buckets, so
+    out-of-range mass is counted, not dropped.
+
+    Returns ``{col: {"psi": float, "n_a": int, "n_b": int}}``.
+    """
+    import math
+
+    stats = df_a.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+
+    out: dict = {}
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            # empty or constant baseline: drift is 0 iff B matches exactly
+            same = (
+                df_b.where(F.col(c).cast("double") != (mn if mn is not None else 0.0)).count()
+                if mn is not None
+                else df_b.count()
+            )
+            out[c] = {
+                "psi": 0.0 if same == 0 else float("inf"),
+                "n_a": df_a.where(F.col(c).isNotNull()).count(),
+                "n_b": df_b.where(F.col(c).isNotNull()).count(),
+            }
+            continue
+        width = (mx - mn) / n_buckets
+        bucket = F.greatest(
+            F.least(
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(width)),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
+        )
+
+        def hist(df: DataFrame) -> dict:
+            rows = (
+                df.where(F.col(c).isNotNull())
+                .groupBy(bucket.alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            return {int(r["b"]): int(r["n"]) for r in rows}
+
+        ha, hb = hist(df_a), hist(df_b)
+        na, nb = sum(ha.values()), sum(hb.values())
+        psi = 0.0
+        for b in range(n_buckets):
+            pa = max(ha.get(b, 0) / na if na else 0.0, 1e-6)
+            pb = max(hb.get(b, 0) / nb if nb else 0.0, 1e-6)
+            psi += (pb - pa) * math.log(pb / pa)
+        out[c] = {"psi": round(psi, 6), "n_a": na, "n_b": nb}
+    return out

@@ -185,3 +185,38 @@ def test_lm_score_repartition_invariant(spark):
         for r in lm_score(docs.repartition(13), "doc_id", "text", lm).collect()
     }
     assert a == b
+
+
+# -------------------------------------------------------------- drift ---
+
+
+def test_drift_report_detects_shift_and_stability(spark):
+    import pytest as _pytest
+
+    from bitfilters_spark.operators.text import drift_report
+
+    a = spark.range(10_000).select(
+        (F.col("id") % 100).alias("len"), (F.col("id") % 7).alias("q")
+    )
+    same = drift_report(a, a, ["len", "q"])
+    assert same["len"]["psi"] == 0.0 and same["q"]["psi"] == 0.0
+    assert same["len"]["n_a"] == same["len"]["n_b"] == 10_000
+
+    shifted = spark.range(10_000).select(
+        ((F.col("id") % 100) + 80).alias("len"), (F.col("id") % 7).alias("q")
+    )
+    rep = drift_report(a, shifted, ["len", "q"])
+    assert rep["len"]["psi"] > 0.25  # major shift on len...
+    assert rep["q"]["psi"] < 0.01  # ...none on q
+    # out-of-range B mass clamps into the top bucket rather than vanishing
+    assert rep["len"]["n_b"] == 10_000
+
+
+def test_drift_report_constant_and_null_columns(spark):
+    from bitfilters_spark.operators.text import drift_report
+
+    a = spark.createDataFrame([(1, 5), (2, 5)], "id long, c long")
+    b_same = spark.createDataFrame([(3, 5)], "id long, c long")
+    b_diff = spark.createDataFrame([(4, 9)], "id long, c long")
+    assert drift_report(a, b_same, ["c"])["c"]["psi"] == 0.0
+    assert drift_report(a, b_diff, ["c"])["c"]["psi"] == float("inf")
