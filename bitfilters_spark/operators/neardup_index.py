@@ -119,7 +119,13 @@ def append_to_lsh_index(
 ) -> None:
     """Fold new docs into the index (append into the bucketed layout —
     Spark routes appended rows to their buckets, so probe-time plans are
-    unchanged). Cost ∝ new data; the reference is never rescanned."""
+    unchanged). Cost ∝ new data; the reference is never rescanned.
+
+    Single-writer contract: appends are plain parquet-table appends with
+    no transaction log, so concurrent appenders can interleave files but
+    never corrupt the bucketing; serialize appends (as
+    ``streaming_neardup_dedup``'s per-micro-batch fold does) when probe
+    results must reflect a consistent index version."""
     sig = minhash_signatures(new_df, id_col, text_col, k, shingle_n)
     _banded(sig, id_col, k, bands).write.mode("append").format("parquet").bucketBy(
         num_buckets, "bh"

@@ -1,0 +1,76 @@
+"""Crawl-side operators: HTML stripping and URL hygiene (pure expression
+chains — the map-side front door of the text pipeline)."""
+
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.web import normalize_url, strip_html, url_domain
+
+
+def _one(spark, col_expr, value):
+    return (
+        spark.createDataFrame([(value,)], "v string")
+        .select(col_expr.alias("r"))
+        .collect()[0]["r"]
+    )
+
+
+def test_strip_html_extracts_visible_text(spark):
+    html = (
+        "<html><head><title>T</title><style>p {color: red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>Hello</h1><p>world &amp; friends"
+        " &lt;3</p><div>spaced</div>words</body></html>"
+    )
+    got = _one(spark, strip_html(F.col("v")), html)
+    assert got == "T Hello world & friends <3 spaced words"
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    got = _one(spark, strip_html(F.col("v")), "already   plain\n text")
+    assert got == "already plain text"
+
+
+def test_normalize_url_strips_tracking_and_canonicalizes(spark):
+    url = "HTTPS://Example.COM/Path/Sub/?utm_source=x&id=7&fbclid=abc#frag"
+    got = _one(spark, normalize_url(F.col("v")), url)
+    assert got == "https://example.com/Path/Sub?id=7"
+    # identity-only differences collapse to the same canonical form
+    a = _one(spark, normalize_url(F.col("v")), "https://example.com/p?utm_medium=m")
+    b = _one(spark, normalize_url(F.col("v")), "https://EXAMPLE.com/p/")
+    assert a == b == "https://example.com/p"
+    bare = _one(spark, normalize_url(F.col("v")), "http://example.com")
+    assert bare == "http://example.com/"
+
+
+def test_url_domain_registrable_heuristic(spark):
+    assert _one(spark, url_domain(F.col("v")), "https://news.bbc.co.uk/x") == "bbc.co.uk"
+    assert _one(spark, url_domain(F.col("v")), "http://a.b.example.com/") == "example.com"
+    assert (
+        _one(spark, url_domain(F.col("v"), registrable=False), "http://A.B.Example.com/")
+        == "a.b.example.com"
+    )
+
+
+def test_web_ops_compose_with_dedup_and_caps(spark):
+    """The intended composition: normalize -> exact dedup by URL, then
+    per-domain caps."""
+    from bitfilters_spark.operators.dedup import dedup_exact
+    from bitfilters_spark.operators.sampling import cap_per_group
+
+    rows = [
+        (1, "https://a.com/x?utm_source=1"),
+        (2, "https://A.COM/x/"),           # same page as 1
+        (3, "https://a.com/y"),
+        (4, "https://b.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string").select(
+        "doc_id", normalize_url(F.col("url")).alias("nurl"),
+        url_domain(F.col("url")).alias("domain"),
+    )
+    deduped = dedup_exact(df, "nurl", "doc_id")
+    assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 3, 4]
+    capped = cap_per_group(deduped, "doc_id", "domain", 1).collect()
+    by_domain = {r["domain"]: r["doc_id"] for r in capped}
+    # one survivor per domain, deterministic hash order picks within a.com
+    assert set(by_domain) == {"a.com", "b.com"}
+    assert by_domain["b.com"] == 4 and by_domain["a.com"] in (1, 3)

@@ -1,0 +1,107 @@
+"""Stress the round-5 heavy operators past the test SFs: a 10x corpus
+(50k docs — every sf0.1 document replicated 10x with per-copy token
+remapping, so shingle structure is preserved but copies don't
+cross-match; same methodology as the SURVEY dedup-family stress) drives
+the persisted LSH index (build + incremental probe), sequence packing,
+and a Z-order rewrite of lineitem. Prints one JSON line.
+
+Usage: ``python tools/stress_newops.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.neardup_index import (
+        build_lsh_index,
+        probe_lsh_index,
+    )
+    from bitfilters_spark.operators.packing import pack_sequences
+    from bitfilters_spark.operators.text import token_count
+    from bitfilters_spark.session import make_session
+    from bitfilters_spark.sources.io import zorder_layout
+    from bitfilters_spark.sources.skipping import build_zone_index, prune_files_range
+
+    spark = make_session(app="stress-newops", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="stress_newops_")
+    out: dict = {"sf_dir": sf_dir, "copies": 10}
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_base = docs.count()
+        copies = spark.range(10).select(F.col("id").alias("copy"))
+        stress = (
+            docs.crossJoin(copies)
+            .select(
+                (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+                # suffix every token with the copy id: shingle structure
+                # per copy is isomorphic to the original, but shingles
+                # never match across copies
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit(r"$1_c"), F.col("copy").cast("string")),
+                ).alias("text"),
+            )
+            .localCheckpoint()
+        )
+        out["n_docs"] = stress.count()
+
+        spark.sql("DROP TABLE IF EXISTS stressix_bands")
+        spark.sql("DROP TABLE IF EXISTS stressix_shingles")
+        t0 = time.time()
+        build_lsh_index(stress, "doc_id", "text", "stressix", path=f"{tmp}/ix")
+        out["lsh_index_build_s"] = round(time.time() - t0, 2)
+
+        probe = stress.where(F.col("doc_id") % 10 == 3)  # 10% "new crawl"
+        t0 = time.time()
+        out["probe_pairs"] = probe_lsh_index(
+            spark, probe, "doc_id", "text", "stressix"
+        ).count()
+        out["lsh_probe_s"] = round(time.time() - t0, 2)
+
+        toks = stress.select("doc_id", token_count(F.col("text")).alias("n"))
+        toks = toks.where(F.col("n") <= 512)
+        t0 = time.time()
+        out["n_sequences"] = (
+            pack_sequences(toks, "doc_id", "n", capacity=512)
+            .select("seq")
+            .distinct()
+            .count()
+        )
+        out["pack_sequences_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        zorder_layout(
+            spark,
+            f"{sf_dir}/lineitem.parquet",
+            f"{tmp}/zli",
+            ["l_orderkey", "l_partkey"],
+            target_file_bytes=4 * 1024 * 1024,
+        )
+        out["zorder_lineitem_s"] = round(time.time() - t0, 2)
+        zi = build_zone_index(spark, f"{tmp}/zli", ["l_orderkey", "l_partkey"])
+        nf = zi.count()
+        kept = len(prune_files_range(zi, "l_partkey", 100, 300))
+        out["zorder_files"] = nf
+        out["zorder_partkey_range_keeps"] = kept
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
