@@ -227,3 +227,35 @@ def weighted_hash_sample(
         F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * (mask + 1)
     )
     return df.where(h.bitwiseAND(F.lit(mask)) < thresh)
+
+
+def top_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list,
+    k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Keep the ``k`` BEST rows per group under an explicit ranking —
+    the quality-ranked per-domain cap ("keep each domain's k
+    highest-quality pages"), completing the family:
+    ``cap_per_group`` is this with hash order (uniform sample),
+    ``dedup_best`` is this with k=1 grouped by fingerprint.
+
+    ``order_by`` is a list of Columns (e.g. ``[F.col("score").desc()]``);
+    ``id_col`` appends a deterministic tiebreak. One shuffle on
+    ``group_col``, per-group window rank — the same skew note as
+    ``cap_per_group`` applies to pathologically hot groups."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    order = list(order_by)
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )

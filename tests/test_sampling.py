@@ -150,3 +150,38 @@ def test_cap_per_group_duckdb_parity(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_top_per_group_quality_ranked_cap(spark):
+    """top_per_group keeps each group's k best under the given ranking,
+    deterministically; k=1 grouped by fingerprint reproduces dedup_best."""
+    from bitfilters_spark.operators.dedup import dedup_best
+    from bitfilters_spark.operators.sampling import top_per_group
+
+    rows = [
+        (1, "a", 0.9), (2, "a", 0.7), (3, "a", 0.8),
+        (4, "b", 0.5), (5, "b", 0.6),
+        (6, "c", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q double")
+    got = {
+        (r["domain"], r["doc_id"])
+        for r in top_per_group(
+            df, "domain", [F.col("q").desc()], 2, id_col="doc_id"
+        ).collect()
+    }
+    assert got == {("a", 1), ("a", 3), ("b", 5), ("b", 4), ("c", 6)}
+    # k=1 == dedup_best on the same ranking
+    a = sorted(
+        r["doc_id"]
+        for r in top_per_group(
+            df, "domain", [F.col("q").desc()], 1, id_col="doc_id"
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in dedup_best(
+            df, "domain", [F.col("q").desc()], id_col="doc_id"
+        ).collect()
+    )
+    assert a == b == [1, 5, 6]
