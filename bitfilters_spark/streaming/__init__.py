@@ -4,7 +4,11 @@ from .dedup import (
     streaming_dedup_exact,
     streaming_window_counts,
 )
-from .filter_build import load_filter_blob, streaming_filter_build
+from .filter_build import (
+    load_filter_blob,
+    streaming_filter_build,
+    streaming_indexed_sink,
+)
 from .filter_join import streaming_filter_join
 from .neardup import streaming_neardup_dedup
 from .sessions import streaming_sessionize
@@ -24,6 +28,7 @@ __all__ = [
     "streaming_distinct_counts",
     "streaming_filter_build",
     "streaming_filter_join",
+    "streaming_indexed_sink",
     "streaming_neardup_dedup",
     "streaming_quantiles",
     "streaming_sessionize",

@@ -70,3 +70,54 @@ def streaming_filter_build(
         os.replace(tmp, store_path)
 
     return stream.writeStream.foreachBatch(fold).outputMode("update")
+
+
+def streaming_indexed_sink(
+    stream: "DataFrame",
+    out_path: str,
+    index_path: str,
+    key_cols: list,
+    kind: str = "bloom",
+    **filter_kw,
+):
+    """Parquet sink that keeps a FILE-SKIPPING INDEX current as the
+    stream lands: each micro-batch appends its rows to ``out_path``,
+    then runs ``refresh_file_index`` — kept files keep their blobs
+    byte-identical, ONLY the batch's new files are scanned — and
+    atomically replaces the index at ``index_path``. The bridge from
+    streaming ingest to indexed batch reads: a `skipping_read` /
+    `prune_files_range` consumer probing mid-stream sees a complete
+    index for every committed file.
+
+    Same durability design as :func:`streaming_filter_build` (state on
+    storage, foreachBatch). Replays re-append rows (duplicate FILES,
+    never a corrupted index — the refresh indexes whatever files exist),
+    so pair with upstream `streaming_dedup_exact` or a batch-id marker
+    when the sink must be exactly-once; the index overwrite is Spark's
+    parquet overwrite (not atomic rename), so an index reader racing the
+    replacement should retry.
+    """
+    from ..sources.skipping import (
+        build_file_index,
+        load_index,
+        refresh_file_index,
+        save_index,
+    )
+
+    def fold(batch_df: "DataFrame", batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(out_path)
+        from pyspark.errors import AnalysisException
+
+        try:
+            old = load_index(spark, index_path)
+        except AnalysisException:
+            # first batch: no index yet — full build over what just landed
+            idx = build_file_index(spark, out_path, key_cols, kind=kind, **filter_kw)
+        else:
+            idx = refresh_file_index(
+                spark, out_path, old, key_cols, kind=kind, **filter_kw
+            )
+        save_index(idx, index_path)
+
+    return stream.writeStream.foreachBatch(fold).outputMode("append")

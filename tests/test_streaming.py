@@ -1044,3 +1044,50 @@ def test_streaming_neardup_dedup_across_batches(spark, tmp_path):
     probe = spark.createDataFrame([(99, base_e)], "doc_id long, text string")
     hits = probe_lsh_index(spark, probe, "doc_id", "text", "ndix").collect()
     assert {r["ref_id"] for r in hits} == {11}
+
+
+def test_streaming_indexed_sink_keeps_index_current(spark, tmp_path):
+    """Each micro-batch lands in the output dataset AND the file-skipping
+    index: mid-stream the index covers every committed file (kept blobs
+    byte-identical — only new files scan), and a skipping read over it
+    equals an exact filter."""
+    from bitfilters_spark.sources.skipping import load_index, skipping_read
+    from bitfilters_spark.streaming.filter_build import streaming_indexed_sink
+
+    src = str(tmp_path / "ix_in")
+    ckpt = str(tmp_path / "ix_ckpt")
+    outp = str(tmp_path / "ix_out")
+    idxp = str(tmp_path / "ix_idx")
+
+    spark.createDataFrame(
+        [(i, i % 50) for i in range(400)], "id long, key long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, key long").parquet(src)
+    q = (
+        streaming_indexed_sink(stream, outp, idxp, ["key"], n=10_000, fpp=0.01)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        idx1 = {
+            r["file"]: bytes(r["filter"])
+            for r in load_index(spark, idxp).collect()
+        }
+        assert set(idx1) == set(spark.read.parquet(outp).inputFiles())
+        spark.createDataFrame(
+            [(i, i % 50) for i in range(400, 900)], "id long, key long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx2 = load_index(spark, idxp)
+    rows2 = {r["file"]: bytes(r["filter"]) for r in idx2.collect()}
+    assert set(rows2) == set(spark.read.parquet(outp).inputFiles())
+    # batch-1 files kept their blobs byte-identical (immutable => no rescan)
+    for f, blob in idx1.items():
+        assert rows2[f] == blob
+    # a skipping read sees exactly the matching rows
+    got = skipping_read(spark, outp, "key", [7], index=idx2).collect()
+    want = spark.read.parquet(outp).where(F.col("key") == 7).collect()
+    assert sorted(r["id"] for r in got) == sorted(r["id"] for r in want)
