@@ -15,6 +15,7 @@ from .sessions import streaming_sessionize
 from .sketches import (
     streaming_cms_counts,
     streaming_distinct_counts,
+    streaming_drift,
     streaming_quantiles,
     streaming_topk,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_cms_counts",
     "streaming_dedup_exact",
     "streaming_distinct_counts",
+    "streaming_drift",
     "streaming_filter_build",
     "streaming_filter_join",
     "streaming_indexed_sink",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -395,6 +396,107 @@ def streaming_topk(
                     "est_count": counts.astype(np.int64),
                     "n_rows": [n] * len(keys),
                 }
+            )
+
+    return keyed.groupBy("win_start").applyInPandasWithState(
+        agg,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def streaming_drift(
+    stream: DataFrame,
+    value_col: str,
+    baseline: dict,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window distribution drift against a frozen baseline — the
+    streaming sibling of the batch ``drift_report`` (operators/text.py):
+    a live "did this hour's value distribution move?" alarm.
+
+    ``baseline`` is ``{"min": float, "max": float, "counts": [int…]}``
+    — the batch histogram of the reference snapshot (its bucket count
+    fixes ``n_buckets``). State per open window is that fixed counts
+    array (n_buckets longs — bounded regardless of stream length);
+    micro-batch partials ADD, and each update emits
+    ``(win_start, n_rows, psi)`` with the same PSI convention and
+    1e-6 zero-floor as the batch operator, values outside the baseline
+    range clamping into the edge buckets. Watermark evicts closed
+    windows via EventTimeTimeout like the sketch siblings.
+    """
+    import math
+
+    mn, mx = float(baseline["min"]), float(baseline["max"])
+    base_counts = np.asarray(baseline["counts"], dtype=np.float64)
+    n_buckets = len(base_counts)
+    if n_buckets < 2 or mx <= mn:
+        raise ValueError("baseline needs >= 2 buckets and max > min")
+    base_p = np.maximum(
+        base_counts / max(base_counts.sum(), 1.0), 1e-6
+    )
+    width = (mx - mn) / n_buckets
+
+    src = stream if watermark is None else stream.withWatermark(ts_col, watermark)
+    win_ms = int(pd.Timedelta(window).total_seconds() * 1000)
+    allow_ms = 0 if watermark is None else int(
+        pd.Timedelta(watermark).total_seconds() * 1000
+    )
+    bucket = F.greatest(
+        F.least(
+            F.floor((F.col(value_col).cast("double") - F.lit(mn)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
+    ).cast("int")
+    cols = [
+        F.window(F.col(ts_col), window).start.alias("win_start"),
+        bucket.alias("b"),
+    ]
+    if watermark is not None:
+        cols.append(F.col(ts_col).alias("__ts"))
+    keyed = src.where(F.col(value_col).isNotNull()).select(*cols)
+
+    out_schema = StructType(
+        [
+            StructField("win_start", TimestampType()),
+            StructField("n_rows", LongType()),
+            StructField("psi", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("counts", BinaryType())])
+
+    def agg(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            counts = np.frombuffer(bytes(state.get[0]), dtype="<i8").copy()
+        else:
+            counts = np.zeros(n_buckets, dtype=np.int64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            np.add.at(counts, pdf["b"].to_numpy(dtype=np.int64), 1)
+        n = int(counts.sum())
+        if n:
+            state.update((counts.astype("<i8").tobytes(),))
+            if watermark is not None:
+                win_end = int(pd.Timestamp(key[0]).value // 1_000_000) + win_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(win_end + allow_ms, wm + 1))
+            p = np.maximum(counts / n, 1e-6)
+            psi = float(np.sum((p - base_p) * np.log(p / base_p)))
+            yield pd.DataFrame(
+                {"win_start": [key[0]], "n_rows": [n], "psi": [round(psi, 6)]}
             )
 
     return keyed.groupBy("win_start").applyInPandasWithState(

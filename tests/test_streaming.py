@@ -1091,3 +1091,73 @@ def test_streaming_indexed_sink_keeps_index_current(spark, tmp_path):
     got = skipping_read(spark, outp, "key", [7], index=idx2).collect()
     want = spark.read.parquet(outp).where(F.col("key") == 7).collect()
     assert sorted(r["id"] for r in got) == sorted(r["id"] for r in want)
+
+
+def test_streaming_drift_matches_batch_psi(spark, tmp_path):
+    """Per-window streaming PSI against a frozen baseline must equal the
+    batch drift_report on the same data: an in-distribution window scores
+    ~0, a shifted window crosses the major-drift line, and micro-batch
+    partials add without changing the result."""
+    import datetime as dt
+
+    from bitfilters_spark.operators.text import drift_report
+    from bitfilters_spark.streaming.sketches import streaming_drift
+
+    src = str(tmp_path / "dr_in")
+    ckpt = str(tmp_path / "dr_ckpt")
+
+    # baseline histogram: uniform over [0, 100), 20 buckets
+    base_rows = [(float(i % 100),) for i in range(2000)]
+    baseline = {
+        "min": 0.0,
+        "max": 100.0,
+        "counts": [100] * 20,  # exactly uniform
+    }
+
+    def rows(batch, shift):
+        out = []
+        for i in batch:
+            h = 10 if shift == 0 else 11
+            out.append((float(i % 100 + shift), dt.datetime(2024, 1, 1, h, i % 60)))
+        return out
+
+    # window h=10 in-distribution, window h=11 shifted by +80
+    spark.createDataFrame(
+        rows(range(500), 0) + rows(range(500), 80), "v double, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("v double, ts timestamp").parquet(src)
+    q = (
+        streaming_drift(stream, "v", baseline, "ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName("dr_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows(range(500, 1000), 0) + rows(range(500, 1000), 80),
+            "v double, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM dr_sink").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in out:
+        cur = latest.get(r["win_start"])
+        if cur is None or r["n_rows"] > cur["n_rows"]:
+            latest[r["win_start"]] = r
+    assert len(latest) == 2
+    by_hour = {w.hour: r for w, r in latest.items()}
+    assert by_hour[10]["n_rows"] == by_hour[11]["n_rows"] == 1000
+    assert by_hour[10]["psi"] < 0.05
+    assert by_hour[11]["psi"] > 0.25
+    # equality with the batch operator over the same windows
+    a = spark.createDataFrame(base_rows, "v double")  # reference snapshot
+    stream_df = spark.read.parquet(src)
+    for h, want_shift in ((10, 0), (11, 80)):
+        win = stream_df.where(F.hour("ts") == h).select("v")
+        batch_psi = drift_report(a, win, ["v"])["v"]["psi"]
+        assert abs(by_hour[h]["psi"] - batch_psi) < 1e-6, (h, batch_psi)
