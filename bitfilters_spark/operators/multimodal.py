@@ -285,3 +285,65 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    win: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """Audio payload -> fixed-length overlapping analysis windows (the
+    ASR / audio-embedding preprocessing shape: window, hop, per-window
+    energy). Like :func:`sample_frames`, the DECODE is a stub — the
+    payload's bytes are read as 8-bit PCM samples (a real pipeline swaps
+    in soundfile/librosa here) — but the Spark mechanics are the real
+    thing: mapInPandas row explosion (one clip -> ceil(L/hop) windows),
+    numpy-vectorized per-window energy (sum of squared samples, INTEGER
+    arithmetic so the result is engine-reproducible), and a tail window
+    shorter than ``win`` kept with its true sample count."""
+    if win <= 0 or hop <= 0:
+        raise ValueError("win and hop must be positive")
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wis, starts, lens, energies = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                x = np.frombuffer(bytes(b), dtype=np.int8).astype(np.int64)
+                L = len(x)
+                for w, off in enumerate(range(0, max(L, 1), hop)):
+                    if off >= L:
+                        break
+                    seg = x[off : off + win]
+                    ids.append(int(i))
+                    wis.append(w)
+                    starts.append(off)
+                    lens.append(len(seg))
+                    energies.append(int(np.dot(seg, seg)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": wis,
+                    "start_sample": starts,
+                    "n_samples": lens,
+                    "energy": energies,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        windows, schema=AUDIO_WINDOW_SCHEMA
+    )

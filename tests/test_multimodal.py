@@ -111,3 +111,35 @@ def test_codec_real_path_with_pillow(spark):
     # strict pil codec must raise on the non-image payload
     with pytest.raises(Exception):
         MM.extract_media_meta(df, codec="pil").collect()
+
+
+def test_sample_audio_windows_exact_reference(spark):
+    """Window offsets, tail handling, and integer energies must match a
+    plain python reference on synthetic PCM payloads; null payloads drop."""
+    import numpy as np
+
+    from bitfilters_spark.operators.multimodal import sample_audio_windows
+
+    payloads = {
+        1: bytes(range(0, 200)),            # shorter than one window
+        2: bytes([5] * 1500),               # two full + one tail at hop=512? -> offsets 0,512,1024
+        3: None,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "doc_id long, payload binary"
+    )
+    got = {
+        (r["doc_id"], r["win_idx"]): (r["start_sample"], r["n_samples"], r["energy"])
+        for r in sample_audio_windows(df, win=1024, hop=512).collect()
+    }
+    want = {}
+    for i, b in payloads.items():
+        if b is None:
+            continue
+        x = np.frombuffer(b, dtype=np.int8).astype(np.int64)
+        for w, off in enumerate(range(0, len(x), 512)):
+            seg = x[off : off + 1024]
+            want[(i, w)] = (off, len(seg), int(np.dot(seg, seg)))
+    assert got == want
+    assert (1, 0) in got and got[(1, 0)][1] == 200  # short clip keeps its tail
+    assert len([k for k in got if k[0] == 2]) == 3  # 1500 bytes -> 3 windows
