@@ -640,3 +640,55 @@ def drift_report(
             psi += (pb - pa) * math.log(pb / pa)
         out[c] = {"psi": round(psi, 6), "n_a": na, "n_b": nb}
     return out
+
+
+# ------------------------------------------------------- token encoding ---
+
+
+def encode_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    token_col: str = "token",
+    vocab_id_col: str = "rank",
+    oov_id: int = 0,
+) -> DataFrame:
+    """(id, token_ids array<long>, n_tokens, n_oov) — map each document's
+    tokens to vocabulary ids, order-preserved: the step between
+    vocabulary building (`q_vocab_topk`'s shape: token -> rank) and
+    sequence packing. Unknown tokens encode as ``oov_id``.
+
+    Plan: posexplode -> ONE broadcast join against the (vocab-bounded)
+    id table -> per-doc groupBy re-assembling the array via
+    ``array_sort`` on (pos, id) structs, so order survives the shuffle
+    without any per-doc window. The only wide op is the per-doc groupBy
+    (same shape as `minhash_signatures`); the join is map-side."""
+    v = vocab.select(
+        F.col(token_col).alias("__tok"), F.col(vocab_id_col).cast("long").alias("__tid")
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    joined = toks.join(F.broadcast(v), "__tok", "left").select(
+        id_col,
+        "__pos",
+        F.coalesce("__tid", F.lit(int(oov_id))).alias("__tid"),
+        F.col("__tid").isNull().cast("int").alias("__oov"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__tid")))
+            ).alias("__pairs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__oov").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            F.transform("__pairs", lambda p: p["__tid"]).alias("token_ids"),
+            "n_tokens",
+            "n_oov",
+        )
+    )

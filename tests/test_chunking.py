@@ -87,3 +87,66 @@ def test_duckdb_parity(spark, chunk, overlap):
         ).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------------ token encoding ---
+
+
+def test_encode_documents_order_and_oov(spark):
+    """Token ids come back in document order, OOV tokens take the oov id,
+    and the counts are exact; repartitioning can't disturb the order."""
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.text import encode_documents
+
+    vocab = spark.createDataFrame(
+        [("hello", 1), ("world", 2), ("spark", 3)], "token string, rank long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world hello mystery"),
+            (2, "spark"),
+            (3, "unknown only tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"], r["n_oov"])
+        for r in encode_documents(docs, "doc_id", "text", vocab).collect()
+    }
+    assert got[1] == ([1, 2, 1, 0], 4, 1)
+    assert got[2] == ([3], 1, 0)
+    assert got[3] == ([0, 0, 0], 3, 3)
+    rep = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_documents(
+            docs.repartition(7), "doc_id", "text", vocab
+        ).collect()
+    }
+    assert rep == {k: v[0] for k, v in got.items()}
+
+
+def test_encode_documents_feeds_pack_sequences(spark):
+    """The intended composition: vocab -> encode -> pack by n_tokens."""
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.packing import pack_sequences
+    from bitfilters_spark.operators.text import encode_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e"[: 2 * ((i % 3) + 1) - 1]) for i in range(30)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate("abcde")], "token string, rank long"
+    )
+    enc = encode_documents(docs, "doc_id", "text", vocab)
+    packed = pack_sequences(enc, "doc_id", "n_tokens", capacity=8)
+    joined = packed.join(enc.select("doc_id", "token_ids"), "doc_id")
+    rows = joined.collect()
+    assert len(rows) == 30
+    fills = {}
+    for r in rows:
+        assert len(r["token_ids"]) == r["n_tokens"]
+        fills[r["seq"]] = fills.get(r["seq"], 0) + r["n_tokens"]
+    assert all(v <= 8 for v in fills.values())
