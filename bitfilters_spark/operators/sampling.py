@@ -259,3 +259,69 @@ def top_per_group(
         .where(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def mine_contrastive_triplets(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    k_negatives: int = 4,
+    negative_pool: int = 1024,
+    mask: int = 1023,
+    native: bool = True,
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive /
+    embedding models: every verified near-dup pair (the output of
+    `minhash_lsh_pairs` / `shingle_jaccard_pairs` / `probe_lsh_index`)
+    contributes (a, b) AND (b, a) as anchor-positive, each matched with
+    ``k_negatives`` corpus documents that are NOT near-dups of the
+    anchor.
+
+    Negatives come from a deterministic hash-sampled POOL of
+    ~``negative_pool`` docs (the `hash_sample` machinery — stable under
+    repartitioning), broadcast against the anchors; each anchor
+    deterministically picks the pool entries ranked nearest AFTER its
+    own id-hash (a per-anchor rotation, so anchors don't all share one
+    negative set), skipping any pool doc that is a true pair of the
+    anchor (anti-join on the pair list, both orientations). Plan: pairs
+    x pool broadcast join + one anti-join — the corpus is touched only
+    by the map-side pool sample."""
+    if k_negatives <= 0:
+        raise ValueError("k_negatives must be positive")
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    if n_docs == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], "anchor long, positive long, negative long"
+        )
+    rate = min(1.0, float(negative_pool) / n_docs)
+    thr = max(1, round(rate * (mask + 1)))
+    pool = hash_sample(
+        docs.select(id_col), id_col, thr, mask=mask, native=native
+    ).select(F.col(id_col).alias("negative"))
+    anchors = (
+        pairs.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("positive"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("positive"))
+        )
+        .distinct()
+    )
+    cand = anchors.join(F.broadcast(pool), F.col("negative") != F.col("anchor"))
+    # exclude true pairs of the anchor (either orientation)
+    bad = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("negative")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("negative"))
+    )
+    cand = cand.join(bad, ["anchor", "negative"], "left_anti")
+    # per-(anchor, negative) deterministic rank: anchors draw DIFFERENT
+    # negative sets from the shared pool without any randomness source
+    w = Window.partitionBy("anchor", "positive").orderBy(
+        F.xxhash64("anchor", "negative").asc(), F.col("negative").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k_negatives)
+        .select("anchor", "positive", "negative")
+    )

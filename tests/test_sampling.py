@@ -185,3 +185,36 @@ def test_top_per_group_quality_ranked_cap(spark):
         ).collect()
     )
     assert a == b == [1, 5, 6]
+
+
+def test_mine_contrastive_triplets(spark):
+    """Each direction of each pair anchors k negatives; negatives are
+    never the anchor, its positive, or any of the anchor's other
+    near-dups; the draw is deterministic and differs across anchors."""
+    from bitfilters_spark.operators.sampling import mine_contrastive_triplets
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.8), (10, 11, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    trips = mine_contrastive_triplets(
+        docs, pairs, "doc_id", k_negatives=3, negative_pool=50
+    ).collect()
+    by_anchor = {}
+    for r in trips:
+        by_anchor.setdefault((r["anchor"], r["positive"]), []).append(r["negative"])
+    # both orientations of every pair present, 3 negatives each
+    assert set(by_anchor) == {(1, 2), (2, 1), (1, 3), (3, 1), (10, 11), (11, 10)}
+    assert all(len(v) == 3 for v in by_anchor.values())
+    neardups = {1: {2, 3}, 2: {1}, 3: {1}, 10: {11}, 11: {10}}
+    for (a, p), negs in by_anchor.items():
+        for n in negs:
+            assert n != a and n != p and n not in neardups[a]
+    # determinism
+    again = mine_contrastive_triplets(
+        docs, pairs, "doc_id", k_negatives=3, negative_pool=50
+    ).collect()
+    assert sorted(map(tuple, trips)) == sorted(map(tuple, again))
+    # anchors draw different negative sets from the shared pool
+    assert len({tuple(sorted(v)) for v in by_anchor.values()}) > 1
