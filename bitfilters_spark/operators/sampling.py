@@ -325,3 +325,29 @@ def mine_contrastive_triplets(
         .where(F.col("__rk") <= k_negatives)
         .select("anchor", "positive", "negative")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training dataloaders:
+    rows order by ``xxhash64(key, epoch)`` — a different (but exactly
+    reproducible) permutation every epoch, no RNG state to ship.
+
+    Spark realization: ``repartitionByRange + sortWithinPartitions`` on
+    the epoch hash, NOT a global ``orderBy`` — partitions hold disjoint
+    hash ranges so writing them in partition order IS the permutation,
+    and no single task ever sees the whole dataset. Downstream writers
+    preserve it (parquet writes one file per partition in order)."""
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    h = F.xxhash64(F.col(key_col), F.lit(int(epoch)))
+    return (
+        df.withColumn("__eh", h)
+        .repartitionByRange(n_partitions, F.col("__eh"))
+        .sortWithinPartitions("__eh", key_col)
+        .drop("__eh")
+    )

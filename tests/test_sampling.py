@@ -218,3 +218,32 @@ def test_mine_contrastive_triplets(spark):
     assert sorted(map(tuple, trips)) == sorted(map(tuple, again))
     # anchors draw different negative sets from the shared pool
     assert len({tuple(sorted(v)) for v in by_anchor.values()}) > 1
+
+
+def test_epoch_shuffle_deterministic_distinct_permutations(spark):
+    """Same epoch -> identical order; different epochs -> different
+    permutations of identical content; no global single-partition sort."""
+    from bitfilters_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+
+    def order_of(epoch):
+        out = epoch_shuffle(df, "doc_id", epoch, n_partitions=8)
+        # partition-major order == the intended global permutation
+        import pandas as pd
+
+        parts = out.withColumn("p", F.spark_partition_id()).toPandas()
+        return list(parts.sort_values(["p"], kind="stable")["doc_id"])
+
+    e1a, e1b, e2 = order_of(1), order_of(1), order_of(2)
+    assert e1a == e1b
+    assert e1a != e2
+    assert sorted(e1a) == sorted(e2) == list(range(2000))
+    # hash-range partitioning: every partition gets a share (no 1-task sort)
+    sizes = (
+        epoch_shuffle(df, "doc_id", 1, n_partitions=8)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert len(sizes) == 8 and all(r["count"] > 0 for r in sizes)
