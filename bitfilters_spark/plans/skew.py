@@ -109,7 +109,11 @@ def shuffle_report(df: DataFrame) -> dict:
         for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     ]
     return {
-        "n_exchanges": len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)),
+        # ReusedExchange re-reads an existing shuffle's output — no new
+        # data movement, so it doesn't count
+        "n_exchanges": len(
+            re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \(\d+\)", plan)
+        ),
         "n_broadcasts": len(
             re.findall(
                 r"Broadcast(?:Exchange|HashJoin|NestedLoopJoin) \(\d+\)", plan
