@@ -222,3 +222,40 @@ def pack_sequences(
         "seq",
         "offset",
     )
+
+
+def write_training_shards(
+    assigned: DataFrame,
+    payload: DataFrame,
+    id_col: str,
+    path: str,
+    weight_col: str = "n_tokens",
+    shard_col: str = "shard",
+) -> dict:
+    """Materialize a shard assignment (the output of :func:`pack_shards`)
+    as on-disk training shards plus a manifest.
+
+    Joins the (metadata-scale) assignment back to the payload rows,
+    writes ``path/shard=N/`` via ``partitionBy`` — each shard's rows land
+    in their own directory, written sort-ordered within the shard so
+    readers stream documents in packing order — and returns the manifest
+    ``{shard: {"n_rows": int, "weight": int}}`` from one aggregate over
+    the assignment (never the payload). The join shuffles on the id;
+    pre-bucketed payload tables (``write_bucketed``) skip their side."""
+    a = assigned.select(id_col, shard_col, "prefix_weight")
+    joined = payload.join(a, id_col)
+    (
+        joined.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, "prefix_weight")
+        .drop("prefix_weight")
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    manifest = {
+        int(r[shard_col]): {"n_rows": int(r["n"]), "weight": int(r["wt"])}
+        for r in assigned.groupBy(shard_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(weight_col).alias("wt"))
+        .collect()
+    }
+    return manifest

@@ -141,3 +141,35 @@ def test_pack_sequences_beats_no_packing(spark):
     n_seqs = out.select("seq").distinct().count()
     lower = math.ceil(sum(w for _, w in rows) / 2048)
     assert n_seqs <= lower + 4  # at most one slack bin per partition
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """Shard dirs land on disk with every row exactly once, in-shard
+    document order follows the packing prefix, and the manifest's
+    row/weight totals are exact."""
+    from bitfilters_spark.operators.packing import pack_shards, write_training_shards
+
+    payload = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i % 5) for i in range(200)],
+        "doc_id long, text string, n_tokens long",
+    )
+    assigned = pack_shards(payload, "doc_id", "n_tokens", shard_weight=300)
+    dest = str(tmp_path / "shards")
+    manifest = write_training_shards(assigned, payload, "doc_id", dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.collect()} == set(range(200))
+    # manifest totals match the assignment exactly
+    want = {
+        int(r["shard"]): (int(r["n"]), int(r["wt"]))
+        for r in assigned.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("wt"))
+        .collect()
+    }
+    assert {s: (m["n_rows"], m["weight"]) for s, m in manifest.items()} == want
+    # every shard directory exists and holds only its own rows
+    got_shards = {int(r["shard"]) for r in back.select("shard").distinct().collect()}
+    assert got_shards == set(manifest)
+    # no shard exceeds its budget by more than one document's weight
+    for s, m in manifest.items():
+        assert m["weight"] <= 300 + 14
