@@ -692,3 +692,25 @@ def encode_documents(
             "n_oov",
         )
     )
+
+
+def normalize_text(
+    col,
+    collapse_digits: bool = True,
+    strip_punct: bool = True,
+) -> Column:
+    """Canonical text for fingerprinting/dedup (the standard MinHash-era
+    normalization: near-identical pages should produce IDENTICAL
+    fingerprints): lowercase, punctuation stripped, digit runs collapsed
+    to a single ``0`` (timestamps/ids/counters stop defeating exact
+    dedup), whitespace collapsed. Pure regexp chain — map-side at scan
+    speed; feed the result to `doc_fingerprint` / `dedup_exact` /
+    shingling so formatting noise can't split a duplicate group."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    if collapse_digits:
+        # BEFORE punctuation strip, with separators in the run: "1,234.5"
+        # is one number and must become one "0", not several
+        c = F.regexp_replace(c, r"[0-9][0-9.,:]*", "0")
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^\w\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -74,3 +74,32 @@ def test_web_ops_compose_with_dedup_and_caps(spark):
     # one survivor per domain, deterministic hash order picks within a.com
     assert set(by_domain) == {"a.com", "b.com"}
     assert by_domain["b.com"] == 4 and by_domain["a.com"] in (1, 3)
+
+
+def test_normalize_text_canonicalizes_noise(spark):
+    """Formatting noise (case, punctuation, counters, whitespace) must not
+    split a duplicate group: normalized variants fingerprint identically
+    and dedup_exact collapses them."""
+    from bitfilters_spark.operators.dedup import dedup_exact
+    from bitfilters_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Breaking News: markets rallied 1,234 points today!!"),
+        (2, "breaking news  markets rallied 987 points today"),
+        (3, "An entirely different article body goes here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "norm", normalize_text(F.col("text"))
+    )
+    got = {r["doc_id"]: r["norm"] for r in df.collect()}
+    assert got[1] == got[2] == "breaking news markets rallied 0 points today"
+    kept = sorted(r["doc_id"] for r in dedup_exact(df, "norm", "doc_id").collect())
+    assert kept == [1, 3]
+    # knobs: keeping digits distinguishes the counters again
+    raw = {
+        r["doc_id"]: r["n"]
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("n", normalize_text(F.col("text"), collapse_digits=False))
+        .collect()
+    }
+    assert raw[1] != raw[2]
