@@ -53,10 +53,13 @@ def normalize_url(col, strip_params: tuple = _TRACKING_PARAMS) -> Column:
     tracking noise normalize to the same string, which is exactly what
     `dedup_exact` on the result needs."""
     c = F.col(col) if isinstance(col, str) else col
-    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
-    path = F.parse_url(c, F.lit("PATH"))
-    query = F.parse_url(c, F.lit("QUERY"))
+    # try_parse_url, not parse_url: under ANSI mode parse_url THROWS on a
+    # malformed URL — one bad row in a 100 TB crawl must yield NULL, not
+    # kill the job
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    path = F.try_parse_url(c, F.lit("PATH"))
+    query = F.try_parse_url(c, F.lit("QUERY"))
     # drop tracking params from the query string
     for p in strip_params:
         query = F.regexp_replace(query, rf"(?i)(^|&){p}=[^&]*", "$1")
@@ -67,9 +70,11 @@ def normalize_url(col, strip_params: tuple = _TRACKING_PARAMS) -> Column:
     ).otherwise(F.regexp_replace(path, r"/+$", ""))
     path_n = F.when(path_n == "", F.lit("/")).otherwise(path_n)
     base = F.concat(scheme, F.lit("://"), host, path_n)
-    return F.when(
-        (query.isNull()) | (query == ""), base
-    ).otherwise(F.concat(base, F.lit("?"), query))
+    return F.when(scheme.isNull() | host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when((query.isNull()) | (query == ""), base).otherwise(
+            F.concat(base, F.lit("?"), query)
+        )
+    )
 
 
 def url_domain(col, registrable: bool = True) -> Column:
@@ -79,7 +84,7 @@ def url_domain(col, registrable: bool = True) -> Column:
     deterministic heuristic standing in for the public-suffix list
     (which is a data file, not an algorithm)."""
     c = F.col(col) if isinstance(col, str) else col
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
     if not registrable:
         return host
     two_part = r"\.(co|com|org|net|gov|ac|edu)\.[a-z]{2}$"

@@ -103,3 +103,27 @@ def test_normalize_text_canonicalizes_noise(spark):
         .collect()
     }
     assert raw[1] != raw[2]
+
+
+def test_url_ops_tolerate_garbage(spark):
+    """Malformed URLs and NULLs must yield NULL, never a job-killing ANSI
+    parse error (one bad row in a crawl cannot fail the pipeline)."""
+    rows = [
+        (1, None),
+        (2, "not a url at all"),
+        (3, "https://ok.example.com/x"),
+        (4, "::::"),
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    out = {
+        r["id"]: (r["n"], r["d"])
+        for r in df.select(
+            "id",
+            normalize_url(F.col("u")).alias("n"),
+            url_domain(F.col("u")).alias("d"),
+        ).collect()
+    }
+    assert out[3] == ("https://ok.example.com/x", "example.com")
+    for bad in (1, 2, 4):
+        assert out[bad][0] is None
+    assert out[1][1] is None
