@@ -725,3 +725,63 @@ def dedup_best(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def lsh_params(
+    threshold: float,
+    k: int = 64,
+    min_recall: float = 0.95,
+    max_fp_rate: float = 0.05,
+) -> dict:
+    """Choose the LSH band count for a target Jaccard threshold — the
+    S-curve arithmetic users otherwise hand-wave: with ``b`` bands of
+    ``r = k // b`` rows, a pair of similarity ``s`` becomes a candidate
+    with probability ``1 - (1 - s^r)^b``.
+
+    Scans the divisors of ``k`` and returns the band count whose curve
+    clears ``min_recall`` AT the threshold with the lowest candidate
+    rate at ``threshold / 2`` (the false-positive proxy: candidates are
+    exact-verified afterwards, so FPs cost only verification compute,
+    never correctness — but at corpus scale the candidate volume IS the
+    cost). Returns ``{bands, rows_per_band, recall_at_threshold,
+    candidate_rate_at_half_threshold, curve}`` where ``curve`` maps a
+    few similarity points to candidate probability; raises if no
+    divisor of k reaches ``min_recall`` (raise k or lower the bar)."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+
+    def p_cand(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        recall = p_cand(threshold, b, r)
+        if recall < min_recall:
+            continue
+        fp = p_cand(threshold / 2.0, b, r)
+        if best is None or fp < best["candidate_rate_at_half_threshold"]:
+            best = {
+                "bands": b,
+                "rows_per_band": r,
+                "recall_at_threshold": round(recall, 6),
+                "candidate_rate_at_half_threshold": round(fp, 6),
+                "curve": {
+                    round(s, 2): round(p_cand(s, b, r), 6)
+                    for s in (0.1, 0.25, 0.5, 0.75, 0.9)
+                },
+            }
+    if best is None:
+        raise ValueError(
+            f"no divisor of k={k} reaches recall {min_recall} at "
+            f"threshold {threshold}; increase k"
+        )
+    if best["candidate_rate_at_half_threshold"] > max_fp_rate:
+        best["note"] = (
+            f"candidate rate {best['candidate_rate_at_half_threshold']} at "
+            f"s={threshold/2:.2f} exceeds {max_fp_rate}; a larger k would "
+            "sharpen the S-curve"
+        )
+    return best

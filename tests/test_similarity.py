@@ -232,3 +232,35 @@ def test_shingle_jaccard_prethin_equals_window_path(spark):
     }
     assert window_path == prethin_path
     assert {(a, b) for a, b, _ in window_path} >= {(0, 100), (1, 101)}
+
+
+def test_lsh_params_s_curve_math(spark):
+    """The chosen (bands, rows) must clear the recall bar at the
+    threshold and minimize the half-threshold candidate rate among k's
+    divisors (brute-force checked); the operator's shipped 16-band
+    default is endorsed at its documented operating point (corpus pairs
+    at j >= 0.9, miss probability ~0)."""
+    import pytest as _pytest
+
+    from bitfilters_spark.operators.dedup import lsh_params
+
+    for thr, bar in ((0.5, 0.9), (0.9, 0.999)):
+        p = lsh_params(thr, k=64, min_recall=bar)
+        b, r = p["bands"], p["rows_per_band"]
+        assert b * r == 64
+        raw_recall = 1 - (1 - thr**r) ** b
+        assert abs(p["recall_at_threshold"] - raw_recall) < 1e-6
+        assert raw_recall >= bar
+        # brute force: no other divisor clears the bar with fewer
+        # half-threshold candidates
+        for b2 in (1, 2, 4, 8, 16, 32, 64):
+            r2 = 64 // b2
+            if 1 - (1 - thr**r2) ** b2 >= bar:
+                fp2 = 1 - (1 - (thr / 2) ** r2) ** b2
+                assert fp2 >= p["candidate_rate_at_half_threshold"] - 1e-9
+    # the shipped default (16 bands of 4) at its documented operating
+    # point: j >= 0.9 pairs are essentially never missed
+    miss_16_4 = (1 - 0.9**4) ** 16
+    assert miss_16_4 < 1e-7
+    with _pytest.raises(ValueError, match="increase k"):
+        lsh_params(0.95, k=4, min_recall=0.999999)
