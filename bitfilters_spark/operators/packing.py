@@ -259,3 +259,25 @@ def write_training_shards(
         .collect()
     }
     return manifest
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "row_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous ``0..N-1`` ids in ``order_col`` order — the DataFrame
+    answer to RDD ``zipWithIndex`` (which Spark's DataFrame API lacks;
+    ``monotonically_increasing_id`` leaves gaps and tracks partition
+    layout, not a data order). Exactly :func:`pack_shards`' two-phase
+    distributed prefix machinery with weight 1: the exclusive prefix
+    COUNT is the row id, no single-partition window anywhere."""
+    assigned = pack_shards(
+        df.select(F.col(order_col).alias("__k")).withColumn("__one", F.lit(1)),
+        "__k",
+        "__one",
+        shard_weight=1 << 62,
+        n_partitions=n_partitions,
+    ).select(F.col("__k").alias(order_col), F.col("prefix_weight").alias(id_name))
+    return df.join(assigned, order_col)

@@ -714,3 +714,25 @@ def normalize_text(
     if strip_punct:
         c = F.regexp_replace(c, r"[^\w\s]", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def blocklist_hits(col, terms: list) -> Column:
+    """Number of token occurrences that match the blocklist (C4-style
+    content gate: pages containing listed terms are dropped or flagged).
+    Token-level equality on the lowercased token (no substring traps:
+    'class' never matches 'ass'), pure JVM `F.filter`/`isin` — map-side
+    at scan speed; broadcast-free because the list ships in the plan."""
+    if not terms:
+        return F.lit(0)
+    lowered = [t.lower() for t in terms]
+    return F.size(
+        F.filter(tokens(col), lambda t: F.lower(t).isin(*lowered))
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, text_col: str, terms: list, max_hits: int = 0
+) -> DataFrame:
+    """Keep documents with at most ``max_hits`` blocklisted token
+    occurrences (0 = any hit drops the page)."""
+    return df.where(blocklist_hits(F.col(text_col), terms) <= max_hits)

@@ -88,3 +88,36 @@ def test_duckdb_parity(spark):
     ).fetchall():
         want[doc_id] = (n_words, n_stop, gp)
     assert got == want
+
+
+def test_blocklist_filter_token_level(spark):
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.text import blocklist_filter, blocklist_hits
+
+    rows = [
+        (1, "a perfectly CLEAN document about classes"),  # 'classes' != 'class'
+        (2, "contains one BadWord here"),
+        (3, "badword badword twice"),
+        (4, "no issues at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", blocklist_hits(F.col("text"), ["badword", "class"]).alias("h")
+        ).collect()
+    }
+    assert hits == {1: 0, 2: 1, 3: 2, 4: 0}
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(df, "text", ["badword", "class"]).collect()
+    )
+    assert kept == [1, 4]
+    lenient = sorted(
+        r["doc_id"]
+        for r in blocklist_filter(df, "text", ["badword"], max_hits=1).collect()
+    )
+    assert lenient == [1, 2, 4]
+    # empty blocklist keeps everything
+    assert blocklist_filter(df, "text", []).count() == 4

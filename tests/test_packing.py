@@ -173,3 +173,22 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     # no shard exceeds its budget by more than one document's weight
     for s, m in manifest.items():
         assert m["weight"] <= 300 + 14
+
+
+def test_assign_row_ids_contiguous_in_order(spark):
+    from bitfilters_spark.operators.packing import assign_row_ids
+
+    import random
+
+    keys = list(range(0, 4000, 4))
+    random.Random(3).shuffle(keys)
+    df = spark.createDataFrame([(k, f"p{k}") for k in keys], "k long, payload string")
+    out = assign_row_ids(df, "k", n_partitions=6).collect()
+    assert len(out) == 1000
+    by_key = {r["k"]: r["row_id"] for r in out}
+    # contiguous 0..N-1, ascending with the order column
+    assert sorted(by_key.values()) == list(range(1000))
+    for i, k in enumerate(sorted(by_key)):
+        assert by_key[k] == i
+    # payload survives
+    assert all(r["payload"] == f"p{r['k']}" for r in out)
