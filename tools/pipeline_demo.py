@@ -1,0 +1,173 @@
+"""End-to-end crawl -> training-shards demo: every stage is a verified
+operator from this engine, chained the way a production pipeline would.
+
+Synthesizes a "crawl" from the documents table (HTML wrapping + URLs with
+tracking noise + injected duplicates), then runs:
+
+  strip_html -> normalize_url dedup -> blocklist + Gopher + LM quality
+  gates -> normalize_text exact dedup -> LSH near-dup dedup vs a
+  persisted index -> n-gram decontamination -> token encoding ->
+  sequence packing -> shard packing -> on-disk shards + manifest
+
+Prints one JSON line of per-stage row counts and wall times.
+Usage: ``python tools/pipeline_demo.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.dedup import dedup_exact
+    from bitfilters_spark.operators.neardup_index import (
+        build_lsh_index,
+        dedup_against_index,
+    )
+    from bitfilters_spark.operators.packing import (
+        pack_shards,
+        pack_sequences,
+        write_training_shards,
+    )
+    from bitfilters_spark.operators.text import (
+        blocklist_filter,
+        gopher_rules,
+        lm_score,
+        ngram_contamination,
+        normalize_text,
+        token_count,
+        train_ngram_lm,
+    )
+    from bitfilters_spark.operators.web import normalize_url, strip_html
+    from bitfilters_spark.session import make_session
+
+    spark = make_session(app="pipeline-demo", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="pipeline_demo_")
+    stages: dict = {}
+    t_all = time.time()
+
+    def stage(name, df):
+        t0 = time.time()
+        n = df.count()
+        stages[name] = {"rows": n, "s": round(time.time() - t0, 2)}
+        return df
+
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # synthetic crawl: html wrapping, noisy urls, 10% exact re-crawls
+        crawl = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><script>x=1</script></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+            F.concat(
+                F.lit("https://Site"),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=crawl"),
+            ).alias("url"),
+        )
+        recrawl = crawl.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        ).withColumn("url", F.regexp_replace("url", r"\?utm_source=crawl", ""))
+        crawl = stage("crawl", crawl.unionByName(recrawl).localCheckpoint())
+
+        extracted = crawl.select(
+            "doc_id",
+            strip_html(F.col("html")).alias("text"),
+            normalize_url(F.col("url")).alias("url"),
+        )
+        by_url = stage("url_dedup", dedup_exact(extracted, "url", "doc_id"))
+
+        # the synthetic corpus has no English stopwords, so the full
+        # Gopher verdict is false everywhere by design — gate on the
+        # applicable rules (a real English crawl would use gopher_pass)
+        gated = gopher_rules(by_url, min_words=30).where(
+            "rule_word_count AND rule_mean_len AND rule_symbol_ratio "
+            "AND rule_alpha_words"
+        ).select("doc_id", "text", "url")
+        gated = blocklist_filter(gated, "text", ["spam", "casino"])
+        lm = train_ngram_lm(by_url, "text")
+        scores = lm_score(gated, "doc_id", "text", lm)
+        gated = stage(
+            "quality_gate",
+            gated.join(scores.where(F.col("avg_logp") > -12), "doc_id").select(
+                "doc_id", "text", "url"
+            ).localCheckpoint(),
+        )
+
+        exact = stage(
+            "exact_dedup",
+            dedup_exact(
+                gated.withColumn("norm", normalize_text(F.col("text"))),
+                "norm",
+                "doc_id",
+            ).drop("norm").localCheckpoint(),
+        )
+
+        spark.sql("DROP TABLE IF EXISTS demo_ix_bands")
+        spark.sql("DROP TABLE IF EXISTS demo_ix_shingles")
+        half = exact.where(F.col("doc_id") % 2 == 0)
+        build_lsh_index(half, "doc_id", "text", "demo_ix", path=f"{tmp}/ix")
+        incoming = exact.where(F.col("doc_id") % 2 == 1)
+        clean = stage(
+            "near_dedup_vs_index",
+            half.unionByName(
+                dedup_against_index(spark, incoming, "doc_id", "text", "demo_ix")
+            ).localCheckpoint(),
+        )
+
+        bench_grams = docs.where(F.col("doc_id") % 17 == 0)
+        scored = ngram_contamination(clean, bench_grams, "doc_id", "text", n=13)
+        contaminated = scored.where(2 * F.col("n_hit") >= F.col("n_grams"))
+        decon = stage(
+            "decontaminate",
+            clean.join(
+                contaminated.select("doc_id"), "doc_id", "left_anti"
+            ).localCheckpoint(),
+        )
+
+        weighted = decon.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        seqs = pack_sequences(
+            weighted.where(F.col("n_tokens") <= 512), "doc_id", "n_tokens", 512
+        )
+        stages["pack_sequences"] = {
+            "rows": seqs.count(),
+            "n_seqs": seqs.select("seq").distinct().count(),
+        }
+        assigned = pack_shards(weighted, "doc_id", "n_tokens", shard_weight=20_000)
+        manifest = write_training_shards(
+            assigned, decon, "doc_id", f"{tmp}/shards"
+        )
+        stages["shards"] = {
+            "n_shards": len(manifest),
+            "rows": sum(m["n_rows"] for m in manifest.values()),
+            "tokens": sum(m["weight"] for m in manifest.values()),
+        }
+        out = {
+            "sf_dir": sf_dir,
+            "total_s": round(time.time() - t_all, 2),
+            "stages": stages,
+        }
+        print(json.dumps(out, separators=(",", ":")))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
