@@ -22,6 +22,12 @@ disk-bounded, not executor-memory-bounded — the same design choice as
 ``foreachBatch`` writer too. Replay safety: a committed batch id is
 recorded next to the index (atomic tmp+rename) and re-delivered batches
 are skipped, so failure recovery cannot re-append or self-match.
+
+CONTRACT: the marker is tied to the query's checkpoint lineage (batch
+ids restart at 0 with a fresh checkpoint), so reset checkpoint, index,
+output dataset, and marker TOGETHER — a fresh checkpoint against an
+old index would silently skip every batch until the old high-water
+batch id is passed.
 """
 
 from __future__ import annotations
