@@ -1800,8 +1800,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_token_count": r"""
             WITH chunks AS (
+              -- ::BIGINT: DuckDB SUM(BIGINT) is HUGEINT, which exports to
+              -- pandas as float64 and fails the dtype-strict driver hash.
               SELECT doc_id, count(*) AS n_chunks,
-                     sum(least(64, n - s)) AS chunk_token_sum
+                     sum(least(64, n - s))::BIGINT AS chunk_token_sum
               FROM (
                 SELECT doc_id, len(string_split(text, ' ')) AS n,
                        unnest(generate_series(

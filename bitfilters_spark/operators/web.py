@@ -29,10 +29,12 @@ def strip_html(col) -> Column:
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     # tags: any <...> run becomes a separator
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
-    # common entities (the long tail stays literal rather than wrong)
+    # common entities (the long tail stays literal rather than wrong).
+    # &amp; is decoded LAST: double-escaped text like "&amp;lt;" renders
+    # as the literal "&lt;" and must NOT collapse further to "<".
     for ent, rep in [
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ]:
         c = F.regexp_replace(c, ent, rep)
     return F.trim(F.regexp_replace(c, r"\s+", " "))

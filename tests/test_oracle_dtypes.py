@@ -1,0 +1,33 @@
+"""Dtype-parity gate for oracle_sql() — kills the HUGEINT→float64 class.
+
+Rounds 4 and 5 each shipped one driver-red `hash_match` caused by a DuckDB
+aggregate (SUM over BIGINT → HUGEINT) exporting to pandas as float64 while
+the Spark side returned int64. The values were identical; the driver's
+dtype-sensitive value hash still failed. This test audits EVERY oracle
+column's exported dtype against the Spark query's schema-implied dtype so
+the class cannot ship again. Spark plans are built but never executed
+(schema-only), DuckDB runs at sf0.001 — the whole gate is seconds per query.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_oracle_dtypes_match_spark_schema():
+    # Subprocess: the audit builds its own SparkSession config; keep it
+    # isolated from the suite's shared session.
+    proc = subprocess.run(
+        [sys.executable, "tools/oracle_dtype_audit.py", SF_DIR],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert proc.returncode == 0, f"dtype mismatches:\n{proc.stdout[-4000:]}"

@@ -69,9 +69,22 @@ def main(sf_dir: str, only: list | None = None) -> int:
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             failures += 1
         else:
+            # Driver parity: its value hash is dtype-sensitive, so an int64
+            # Spark column vs a float64 DuckDB export is a FAIL even when
+            # values match (the r4/r5 HUGEINT->float64 class).
+            dtype_bad = [
+                c
+                for c in a.columns
+                if (a[c].dtype.kind in "iu") != (b[c].dtype.kind in "iu")
+                and not (a[c].isna().any() or b[c].isna().any())
+            ]
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9)
-                print(f"PASS {name} ({len(a)} rows, {dt:.1f}s)")
+                if dtype_bad:
+                    print(f"FAIL {name}: values equal but dtypes differ on {dtype_bad} (driver hash would be red)")
+                    failures += 1
+                else:
+                    print(f"PASS {name} ({len(a)} rows, {dt:.1f}s)")
             except AssertionError as ex:
                 print(f"FAIL {name}: values differ: {str(ex)[:400]}")
                 failures += 1
