@@ -70,6 +70,48 @@ def _banded(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
     )
 
 
+_GEOM_KEYS = ("k", "bands", "shingle_n", "num_buckets")
+
+
+def _write_geom(spark: SparkSession, name: str, geom: dict) -> None:
+    """Persist the index geometry as table properties on ``<name>_bands``.
+    Probe/append with a different geometry would not error — band hashes
+    simply never collide — so it must be an explicit failure instead of
+    silent zero recall."""
+    props = ", ".join(f"'bitfilters.{g}'='{geom[g]}'" for g in _GEOM_KEYS)
+    spark.sql(f"ALTER TABLE {name}_bands SET TBLPROPERTIES ({props})")
+
+
+def _check_geom(spark: SparkSession, name: str, geom: dict) -> None:
+    """Fail fast when the caller's geometry disagrees with the persisted
+    one. Indexes built before geometry stamping (no properties) pass."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    except Exception:
+        return
+    props = {r["key"]: r["value"] for r in rows}
+    for g, want in geom.items():
+        have = props.get(f"bitfilters.{g}")
+        if have is not None and int(have) != want:
+            raise ValueError(
+                f"LSH index '{name}' was built with {g}={have}, called with "
+                f"{g}={want}; mismatched geometry yields near-zero recall. "
+                f"Rebuild the index or pass the stored geometry."
+            )
+
+
+def lsh_index_geometry(spark: SparkSession, name: str) -> dict:
+    """The stored {k, bands, shingle_n, num_buckets} of a persisted index
+    (empty dict for pre-stamping indexes) — pass these to probe/append."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    return {
+        g: int(props[f"bitfilters.{g}"])
+        for g in _GEOM_KEYS
+        if f"bitfilters.{g}" in props
+    }
+
+
 def build_lsh_index(
     df: DataFrame,
     id_col: str,
@@ -105,6 +147,11 @@ def build_lsh_index(
         num_buckets=num_buckets,
         path=None if path is None else f"{path}/shingles",
     )
+    _write_geom(
+        df.sparkSession,
+        name,
+        {"k": k, "bands": bands, "shingle_n": shingle_n, "num_buckets": num_buckets},
+    )
 
 
 def append_to_lsh_index(
@@ -126,6 +173,11 @@ def append_to_lsh_index(
     never corrupt the bucketing; serialize appends (as
     ``streaming_neardup_dedup``'s per-micro-batch fold does) when probe
     results must reflect a consistent index version."""
+    _check_geom(
+        new_df.sparkSession,
+        name,
+        {"k": k, "bands": bands, "shingle_n": shingle_n, "num_buckets": num_buckets},
+    )
     sig = minhash_signatures(new_df, id_col, text_col, k, shingle_n)
     _banded(sig, id_col, k, bands).write.mode("append").format("parquet").bucketBy(
         num_buckets, "bh"
@@ -154,6 +206,7 @@ def probe_lsh_index(
     the join keys); only the new side's band rows and candidate shingle
     sets move. LSH recall semantics are exactly ``minhash_lsh_pairs``:
     candidates from any shared band, then exact Jaccard >= threshold."""
+    _check_geom(spark, name, {"k": k, "bands": bands, "shingle_n": shingle_n})
     sig = minhash_signatures(new_df, id_col, text_col, k, shingle_n)
     new_bands = _banded(sig, id_col, k, bands)
     ref_bands = spark.table(f"{name}_bands")

@@ -11,6 +11,8 @@ table and compose with the rest of the pipeline (`strip_html` →
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -79,18 +81,110 @@ def normalize_url(col, strip_params: tuple = _TRACKING_PARAMS) -> Column:
     )
 
 
-def url_domain(col, registrable: bool = True) -> Column:
-    """Domain of a URL for per-domain caps and grouping. With
-    ``registrable`` the common multi-part public suffixes (co.uk etc.)
-    keep three labels, everything else keeps the last two — a
-    deterministic heuristic standing in for the public-suffix list
-    (which is a data file, not an algorithm)."""
+def url_domain(col, registrable: bool = True, suffixes=None) -> Column:
+    """Domain of a URL for per-domain caps and grouping.
+
+    With ``registrable`` and no ``suffixes``, the common multi-part
+    public suffixes (co.uk etc.) keep three labels and everything else
+    keeps the last two — a deterministic heuristic standing in for the
+    public-suffix list (which is a data file, not an algorithm).
+
+    ``suffixes`` — an iterable of public-suffix strings ("co.uk",
+    "uk.com", "github.io", ...) — replaces the heuristic with an exact
+    longest-suffix match compiled into ONE regex alternation (still a
+    pure JVM expression, scan speed). Right-sized for a curated list of
+    up to a few hundred suffixes; for the full ~9k-rule public-suffix
+    list use :func:`resolve_url_domain`, which broadcast-joins a suffix
+    table instead of inlining it into the plan."""
     c = F.col(col) if isinstance(col, str) else col
     host = F.lower(F.try_parse_url(c, F.lit("HOST")))
     if not registrable:
         return host
+    if suffixes is not None:
+        # longest (most labels, then longest string) first so the regex
+        # alternation prefers "uk.com" over "com" for a.b.uk.com
+        ordered = sorted(
+            {s.strip(".").lower() for s in suffixes},
+            key=lambda s: (-s.count("."), -len(s)),
+        )
+        alt = "|".join(re.escape(s).replace("\\-", "-") for s in ordered)
+        return F.when(
+            host.rlike(rf"[^.]\.(?:{alt})$"),
+            F.regexp_extract(host, rf"([^.]+\.(?:{alt}))$", 1),
+        ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
     two_part = r"\.(co|com|org|net|gov|ac|edu)\.[a-z]{2}$"
     return F.when(
         host.rlike(two_part),
         F.regexp_extract(host, r"([^.]+\.(?:co|com|org|net|gov|ac|edu)\.[a-z]{2})$", 1),
     ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def resolve_url_domain(
+    df,
+    url_col: str,
+    suffixes_df,
+    out_col: str = "domain",
+    max_suffix_labels: int = 4,
+):
+    """Registrable domain via a real public-suffix TABLE — the
+    production path for the full ~9k-rule list, which is too large to
+    inline into an expression.
+
+    ``suffixes_df`` is one string column (any name) of plain suffix
+    rules ("com", "co.uk", "github.io"; wildcard/exception PSL rules
+    are not interpreted — pre-expand them). For each host the candidate
+    suffixes (its last 1..``max_suffix_labels`` labels, never the whole
+    host) are matched with one broadcast LEFT join per candidate length
+    — all map-side, ZERO shuffle of ``df`` — and the longest match
+    wins: registrable = one label + matched suffix. Hosts matching no
+    rule fall back to their last two labels (the PSL convention of
+    treating an unknown TLD as a plain suffix)."""
+    sfx_col = suffixes_df.columns[0]
+    sfx = (
+        suffixes_df.select(
+            F.lower(F.trim(F.col(sfx_col))).alias("_bf_sfx")
+        )
+        .where(F.col("_bf_sfx") != "")
+        .distinct()
+    )
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    out = df.withColumn("_bf_labels", F.split(host, r"\.")).withColumn(
+        "_bf_n", F.size("_bf_labels")
+    )
+    for i in range(1, max_suffix_labels + 1):
+        out = out.withColumn(
+            f"_bf_cand{i}",
+            F.when(
+                F.col("_bf_n") > i,  # suffix must leave >=1 label over
+                F.array_join(
+                    F.slice(F.col("_bf_labels"), F.col("_bf_n") - i + 1, i), "."
+                ),
+            ),
+        )
+        out = out.join(
+            F.broadcast(sfx.select(F.col("_bf_sfx").alias(f"_bf_hit{i}"))),
+            out[f"_bf_cand{i}"] == F.col(f"_bf_hit{i}"),
+            "left",
+        )
+    match_len = F.greatest(
+        *[
+            F.when(F.col(f"_bf_hit{i}").isNotNull(), F.lit(i)).otherwise(F.lit(0))
+            for i in range(1, max_suffix_labels + 1)
+        ]
+    )
+    domain = F.when(
+        match_len > 0,
+        F.array_join(
+            F.slice(F.col("_bf_labels"), F.col("_bf_n") - match_len, match_len + 1),
+            ".",
+        ),
+    ).otherwise(
+        F.when(
+            F.col("_bf_n") >= 2,
+            F.array_join(F.slice(F.col("_bf_labels"), F.col("_bf_n") - 1, 2), "."),
+        ).otherwise(F.array_join(F.col("_bf_labels"), "."))
+    )
+    drop = ["_bf_labels", "_bf_n"] + [
+        c for i in range(1, max_suffix_labels + 1) for c in (f"_bf_cand{i}", f"_bf_hit{i}")
+    ]
+    return out.withColumn(out_col, domain).drop(*drop)

@@ -1161,3 +1161,110 @@ def test_streaming_drift_matches_batch_psi(spark, tmp_path):
         win = stream_df.where(F.hour("ts") == h).select("v")
         batch_psi = drift_report(a, win, ["v"])["v"]["psi"]
         assert abs(by_hour[h]["psi"] - batch_psi) < 1e-6, (h, batch_psi)
+
+
+def test_neardup_fold_crash_replay_is_idempotent(spark, tmp_path):
+    """Simulate the worst crash window: a batch completes output write
+    AND index append but dies before the commit marker. The replayed
+    batch must leave the output dataset byte-identical (batch-keyed
+    overwrite) and must not let already-indexed survivors knock
+    themselves out (self-match exclusion)."""
+    import os
+
+    from bitfilters_spark.streaming.neardup import _marker_path, make_neardup_fold
+
+    idx = str(tmp_path / "cr_idx")
+    outp = str(tmp_path / "cr_out")
+    for t in ("crix_bands", "crix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fold = make_neardup_fold("doc_id", "text", "crix", idx, outp)
+
+    base = "the cat sat on the mat and watched the birds outside all day long"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base + " with a tiny suffix"), (3, "totally unrelated words about spark parquet shuffles")],
+        "doc_id long, text string",
+    )
+    fold(b0, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    assert first == [1, 3]
+    # crash before commit: marker lost, batch 0 re-delivered and re-run
+    os.remove(_marker_path(idx))
+    fold(b0, 0)
+    replay = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    assert replay == first  # no duplicates, no self-knockout
+    # index still answers probes correctly despite duplicate band rows
+    from bitfilters_spark.operators.neardup_index import probe_lsh_index
+
+    probe = spark.createDataFrame([(99, base + " again")], "doc_id long, text string")
+    hits = probe_lsh_index(spark, probe, "doc_id", "text", "crix").collect()
+    assert {r["ref_id"] for r in hits} == {1}
+    # and a subsequent batch still dedups against batch 0's survivors
+    b1 = spark.createDataFrame(
+        [(10, base + " another suffix"), (11, "fresh vocabulary nothing shared here at all today")],
+        "doc_id long, text string",
+    )
+    fold(b1, 1)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    assert final == [1, 3, 11]
+
+
+def test_neardup_fold_star_pattern_keeps_cluster_minimum(spark, tmp_path):
+    """In-batch policy IS the batch dedup_near: for a star (a~c, b~c,
+    a!~b) connected components keep only min(a,b,c) — a pairwise
+    drop-the-greater policy would wrongly keep both a and b."""
+    from bitfilters_spark.operators.dedup import minhash_lsh_pairs
+    from bitfilters_spark.streaming.neardup import make_neardup_fold
+
+    idx = str(tmp_path / "st_idx")
+    outp = str(tmp_path / "st_out")
+    for t in ("stix_bands", "stix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    words = [f"w{i:02d}" for i in range(40)]
+    c_text = " ".join(words)           # the hub
+    a_text = " ".join(words[:22])      # first half -> sim to c, not to b
+    b_text = " ".join(words[18:])      # second half
+    rows = [(1, a_text), (2, b_text), (3, c_text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # bands=32 (r=2): candidate recall at j~0.5 is ~1-(1-0.25)^32 > 0.9999
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", 64, 32, 3, 0.45)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 3), (2, 3)}, got  # a star, not a triangle
+    fold = make_neardup_fold(
+        "doc_id", "text", "stix", idx, outp, k=64, bands=32, threshold=0.45
+    )
+    fold(df, 0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    assert kept == [1]  # CC keeps the min of {1,2,3}; pairwise would keep [1, 2]
+
+
+def test_lsh_index_geometry_is_persisted_and_validated(spark, tmp_path):
+    """Probe/append with a geometry different from the build must raise,
+    not silently return near-zero candidates; the stored geometry is
+    readable so callers can just use it."""
+    import pytest as _pytest
+
+    from bitfilters_spark.operators.neardup_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_index_geometry,
+        probe_lsh_index,
+    )
+
+    for t in ("gmix_bands", "gmix_shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    build_lsh_index(df, "doc_id", "text", "gmix", k=64, bands=16, shingle_n=3)
+    assert lsh_index_geometry(spark, "gmix") == {
+        "k": 64, "bands": 16, "shingle_n": 3, "num_buckets": 32,
+    }
+    with _pytest.raises(ValueError, match="bands=16, called with bands=8"):
+        probe_lsh_index(spark, df, "doc_id", "text", "gmix", k=64, bands=8)
+    with _pytest.raises(ValueError, match="shingle_n"):
+        append_to_lsh_index(df, "doc_id", "text", "gmix", shingle_n=5)
+    # matching geometry still probes fine (self-match present by design)
+    hits = probe_lsh_index(spark, df, "doc_id", "text", "gmix").collect()
+    assert {(r["new_id"], r["ref_id"]) for r in hits} == {(1, 1)}

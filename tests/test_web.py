@@ -127,3 +127,74 @@ def test_url_ops_tolerate_garbage(spark):
     for bad in (1, 2, 4):
         assert out[bad][0] is None
     assert out[1][1] is None
+
+
+def test_strip_html_double_escaped_entities_stay_literal(spark):
+    """&amp;lt; renders as the literal text "&lt;" — decoding &amp; before
+    &lt; would double-decode it to "<". &amp; must decode LAST."""
+    got = _one(spark, strip_html(F.col("v")), "<p>a &amp;lt; b &amp;amp; c &lt; d</p>")
+    assert got == "a &lt; b &amp; c < d"
+
+
+def test_url_domain_with_suffix_list(spark):
+    """A supplied public-suffix list beats the heuristic: uk.com and
+    github.io are public suffixes (heuristic mis-splits them), and the
+    longest suffix wins."""
+    sfx = ["co.uk", "uk.com", "github.io", "com", "org"]
+    rows = [
+        (1, "https://www.example.co.uk/x"),
+        (2, "https://foo.bar.uk.com/x"),      # heuristic would say bar.uk.com? no: uk.com needs the list
+        (3, "https://user.github.io/page"),
+        (4, "https://deep.sub.example.com/x"),
+        (5, "https://unknown.zz/x"),           # no rule -> last two labels
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", url_domain(F.col("u"), suffixes=sfx).alias("d")
+        ).collect()
+    }
+    assert got[1] == "example.co.uk"
+    assert got[2] == "bar.uk.com"
+    assert got[3] == "user.github.io"
+    assert got[4] == "example.com"
+    assert got[5] == "unknown.zz"
+
+
+def test_resolve_url_domain_broadcast_table(spark):
+    """The table-driven variant: same answers as the inline list, zero
+    shuffle of the input (broadcast joins only), fallback for unknown
+    TLDs, and pass-through of other columns."""
+    from bitfilters_spark.operators.web import resolve_url_domain
+
+    sfx_df = spark.createDataFrame(
+        [("co.uk",), ("uk.com",), ("github.io",), ("com",), ("org",)], "suffix string"
+    )
+    rows = [
+        (1, "https://www.example.co.uk/x"),
+        (2, "https://foo.bar.uk.com/x"),
+        (3, "https://user.github.io/page"),
+        (4, "https://deep.sub.example.com/x"),
+        (5, "https://unknown.zz/x"),
+        (6, "https://single/x"),  # one-label host: no registrable split
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    out = resolve_url_domain(df, "u", sfx_df)
+    assert set(out.columns) == {"id", "u", "domain"}
+    got = {r["id"]: r["domain"] for r in out.collect()}
+    assert got[1] == "example.co.uk"
+    assert got[2] == "bar.uk.com"
+    assert got[3] == "user.github.io"
+    assert got[4] == "example.com"
+    assert got[5] == "unknown.zz"
+    assert got[6] == "single"
+    assert got[7] is None
+    # scale shape: broadcast joins only; the sole Exchange is the
+    # suffix table's own distinct() (metadata-scale), never the input
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_bf_sfx" in line, line
