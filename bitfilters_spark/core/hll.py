@@ -39,6 +39,9 @@ def _clz64(x: np.ndarray) -> np.ndarray:
         t = (y >> np.uint64(64 - s)) == 0
         clz[t] += s
         y[t] = y[t] << np.uint64(s)
+    # the shift ladder leaves 63 for zero input (every nonzero value ends
+    # with its leading one at the MSB, zero stays zero) — fix up to 64
+    clz[y == np.uint64(0)] = 64
     return clz
 
 

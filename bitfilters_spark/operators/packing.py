@@ -266,13 +266,21 @@ def assign_row_ids(
     order_col: str,
     id_name: str = "row_id",
     n_partitions: int | None = None,
+    check_unique: bool = True,
 ) -> DataFrame:
     """Contiguous ``0..N-1`` ids in ``order_col`` order — the DataFrame
     answer to RDD ``zipWithIndex`` (which Spark's DataFrame API lacks;
     ``monotonically_increasing_id`` leaves gaps and tracks partition
     layout, not a data order). Exactly :func:`pack_shards`' two-phase
     distributed prefix machinery with weight 1: the exclusive prefix
-    COUNT is the row id, no single-partition window anywhere."""
+    COUNT is the row id, no single-partition window anywhere.
+
+    ``order_col`` values MUST be unique — ids are joined back on it, so
+    a duplicate key would silently multiply rows and hand out duplicate
+    ids. ``check_unique`` (default on) fails fast instead: one
+    lightweight job over the already-checkpointed (key, id) frame; pass
+    ``check_unique=False`` only when uniqueness is guaranteed upstream
+    (e.g. the key is itself a generated id)."""
     assigned = pack_shards(
         df.select(F.col(order_col).alias("__k")).withColumn("__one", F.lit(1)),
         "__k",
@@ -280,4 +288,18 @@ def assign_row_ids(
         shard_weight=1 << 62,
         n_partitions=n_partitions,
     ).select(F.col("__k").alias(order_col), F.col("prefix_weight").alias(id_name))
+    if check_unique:
+        dup = (
+            assigned.groupBy(order_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"assign_row_ids: order_col {order_col!r} is not unique "
+                f"(e.g. {dup[0][order_col]!r} appears {dup[0]['__n']} times); "
+                f"row ids would be duplicated and rows multiplied"
+            )
     return df.join(assigned, order_col)

@@ -19,16 +19,68 @@ side of this engine is exposed to ``spark.sql`` too (reference
 
 Builds stay on the DataFrame API: Python cannot register SQL AGGREGATE
 functions (Spark has no Python UDAF), and the two-phase mergeable build
-is deliberately a composed plan, not a black-box aggregate. The pattern
-is: build with ``build_filter`` / ``build_filters_multi``, register the
-result as a temp view, then query in SQL.
+is deliberately a composed plan, not a black-box aggregate. To close the
+UX gap with the reference's ``CREATE TABLE ... AS SELECT
+quotient_filter(16, 4, hash(id)) ... GROUP BY`` workflow
+(test/sql/bitfilters.test:37-50), :func:`bf_build` runs that build from
+SQL strings and registers the result as a temp view — build→probe is
+then two lines of user code, both SQL.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _REGISTERED: set = set()
+
+
+def bf_build(
+    spark: SparkSession,
+    source: str,
+    group_exprs: list,
+    kind: str,
+    hash_expr: str = None,
+    view: str = None,
+    **build_kwargs,
+) -> DataFrame:
+    """SQL-string front door for per-group filter builds — the
+    reference's ``CREATE TABLE quotient_filters AS SELECT id % 2 AS
+    remainder, quotient_filter(16, 4, hash(id)) AS filter ... GROUP BY``
+    (test/sql/bitfilters.test:37-43) as one call::
+
+        bf_build(spark, "series_data", ["id % 2 AS remainder"],
+                 "quotient", "xxhash64(id)", view="quotient_filters",
+                 q=16, r=4)
+        spark.sql("SELECT ... FROM series_data, quotient_filters "
+                  "WHERE ... AND bf_contains(filter, xxhash64(id))")
+
+    ``source`` is a table/view name or a full ``SELECT ...`` statement;
+    ``group_exprs`` are SQL expressions (aliases allowed; ``[]`` builds
+    one global filter); ``hash_expr`` is the SQL expression producing
+    the i64 key hash (default ``xxhash64`` of the first group-free
+    column is NOT guessed — pass it explicitly). ``kind`` and
+    ``build_kwargs`` are exactly :func:`~bitfilters_spark.functions.
+    filters.build_filter`'s (quotient/xor8/xor16/fuse8/fuse16/bloom/
+    duckdb_bloom/cms/kmv/bks/hll/mg). The build itself is the same
+    two-phase mergeable DataFrame plan — this helper only bridges the
+    SQL-string surface Spark's missing Python UDAF would otherwise
+    leave closed. Returns the result DataFrame; when ``view`` is given
+    it is also registered as a temp view under that name."""
+    from .functions.filters import build_filter
+
+    if hash_expr is None:
+        raise ValueError(
+            "pass hash_expr, e.g. 'xxhash64(id)' or 'bf_duckdb_hash(id)'"
+        )
+    src = source.strip()
+    src_sql = src if src.lower().startswith(("select", "with", "(")) else f"SELECT * FROM {src}"
+    cols = list(group_exprs) + [f"({hash_expr}) AS __bf_h"]
+    proj = spark.sql(f"SELECT {', '.join(cols)} FROM ({src_sql}) AS __bf_src")
+    gcols = [c for c in proj.columns if c != "__bf_h"]
+    out = build_filter(proj, gcols, "__bf_h", kind, **build_kwargs)
+    if view is not None:
+        out.createOrReplaceTempView(view)
+    return out
 
 
 def register_sql_functions(spark: SparkSession, prefix: str = "bf_") -> list:

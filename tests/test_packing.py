@@ -192,3 +192,15 @@ def test_assign_row_ids_contiguous_in_order(spark):
         assert by_key[k] == i
     # payload survives
     assert all(r["payload"] == f"p{r['k']}" for r in out)
+
+
+def test_assign_row_ids_rejects_duplicate_order_col(spark):
+    """A duplicate order key would silently multiply rows through the
+    join-back and hand out duplicate ids — must raise instead."""
+    import pytest
+
+    from bitfilters_spark.operators.packing import assign_row_ids
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "c")], "k long, v string")
+    with pytest.raises(ValueError, match="not unique"):
+        assign_row_ids(df, "k").collect()

@@ -162,3 +162,97 @@ def test_sql_cms_join_size(spark, ctx):
         customer, orders["o_custkey"] == customer["c_custkey"]
     ).count()
     assert got == exact
+
+
+def test_bf_build_sql_workflow_matches_reference(spark, ctx):
+    """The reference's whole SQL workflow (test/sql/bitfilters.test:37-50)
+    through bf_build + bf_contains: build per-group quotient filters from
+    SQL strings, probe cross-group in SQL, count false positives — all
+    members hit (no false negatives), cross-group FP counts equal a
+    direct DataFrame probe of the same blobs."""
+    from bitfilters_spark.sql import bf_build
+
+    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView(
+        "bfb_orders"
+    )
+    out = bf_build(
+        spark,
+        "bfb_orders",
+        ["o_orderkey % 2 AS remainder"],
+        "quotient",
+        "xxhash64(o_orderkey)",
+        view="bfb_filters",
+        q=16,
+        r=4,
+    )
+    assert set(out.columns) == {"remainder", "filter"}
+    # members: every key hits its own group's filter
+    hits = spark.sql(
+        """
+        SELECT f.remainder, count(*) AS n,
+               count(CASE WHEN bf_contains(f.filter, xxhash64(o.o_orderkey))
+                     THEN 1 END) AS n_hit
+        FROM bfb_orders o JOIN bfb_filters f
+          ON o.o_orderkey % 2 = f.remainder
+        GROUP BY f.remainder
+        """
+    ).collect()
+    assert len(hits) == 2
+    for r in hits:
+        assert r["n"] == r["n_hit"] and r["n"] > 0
+    # cross-group probes: deterministic FP count equals the DataFrame path
+    sql_fp = {
+        r["remainder"]: r["fp"]
+        for r in spark.sql(
+            """
+            SELECT f.remainder,
+                   count(CASE WHEN bf_contains(f.filter, xxhash64(o.o_orderkey))
+                         THEN 1 END) AS fp
+            FROM bfb_orders o JOIN bfb_filters f
+              ON o.o_orderkey % 2 != f.remainder
+            GROUP BY f.remainder
+            """
+        ).collect()
+    }
+    from bitfilters_spark.functions.filters import filter_contains
+
+    blobs = {r["remainder"]: bytes(r["filter"]) for r in out.collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    for rem, blob in blobs.items():
+        df_fp = (
+            orders.where(F.col("o_orderkey") % 2 != rem)
+            .select(
+                filter_contains(
+                    F.lit(blob), F.xxhash64(F.col("o_orderkey"))
+                ).alias("hit")
+            )
+            .where("hit")
+            .count()
+        )
+        assert sql_fp[rem] == df_fp
+
+
+def test_bf_build_accepts_select_source_and_global_group(spark, ctx):
+    """A SELECT-statement source and empty group_exprs (one global
+    filter), straight into a SQL probe — and sketch kinds work too."""
+    from bitfilters_spark.sql import bf_build
+
+    spark.read.parquet(f"{SF}/customer.parquet").createOrReplaceTempView(
+        "bfb_cust"
+    )
+    bf_build(
+        spark,
+        "SELECT * FROM bfb_cust WHERE c_custkey <= 100",
+        [],
+        "kmv",
+        "xxhash64(c_custkey)",
+        view="bfb_kmv",
+        k=256,
+    )
+    est = spark.sql(
+        "SELECT bf_kmv_distinct(filter) AS d FROM bfb_kmv"
+    ).collect()[0]["d"]
+    exact = spark.sql(
+        "SELECT count(DISTINCT c_custkey) AS d FROM bfb_cust WHERE c_custkey <= 100"
+    ).collect()[0]["d"]
+    assert est == exact  # under capacity -> exact
