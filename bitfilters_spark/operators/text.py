@@ -645,6 +645,34 @@ def drift_report(
 # ------------------------------------------------------- token encoding ---
 
 
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 50_000,
+    id_col: str | None = None,
+) -> DataFrame:
+    """(token, n, rank) — the top-``top_k`` tokens by occurrence
+    (tie-break on the token for determinism), plus document frequency
+    when ``id_col`` is given. The orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-k, driver merges
+    top_k × n_partitions rows — no single-partition vocabulary sort);
+    the rank window runs over the ``top_k`` survivors only. Feed the
+    result straight into :func:`encode_documents`."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        *( [F.col(id_col)] if id_col else [] ),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if id_col:
+        aggs.append(F.countDistinct(id_col).alias("df"))
+    agg = tok.groupBy("token").agg(*aggs)
+    top = agg.orderBy(F.col("n").desc(), "token").limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def encode_documents(
     df: DataFrame,
     id_col: str,

@@ -6,8 +6,11 @@ tracking noise + injected duplicates), then runs:
 
   strip_html -> normalize_url dedup -> blocklist + Gopher + LM quality
   gates -> normalize_text exact dedup -> LSH near-dup dedup vs a
-  persisted index -> n-gram decontamination -> token encoding ->
-  sequence packing -> shard packing -> on-disk shards + manifest
+  persisted index -> n-gram decontamination -> vocabulary + token
+  encoding (packing budgets use the ENCODER's token counts, not the
+  whitespace heuristic — the pluggable-weight contract a production
+  tokenizer slots into) -> sequence packing -> shard packing ->
+  on-disk shards + manifest
 
 Prints one JSON line of per-stage row counts and wall times.
 Usage: ``python tools/pipeline_demo.py [sf_dir]``.
@@ -39,6 +42,8 @@ def main(sf_dir: str) -> None:
     )
     from bitfilters_spark.operators.text import (
         blocklist_filter,
+        build_vocabulary,
+        encode_documents,
         gopher_rules,
         lm_score,
         ngram_contamination,
@@ -141,7 +146,37 @@ def main(sf_dir: str) -> None:
             ).localCheckpoint(),
         )
 
-        weighted = decon.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        # TOKENIZER-DRIVEN packing: shard/sequence budgets use the REAL
+        # encoder's token counts (vocabulary -> encode_documents), not the
+        # whitespace heuristic — the same pluggable-weight contract a
+        # production run would use with its trained tokenizer. The
+        # whitespace count stays alongside to show the drift between the
+        # two (a real BPE tokenizer inflates counts further).
+        vocab = build_vocabulary(decon, "text", top_k=20_000)
+        encoded = encode_documents(decon, "doc_id", "text", vocab)
+        weighted = encoded.select("doc_id", "n_tokens", "n_oov")
+        drift = (
+            weighted.join(
+                decon.select(
+                    "doc_id", token_count(F.col("text")).alias("ws_tokens")
+                ),
+                "doc_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tokens").alias("enc"),
+                F.sum("ws_tokens").alias("ws"),
+                F.sum("n_oov").alias("oov"),
+            )
+            .collect()[0]
+        )
+        stages["encode"] = {
+            "rows": drift["rows"],
+            "vocab": vocab.count(),
+            "encoder_tokens": int(drift["enc"]),
+            "whitespace_tokens": int(drift["ws"]),
+            "oov_tokens": int(drift["oov"]),
+        }
         seqs = pack_sequences(
             weighted.where(F.col("n_tokens") <= 512), "doc_id", "n_tokens", 512
         )
