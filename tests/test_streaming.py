@@ -1268,3 +1268,74 @@ def test_lsh_index_geometry_is_persisted_and_validated(spark, tmp_path):
     # matching geometry still probes fine (self-match present by design)
     hits = probe_lsh_index(spark, df, "doc_id", "text", "gmix").collect()
     assert {(r["new_id"], r["ref_id"]) for r in hits} == {(1, 1)}
+
+
+def test_streaming_pipeline_composition_matches_batch(spark, tmp_path):
+    """Streaming analog of q_pipeline_e2e: chain streaming_dedup_exact
+    INTO streaming_indexed_sink (dedup -> parquet sink + live skipping
+    index) over 3 micro-batches, then verify the composed result equals
+    the batch composition (union -> min-id-per-fingerprint dedup) AND
+    the sink's index answers a skipping read identically to an exact
+    filter over the sunk data."""
+    from bitfilters_spark.sources.skipping import load_index, skipping_read
+    from bitfilters_spark.streaming.filter_build import streaming_indexed_sink
+
+    src = str(tmp_path / "cp_in")
+    ckpt = str(tmp_path / "cp_ckpt")
+    outp = str(tmp_path / "cp_out")
+    idxp = str(tmp_path / "cp_idx")
+
+    # duplicates are crafted so first-arrival == min id: batch parity holds
+    batches = [
+        [(1, "a"), (2, "b"), (3, "c"), (4, "a")],
+        [(5, "a"), (6, "d"), (7, "c"), (8, "e")],
+        [(9, "b"), (10, "f"), (11, "e")],
+    ]
+    _write_batch(spark, src, batches[0])
+    stream = spark.readStream.schema("id long, fp string").parquet(src)
+    deduped = streaming_dedup_exact(stream, "fp", "id", num_shards=4)
+    q = (
+        streaming_indexed_sink(deduped, outp, idxp, ["fp_hash"], n=10_000, fpp=0.01)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            _write_batch(spark, src, b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # 1. composed output == batch composition (union -> exact dedup)
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], "id long, fp string"
+    )
+    want = {
+        (r["id"], r["fp_hash"])
+        for r in allrows.select("id", F.xxhash64("fp").alias("fp_hash"))
+        .groupBy("fp_hash")
+        .agg(F.min("id").alias("id"))
+        .collect()
+    }
+    got = {
+        (r["id"], r["fp_hash"]) for r in spark.read.parquet(outp).collect()
+    }
+    assert got == want
+    # 2. the index covers every committed file, and a skipping read over
+    # it equals the exact filter on the sunk dataset
+    # (zero-row part files — shards that emitted nothing in a batch —
+    # have no rows to index, so compare against the non-empty files)
+    idx = load_index(spark, idxp)
+    nonempty = {
+        r["f"]
+        for r in spark.read.parquet(outp)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert {r["file"] for r in idx.collect()} == nonempty
+    probe_hash = allrows.select(F.xxhash64(F.lit("d")).alias("h")).collect()[0]["h"]
+    got_skip = skipping_read(spark, outp, "fp_hash", [probe_hash], index=idx).collect()
+    want_skip = spark.read.parquet(outp).where(F.col("fp_hash") == probe_hash).collect()
+    assert sorted(r["id"] for r in got_skip) == sorted(r["id"] for r in want_skip) == [6]

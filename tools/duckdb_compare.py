@@ -11,8 +11,16 @@ real data sizes) — the interesting signals are the ratio's trend across
 SFs and any query where Spark is slower by far more than that fixed
 overhead explains.
 
-Usage: python tools/duckdb_compare.py [sf_dir] [runs]
-Writes DUCKDB_COMPARE.json and prints one summary JSON line.
+Usage: python tools/duckdb_compare.py [sf_dir] [runs] [block] [only]
+``block`` names the section of DUCKDB_COMPARE.json to write: "main"
+(default — the top-level summary/queries, preserving any other blocks)
+or e.g. "stress" (merged under that key, for the 10x corpus from
+tools/make_stress_sf.py). ``only`` is a comma-list restricting the
+query set — at stress scale the O(n^2) brute-force oracles
+(q_simhash_pairs, q_embed_neardup_pairs, ...) are excluded because
+DuckDB would grind on billions of pairs; the point of the block is the
+real-work queries where the crossover shows.
+Prints one summary JSON line per run.
 """
 
 from __future__ import annotations
@@ -33,6 +41,8 @@ TABLES = (
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    block = sys.argv[3] if len(sys.argv) > 3 else "main"
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     import duckdb
 
@@ -51,7 +61,7 @@ def main() -> None:
     qs, osql = E.queries(), E.oracle_sql()
     out: dict = {}
     for name, fn in qs.items():
-        if name not in osql:
+        if name not in osql or (only is not None and name not in only):
             continue
         row: dict = {}
         try:
@@ -98,8 +108,20 @@ def main() -> None:
         "median_ratio": sorted(r["ratio"] for r in ok)[len(ok) // 2] if ok else None,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "DUCKDB_COMPARE.json"), "w") as f:
-        json.dump({"summary": summary, "queries": out}, f, indent=1)
+    path = os.path.join(here, "DUCKDB_COMPARE.json")
+    doc: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            doc = {}
+    if block == "main":
+        doc["summary"], doc["queries"] = summary, out
+    else:
+        doc[block] = {"summary": summary, "queries": out}
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print(json.dumps(summary))
 
 
