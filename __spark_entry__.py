@@ -719,9 +719,36 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals (Gopher-style): top-bigram share + duplicate
-    trigram fraction per document."""
+    trigram fraction per document. Since r6 the same driver row also
+    carries the BOILERPLATE-REMOVAL legs (#91,
+    `web.remove_boilerplate_lines` — C4-style: every occurrence of a
+    line present in >= min_df distinct docs is dropped, unlike
+    paragraph dedup's keep-first): the corpus gets the q_dedup_exact
+    planted-block line structure (prefix / `doc_id % 7` boilerplate
+    block / remainder), and `boiler_clean`/`n_removed`/`n_lines` are
+    hash-compared against the oracle's line-df reconstruction."""
+    from bitfilters_spark.operators.web import remove_boilerplate_lines
+
     docs = load_table(spark, sf_dir, "documents")
-    return T.repetition_metrics(docs, "doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.concat(
+                F.lit("shared boilerplate block "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.expr("substring(text, 41)"),
+        ).alias("text"),
+    )
+    boiler = remove_boilerplate_lines(planted, "doc_id", "text", min_df=20).select(
+        "doc_id",
+        F.col("text").alias("boiler_clean"),
+        "n_removed",
+        "n_lines",
+    )
+    return T.repetition_metrics(docs, "doc_id", "text").join(boiler, "doc_id")
 
 
 def _pii_augmented(docs: DataFrame) -> DataFrame:
@@ -1912,13 +1939,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM t),
             bg AS (SELECT doc_id, unnest(bgs) AS b FROM g),
             cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
-            top AS (SELECT doc_id, max(c) AS topn FROM cnt GROUP BY 1)
-            SELECT g.doc_id, len(bgs) AS n_bigrams,
-                   round(coalesce(topn, 0)::DOUBLE / greatest(len(bgs), 1), 6)
-                     AS top_bigram_frac,
-                   round((len(tgs) - len(list_distinct(tgs)))::DOUBLE
-                         / greatest(len(tgs), 1), 6) AS dup_trigram_frac
-            FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+            top AS (SELECT doc_id, max(c) AS topn FROM cnt GROUP BY 1),
+            rep AS (
+              SELECT g.doc_id, len(bgs) AS n_bigrams,
+                     round(coalesce(topn, 0)::DOUBLE / greatest(len(bgs), 1), 6)
+                       AS top_bigram_frac,
+                     round((len(tgs) - len(list_distinct(tgs)))::DOUBLE
+                           / greatest(len(tgs), 1), 6) AS dup_trigram_frac
+              FROM g LEFT JOIN top ON g.doc_id = top.doc_id),
+            -- boilerplate legs: the planted line structure (prefix /
+            -- doc_id%7 block / remainder), corpus line-df >= 20 drops
+            -- EVERY occurrence; rebuild keeps survivors in order
+            pl AS (
+              SELECT doc_id,
+                     [substring(text, 1, 40),
+                      'shared boilerplate block ' || (doc_id % 7)::VARCHAR,
+                      substring(text, 41)] AS ls
+              FROM documents),
+            ln AS (
+              SELECT doc_id, i AS pos, ls[i] AS l
+              FROM pl, unnest(generate_series(1, 3)) AS u(i)),
+            hot AS (
+              SELECT l FROM ln GROUP BY l
+              HAVING count(DISTINCT doc_id) >= 20),
+            bo AS (
+              SELECT ln.doc_id,
+                     coalesce(
+                       string_agg(CASE WHEN h.l IS NULL THEN ln.l END,
+                                  chr(10) ORDER BY ln.pos), '')
+                       AS boiler_clean,
+                     count(h.l)::BIGINT AS n_removed,
+                     count(*)::BIGINT AS n_lines
+              FROM ln LEFT JOIN hot h ON ln.l = h.l
+              GROUP BY ln.doc_id)
+            SELECT rep.*, bo.boiler_clean, bo.n_removed, bo.n_lines
+            FROM rep JOIN bo ON rep.doc_id = bo.doc_id
         """,
         "q_pii_redact": f"""
             WITH aug AS (

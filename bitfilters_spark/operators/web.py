@@ -42,6 +42,70 @@ def strip_html(col) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def remove_boilerplate_lines(
+    df,
+    id_col: str,
+    text_col: str,
+    min_df: int,
+    sep: str = "\n",
+):
+    """C4/RefinedWeb-style boilerplate removal: drop EVERY occurrence of
+    any line appearing in at least ``min_df`` distinct documents
+    ("subscribe to our newsletter", cookie banners, nav menus), keep
+    everything else in order. Complementary to ``dedup_paragraphs``
+    (which keeps a repeated block's FIRST occurrence — right for
+    content, wrong for boilerplate, which no document should keep).
+
+    Returns (id, text, n_removed, n_lines) — ``text`` is the rebuilt
+    document (empty string when every line was boilerplate),
+    ``n_removed``/``n_lines`` feed the quality gates (a page that was
+    mostly chrome is itself a drop candidate).
+
+    Plan: lines explode with position → per-line-hash distinct-doc
+    count (map-side partial groupBy of (hash, doc) pairs) → the hot
+    set is TINY by construction (at most total_lines / min_df entries)
+    and broadcasts into an anti-join → survivors regroup per doc via
+    ``array_sort(collect_list(struct(pos, line)))`` — the same two
+    bounded shuffles as ``encode_documents`` (line rows ∝ corpus, hot
+    set metadata-scale), nothing ∝ corpus² anywhere."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__lh", F.xxhash64("__line"))
+    hot = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__lh")
+    )
+    marked = lines.join(F.broadcast(hot).withColumn("__hot", F.lit(1)), "__lh", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__hot").isNull(),
+                        F.struct(F.col("__pos"), F.col("__line")),
+                    )
+                )
+            ).alias("__kept"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count("__hot").alias("n_removed"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("__kept", lambda s: s["__line"]), sep
+            ).alias(text_col),
+            "n_removed",
+            "n_lines",
+        )
+    )
+
+
 _TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
     "gclid", "fbclid", "ref", "mc_cid", "mc_eid",

@@ -198,3 +198,52 @@ def test_resolve_url_domain_broadcast_table(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "_bf_sfx" in line, line
+
+
+def test_remove_boilerplate_lines_drops_all_occurrences(spark):
+    """Lines in >= min_df distinct docs vanish EVERYWHERE (unlike
+    dedup_paragraphs' keep-first); unique lines survive in order; a doc
+    of pure boilerplate becomes empty; counts are per-doc."""
+    from bitfilters_spark.operators.web import remove_boilerplate_lines
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha unique one\n{boiler}\nbeta unique two"),
+        (2, f"{boiler}\ngamma unique three"),
+        (3, f"delta unique four\n{boiler}"),
+        (4, boiler),                      # all-boilerplate page
+        (5, "epsilon unique five"),       # untouched
+        (6, f"zeta six\nzeta six"),       # intra-doc repeat: df=1, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert out[1]["text"] == "alpha unique one\nbeta unique two"
+    assert out[2]["text"] == "gamma unique three"
+    assert out[3]["text"] == "delta unique four"
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["text"] == "epsilon unique five" and out[5]["n_removed"] == 0
+    # df counts DISTINCT docs: an intra-doc repeat is not boilerplate
+    assert out[6]["text"] == "zeta six\nzeta six"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+
+
+def test_remove_boilerplate_lines_threshold_boundary(spark):
+    """min_df is inclusive: a line in exactly min_df docs is removed, one
+    in min_df - 1 survives."""
+    from bitfilters_spark.operators.web import remove_boilerplate_lines
+
+    rows = [
+        (1, "at-threshold\nbelow-threshold"),
+        (2, "at-threshold\nbelow-threshold"),
+        (3, "at-threshold\nfiller line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_df=3).collect()
+    }
+    assert out[1] == "below-threshold"
+    assert out[3] == "filler line"

@@ -53,10 +53,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
-        )
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.isdir(p):  # Spark-written dataset directory
+            p = os.path.join(p, "*.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = E.queries(), E.oracle_sql()
     out: dict = {}
@@ -119,10 +119,29 @@ def main() -> None:
     if block == "main":
         doc["summary"], doc["queries"] = summary, out
     else:
-        doc[block] = {"summary": summary, "queries": out}
+        # merge at query level so a long stress sweep can run in batches
+        prev = doc.get(block, {}).get("queries", {})
+        prev.update(out)
+        ok_all = [r for r in prev.values() if "ratio" in r]
+        st = round(sum(r["spark_s"] for r in ok_all), 3)
+        dt = round(sum(r["duckdb_s"] for r in ok_all), 3)
+        doc[block] = {
+            "summary": {
+                "sf_dir": sf_dir,
+                "runs": runs,
+                "n_compared": len(ok_all),
+                "spark_total_s": st,
+                "duckdb_total_s": dt,
+                "total_ratio": round(st / dt, 2) if dt else None,
+                "median_ratio": sorted(r["ratio"] for r in ok_all)[len(ok_all) // 2]
+                if ok_all
+                else None,
+            },
+            "queries": prev,
+        }
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps(summary))
+    print(json.dumps(doc[block]["summary"] if block != "main" else summary))
 
 
 if __name__ == "__main__":
