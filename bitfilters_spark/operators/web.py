@@ -62,12 +62,15 @@ def remove_boilerplate_lines(
     mostly chrome is itself a drop candidate).
 
     Plan: lines explode with position → per-line-hash distinct-doc
-    count (map-side partial groupBy of (hash, doc) pairs) → the hot
-    set is TINY by construction (at most total_lines / min_df entries)
-    and broadcasts into an anti-join → survivors regroup per doc via
-    ``array_sort(collect_list(struct(pos, line)))`` — the same two
-    bounded shuffles as ``encode_documents`` (line rows ∝ corpus, hot
-    set metadata-scale), nothing ∝ corpus² anywhere."""
+    count (Spark's two-phase distinct: an (lh, doc) pre-aggregation
+    then the lh count — both shuffles carry 16-byte long pairs, both
+    map-side partial) → the hot set is TINY by construction (at most
+    total_lines / min_df entries) and broadcasts into the join → the
+    corpus itself shuffles exactly ONCE (the per-doc regroup via
+    ``array_sort(collect_list(struct(pos, line)))``); nothing ∝
+    corpus² anywhere. The explode is evaluated in both branches, but
+    the df branch prunes to hashed longs map-side — cheaper than
+    materializing the exploded corpus to share it."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(

@@ -368,3 +368,24 @@ def test_join_plan_report_recommendations(spark):
     rep3 = join_plan_report(a, b, "k", "k", broadcast_threshold_rows=100)
     assert any("barely overlap" in r for r in rep3["reasons"])
     assert rep3["key_jaccard"] < 0.05
+
+
+def test_remove_boilerplate_lines_plan_shape(spark):
+    """The corpus shuffles exactly once (doc regroup); the hot-line set
+    joins via broadcast; the df computation's shuffles carry only hashed
+    long pairs — no corpus-width rows through the distinct aggregation."""
+    from bitfilters_spark.operators.web import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, f"unique line {i}\nshared banner") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate_lines(df, "doc_id", "text", min_df=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # the hot set never shuffles the corpus
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # every non-broadcast exchange hashes on doc_id and/or the
+            # 8-byte line hash — never on the line text itself
+            assert "__line" not in line, line
