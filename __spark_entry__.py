@@ -708,12 +708,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Since r6 this runs `langid_table` — the codegen scale path
+    (exploded InSet counts, one (id, 4-int) shuffle) — which is
+    label-identical to the `langid()` expression form; the equivalence
+    is pinned separately in tests/test_text.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.stopword_hits("text", "en").alias("sw_en"),
-        T.stopword_hits("text", "de").alias("sw_de"),
-        T.langid("text").alias("lang_pred"),
+    return T.langid_table(docs, "doc_id", "text", out_col="lang_pred").select(
+        "doc_id", "sw_en", "sw_de", "lang_pred"
     )
 
 

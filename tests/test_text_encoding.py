@@ -24,3 +24,48 @@ def test_build_vocabulary_feeds_encoder(spark):
     assert small.count() == 2
     enc1 = encode_documents(df, "doc_id", "text", small).where("doc_id = 1").collect()[0]
     assert enc1["token_ids"] == [2, 1, 1, 0] and enc1["n_oov"] == 1
+
+
+def test_langid_table_matches_expression_form(spark):
+    """The codegen scale path must produce IDENTICAL labels and stopword
+    counts to the langid()/stopword_hits() expression form — including
+    ties, the CJK rule, and empty documents."""
+    from bitfilters_spark.operators.text import (
+        STOPWORDS,
+        langid,
+        langid_table,
+        stopword_hits,
+    )
+
+    rows = [
+        (1, "the cat and the dog of the house"),          # en
+        (2, "der hund und die katze und das haus"),       # de
+        (3, "le chat et le chien dans la maison"),        # fr
+        (4, "el gato y el perro en la casa"),             # es
+        (5, "中文文本内容很多"),  # zh via non-ascii
+        (6, "no stopwords whatsoever here"),              # en fallback
+        (7, ""),                                          # empty doc
+        (8, "und the und the"),                           # exact tie -> en order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr_form = {
+        r["doc_id"]: (r["lang"], r["sw_en"], r["sw_de"])
+        for r in df.select(
+            "doc_id",
+            langid("text").alias("lang"),
+            stopword_hits("text", "en").alias("sw_en"),
+            stopword_hits("text", "de").alias("sw_de"),
+        ).collect()
+    }
+    table_form = {
+        r["doc_id"]: (r["lang"], r["sw_en"], r["sw_de"])
+        for r in langid_table(df, "doc_id", "text").collect()
+    }
+    assert table_form == expr_form
+    assert expr_form[2][0] == "de" and expr_form[5][0] == "zh"
+    assert expr_form[8][0] == "en"  # tie keeps the deterministic order
+    # output keeps every input row and column
+    out = langid_table(df, "doc_id", "text")
+    assert out.count() == len(rows)
+    assert set(df.columns) <= set(out.columns)
+    assert {f"sw_{lg}" for lg in STOPWORDS} <= set(out.columns)
