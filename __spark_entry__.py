@@ -448,8 +448,11 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn(
         "bucket", F.floor(F.col("n_chars") / 50).cast("long")
     ).withColumnRenamed("n_chars", "src_chars")
-    enriched = T.quality_metrics(docs, "text").withColumn(
-        "lang_pred", T.langid("text")
+    # langid_table (r6): label-identical to the langid() expression but
+    # codegen-friendly — the interpreted stopword lambdas were this
+    # query's hottest expression at stress scale
+    enriched = T.langid_table(
+        T.quality_metrics(docs, "text"), "doc_id", "text", out_col="lang_pred"
     )
     stats = enriched.groupBy("lang_pred", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
