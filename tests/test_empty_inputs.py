@@ -261,3 +261,39 @@ def test_lm_score_empty_sides(spark, empty_docs):
     # empty corpus scored with a real model: no rows
     lm = train_ngram_lm(docs, "text")
     assert lm_score(empty_docs, "doc_id", "text", lm).count() == 0
+
+
+def test_round6_operators_empty_input(spark, empty_docs):
+    """remove_boilerplate_lines / langid_table / build_vocabulary /
+    resolve_url_domain / bf_build on empty frames: empty results, no
+    crash."""
+    from bitfilters_spark.operators.text import build_vocabulary, langid_table
+    from bitfilters_spark.operators.web import (
+        remove_boilerplate_lines,
+        resolve_url_domain,
+    )
+
+    assert remove_boilerplate_lines(empty_docs, "doc_id", "text", 2).count() == 0
+    out = langid_table(empty_docs, "doc_id", "text")
+    assert out.count() == 0 and "lang" in out.columns
+    assert build_vocabulary(empty_docs, "text", top_k=5).count() == 0
+    empty_urls = spark.createDataFrame([], "id long, u string")
+    sfx = spark.createDataFrame([("com",)], "suffix string")
+    assert resolve_url_domain(empty_urls, "u", sfx).count() == 0
+    # empty suffix table: heuristic-free fallback still works
+    no_sfx = spark.createDataFrame([], "suffix string")
+    got = resolve_url_domain(
+        spark.createDataFrame([(1, "https://a.example.com/x")], "id long, u string"),
+        "u",
+        no_sfx,
+    ).collect()
+    assert got[0]["domain"] == "example.com"
+
+
+def test_bf_build_empty_group(spark):
+    from bitfilters_spark.sql import bf_build, register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame([], "k long").createOrReplaceTempView("bfb_empty")
+    out = bf_build(spark, "bfb_empty", ["k % 2 AS g"], "bloom", "xxhash64(k)", n=10, fpp=0.5)
+    assert out.count() == 0

@@ -80,16 +80,39 @@ def main() -> None:
             row["spark_s"] = round(min(ts), 3)
         except Exception as ex:
             row["spark_err"] = str(ex)[:200]
+        duck_budget = float(os.environ.get("DUCK_TIMEOUT_S", "0")) or None
+
+        def duck_run():
+            if duck_budget is None:
+                con.sql(osql[name]).fetchall()
+                return
+            import threading
+
+            timer = threading.Timer(duck_budget, con.interrupt)
+            timer.start()
+            try:
+                con.sql(osql[name]).fetchall()
+            finally:
+                timer.cancel()
+
         try:
-            con.sql(osql[name]).fetchall()
+            duck_run()
             ts = []
             for _ in range(runs):
                 t0 = time.time()
-                con.sql(osql[name]).fetchall()
+                duck_run()
                 ts.append(time.time() - t0)
             row["duckdb_s"] = round(min(ts), 3)
         except Exception as ex:
-            row["duckdb_err"] = str(ex)[:200]
+            msg = str(ex)[:200]
+            if duck_budget is not None and (
+                "INTERRUPT" in msg.upper() or "interrupted" in msg
+            ):
+                # a timeout IS the measurement: DuckDB could not finish
+                # inside the budget the Spark side beat
+                row["duckdb_err"] = f"timeout: exceeded {duck_budget:.0f}s budget"
+            else:
+                row["duckdb_err"] = msg
         if "spark_s" in row and "duckdb_s" in row and row["duckdb_s"] > 0:
             row["ratio"] = round(row["spark_s"] / row["duckdb_s"], 2)
         out[name] = row
