@@ -347,3 +347,112 @@ def sample_audio_windows(
     return df.select(id_col, payload_col).mapInPandas(
         windows, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+# ----------------------------------------------------- perceptual hashing ---
+
+
+def _phash_bits_real(payload: bytes) -> int:
+    """Classic 64-bit pHash: grayscale 32x32 -> 2D DCT-II (numpy matrix
+    form; no scipy) -> top-left 8x8 low-frequency block minus the DC
+    term -> median threshold. Visually-similar images land within a few
+    bits of each other; that is the whole point."""
+    Image = _pil()
+    with Image.open(io.BytesIO(payload)) as im:
+        g = np.asarray(
+            im.convert("L").resize((32, 32), Image.BILINEAR), dtype=np.float64
+        )
+    n = 32
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ g @ basis.T
+    low = dct[:8, :8].flatten()[1:]  # drop the DC coefficient
+    med = np.median(low)
+    bits = 0
+    for i, v in enumerate(low):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def _phash_bits_stub(payload: bytes) -> int:
+    """Deterministic stand-in with LOCAL STABILITY (small byte edits flip
+    few bits): the payload is cut into 63 chunks and each bit is that
+    chunk's byte-mean vs the global mean. Plumbing-only — it models
+    'similar bytes -> similar hash', not perception."""
+    if not payload:
+        return 0
+    x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    chunks = np.array_split(x, 63)
+    means = np.array([c.mean() if len(c) else 0.0 for c in chunks])
+    bits = 0
+    for i, v in enumerate(means > x.mean()):
+        if v:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    codec: str = "auto",
+    out_col: str = "phash",
+) -> DataFrame:
+    """(id, phash) — 64-bit perceptual hash per image payload, the
+    standard image-dedup fingerprint (near-identical images differ in a
+    few bits; crops/re-encodes stay close). Arrow-batched mapInPandas;
+    ``codec`` follows the module convention (auto = Pillow when
+    importable with per-payload stub fallback, stub = deterministic
+    byte-model, pil = strict). Pairs via :func:`phash_near_pairs`."""
+    codec = _resolve_codec(codec)
+    if codec == "auto" and not HAS_PIL:
+        codec = "stub"
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField(out_col, LongType())]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                if codec != "stub" and raw:
+                    try:
+                        h = _phash_bits_real(raw)
+                    except Exception:
+                        if codec == "pil":
+                            raise
+                        h = _phash_bits_stub(raw)
+                else:
+                    h = _phash_bits_stub(raw)
+                ids.append(int(i))
+                # two's-complement i64 (top bit of a u64 hash)
+                hs.append(h - (1 << 64) if h >= 1 << 63 else h)
+            yield pd.DataFrame({"doc_id": ids, out_col: pd.array(hs, dtype="int64")})
+
+    return (
+        df.select(id_col, payload_col)
+        .mapInPandas(hash_batch, schema=schema)
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 8,
+    codec: str = "auto",
+) -> DataFrame:
+    """Image near-duplicate pairs: hamming(phash) <= max_hamming, via the
+    SAME asymmetric multi-probe banding + exact bit_count verify as text
+    SimHash (`dedup.simhash_pairs_from_sigs` — full recall, candidate
+    volume bounded by the banding math, never all-pairs). The hash is
+    16 bytes/image, so the pair join never touches payload bytes."""
+    from .dedup import simhash_pairs_from_sigs
+
+    sig = image_phash(df, id_col, payload_col, codec=codec, out_col="simhash").cache()
+    return simhash_pairs_from_sigs(sig, id_col, max_hamming)

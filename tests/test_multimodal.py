@@ -143,3 +143,67 @@ def test_sample_audio_windows_exact_reference(spark):
     assert got == want
     assert (1, 0) in got and got[(1, 0)][1] == 200  # short clip keeps its tail
     assert len([k for k in got if k[0] == 2]) == 3  # 1500 bytes -> 3 windows
+
+
+def test_image_phash_stub_locality_and_pairs(spark):
+    """Stub path: byte-identical payloads hash equal, near-identical ones
+    land within the hamming budget, different content far outside; the
+    banded pair join finds exactly the close pairs with exact hamming."""
+    import numpy as np
+
+    from bitfilters_spark.operators.multimodal import image_phash, phash_near_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, 4096, dtype=np.uint8)
+    near = base.copy()
+    near[100:104] = 255  # tiny edit
+    other = rng.integers(0, 256, 4096, dtype=np.uint8)
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(base)),   # exact duplicate
+        (3, bytes(near)),   # near duplicate
+        (4, bytes(other)),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r["doc_id"]: r["phash"] for r in image_phash(df, "doc_id", codec="stub").collect()}
+    assert h[1] == h[2]
+    assert bin(h[1] ^ h[3]).count("1") <= 8
+    assert bin(h[1] ^ h[4]).count("1") > 8
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(df, "doc_id", max_hamming=8, codec="stub").collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == 0
+
+
+def test_image_phash_pil_real_images(spark):
+    """Pillow path: a re-encoded/slightly-noised image pHashes within a
+    small hamming distance of the original; a structurally different
+    image does not. Gated on Pillow."""
+    import io as _io
+
+    import numpy as np
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+
+    def png(arr):
+        im = PIL.fromarray(arr, "L")
+        buf = _io.BytesIO()
+        im.save(buf, "PNG")
+        return buf.getvalue()
+
+    rng = np.random.default_rng(3)
+    grad = np.outer(np.arange(64), np.ones(64)).astype(np.uint8) * 3
+    noisy = np.clip(
+        grad.astype(np.int16) + rng.integers(-6, 7, grad.shape), 0, 255
+    ).astype(np.uint8)
+    checker = (np.indices((64, 64)).sum(0) % 2 * 255).astype(np.uint8)
+    rows = [(1, png(grad)), (2, png(noisy)), (3, png(checker))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    from bitfilters_spark.operators.multimodal import image_phash
+
+    h = {r["doc_id"]: r["phash"] for r in image_phash(df, "doc_id", codec="pil").collect()}
+    assert bin(h[1] ^ h[2]).count("1") <= 10
+    assert bin(h[1] ^ h[3]).count("1") > 16
