@@ -12,6 +12,18 @@ from pyspark.sql import functions as F
 from bitfilters_spark.streaming import streaming_dedup_exact, streaming_window_counts
 
 
+def _drop_index_tables(spark, *tables):
+    """DROP TABLE alone misses a stale managed-table DIRECTORY left by a
+    previous session (catalog empty, location on disk -> creation fails
+    with LOCATION_ALREADY_EXISTS). Remove both."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
 def _write_batch(spark, path, rows):
     spark.createDataFrame(rows, "id long, fp string").coalesce(1).write.mode(
         "append"
@@ -1004,8 +1016,7 @@ def test_streaming_neardup_dedup_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "nd_ckpt")
     idx = str(tmp_path / "nd_idx")
     outp = str(tmp_path / "nd_out")
-    for t in ("ndix_bands", "ndix_shingles"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _drop_index_tables(spark, "ndix_bands", "ndix_shingles")
 
     batch1 = [
         (1, base_a),
@@ -1175,8 +1186,7 @@ def test_neardup_fold_crash_replay_is_idempotent(spark, tmp_path):
 
     idx = str(tmp_path / "cr_idx")
     outp = str(tmp_path / "cr_out")
-    for t in ("crix_bands", "crix_shingles"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _drop_index_tables(spark, "crix_bands", "crix_shingles")
     fold = make_neardup_fold("doc_id", "text", "crix", idx, outp)
 
     base = "the cat sat on the mat and watched the birds outside all day long"
@@ -1217,8 +1227,7 @@ def test_neardup_fold_star_pattern_keeps_cluster_minimum(spark, tmp_path):
 
     idx = str(tmp_path / "st_idx")
     outp = str(tmp_path / "st_out")
-    for t in ("stix_bands", "stix_shingles"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _drop_index_tables(spark, "stix_bands", "stix_shingles")
 
     words = [f"w{i:02d}" for i in range(40)]
     c_text = " ".join(words)           # the hub
@@ -1251,8 +1260,7 @@ def test_lsh_index_geometry_is_persisted_and_validated(spark, tmp_path):
         probe_lsh_index,
     )
 
-    for t in ("gmix_bands", "gmix_shingles"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _drop_index_tables(spark, "gmix_bands", "gmix_shingles")
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta")],
         "doc_id long, text string",
