@@ -456,3 +456,74 @@ def phash_near_pairs(
 
     sig = image_phash(df, id_col, payload_col, codec=codec, out_col="simhash").cache()
     return simhash_pairs_from_sigs(sig, id_col, max_hamming)
+
+
+# ----------------------------------------------------- audio fingerprint ---
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    win: int = 1024,
+    hop: int = 512,
+    out_col: str = "afp",
+) -> DataFrame:
+    """(id, afp) — an ENERGY-ENVELOPE fingerprint string per audio clip:
+    each analysis window (from :func:`sample_audio_windows`) quantizes
+    to its log2 energy symbol, symbols concatenate in window order. Two
+    clips that share most of their envelope (same content, small edits,
+    a re-encode the stub PCM model can express) share most of their
+    symbol SHINGLES — which is exactly `minhash_lsh_pairs`' input
+    contract, so audio near-dup is :func:`audio_near_pairs` = this
+    column + the existing text machinery. A chromaprint-style DSP
+    fingerprint slots in by replacing the symbol expression; the window
+    explosion, ordered reassembly, and pair join stay as-is.
+
+    Plan: the window explode is mapInPandas (∝ samples), the ordered
+    reassembly is the encode_documents groupBy shape (one shuffle of
+    (id, symbol longs)); log2-quantization happens in JVM exprs."""
+    w = sample_audio_windows(df, id_col, payload_col, win=win, hop=hop)
+    # eighth-of-an-octave energy bins: window-to-window jitter of a
+    # steady signal (~±3% energy, ~0.04 in log2) stays in one symbol,
+    # while real envelope movement (speech/music dynamics) crosses bins
+    sym = F.floor(F.log2(F.col("energy") + F.lit(1.0)) * 8).cast("long")
+    return (
+        w.select(F.col(id_col), F.col("win_idx"), sym.alias("__sym"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("win_idx"), F.col("__sym")))
+            ).alias("__ws")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("__ws", lambda s: s["__sym"].cast("string")), " "
+            ).alias(out_col),
+        )
+    )
+
+
+def audio_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.6,
+    win: int = 1024,
+    hop: int = 512,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Audio near-duplicate pairs: MinHash+LSH over energy-envelope
+    shingles (exact-Jaccard verified at ``threshold``, same recall
+    semantics as text `minhash_lsh_pairs`). The pair join moves k longs
+    per clip — payload bytes never shuffle."""
+    from .dedup import minhash_lsh_pairs
+
+    fp = audio_fingerprint(df, id_col, payload_col, win, hop).cache()
+    return minhash_lsh_pairs(
+        fp, id_col, "afp", k=k, bands=bands, shingle_n=shingle_n,
+        threshold=threshold,
+    )

@@ -207,3 +207,44 @@ def test_image_phash_pil_real_images(spark):
     h = {r["doc_id"]: r["phash"] for r in image_phash(df, "doc_id", codec="pil").collect()}
     assert bin(h[1] ^ h[2]).count("1") <= 10
     assert bin(h[1] ^ h[3]).count("1") > 16
+
+
+def test_audio_fingerprint_and_near_pairs(spark):
+    """Energy-envelope fingerprints: identical clips match exactly, a
+    clip with a small edit stays above the Jaccard threshold, unrelated
+    audio stays below; pairs come back exact-verified."""
+    import numpy as np
+
+    from bitfilters_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 64 * 1024
+    # amplitude-modulated noise: the envelope ramps across the clip, so
+    # the per-window energy symbols actually vary (flat noise would
+    # quantize every window to the same symbol — no shingle structure)
+    envelope = 1 + 99 * np.abs(np.sin(np.arange(n) * 2 * np.pi / 8192))
+    base = (rng.uniform(-1, 1, n) * envelope).astype(np.int8)
+    edited = base.copy()
+    edited[:2048] = 0  # silence the first few windows
+    other = (rng.integers(-4, 4, n)).astype(np.int8)  # quiet, flat
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(base)),
+        (3, bytes(edited)),
+        (4, bytes(other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df, "doc_id").collect()}
+    assert fp[1] == fp[2] != fp[4]
+    n_windows = len(fp[1].split(" "))
+    assert n_windows == 128  # 64k samples, hop 512
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in audio_near_pairs(df, "doc_id", threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
+    assert not any(4 in p for p in pairs)
