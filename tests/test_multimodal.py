@@ -248,3 +248,47 @@ def test_audio_fingerprint_and_near_pairs(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6
     assert not any(4 in p for p in pairs)
+
+
+def test_streaming_image_dedup_composes_with_phash(spark, tmp_path):
+    """Multimodal dedup composes with the streaming machinery through
+    the fingerprint-column contract: phash as streaming_dedup_exact's
+    fingerprint drops byte-identical images across micro-batches with
+    no new streaming code."""
+    import numpy as np
+
+    from bitfilters_spark.operators.multimodal import image_phash
+    from bitfilters_spark.streaming import streaming_dedup_exact
+
+    rng = np.random.default_rng(5)
+    img_a = bytes(rng.integers(0, 256, 2048, dtype=np.uint8))
+    img_b = bytes(rng.integers(0, 256, 2048, dtype=np.uint8))
+    img_c = bytes(rng.integers(0, 256, 2048, dtype=np.uint8))
+
+    src = str(tmp_path / "img_in")
+    ckpt = str(tmp_path / "img_ckpt")
+
+    def write_batch(rows):
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        image_phash(df, "doc_id", codec="stub").join(df, "doc_id").select(
+            "doc_id", F.col("phash").cast("string").alias("fp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([(1, img_a), (2, img_b), (3, img_a)])  # 3 dups 1 in-batch
+    stream = spark.readStream.schema("doc_id long, fp string").parquet(src)
+    dedup = streaming_dedup_exact(stream, "fp", "doc_id", num_shards=4)
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("img_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(10, img_a), (11, img_c)])  # 10 dups batch-1's img_a
+        q.processAllAvailable()
+        got = {r["id"] for r in spark.sql("SELECT id FROM img_sink").collect()}
+    finally:
+        q.stop()
+    assert got == {1, 2, 11}
