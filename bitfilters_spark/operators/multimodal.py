@@ -527,3 +527,71 @@ def audio_near_pairs(
         fp, id_col, "afp", k=k, bands=bands, shingle_n=shingle_n,
         threshold=threshold,
     )
+
+
+# ----------------------------------------------------- video fingerprint ---
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_len: int = 4096,
+    out_col: str = "vfp",
+) -> DataFrame:
+    """(id, vfp) — per-FRAME perceptual hashes in temporal order, one
+    hex symbol per frame. Video decode has no in-container codec (like
+    :func:`sample_frames`), so a "frame" is a fixed-length payload
+    chunk hashed with the locally-stable stub pHash; in production the
+    chunking loop becomes ffmpeg keyframe iteration + the real pHash
+    and NOTHING downstream changes. Shingles over consecutive frame
+    hashes capture temporal structure, so a re-cut sharing most scenes
+    still matches while an unrelated clip shares nothing."""
+    if frame_len <= 0:
+        raise ValueError("frame_len must be positive")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField(out_col, StringType())]
+    )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                hs = [
+                    f"{_phash_bits_stub(raw[off : off + frame_len]):016x}"
+                    for off in range(0, max(len(raw), 1), frame_len)
+                ]
+                ids.append(int(i))
+                fps.append(" ".join(hs))
+            yield pd.DataFrame({"doc_id": ids, out_col: fps})
+
+    return (
+        df.select(id_col, payload_col)
+        .mapInPandas(fp, schema=schema)
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def video_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+    frame_len: int = 4096,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Video near-duplicate pairs: MinHash+LSH over frame-hash shingles
+    (exact-Jaccard verified) — the same pair machinery as text, audio
+    (#94), and image (#92); the join moves k longs per clip."""
+    from .dedup import minhash_lsh_pairs
+
+    fp = video_fingerprint(df, id_col, payload_col, frame_len).cache()
+    return minhash_lsh_pairs(
+        fp, id_col, "vfp", k=k, bands=bands, shingle_n=shingle_n,
+        threshold=threshold,
+    )

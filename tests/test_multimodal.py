@@ -292,3 +292,37 @@ def test_streaming_image_dedup_composes_with_phash(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1, 2, 11}
+
+
+def test_video_fingerprint_and_near_pairs(spark):
+    """Frame-hash fingerprints: identical clips j=1.0; a re-cut sharing
+    most frames stays above threshold; unrelated content finds no pair;
+    frame count matches the chunk geometry."""
+    import numpy as np
+
+    from bitfilters_spark.operators.multimodal import (
+        video_fingerprint,
+        video_near_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, 4096, dtype=np.uint8) for _ in range(32)]
+    base = b"".join(bytes(f) for f in frames)
+    recut = b"".join(bytes(f) for f in frames[:28]) + bytes(
+        rng.integers(0, 256, 4 * 4096, dtype=np.uint8)
+    )  # last 4 scenes replaced
+    other = bytes(rng.integers(0, 256, 32 * 4096, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, recut), (4, other)],
+        "doc_id long, payload binary",
+    )
+    fp = {r["doc_id"]: r["vfp"] for r in video_fingerprint(df, "doc_id").collect()}
+    assert fp[1] == fp[2] != fp[4]
+    assert len(fp[1].split(" ")) == 32
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in video_near_pairs(df, "doc_id", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert not any(4 in p for p in pairs)
