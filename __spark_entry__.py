@@ -407,11 +407,19 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = orders.select(
         "o_custkey", duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h")
     )
+    # probe_cms (r6): broadcast-closure probe of the ONE global sketch.
+    # Shipping the blob as a column — crossJoin(broadcast(sketch)) or a
+    # lit(blob) — replicates the 32 KB counter table into every probe
+    # row's Arrow batch (measured 13.1s / 7.7s at the 10x stress scale
+    # vs ~2s for this plan). distinct BEFORE hashing: the probe side
+    # re-derives the deterministic hash for ~distinct keys only.
+    from bitfilters_spark.functions.filters import probe_cms
+
     sketch = build_filter(keyed, [], "h", "cms", d=4, w=1024)
-    keys = keyed.distinct()
-    return keys.crossJoin(F.broadcast(sketch)).select(
-        "o_custkey", cms_estimate("filter", "h").alias("est")
+    keys = orders.select("o_custkey").distinct().select(
+        "o_custkey", duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h")
     )
+    return probe_cms(keys, sketch, "h", result_col="est").select("o_custkey", "est")
 
 
 def q_duckdb_bloom_multi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -981,3 +981,42 @@ def duckdb_bloom_probe(version: str, filter_col, *value_cols) -> Column:
     f = F.col(filter_col) if isinstance(filter_col, str) else filter_col
     vals = [F.col(c) if isinstance(c, str) else c for c in value_cols]
     return _probe(f, *vals)
+
+
+def probe_cms(
+    df: DataFrame,
+    sketch,
+    hash_col: str,
+    result_col: str = "__est",
+) -> DataFrame:
+    """Scale-path CMS probe against ONE global sketch: the
+    :func:`probe_filter` broadcast-closure pattern for frequency
+    estimates. Joining (or lit-ing) the blob in as a column replicates
+    the full d*w counter table into EVERY probe row's Arrow batch —
+    measured ~6x slower at 1.5M probes with a 32 KB sketch; here the
+    blob broadcasts once per executor and the UDF receives hashes only.
+    For per-group sketches join the build output and use
+    :func:`cms_estimate` (blobs stay off the driver)."""
+    if isinstance(sketch, DataFrame):
+        rows = sketch.collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"probe_cms expects one global sketch row, got {len(rows)}; "
+                "for per-group sketches join and use cms_estimate"
+            )
+        blob = bytes(rows[0]["filter"])
+    else:
+        blob = bytes(sketch)
+    bc = df.sparkSession.sparkContext.broadcast(blob)
+
+    @arrow_udf(LongType())
+    def _est(hashes: pa.Array) -> pa.Array:
+        h, hmask = _arrow_hashes_u64(hashes)
+        out = (
+            CM.cms_estimate(bc.value, h).astype(np.int64)
+            if len(h)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.array(out, type=pa.int64(), mask=hmask)
+
+    return df.withColumn(result_col, _est(F.col(hash_col)))

@@ -297,3 +297,36 @@ def test_bf_build_empty_group(spark):
     spark.createDataFrame([], "k long").createOrReplaceTempView("bfb_empty")
     out = bf_build(spark, "bfb_empty", ["k % 2 AS g"], "bloom", "xxhash64(k)", n=10, fpp=0.5)
     assert out.count() == 0
+
+
+def test_probe_cms_matches_column_probe(spark):
+    """Broadcast-closure CMS probe == column-based cms_estimate on the
+    same sketch (including empty probe side), and the multi-row guard
+    raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.functions.filters import cms_estimate, probe_cms
+
+    rows = [(i % 7,) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long").select(
+        "k", F.xxhash64("k").alias("h")
+    )
+    sketch = build_filter(df, [], "h", "cms", d=4, w=64)
+    want = {
+        r["k"]: r["est"]
+        for r in df.distinct()
+        .crossJoin(F.broadcast(sketch))
+        .select("k", cms_estimate("filter", "h").alias("est"))
+        .collect()
+    }
+    got = {
+        r["k"]: r["est"]
+        for r in probe_cms(df.distinct(), sketch, "h", result_col="est").collect()
+    }
+    assert got == want and len(got) == 7
+    empty = spark.createDataFrame([], "k long, h long")
+    assert probe_cms(empty, sketch, "h").count() == 0
+    two = build_filter(df, ["k"], "h", "cms", d=2, w=32)
+    with pytest.raises(ValueError, match="one global sketch"):
+        probe_cms(df, two, "h")
