@@ -303,3 +303,55 @@ def assign_row_ids(
                 f"row ids would be duplicated and rows multiplied"
             )
     return df.join(assigned, order_col)
+
+
+def materialize_sequences(
+    assignment: DataFrame,
+    encoded: DataFrame,
+    id_col: str,
+    token_col: str = "token_ids",
+    eos_id: int | None = None,
+    pad_to: int | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """The last dataloader step: turn :func:`pack_sequences`' assignment
+    (id, w, seq, offset) plus per-document token arrays (e.g.
+    `encode_documents` output) into the ACTUAL packed training rows —
+    (seq, token_ids, n_docs, n_tokens), documents concatenated in
+    offset order, ``eos_id`` appended after each document when given
+    (the separator convention; budget for it in the packing weights),
+    ``pad_to`` right-padding with ``pad_id`` for fixed-shape tensors.
+
+    Plan: ONE join of the (id, seq, offset) assignment — 24 B/row —
+    against the token arrays, then the per-seq ordered regroup
+    (``array_sort(collect_list(struct(offset, tokens)))`` + flatten),
+    the same single-shuffle shape as `encode_documents`. Token arrays
+    move exactly once; nothing is ever collected."""
+    toks = encoded.select(F.col(id_col).alias("id"), F.col(token_col).alias("__t"))
+    if eos_id is not None:
+        toks = toks.withColumn(
+            "__t", F.concat("__t", F.array(F.lit(int(eos_id)).cast("long")))
+        )
+    joined = assignment.select("id", "seq", "offset").join(toks, "id")
+    out = (
+        joined.groupBy("seq")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("offset"), F.col("__t")))
+                    ),
+                    lambda s: s["__t"],
+                )
+            ).alias(token_col),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size(token_col))
+    )
+    if pad_to is not None:
+        pad = F.array_repeat(
+            F.lit(int(pad_id)).cast("long"),
+            F.greatest(F.lit(pad_to) - F.col("n_tokens"), F.lit(0)),
+        )
+        out = out.withColumn(token_col, F.concat(F.col(token_col), pad))
+    return out.select("seq", token_col, "n_docs", "n_tokens")

@@ -204,3 +204,58 @@ def test_assign_row_ids_rejects_duplicate_order_col(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b"), (1, "c")], "k long, v string")
     with pytest.raises(ValueError, match="not unique"):
         assign_row_ids(df, "k").collect()
+
+
+def test_materialize_sequences_round_trip(spark):
+    """pack_sequences assignment + token arrays -> packed rows: docs
+    concatenate in offset order with EOS separators, padding fixes the
+    shape, and every token of every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = [(i, list(range(i * 100, i * 100 + 3 + (i % 3)))) for i in range(10)]
+    enc = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, token_ids array<long>"
+    )
+    # weights include the EOS token each doc will gain
+    weighted = enc.select(
+        "doc_id", (F.size("token_ids") + 1).alias("n_tokens")
+    )
+    assignment = pack_sequences(weighted, "doc_id", "n_tokens", capacity=16)
+    packed = materialize_sequences(
+        assignment.withColumnRenamed("id", "doc_id").withColumnRenamed(
+            "w", "n_tokens"
+        ).select(
+            F.col("doc_id").alias("id"), "seq", "offset"
+        ),
+        enc,
+        "doc_id",
+        eos_id=-1,
+        pad_to=16,
+        pad_id=0,
+    ).collect()
+    toks_by_doc = dict(docs)
+    seen = []
+    for r in packed:
+        assert len(r["token_ids"]) == 16  # padded to shape
+        assert r["n_tokens"] <= 16
+        body = r["token_ids"][: r["n_tokens"]]
+        # EOS after every doc; split and match doc bodies exactly
+        parts = []
+        cur = []
+        for t in body:
+            if t == -1:
+                parts.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        assert cur == []  # body ends on an EOS
+        assert len(parts) == r["n_docs"]
+        seen.extend(parts)
+    assert sorted(map(tuple, seen)) == sorted(
+        tuple(t) for t in toks_by_doc.values()
+    )
