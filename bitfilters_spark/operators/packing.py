@@ -315,7 +315,7 @@ def materialize_sequences(
     pad_id: int = 0,
 ) -> DataFrame:
     """The last dataloader step: turn :func:`pack_sequences`' assignment
-    (id, w, seq, offset) plus per-document token arrays (e.g.
+    (id_col, weight, seq, offset — pack_sequences output as-is) plus per-document token arrays (e.g.
     `encode_documents` output) into the ACTUAL packed training rows —
     (seq, token_ids, n_docs, n_tokens), documents concatenated in
     offset order, ``eos_id`` appended after each document when given
@@ -332,7 +332,9 @@ def materialize_sequences(
         toks = toks.withColumn(
             "__t", F.concat("__t", F.array(F.lit(int(eos_id)).cast("long")))
         )
-    joined = assignment.select("id", "seq", "offset").join(toks, "id")
+    joined = assignment.select(
+        F.col(id_col).alias("id"), "seq", "offset"
+    ).join(toks, "id")
     out = (
         joined.groupBy("seq")
         .agg(

@@ -227,16 +227,7 @@ def test_materialize_sequences_round_trip(spark):
     )
     assignment = pack_sequences(weighted, "doc_id", "n_tokens", capacity=16)
     packed = materialize_sequences(
-        assignment.withColumnRenamed("id", "doc_id").withColumnRenamed(
-            "w", "n_tokens"
-        ).select(
-            F.col("doc_id").alias("id"), "seq", "offset"
-        ),
-        enc,
-        "doc_id",
-        eos_id=-1,
-        pad_to=16,
-        pad_id=0,
+        assignment, enc, "doc_id", eos_id=-1, pad_to=16, pad_id=0
     ).collect()
     toks_by_doc = dict(docs)
     seen = []

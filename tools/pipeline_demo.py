@@ -36,6 +36,7 @@ def main(sf_dir: str) -> None:
         dedup_against_index,
     )
     from bitfilters_spark.operators.packing import (
+        materialize_sequences,
         pack_shards,
         pack_sequences,
         write_training_shards,
@@ -183,6 +184,17 @@ def main(sf_dir: str) -> None:
         stages["pack_sequences"] = {
             "rows": seqs.count(),
             "n_seqs": seqs.select("seq").distinct().count(),
+        }
+        packed = materialize_sequences(seqs, encoded, "doc_id", pad_to=512)
+        pk = packed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("tok"),
+            F.avg(F.col("n_tokens") / 512).alias("fill"),
+        ).collect()[0]
+        stages["materialize"] = {
+            "n_seqs": pk["n"],
+            "tokens": int(pk["tok"]),
+            "fill_frac": round(float(pk["fill"]), 3),
         }
         assigned = pack_shards(weighted, "doc_id", "n_tokens", shard_weight=20_000)
         manifest = write_training_shards(
