@@ -112,3 +112,38 @@ def semijoin_filter(
         survivors[fact_key] == F.col("__k"),
         "leftsemi",
     )
+
+
+def drop_ledger(
+    original: DataFrame,
+    stages,
+    id_col: str,
+) -> DataFrame:
+    """Per-document pipeline audit: (id, dropped_at) for EVERY input
+    document, where ``dropped_at`` is the name of the first stage whose
+    output no longer contains the id (NULL = survived the whole
+    pipeline). ``stages`` is the ordered list of (name, DataFrame)
+    stage outputs. At 100 TB you cannot debug a dedup/quality pipeline
+    from aggregate counts alone — "which stage ate this document" is
+    the question every data audit asks.
+
+    Plan: one id-projected LEFT ANTI.. actually LEFT join per stage on
+    the id only (8 B rows both sides, map-side broadcast when a stage's
+    survivor set is small); the first-missing logic is a coalesce chain
+    over the per-stage presence markers — no shuffle wider than the id
+    column, nothing collected."""
+    out = original.select(F.col(id_col))
+    markers = []
+    for i, (name, df) in enumerate(stages):
+        m = f"__in{i}"
+        out = out.join(
+            df.select(F.col(id_col)).distinct().withColumn(m, F.lit(1)),
+            id_col,
+            "left",
+        )
+        markers.append((name, m))
+    reason = F.lit(None).cast("string")
+    # first stage whose marker is NULL, scanning in pipeline order
+    for name, m in reversed(markers):
+        reason = F.when(F.col(m).isNull(), F.lit(name)).otherwise(reason)
+    return out.select(id_col, reason.alias("dropped_at"))

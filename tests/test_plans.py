@@ -389,3 +389,26 @@ def test_remove_boilerplate_lines_plan_shape(spark):
             # every non-broadcast exchange hashes on doc_id and/or the
             # 8-byte line hash — never on the line text itself
             assert "__line" not in line, line
+
+
+def test_drop_ledger_names_first_dropping_stage(spark):
+    """Every input id gets the FIRST stage that dropped it (NULL =
+    survived); composes from plain stage outputs with id-only joins."""
+    from bitfilters_spark.plans.filter_join import drop_ledger
+
+    original = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    mk = lambda ids: spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ledger = drop_ledger(
+        original,
+        [("quality", mk([1, 2, 3, 4])), ("dedup", mk([1, 2])), ("decontam", mk([2]))],
+        "doc_id",
+    )
+    got = {r["doc_id"]: r["dropped_at"] for r in ledger.collect()}
+    assert got == {
+        1: "decontam",
+        2: None,
+        3: "dedup",
+        4: "dedup",
+        5: "quality",
+        6: "quality",
+    }
