@@ -130,3 +130,56 @@ def ingest_report(
         "bad": sum(per_file.values()),
         "bad_files": dict(sorted(per_file.items())),
     }
+
+
+def streaming_robust_ingest(
+    stream: DataFrame,
+    schema: str,
+    out_path: str,
+    quarantine_path: str,
+    line_col: str = "value",
+):
+    """Streaming dead-letter ingest: a TEXT stream of JSONL (e.g.
+    ``spark.readStream.text(dir)``) splits per micro-batch into parsed
+    rows (appended to ``out_path``) and unparseable lines (appended to
+    ``quarantine_path`` as (raw, batch_id)). Parsing uses ``from_json``
+    over the text column — a null parse of a non-null line IS the
+    corrupt signal, so the batch path's corrupt-column analyzer
+    restriction never applies and both branches are plain filters.
+
+    Returns a ``writeStream``-ready object::
+
+        q = streaming_robust_ingest(spark.readStream.text(d), sch,
+                                    good_dir, bad_dir) \\
+            .option("checkpointLocation", ckpt).start()
+
+    Replay caveat: plain appends — pair with an upstream exactly-once
+    source or a batch-id marker when re-delivered batches must not
+    duplicate (same contract as ``streaming_indexed_sink``)."""
+
+    full_schema = f"{schema}, {CORRUPT_COL} STRING"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        # from_json PERMISSIVE yields a struct of NULL FIELDS for a bad
+        # line (not a null struct), so the corrupt-record column inside
+        # the struct schema is the reliable signal
+        parsed = batch_df.select(
+            F.col(line_col).alias("__raw"),
+            F.from_json(
+                F.col(line_col),
+                full_schema,
+                {"columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("__p"),
+        ).where(F.trim("__raw") != "")
+        good = (
+            parsed.where(F.col(f"__p.{CORRUPT_COL}").isNull())
+            .select("__p.*")
+            .drop(CORRUPT_COL)
+        )
+        bad = parsed.where(F.col(f"__p.{CORRUPT_COL}").isNotNull()).select(
+            F.col("__raw").alias("raw"), F.lit(batch_id).alias("batch_id")
+        )
+        good.write.mode("append").parquet(out_path)
+        bad.write.mode("append").parquet(quarantine_path)
+
+    return stream.writeStream.foreachBatch(fold).outputMode("append")

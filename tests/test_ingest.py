@@ -81,3 +81,35 @@ def test_all_good_and_all_bad_edges(spark, tmp_path):
 
     assert good.count() == 0
     assert bad.agg(F.count("raw")).collect()[0][0] == 2
+
+
+def test_streaming_robust_ingest_splits_per_batch(spark, tmp_path):
+    """Text-stream JSONL ingest: parsed rows land in the output dataset,
+    garbage lines land in quarantine with their batch id, across
+    micro-batches."""
+    from bitfilters_spark.sources.ingest import streaming_robust_ingest
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    outp = str(tmp_path / "good")
+    quar = str(tmp_path / "bad")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "b1.txt").write_text(
+        '{"doc_id": 1, "text": "alpha"}\nnot json\n{"doc_id": 2, "text": "beta"}\n'
+    )
+    stream = spark.readStream.text(str(src))
+    q = (
+        streaming_robust_ingest(stream, "doc_id LONG, text STRING", outp, quar)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b2.txt").write_text('{"doc_id": 3, "text": "gamma"}\n{broken\n')
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    good = {r["doc_id"]: r["text"] for r in spark.read.parquet(outp).collect()}
+    assert good == {1: "alpha", 2: "beta", 3: "gamma"}
+    bad = sorted(r["raw"] for r in spark.read.parquet(quar).collect())
+    assert bad == ["not json", "{broken"]
