@@ -9,8 +9,10 @@ tracking noise + injected duplicates), then runs:
   persisted index -> n-gram decontamination -> vocabulary + token
   encoding (packing budgets use the ENCODER's token counts, not the
   whitespace heuristic — the pluggable-weight contract a production
-  tokenizer slots into) -> sequence packing -> shard packing ->
-  on-disk shards + manifest
+  tokenizer slots into) -> sequence packing -> MATERIALIZED packed
+  sequences (EOS-separated, fixed shape) -> shard packing over the
+  sequences -> on-disk sequence shards + manifest (what a trainer
+  actually reads; token counts conserved end to end)
 
 Prints one JSON line of per-stage row counts and wall times.
 Usage: ``python tools/pipeline_demo.py [sf_dir]``.
@@ -196,9 +198,15 @@ def main(sf_dir: str) -> None:
             "tokens": int(pk["tok"]),
             "fill_frac": round(float(pk["fill"]), 3),
         }
-        assigned = pack_shards(weighted, "doc_id", "n_tokens", shard_weight=20_000)
+        # shards hold PACKED SEQUENCES (what a trainer actually reads),
+        # assigned by the two-phase distributed prefix sum over seq ids
+        packed = packed.localCheckpoint()
+        assigned = pack_shards(
+            packed.select("seq", "n_tokens"), "seq", "n_tokens",
+            shard_weight=20_000,
+        )
         manifest = write_training_shards(
-            assigned, decon, "doc_id", f"{tmp}/shards"
+            assigned, packed, "seq", f"{tmp}/shards"
         )
         stages["shards"] = {
             "n_shards": len(manifest),
