@@ -43,15 +43,24 @@ def _flagged_starts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
             "__pos", "__h"
         ),
     )
-    winners = ex.groupBy("__h").agg(
-        F.min(F.struct("__id", "__pos")).alias("__w"),
-        F.count(F.lit(1)).alias("__c"),
+    # filter to DUPLICATED grams before the join: the build side shrinks
+    # from |distinct grams| to |duplicated grams| — in a mostly-clean
+    # corpus that's a tiny fraction and AQE broadcasts it, removing the
+    # occurrence-side shuffle entirely; on a repetition-heavy corpus the
+    # plan degrades gracefully to the same shuffle join as before. Rows
+    # whose gram has c == 1 could never survive the post-join filter.
+    winners = (
+        ex.groupBy("__h")
+        .agg(
+            F.min(F.struct("__id", "__pos")).alias("__w"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .where(F.col("__c") > 1)
     )
     return (
         ex.join(winners, "__h")
         .where(
-            (F.col("__c") > 1)
-            & ~(
+            ~(
                 (F.col("__id") == F.col("__w.__id"))
                 & (F.col("__pos") == F.col("__w.__pos"))
             )
