@@ -204,3 +204,20 @@ def test_min_span_tokens_keeps_short_repeats(spark):
         for r in remove_duplicated_spans(df, "doc_id", "text", n=N).collect()
     }
     assert got0[3] == "z z y y w w q"
+
+
+def test_flagged_starts_broadcasts_on_clean_corpus(spark):
+    """On a mostly-clean corpus the duplicated-gram winner set is tiny:
+    AQE must broadcast it so the occurrence rows never shuffle for the
+    join; results unchanged."""
+    from bitfilters_spark.operators.substring import dup_token_coverage
+
+    rows = [(i, " ".join(f"u{i}w{j}" for j in range(40))) for i in range(200)]
+    # one duplicated region shared by two docs
+    rows[0] = (0, rows[2][1])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = dup_token_coverage(df, "doc_id", "text", n=5)
+    got = {r["doc_id"]: r["dup_tokens"] for r in cov.collect()}
+    assert got[2] == 40 and got[0] == 0 and got[1] == 0  # min-(id,pos) keeps doc 0
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
