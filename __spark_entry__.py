@@ -781,10 +781,22 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (regex dialect kept Java/RE2-portable);
-    the redacted string is hash-compared, so match spans must be exact."""
+    the redacted string is hash-compared, so match spans must be exact.
+
+    `fixed` leg (r7, operator #101): every mojibake-table entry is
+    prepended to the text and repaired with `fix_mojibake`'s JVM replace
+    chain; the oracle replays the identical replace chain in DuckDB
+    (generated from the same table, same order), so the repair is
+    cross-engine byte-exact — including the C1-control (latin-1-decoded)
+    variants."""
+    from bitfilters_spark.operators.web import fix_mojibake, moji_prefix
+
     docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", *T.pii_metrics("text"), T.redact_pii("text").alias("redacted")
+        "doc_id",
+        *T.pii_metrics("text"),
+        T.redact_pii("text").alias("redacted"),
+        fix_mojibake(F.concat(F.lit(moji_prefix()), F.col("text"))).alias("fixed"),
     )
 
 
@@ -1136,9 +1148,21 @@ def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, dest, ["o_custkey"], "bloom", n=200_000, fpp=0.01
     )
     keys = [7, 61, 133]
-    return SK.skipping_read(
+    picked = SK.skipping_read(
         spark, dest, "o_custkey", keys, index=index
     ).select("o_orderkey", "o_custkey")
+    # idx_* leg (r7, operator #100): global aggregates answered from the
+    # STATS INDEX ALONE (metadata-scale, zero data scan) must equal the
+    # oracle's full-table aggregates — aggregate pushdown into the file
+    # index. Integer columns only so the comparison is exact.
+    stats = SK.build_stats_index(spark, dest, ["o_custkey"])
+    agg = SK.aggregate_from_index(stats, ["o_custkey"]).select(
+        F.col("n_rows").cast("long").alias("idx_rows"),
+        F.col("o_custkey_min").cast("long").alias("idx_cust_min"),
+        F.col("o_custkey_max").cast("long").alias("idx_cust_max"),
+        F.col("o_custkey_sum").cast("long").alias("idx_cust_sum"),
+    )
+    return picked.crossJoin(F.broadcast(agg))
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,6 +1398,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the one that should fall off first.
         "q_filter_sizes": q_filter_sizes,
     }
+
+
+def _moji_fixed_sql() -> str:
+    """DuckDB replay of the `fixed` leg of q_pii_redact: the mojibake
+    prefix (single-quote-escaped literal) concatenated to the text, run
+    through the SAME replace chain `fix_mojibake` applies (generated
+    from the same table in the same order — the chain cannot drift from
+    the operator)."""
+    from bitfilters_spark.operators.web import moji_prefix, moji_repair_sql
+
+    lit = "'" + moji_prefix().replace("'", "''") + "' || text"
+    return moji_repair_sql("(" + lit + ")")
 
 
 def _simhash_oracle_sql() -> str:
@@ -2002,7 +2038,8 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS n_emails,
                    len(regexp_extract_all(text, '{T.PHONE_RE}')) AS n_phones,
                    regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
-                                  '{T.PHONE_RE}', '<PHONE>', 'g') AS redacted
+                                  '{T.PHONE_RE}', '<PHONE>', 'g') AS redacted,
+                   {_moji_fixed_sql()} AS fixed
             FROM aug
         """,
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
@@ -2127,10 +2164,18 @@ def oracle_sql() -> dict[str, str]:
                    n AS mg_n
             FROM agg QUALIFY rank <= 100
         """,
-        "q_data_skipping": (
-            "SELECT o_orderkey, o_custkey FROM orders "
-            "WHERE o_custkey IN (7, 61, 133)"
-        ),
+        "q_data_skipping": """
+            SELECT o_orderkey, o_custkey, idx_rows, idx_cust_min,
+                   idx_cust_max, idx_cust_sum
+            FROM orders
+            CROSS JOIN (
+              SELECT count(*)::BIGINT AS idx_rows,
+                     min(o_custkey)::BIGINT AS idx_cust_min,
+                     max(o_custkey)::BIGINT AS idx_cust_max,
+                     sum(o_custkey)::BIGINT AS idx_cust_sum
+              FROM orders) s
+            WHERE o_custkey IN (7, 61, 133)
+        """,
         "q_multimodal_meta": """
             SELECT CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         ELSE 'webp' END AS format,

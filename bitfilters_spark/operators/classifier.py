@@ -1,0 +1,188 @@
+"""Trainable quality classifier (#99): hashed bag-of-tokens logistic
+regression, trained with distributed full-batch gradient descent where
+EVERY per-example computation is a DataFrame aggregation.
+
+This is the standard "quality classifier" stage of LLM data pipelines
+(GPT-3/LLaMA-style: score web pages against a high-quality reference
+corpus with a fasttext-like linear model, keep by score/threshold) —
+heuristic rules (`gopher_rules`, `quality_metrics`) catch junk; a
+TRAINED model catches what rules can't. Linear + hashed features is the
+fasttext recipe (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification").
+
+Scale shape per training iteration (all sizes named):
+  - features (id, bucket, cnt): corpus-scale, built ONCE, cached, and
+    hash-partitioned by id so the per-iteration join reuses the layout.
+  - weight table (bucket, w): model-scale (<= n_buckets rows),
+    broadcast; the margin computation is a map-side join + one groupBy
+    on id.
+  - gradient (bucket, g): model-scale groupBy output; the ONLY data
+    collected per iteration is <= n_buckets + 1 rows. The driver holds
+    weights only — never examples.
+So per iteration: one broadcast join, two shuffles (margin groupBy on
+id reuses the cached partitioning; gradient groupBy on bucket), one
+model-scale collect. At 100 TB the corpus-scale work is embarrassingly
+parallel and the driver state is a few MB of float64 weights.
+
+Scoring (`classifier_score`) is the same broadcast join + groupBy —
+pure JVM expressions, no Python in the row loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1 << 17
+) -> DataFrame:
+    """(id, bucket, cnt) — token counts hashed into ``n_buckets`` via
+    pmod(xxhash64(token)) (the hashing trick: fixed-width feature space,
+    no vocabulary pass). Pure JVM explode + groupBy."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        )
+        .where(F.col("__tok") != "")
+        .select("id", F.pmod(F.xxhash64("__tok"), F.lit(n_buckets)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+
+
+def _weight_df(spark, w: np.ndarray) -> DataFrame:
+    nz = np.nonzero(w)[0]
+    pdf = pd.DataFrame({"bucket": nz.astype("int64"), "w": w[nz]})
+    return spark.createDataFrame(pdf, schema="bucket long, w double")
+
+
+def _margins(feats: DataFrame, wdf: DataFrame, bias: float) -> DataFrame:
+    """(id, y, margin) from cached features + broadcast weight table."""
+    return (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            (F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("cnt"))
+             + F.lit(float(bias))).alias("margin"),
+            F.first("y").alias("y"),
+        )
+    )
+
+
+def train_text_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1 << 17,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> dict:
+    """Full-batch logistic regression via distributed gradient descent.
+
+    ``label_col`` is 0/1. Returns ``{"weights": np.float64[n_buckets],
+    "bias": float, "n_buckets": int, "losses": [mean log-loss per
+    iter]}``. Deterministic: full-batch (no sampling), float64, zero
+    init. The learning rate is per-mean-gradient (gradient is divided
+    by n), so ``lr`` is scale-free in corpus size."""
+    spark = df.sparkSession
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
+    )
+    feats = (
+        hashed_features(df, id_col, text_col, n_buckets)
+        .join(labels, "id")
+        .repartition("id")
+        .persist()
+    )
+    n = float(labels.count())
+    if n == 0:
+        raise ValueError("empty training set")
+
+    w = np.zeros(n_buckets, dtype="float64")
+    bias = 0.0
+    losses: list[float] = []
+    for _ in range(iters):
+        m = _margins(feats, _weight_df(spark, w), bias)
+        errs = m.select(
+            "id",
+            "y",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y"))
+            .alias("err"),
+            # numerically-stable log-loss: log(1+e^m) - y*m, with the
+            # standard max(m,0) rewrite so e^|m| never overflows
+            (
+                F.greatest(F.col("margin"), F.lit(0.0))
+                + F.log1p(F.exp(-F.abs(F.col("margin"))))
+                - F.col("y") * F.col("margin")
+            ).alias("ll"),
+        ).persist()
+        # model-scale collects: <= n_buckets gradient rows + one scalar row
+        grad_rows = (
+            errs.join(feats.select("id", "bucket", "cnt"), "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("err") * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        scal = errs.agg(
+            F.sum("err").alias("be"), F.sum("ll").alias("ll")
+        ).collect()[0]
+        errs.unpersist()
+
+        g = np.zeros(n_buckets, dtype="float64")
+        for r in grad_rows:
+            g[int(r["bucket"])] = float(r["g"])
+        w -= lr * (g / n + l2 * w)
+        bias -= lr * float(scal["be"]) / n
+        losses.append(float(scal["ll"]) / n)
+    feats.unpersist()
+    return {"weights": w, "bias": bias, "n_buckets": n_buckets, "losses": losses}
+
+
+def classifier_score(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """(id, score) — P(label=1) per document under the trained model.
+    Broadcast weight join + one groupBy; sigmoid is a JVM expression."""
+    spark = df.sparkSession
+    feats = hashed_features(df, id_col, text_col, model["n_buckets"])
+    wdf = _weight_df(spark, np.asarray(model["weights"], dtype="float64"))
+    m = (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            (F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("cnt"))
+             + F.lit(float(model["bias"]))).alias("margin")
+        )
+    )
+    scored = m.select(
+        F.col("id").alias(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
+    )
+    # documents with zero tokens produce no feature rows; give them the
+    # bias-only score instead of dropping them
+    base = 1.0 / (1.0 + math.exp(-float(model["bias"])))
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("score", F.lit(base)).alias("score"))
+    )
+
+
+def classifier_filter(
+    df: DataFrame, id_col: str, text_col: str, model: dict, threshold: float = 0.5
+) -> DataFrame:
+    """Keep documents scoring >= threshold (the pipeline gate form)."""
+    keep = classifier_score(df, id_col, text_col, model).where(
+        F.col("score") >= threshold
+    )
+    return df.join(keep.select(id_col), id_col, "semi")

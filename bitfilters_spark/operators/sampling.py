@@ -146,6 +146,50 @@ def mixture_sample(
     )
 
 
+def temperature_weights(counts: dict, tau: float, scale: int = 10_000) -> dict:
+    """Temperature-flattened mixture targets: ``w_s ∝ n_s^tau``, the
+    standard multilingual/multi-source rebalancing (mBERT/XLM-R style,
+    Conneau et al. 2020 §3.1: sample language s with p_s ∝ n_s^alpha)
+    — ``tau=1`` preserves natural proportions, ``tau=0`` forces uniform,
+    ``0<tau<1`` upweights scarce sources without drowning abundant ones.
+
+    Returns INTEGER weights (largest = ``scale``, every live stratum
+    >= 1) so they compose with :func:`mixture_thresholds`'s exact
+    integer arithmetic and stay reproducible by an external engine.
+    Driver-side over the metadata-scale counts dict."""
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    live = {s: n for s, n in counts.items() if n > 0}
+    if not live:
+        return {}
+    mx = max(n**tau for n in live.values())
+    return {s: max(1, round(scale * (n**tau) / mx)) for s, n in live.items()}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tau: float,
+    mask: int = 1023,
+    native: bool = True,
+) -> DataFrame:
+    """`mixture_sample` with targets derived from the observed counts by
+    temperature flattening — one metadata-scale count collect feeds both
+    the targets and the thresholds; the sample stays a map-side hash
+    predicate."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    thresholds = mixture_thresholds(counts, temperature_weights(counts, tau), mask)
+    return stratified_hash_sample(
+        df, key_col, strata_col, thresholds, 0, mask, native
+    )
+
+
 def split_edges(weights: dict, mask: int = 1023) -> list:
     """The bucket edges ``hash_split`` uses — exposed so an oracle (or an
     external engine) can reproduce the exact assignment."""

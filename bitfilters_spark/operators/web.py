@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -255,3 +256,114 @@ def resolve_url_domain(
         c for i in range(1, max_suffix_labels + 1) for c in (f"_bf_cand{i}", f"_bf_hit{i}")
     ]
     return out.withColumn(out_col, domain).drop(*drop)
+
+
+# --------------------------------------------------------------------------
+# encoding repair (mojibake)
+# --------------------------------------------------------------------------
+
+def _sloppy_cp1252_decode(bs: bytes) -> str:
+    """cp1252 decode with ftfy's 'sloppy' extension: the five bytes cp1252
+    leaves undefined (0x81 0x8D 0x8F 0x90 0x9D) decode to their C1
+    controls — which is what real-world decoders (and browsers) do, and
+    why mojibake for chars like the right double quote (UTF-8 ...0x9D)
+    contains an invisible control character."""
+    return "".join(
+        bytes([b]).decode("cp1252", errors="ignore") or chr(b) for b in bs
+    )
+
+
+def _sloppy_cp1252_encode(t: str) -> bytes:
+    out = bytearray()
+    for ch in t:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            if ord(ch) < 0x100:
+                out.append(ord(ch))
+            else:
+                raise
+    return bytes(out)
+
+
+# The characters that dominate crawl-text mojibake (curly quotes, dashes,
+# ellipsis, bullet, NBSP, guillemets, degree, common Latin-1 letters).
+# Each maps to the string its UTF-8 bytes display as when mis-decoded as
+# cp1252 — derived from the real codec round-trip at import time, so the
+# table cannot drift from the encoding model that repairs it.
+_MOJI_TARGETS = (
+    "’‘“”–—…•€™"
+    "\xab\xbb\xb0\xa0\xe9\xe8\xe0\xe7\xf4\xfb\xee\xef\xe4\xf6\xfc"
+    "\xdf\xf1\xed\xf3\xfa\xe1\xc9"
+)
+# Two broken images per target: UTF-8 bytes mis-decoded as cp1252 (the
+# browser default, continuation bytes render as €™“ etc.) and as
+# latin-1 (continuation bytes survive as invisible C1 controls). Both
+# occur in real crawls; where the images coincide (pure Latin-1 range
+# continuations) the dict dedupes them.
+_MOJIBAKE = sorted(
+    {
+        _sloppy_cp1252_decode(t.encode("utf-8")): t for t in _MOJI_TARGETS
+    }.items()
+    | {
+        t.encode("utf-8").decode("latin-1"): t for t in _MOJI_TARGETS
+    }.items(),
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+
+def fix_mojibake(col) -> Column:
+    """Repair the dominant UTF-8-read-as-cp1252 mojibake ("â€™" → "’",
+    "Ã©" → "é") with a fixed replace chain — pure JVM string ops at scan
+    speed, zero false repairs on clean text because every broken
+    sequence starts with â/Ã/Â/€-class lead bytes followed by specific
+    continuation characters, digraphs that don't occur in intentional
+    text. Longer sequences replace before their prefixes. For arbitrary
+    sequences use :func:`fix_mojibake_exact` (Arrow UDF, true codec
+    round-trip)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for broken, fixed in _MOJIBAKE:
+        c = F.replace(c, F.lit(broken), F.lit(fixed))
+    return c
+
+
+def fix_mojibake_exact(col) -> Column:
+    """Exact repair via the real byte round-trip (sloppy-cp1252 encode →
+    UTF-8 decode), applied ONLY where the round-trip fully succeeds AND
+    actually changes the text — already-clean or mixed text passes
+    through untouched, which also makes the repair idempotent (repaired
+    text contains no cp1252-encodable UTF-8 multibyte images). Arrow-
+    batched pandas UDF: the slow path, for corpora where the fixed-table
+    chain isn't enough."""
+
+    @F.pandas_udf("string")
+    def fix(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            try:
+                return _sloppy_cp1252_encode(t).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return t
+
+        return s.map(one)
+
+    return fix(F.col(col) if isinstance(col, str) else col)
+
+
+def moji_prefix() -> str:
+    """Every broken sequence in the repair table, space-separated — the
+    shared fixture the driver query and its DuckDB oracle both prepend
+    so the whole table is exercised cross-engine."""
+    return " ".join(b for b, _ in _MOJIBAKE) + " | "
+
+
+def moji_repair_sql(expr: str) -> str:
+    """The DuckDB/ANSI replay of :func:`fix_mojibake`: the identical
+    replace chain, same table, same order, nested around ``expr``."""
+    out = expr
+    for broken, fixed in _MOJIBAKE:
+        b = broken.replace("'", "''")
+        f = fixed.replace("'", "''")
+        out = f"replace({out}, '{b}', '{f}')"
+    return out

@@ -219,3 +219,62 @@ def refresh_file_index(
             (r["file"], bytes(r[filter_col])) for r in built.collect()
         ]
     return spark.createDataFrame(out_rows, f"file string, {filter_col} binary")
+
+
+def build_stats_index(
+    spark: SparkSession, path: str, stat_cols: list
+) -> DataFrame:
+    """(file, n_rows, <c>_min, <c>_max, <c>_count, <c>_sum, ...) — the
+    zone map extended with the ADDITIVE stats (row count, non-null
+    count, sum) that Iceberg/Delta manifests carry. Mins/maxes compose
+    by min/max, counts and sums by addition — so any global or
+    per-file-subset min/max/count/sum/avg aggregate is answerable from
+    the index ALONE (``aggregate_from_index``), a metadata-scale
+    aggregation with zero data scan. ONE scan to build, map-side
+    combined."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.count(c).alias(f"{c}_count"),
+            F.sum(c).alias(f"{c}_sum"),
+        ]
+    return (
+        df.select(F.input_file_name().alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def aggregate_from_index(stats_index: DataFrame, cols: list) -> DataFrame:
+    """Answer ``SELECT count(*), min(c), max(c), count(c), sum(c),
+    avg(c) ...`` EXACTLY from the stats index — the scan never happens.
+
+    This is the aggregate-pushdown endgame of data skipping: on a
+    100 TB / 100k-file table the input here is 100k metadata rows, so
+    the "query" is a sub-second driver-adjacent aggregation instead of
+    a full-table scan. Exactness: min of per-file mins IS the global
+    min (idempotent-merge), sums/counts of per-file sums/counts ARE the
+    global ones (additive-merge); avg derives as sum/count, null-safe.
+    Returns a one-row DataFrame named ``n_rows, <c>_min, <c>_max,
+    <c>_count, <c>_sum, <c>_avg, ...``."""
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(f"{c}_min").alias(f"{c}_min"),
+            F.max(f"{c}_max").alias(f"{c}_max"),
+            F.sum(f"{c}_count").alias(f"{c}_count"),
+            F.sum(f"{c}_sum").alias(f"{c}_sum"),
+        ]
+    out = stats_index.agg(*aggs)
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_avg",
+            F.when(
+                F.col(f"{c}_count") > 0,
+                F.col(f"{c}_sum") / F.col(f"{c}_count"),
+            ),
+        )
+    return out

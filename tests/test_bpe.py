@@ -1,0 +1,141 @@
+"""BPE tokenizer training + encoding (#98).
+
+The incremental trainer is verified merge-for-merge against a naive
+reference that recounts every pair from scratch after each merge — the
+textbook Sennrich algorithm with no bookkeeping to get wrong.
+"""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators import bpe as B
+
+
+# ---------------------------------------------------------------------------
+# naive reference trainer (recount from scratch each merge)
+# ---------------------------------------------------------------------------
+
+def naive_bpe(word_counts, num_merges, min_pair_count=2):
+    words = {B._symbols(w): int(n) for w, n in word_counts if w}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best_pair, best_n = None, -1
+        for p, n in pairs.items():
+            if n > best_n or (n == best_n and p < best_pair):
+                best_pair, best_n = p, n
+        if best_n < min_pair_count:
+            break
+        merges.append(best_pair)
+        new_words = {}
+        for syms, n in words.items():
+            ns = B._merge_word(syms, best_pair)
+            new_words[ns] = new_words.get(ns, 0) + n
+        words = new_words
+    return merges
+
+
+CORPUS = [
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+    ("lowest", 4), ("new", 7), ("wide", 2), ("spark", 3), ("sparks", 1),
+]
+
+
+def test_incremental_matches_naive():
+    got = B.learn_bpe_merges(CORPUS, num_merges=40, min_pair_count=1)
+    want = naive_bpe(CORPUS, num_merges=40, min_pair_count=1)
+    assert got == want
+    assert len(got) > 10  # actually learned something
+
+
+def test_incremental_matches_naive_min_count():
+    got = B.learn_bpe_merges(CORPUS, num_merges=40, min_pair_count=3)
+    want = naive_bpe(CORPUS, num_merges=40, min_pair_count=3)
+    assert got == want
+
+
+def test_merge_word_nonoverlapping():
+    assert B._merge_word(("a", "a", "a"), ("a", "a")) == ("aa", "a")
+    assert B._merge_word(("a", "b", "a", "b"), ("a", "b")) == ("ab", "ab")
+    assert B._merge_word(("x",), ("a", "b")) == ("x",)
+
+
+def test_encode_word_roundtrips_training_segmentation():
+    merges = B.learn_bpe_merges(CORPUS, num_merges=100, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # fully-merged training words collapse to a single piece
+    assert B.encode_word("newest", ranks) == ["newest</w>"]
+    # unseen word still segments using learned pieces; concatenation
+    # always reconstructs the word
+    for w in ["lowest", "newer", "wides", "sparkly"]:
+        pieces = B.encode_word(w, ranks)
+        assert "".join(pieces).replace(B.END, "") == w
+
+
+def test_train_bpe_spark_end_to_end(spark):
+    rows = []
+    for i, (w, n) in enumerate(CORPUS):
+        rows.append((i, " ".join([w] * n)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = B.train_bpe(df, "text", num_merges=50, min_pair_count=1)
+    # the Spark word-frequency path must reproduce the driver trainer
+    assert model["merges"] == naive_bpe(CORPUS, 50, 1)
+    # vocab: dense ids, merge products present
+    assert sorted(model["vocab"].values()) == list(range(len(model["vocab"])))
+    for a, b in model["merges"]:
+        assert a + b in model["vocab"]
+
+    enc = B.bpe_encode(df, "doc_id", "text", model).orderBy("doc_id").collect()
+    assert len(enc) == len(CORPUS)
+    for r, (w, n) in zip(enc, CORPUS):
+        # n copies of a fully-merged training word -> n single pieces
+        assert r["pieces"] == [w + B.END] * n
+        assert r["n_bpe_tokens"] == n
+        assert all(i >= 0 for i in r["piece_ids"])  # no OOV on train corpus
+        assert r["piece_ids"] == [model["vocab"][w + B.END]] * n
+
+
+def test_bpe_encode_oov_chars(spark):
+    df = spark.createDataFrame([(0, "low low"), (1, "zzz")], ["doc_id", "text"])
+    model = B.train_bpe(
+        df.where("doc_id = 0"), "text", num_merges=10, min_pair_count=1
+    )
+    out = B.bpe_encode(df, "doc_id", "text", model, oov_id=-1).orderBy(
+        "doc_id"
+    ).collect()
+    assert out[0]["piece_ids"] and all(i >= 0 for i in out[0]["piece_ids"])
+    # 'z' never seen at training time -> pieces survive, ids are oov
+    assert out[1]["pieces"] == ["z", "z", "z" + B.END]
+    assert out[1]["piece_ids"] == [-1, -1, -1]
+
+
+def test_bpe_counts_drive_packing(spark):
+    """The advertised integration: real BPE counts feeding token budgets."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    model = B.train_bpe(docs, "text", num_merges=200, top_words=5000)
+    counts = B.bpe_token_counts(docs, "doc_id", "text", model)
+    joined = docs.join(counts, "doc_id")
+    # BPE merges subword units: counts land between characters and words
+    row = joined.select(
+        F.sum("n_bpe_tokens").alias("bpe"),
+        F.sum(F.size(F.split("text", " "))).alias("ws"),
+    ).collect()[0]
+    assert row["bpe"] >= row["ws"]  # at least one piece per word
+    from bitfilters_spark.operators.packing import pack_shards
+
+    packed = pack_shards(
+        joined.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        "doc_id",
+        "n_tokens",
+        shard_weight=4096,
+    )
+    assert packed.count() == 200

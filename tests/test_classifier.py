@@ -1,0 +1,112 @@
+"""Trainable quality classifier (#99): gradient-exactness vs numpy,
+convergence on separable data, scoring parity, gate semantics."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators import classifier as C
+
+GOOD = ["careful analysis shows the method converges",
+        "the theorem holds under mild assumptions",
+        "we evaluate on held out data and report variance",
+        "results replicate across seeds and datasets"]
+BAD = ["click here buy now free free free",
+       "winner winner casino bonus click click",
+       "cheap pills buy buy discount now now",
+       "free bonus click winner cheap now"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, t, 1) for i, t in enumerate(GOOD)] + [
+        (100 + i, t, 0) for i, t in enumerate(BAD)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+
+
+def test_first_iteration_gradient_matches_numpy(spark, corpus):
+    """One Spark GD step == one numpy GD step on identical features."""
+    nb = 1 << 10
+    feats = C.hashed_features(corpus, "doc_id", "text", nb).collect()
+    labels = {r["doc_id"]: r["label"] for r in corpus.collect()}
+    ids = sorted(labels)
+    X = np.zeros((len(ids), nb))
+    y = np.array([labels[i] for i in ids], dtype="float64")
+    pos = {d: k for k, d in enumerate(ids)}
+    for r in feats:
+        X[pos[r["id"]], r["bucket"]] = r["cnt"]
+
+    lr = 2.0
+    # numpy: one step from zero init
+    p = np.full(len(ids), 0.5)
+    g = X.T @ (p - y) / len(ids)
+    w_np = -lr * g
+    b_np = -lr * float(np.mean(p - y))
+
+    model = C.train_text_classifier(
+        corpus, "doc_id", "text", "label", n_buckets=nb, iters=1, lr=lr
+    )
+    np.testing.assert_allclose(model["weights"], w_np, atol=1e-12)
+    assert model["bias"] == pytest.approx(b_np, abs=1e-12)
+    # loss at zero init is exactly log(2)
+    assert model["losses"][0] == pytest.approx(math.log(2.0), abs=1e-12)
+
+
+def test_converges_and_separates(spark, corpus):
+    model = C.train_text_classifier(
+        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=4.0
+    )
+    assert model["losses"][-1] < model["losses"][0] * 0.2  # loss collapsed
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in C.classifier_score(corpus, "doc_id", "text", model).collect()
+    }
+    for i in range(len(GOOD)):
+        assert scored[i] > 0.8
+    for i in range(len(BAD)):
+        assert scored[100 + i] < 0.2
+
+
+def test_score_matches_numpy_margin(spark, corpus):
+    nb = 1 << 10
+    model = C.train_text_classifier(
+        corpus, "doc_id", "text", "label", n_buckets=nb, iters=5, lr=2.0
+    )
+    feats = C.hashed_features(corpus, "doc_id", "text", nb).collect()
+    margins = {}
+    for r in feats:
+        margins[r["id"]] = margins.get(r["id"], 0.0) + (
+            model["weights"][r["bucket"]] * r["cnt"]
+        )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in C.classifier_score(corpus, "doc_id", "text", model).collect()
+    }
+    for d, m in margins.items():
+        want = 1.0 / (1.0 + math.exp(-(m + model["bias"])))
+        assert got[d] == pytest.approx(want, abs=1e-12)
+
+
+def test_empty_text_scores_at_bias(spark):
+    df = spark.createDataFrame(
+        [(0, "good text", 1), (1, "", 0)], "doc_id long, text string, label int"
+    )
+    model = C.train_text_classifier(
+        df, "doc_id", "text", "label", n_buckets=64, iters=3, lr=1.0
+    )
+    got = {r["doc_id"]: r["score"]
+           for r in C.classifier_score(df, "doc_id", "text", model).collect()}
+    assert got[1] == pytest.approx(1.0 / (1.0 + math.exp(-model["bias"])), abs=1e-12)
+
+
+def test_classifier_filter_gate(spark, corpus):
+    model = C.train_text_classifier(
+        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=4.0
+    )
+    kept = C.classifier_filter(corpus, "doc_id", "text", model, 0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(len(GOOD)))

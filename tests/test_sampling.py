@@ -247,3 +247,39 @@ def test_epoch_shuffle_deterministic_distinct_permutations(spark):
         .collect()
     )
     assert len(sizes) == 8 and all(r["count"] > 0 for r in sizes)
+
+
+def test_temperature_weights_extremes_and_monotonicity():
+    from bitfilters_spark.operators.sampling import temperature_weights
+
+    counts = {"big": 90_000, "mid": 9_000, "small": 900}
+    # tau=0: uniform targets
+    assert set(temperature_weights(counts, 0.0).values()) == {10_000}
+    # tau=1: proportional to counts
+    w1 = temperature_weights(counts, 1.0)
+    assert w1["big"] == 10_000 and w1["mid"] == 1_000 and w1["small"] == 100
+    # 0 < tau < 1 sits strictly between: scarce strata gain share
+    wh = temperature_weights(counts, 0.5)
+    assert w1["small"] / w1["big"] < wh["small"] / wh["big"] < 1.0
+    # zero-count strata vanish, never divide-by-zero
+    assert "z" not in temperature_weights({"z": 0, "a": 10}, 0.5)
+
+
+def test_temperature_mixture_sample_rebalances(spark):
+    from bitfilters_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(8000)] + [
+        (100_000 + i, "small") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = temperature_mixture_sample(df, "k", "src", tau=0.0, mask=1023)
+    kept = {r["src"]: r["n"] for r in out.groupBy("src").count()
+            .withColumnRenamed("count", "n").collect()}
+    # uniform target: both strata keep ~500 rows (scarce side kept whole)
+    assert kept["small"] > 450
+    assert abs(kept["big"] - kept["small"]) < 120
+    # deterministic: rerun identical
+    again = temperature_mixture_sample(df, "k", "src", tau=0.0, mask=1023)
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )

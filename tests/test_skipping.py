@@ -236,3 +236,54 @@ def test_zorder_layout_prunes_on_every_column(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(zdest).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     assert a == b
+
+
+def test_stats_index_aggregates_exactly_match_full_scan(spark, part_dir):
+    from bitfilters_spark.sources.skipping import (
+        aggregate_from_index,
+        build_stats_index,
+    )
+
+    idx = build_stats_index(spark, part_dir, ["o_totalprice", "o_custkey"])
+    got = aggregate_from_index(idx, ["o_totalprice", "o_custkey"]).collect()[0]
+
+    full = spark.read.parquet(part_dir)
+    want = full.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("p_min"),
+        F.max("o_totalprice").alias("p_max"),
+        F.count("o_totalprice").alias("p_count"),
+        F.sum("o_totalprice").alias("p_sum"),
+        F.avg("o_totalprice").alias("p_avg"),
+        F.min("o_custkey").alias("c_min"),
+        F.max("o_custkey").alias("c_max"),
+        F.sum("o_custkey").alias("c_sum"),
+    ).collect()[0]
+
+    assert got["n_rows"] == want["n_rows"]
+    assert got["o_totalprice_min"] == want["p_min"]
+    assert got["o_totalprice_max"] == want["p_max"]
+    assert got["o_totalprice_count"] == want["p_count"]
+    assert got["o_totalprice_sum"] == pytest.approx(want["p_sum"], rel=1e-12)
+    assert got["o_totalprice_avg"] == pytest.approx(want["p_avg"], rel=1e-12)
+    assert got["o_custkey_min"] == want["c_min"]
+    assert got["o_custkey_max"] == want["c_max"]
+    assert got["o_custkey_sum"] == want["c_sum"]
+
+
+def test_stats_index_all_null_column_yields_null_avg(spark, tmp_path):
+    from bitfilters_spark.sources.skipping import (
+        aggregate_from_index,
+        build_stats_index,
+    )
+
+    dest = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "id int, v double"
+    ).write.parquet(dest)
+    idx = build_stats_index(spark, dest, ["v"])
+    row = aggregate_from_index(idx, ["v"]).collect()[0]
+    assert row["n_rows"] == 2
+    assert row["v_count"] == 0
+    assert row["v_min"] is None and row["v_max"] is None
+    assert row["v_avg"] is None

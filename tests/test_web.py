@@ -247,3 +247,63 @@ def test_remove_boilerplate_lines_threshold_boundary(spark):
     }
     assert out[1] == "below-threshold"
     assert out[3] == "filler line"
+
+
+def test_fix_mojibake_repairs_common_sequences(spark):
+    from bitfilters_spark.operators.web import fix_mojibake
+
+    broken_quote = "it\u00e2\u0080\u0099s"          # UTF-8 of \u2019 read as cp1252
+    broken_eacute = "caf\u00c3\u00a9"                 # UTF-8 of \u00e9 read as cp1252
+    broken_rdquo = "say \u00e2\u0080\u009dhi"        # contains the C1-control leg
+    df = spark.createDataFrame(
+        [(0, broken_quote), (1, broken_eacute), (2, broken_rdquo), (3, "clean text")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["t"] for r in df.select("id", fix_mojibake("text").alias("t")).collect()}
+    assert got[0] == "it\u2019s"
+    assert got[1] == "caf\u00e9"
+    assert got[2] == "say \u201dhi"
+    assert got[3] == "clean text"
+
+
+def test_fix_mojibake_exact_roundtrip_and_idempotent(spark):
+    from bitfilters_spark.operators.web import fix_mojibake_exact
+
+    originals = ["it\u2019s caf\u00e9 \u2014 na\u00efve \u201cquoted\u201d", "plain ascii", "\u20ac 9.99"]
+    def mangle(t):
+        # sloppy cp1252 decode of the UTF-8 bytes
+        out = []
+        for b in t.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    rows = [(i, mangle(t)) for i, t in enumerate(originals)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = df.select("id", fix_mojibake_exact("text").alias("t"))
+    got = {r["id"]: r["t"] for r in once.collect()}
+    for i, t in enumerate(originals):
+        assert got[i] == t
+    assert got[99] is None
+    # idempotent: repairing repaired text changes nothing
+    twice = once.select("id", fix_mojibake_exact("t").alias("t2"))
+    got2 = {r["id"]: r["t2"] for r in twice.collect()}
+    assert got2 == got
+
+
+def test_fix_mojibake_agrees_with_exact_on_table_chars(spark):
+    from bitfilters_spark.operators.web import (
+        _MOJIBAKE, fix_mojibake, fix_mojibake_exact,
+    )
+
+    rows = [(i, f"x {broken} y") for i, (broken, _) in enumerate(_MOJIBAKE)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        "id",
+        fix_mojibake("text").alias("chain"),
+        fix_mojibake_exact("text").alias("exact"),
+    ).collect()
+    for r in out:
+        assert r["chain"] == r["exact"], r
