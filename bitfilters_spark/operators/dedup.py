@@ -507,6 +507,7 @@ def dedup_paragraphs(
     text_col: str,
     sep: str = "\n\n",
     min_chars: int = 0,
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Sub-document dedup: drop every repeated paragraph corpus-wide
     (boilerplate headers, license blocks, navigation chrome), keeping only
@@ -516,7 +517,9 @@ def dedup_paragraphs(
     common "only dedup substantial paragraphs" rule.
 
     ``sep`` is used both as the split REGEX and the rejoin literal — pass
-    a regex-safe literal separator (the default ``"\\n\\n"`` is one).
+    a regex-safe literal separator (the default ``"\\n\\n"`` is one) — OR
+    pass ``join_sep`` to rejoin with a different literal when ``sep`` is
+    a true regex (zero-width sentence boundaries, variable whitespace).
 
     Scale posture: the winner election never shuffles paragraph text —
     paragraphs become 8-byte xxhash64 keys at the explode, the
@@ -567,7 +570,7 @@ def dedup_paragraphs(
                     F.coalesce(F.col("__keep"), F.array().cast("array<int>")), i
                 ),
             ),
-            sep,
+            join_sep if join_sep is not None else sep,
         )
     )
     return (

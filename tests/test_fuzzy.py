@@ -1,0 +1,109 @@
+"""Edit-distance join (#103): brute-force parity (complete recall +
+exact precision), randomized corpora via hypothesis-style generation,
+self-join dedup form, edge lengths."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.fuzzy import fuzzy_dedup_pairs, fuzzy_join
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(left, right, d):
+    return sorted(
+        (i, j, _lev(a, b))
+        for i, a in left
+        for j, b in right
+        if _lev(a, b) <= d
+    )
+
+
+def _check(spark, left, right, d):
+    L = spark.createDataFrame(left, "left_id long, name string")
+    R = spark.createDataFrame(right, "right_id long, name string")
+    got = sorted(
+        (r["left_id"], r["right_id"], r["dist"])
+        for r in fuzzy_join(L, R, "name", "name", d).collect()
+    )
+    assert got == _brute(left, right, d)
+
+
+NAMES = ["john smith", "jon smith", "john smyth", "jane smith", "j smith",
+         "johann schmidt", "smith john", "john  smith", "johnsmith", ""]
+
+
+def test_fuzzy_join_matches_brute_force_names(spark):
+    left = list(enumerate(NAMES))
+    right = [(100 + i, n) for i, n in enumerate(NAMES + ["john smitt", "x"])]
+    for d in (0, 1, 2, 3):
+        _check(spark, left, right, d)
+
+
+def test_fuzzy_join_random_corpus(spark):
+    rng = random.Random(7)
+    alpha = "abc"  # tiny alphabet maximizes near-collisions
+    def rand_str():
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9)))
+    left = [(i, rand_str()) for i in range(60)]
+    right = [(100 + i, rand_str()) for i in range(60)]
+    for d in (1, 2):
+        _check(spark, left, right, d)
+
+
+def test_fuzzy_join_length_edges(spark):
+    # strings shorter than d+1 chars ride the fallback block
+    left = [(0, ""), (1, "a"), (2, "ab"), (3, "abcdef")]
+    right = [(10, ""), (11, "b"), (12, "ba"), (13, "abcdfe"), (14, "abcdefgh")]
+    for d in (0, 1, 2):
+        _check(spark, left, right, d)
+
+
+def test_fuzzy_join_nulls_never_match(spark):
+    L = spark.createDataFrame([(0, None), (1, "abc")], "left_id long, name string")
+    R = spark.createDataFrame([(10, None), (11, "abc")], "right_id long, name string")
+    got = fuzzy_join(L, R, "name", "name", 2).collect()
+    assert [(r["left_id"], r["right_id"]) for r in got] == [(1, 11)]
+
+
+def test_fuzzy_dedup_pairs_self_join(spark):
+    rows = list(enumerate(["alpha", "alpah", "beta", "betta", "gamma"]))
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_dedup_pairs(df, "doc_id", "name", 2).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 2
+    )
+    assert got == want
+
+
+def test_fuzzy_join_plan_has_no_cartesian_on_long_strings(spark):
+    left = spark.createDataFrame(
+        [(i, f"customer name number {i:04d}") for i in range(50)],
+        "left_id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(i, f"customer name number {i:04d}x") for i in range(50)],
+        "right_id long, name string",
+    )
+    plan = fuzzy_join(left, right, "name", "name", 2)._jdf.queryExecution().executedPlan().toString()
+    # strings are all >= d+1 chars: the tiny-fallback cross join must be
+    # empty-pruned or trivially small; the candidate path is an equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -69,3 +69,48 @@ def test_langid_table_matches_expression_form(spark):
     assert out.count() == len(rows)
     assert set(df.columns) <= set(out.columns)
     assert {f"sw_{lg}" for lg in STOPWORDS} <= set(out.columns)
+
+
+def test_split_sentences_boundaries_and_abbreviations(spark):
+    from bitfilters_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (0, "First sentence. Second one! Third? (Fourth.)"),
+            (1, "Dr. Smith met Mr. Jones. They talked."),
+            (2, "Version 2.0 shipped today. It works."),
+            (3, "single sentence no terminal"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", split_sentences("text").alias("s")).collect()}
+    assert got[0] == ["First sentence.", "Second one!", "Third?", "(Fourth.)"]
+    assert got[1] == ["Dr. Smith met Mr. Jones.", "They talked."]
+    assert got[2] == ["Version 2.0 shipped today.", "It works."]
+    assert got[3] == ["single sentence no terminal"]
+
+
+def test_dedup_sentences_keeps_first_occurrence(spark):
+    from bitfilters_spark.operators.text import dedup_sentences
+
+    rows = [
+        (0, "Shared opener here. Unique body zero."),
+        (1, "Shared opener here. Unique body one."),
+        (2, "Totally different. Shared opener here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup_sentences(df, "doc_id", "text").collect()}
+    assert got[0] == "Shared opener here. Unique body zero."
+    assert got[1] == "Unique body one."
+    assert got[2] == "Totally different."
+
+
+def test_dedup_sentences_min_chars_bypass(spark):
+    from bitfilters_spark.operators.text import dedup_sentences
+
+    rows = [(0, "Yes. Long enough sentence here."), (1, "Yes. Another long sentence body.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in
+           dedup_sentences(df, "doc_id", "text", min_chars=10).collect()}
+    # "Yes." is under min_chars: survives in BOTH docs
+    assert got[0].startswith("Yes.") and got[1].startswith("Yes.")
