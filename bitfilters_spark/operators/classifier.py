@@ -41,12 +41,26 @@ from .text import tokens
 
 
 def hashed_features(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1 << 17
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1 << 17,
+    normalize: bool = True,
 ) -> DataFrame:
-    """(id, bucket, cnt) — token counts hashed into ``n_buckets`` via
-    pmod(xxhash64(token)) (the hashing trick: fixed-width feature space,
-    no vocabulary pass). Pure JVM explode + groupBy."""
-    return (
+    """(id, bucket, cnt) — token frequencies hashed into ``n_buckets``
+    via pmod(xxhash64(token)) (the hashing trick: fixed-width feature
+    space, no vocabulary pass). Pure JVM explode + groupBy + one window-
+    free ratio.
+
+    ``normalize`` (default) L2-normalizes each document's count vector
+    (unit feature norm). Two birds: full-batch GD is well-conditioned —
+    every example contributes curvature ≤ 1/4 in feature directions,
+    exactly matching the intercept's, so one scale-free ``lr`` works for
+    any corpus (unnormalized sums make the effective step grow with
+    document length and diverge; L1 means shrink it with length and
+    crawl) — and long documents can't dominate the decision the way raw
+    counts let them."""
+    raw = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(tokens(text_col)).alias("__tok"),
@@ -55,6 +69,12 @@ def hashed_features(
         .select("id", F.pmod(F.xxhash64("__tok"), F.lit(n_buckets)).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    if not normalize:
+        return raw
+    totals = raw.groupBy("id").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("__n"))
+    return raw.join(totals, "id").select(
+        "id", "bucket", (F.col("cnt") / F.col("__n")).alias("cnt")
     )
 
 

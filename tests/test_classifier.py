@@ -59,7 +59,7 @@ def test_first_iteration_gradient_matches_numpy(spark, corpus):
 
 def test_converges_and_separates(spark, corpus):
     model = C.train_text_classifier(
-        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=4.0
+        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=24.0
     )
     assert model["losses"][-1] < model["losses"][0] * 0.2  # loss collapsed
     scored = {
@@ -106,7 +106,7 @@ def test_empty_text_scores_at_bias(spark):
 
 def test_classifier_filter_gate(spark, corpus):
     model = C.train_text_classifier(
-        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=4.0
+        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=24.0
     )
     kept = C.classifier_filter(corpus, "doc_id", "text", model, 0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == list(range(len(GOOD)))

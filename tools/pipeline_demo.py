@@ -4,14 +4,17 @@ operator from this engine, chained the way a production pipeline would.
 Synthesizes a "crawl" from the documents table (HTML wrapping + URLs with
 tracking noise + injected duplicates), then runs:
 
-  strip_html -> normalize_url dedup -> blocklist + Gopher + LM quality
-  gates -> normalize_text exact dedup -> LSH near-dup dedup vs a
-  persisted index -> n-gram decontamination -> vocabulary + token
-  encoding (packing budgets use the ENCODER's token counts, not the
-  whitespace heuristic — the pluggable-weight contract a production
-  tokenizer slots into) -> sequence packing -> MATERIALIZED packed
-  sequences (EOS-separated, fixed shape) -> shard packing over the
-  sequences -> on-disk sequence shards + manifest (what a trainer
+  strip_html + fix_mojibake -> normalize_url dedup -> blocklist +
+  Gopher rule gates -> TRAINED quality classifier gate (GPT-3 recipe:
+  reference-corpus positives vs noisy crawl negatives; catches the
+  injected word-shaped junk no rule names) -> normalize_text exact
+  dedup -> LSH near-dup dedup vs a persisted index -> n-gram
+  decontamination -> vocabulary + token encoding (packing budgets use
+  the ENCODER's token counts, not the whitespace heuristic) -> BPE
+  tokenizer TRAINED in-engine on the surviving corpus (merge count /
+  subword-vocab / token-inflation reported) -> sequence packing ->
+  MATERIALIZED packed sequences (EOS-separated, fixed shape) -> shard
+  packing -> on-disk sequence shards + manifest (what a trainer
   actually reads; token counts conserved end to end)
 
 Prints one JSON line of per-stage row counts and wall times.
@@ -48,13 +51,20 @@ def main(sf_dir: str) -> None:
         build_vocabulary,
         encode_documents,
         gopher_rules,
-        lm_score,
         ngram_contamination,
         normalize_text,
         token_count,
-        train_ngram_lm,
     )
-    from bitfilters_spark.operators.web import normalize_url, strip_html
+    from bitfilters_spark.operators.bpe import bpe_token_counts, train_bpe
+    from bitfilters_spark.operators.classifier import (
+        classifier_filter,
+        train_text_classifier,
+    )
+    from bitfilters_spark.operators.web import (
+        fix_mojibake,
+        normalize_url,
+        strip_html,
+    )
     from bitfilters_spark.session import make_session
 
     spark = make_session(app="pipeline-demo", cpus=32)
@@ -92,11 +102,29 @@ def main(sf_dir: str) -> None:
         recrawl = crawl.where(F.col("doc_id") % 10 == 0).withColumn(
             "doc_id", F.col("doc_id") + 1_000_000
         ).withColumn("url", F.regexp_replace("url", r"\?utm_source=crawl", ""))
-        crawl = stage("crawl", crawl.unionByName(recrawl).localCheckpoint())
+        # r7: 5% junk pages (token-reversed text — word-shaped gibberish
+        # no blocklist can name) for the TRAINED gate to catch
+        junk = docs.where(F.col("doc_id") % 20 == 3).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.reverse(F.col("text")),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+            F.concat(
+                F.lit("https://junkfarm.example.com/j/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        crawl = stage(
+            "crawl", crawl.unionByName(recrawl).unionByName(junk).localCheckpoint()
+        )
 
         extracted = crawl.select(
             "doc_id",
-            strip_html(F.col("html")).alias("text"),
+            # r7: mojibake repair rides the same scan as HTML stripping —
+            # a no-op on clean text, a fix on mis-decoded crawls
+            fix_mojibake(strip_html(F.col("html"))).alias("text"),
             normalize_url(F.col("url")).alias("url"),
         )
         by_url = stage("url_dedup", dedup_exact(extracted, "url", "doc_id"))
@@ -108,14 +136,33 @@ def main(sf_dir: str) -> None:
             "rule_word_count AND rule_mean_len AND rule_symbol_ratio "
             "AND rule_alpha_words"
         ).select("doc_id", "text", "url")
-        gated = blocklist_filter(gated, "text", ["spam", "casino"])
-        lm = train_ngram_lm(by_url, "text")
-        scores = lm_score(gated, "doc_id", "text", lm)
         gated = stage(
             "quality_gate",
-            gated.join(scores.where(F.col("avg_logp") > -12), "doc_id").select(
-                "doc_id", "text", "url"
-            ).localCheckpoint(),
+            blocklist_filter(gated, "text", ["spam", "casino"]).localCheckpoint(),
+        )
+
+        # r7: TRAINED quality gate, the GPT-3/LLaMA recipe — positives =
+        # a curated reference corpus (here the clean documents table),
+        # negatives = a deterministic hash-sample of the raw crawl
+        # (noisy: mostly fine pages plus the junk). The linear model
+        # learns reference-likeness; the injected junk pages (word-
+        # shaped gibberish no blocklist names, which the heuristic
+        # rules can't catch either) fall well below the real pages.
+        pos = docs.select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            "text",
+            F.lit(1).alias("label"),
+        )
+        neg = by_url.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+        ).select("doc_id", "text", F.lit(0).alias("label"))
+        clf = train_text_classifier(
+            pos.unionByName(neg), "doc_id", "text", "label",
+            n_buckets=1 << 14, iters=40, lr=3.0,
+        )
+        gated = stage(
+            "classifier_gate",
+            classifier_filter(gated, "doc_id", "text", clf, 0.45).localCheckpoint(),
         )
 
         exact = stage(
@@ -179,6 +226,21 @@ def main(sf_dir: str) -> None:
             "encoder_tokens": int(drift["enc"]),
             "whitespace_tokens": int(drift["ws"]),
             "oov_tokens": int(drift["oov"]),
+        }
+
+        # r7: the tokenizer itself is now TRAINED in-engine — BPE merges
+        # learned from the surviving corpus's word-frequency table; the
+        # subword counts land between characters and words and show the
+        # real budget inflation a production tokenizer produces.
+        t0 = time.time()
+        bpe = train_bpe(decon, "text", num_merges=500, top_words=50_000)
+        bpe_counts = bpe_token_counts(decon, "doc_id", "text", bpe)
+        bpe_total = bpe_counts.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+        stages["bpe"] = {
+            "merges": len(bpe["merges"]),
+            "vocab": len(bpe["vocab"]),
+            "bpe_tokens": int(bpe_total),
+            "s": round(time.time() - t0, 2),
         }
         seqs = pack_sequences(
             weighted.where(F.col("n_tokens") <= 512), "doc_id", "n_tokens", 512
