@@ -97,6 +97,55 @@ def main(sf_dir: str) -> None:
         kept = len(prune_files_range(zi, "l_partkey", 100, 300))
         out["zorder_files"] = nf
         out["zorder_partkey_range_keeps"] = kept
+
+        # r7 heavy ops at the same 10x scale -----------------------------
+        from bitfilters_spark.operators.bpe import bpe_token_counts, train_bpe
+        from bitfilters_spark.operators.classifier import (
+            classifier_score,
+            train_text_classifier,
+        )
+        from bitfilters_spark.operators.fuzzy import fuzzy_join
+
+        t0 = time.time()
+        bpe = train_bpe(stress, "text", num_merges=500, top_words=100_000)
+        out["bpe_train_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["bpe_tokens"] = int(
+            bpe_token_counts(stress, "doc_id", "text", bpe)
+            .agg(F.sum("n_bpe_tokens"))
+            .collect()[0][0]
+        )
+        out["bpe_encode_s"] = round(time.time() - t0, 2)
+
+        labeled = stress.withColumn(
+            "label", (F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).cast("int")
+        )
+        t0 = time.time()
+        clf = train_text_classifier(
+            labeled, "doc_id", "text", "label",
+            n_buckets=1 << 16, iters=5, lr=3.0,
+        )
+        out["classifier_train5_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["classifier_scored"] = classifier_score(
+            stress, "doc_id", "text", clf
+        ).count()
+        out["classifier_score_s"] = round(time.time() - t0, 2)
+
+        # fuzzy join: 50k x 5k name-like keys at d=1
+        names = stress.select(
+            "doc_id",
+            F.substring(F.col("text"), 1, 24).alias("name"),
+        )
+        probe_names = names.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.substring("name", 1, 23), F.lit("x")).alias("name"),
+        )
+        t0 = time.time()
+        out["fuzzy_pairs"] = fuzzy_join(
+            probe_names, names, "name", "name", 1, "doc_id", "doc_id"
+        ).count()
+        out["fuzzy_join_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
