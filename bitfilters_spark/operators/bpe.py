@@ -270,3 +270,40 @@ def bpe_token_counts(
     """(id, n_bpe_tokens) — the real-tokenizer count column to feed
     `pack_shards` / `pack_sequences` / `chunk_documents` weight inputs."""
     return bpe_encode(df, id_col, text_col, model).select(id_col, "n_bpe_tokens")
+
+
+def save_bpe(spark, model: dict, path: str) -> None:
+    """Persist a trained BPE model as parquet (rank-ordered merge table +
+    vocab table under one directory) — train once at ingest, reuse
+    across every downstream job, the same persisted-artifact contract as
+    the LSH index and IVF centroids."""
+    import pandas as pd
+
+    merges = pd.DataFrame(
+        {
+            "rank": range(len(model["merges"])),
+            "a": [a for a, _ in model["merges"]],
+            "b": [b for _, b in model["merges"]],
+        }
+    )
+    vocab = pd.DataFrame(
+        {"piece": list(model["vocab"]), "id": list(model["vocab"].values())}
+    )
+    spark.createDataFrame(merges, "rank long, a string, b string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/merges")
+    spark.createDataFrame(vocab, "piece string, id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vocab")
+
+
+def load_bpe(spark, path: str) -> dict:
+    merges = [
+        (r["a"], r["b"])
+        for r in spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    ]
+    vocab = {
+        r["piece"]: int(r["id"])
+        for r in spark.read.parquet(f"{path}/vocab").collect()
+    }
+    return {"merges": merges, "vocab": vocab}

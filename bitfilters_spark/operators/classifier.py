@@ -206,3 +206,35 @@ def classifier_filter(
         F.col("score") >= threshold
     )
     return df.join(keep.select(id_col), id_col, "semi")
+
+
+def save_classifier(spark, model: dict, path: str) -> None:
+    """Persist a trained classifier as parquet: one row per NONZERO
+    bucket (sparse — untouched buckets don't serialize) plus a metadata
+    row carrying bias and width. Same persisted-artifact contract as
+    the LSH index / IVF centroids: train once, score every crawl."""
+    w = np.asarray(model["weights"], dtype="float64")
+    nz = np.nonzero(w)[0]
+    pdf = pd.DataFrame({"bucket": nz.astype("int64"), "w": w[nz]})
+    spark.createDataFrame(pdf, "bucket long, w double").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/weights")
+    meta = pd.DataFrame(
+        {"bias": [float(model["bias"])], "n_buckets": [int(model["n_buckets"])]}
+    )
+    spark.createDataFrame(meta, "bias double, n_buckets long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def load_classifier(spark, path: str) -> dict:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    w = np.zeros(int(meta["n_buckets"]), dtype="float64")
+    for r in spark.read.parquet(f"{path}/weights").collect():
+        w[int(r["bucket"])] = float(r["w"])
+    return {
+        "weights": w,
+        "bias": float(meta["bias"]),
+        "n_buckets": int(meta["n_buckets"]),
+        "losses": [],
+    }

@@ -197,3 +197,17 @@ def fuzzy_dedup_pairs(
         F.col(id_col + "_r").alias("id_b"),
         "dist",
     )
+
+
+def fuzzy_dedup(
+    df: DataFrame, id_col: str, col: str, max_dist: int
+) -> DataFrame:
+    """Canonical typo-dedup: cluster all values within ``max_dist`` edits
+    (connected components over the `fuzzy_dedup_pairs` edge list — so
+    chains a-b-c collapse even when a and c differ by > d) and keep each
+    cluster's minimum-id row; singletons pass through. The same
+    cluster→canonical policy as `dedup_near`, on edit-distance edges."""
+    from .clustering import dedup_near
+
+    pairs = fuzzy_dedup_pairs(df, id_col, col, max_dist)
+    return dedup_near(df, pairs.select("id_a", "id_b"), id_col)

@@ -278,3 +278,29 @@ def aggregate_from_index(stats_index: DataFrame, cols: list) -> DataFrame:
             ),
         )
     return out
+
+
+def prune_files_multi(
+    zone_index: DataFrame, predicates: list
+) -> list[str]:
+    """Files surviving a CONJUNCTION of range predicates —
+    ``predicates = [(col, lo, hi), ...]`` (None = open bound). A file
+    survives only if EVERY predicate's [lo, hi] intersects that
+    column's [min, max]; with a Z-order layout (`zorder_layout`) a
+    multi-column conjunction prunes multiplicatively. No false
+    negatives, same contract as `prune_files_range`."""
+    rows = zone_index.collect()  # metadata-scale
+    out = []
+    for r in rows:
+        ok = True
+        for col, lo, hi in predicates:
+            mn, mx = r[f"{col}_min"], r[f"{col}_max"]
+            if mn is None and mx is None:
+                ok = False  # all-NULL column: no row satisfies a range
+                break
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                ok = False
+                break
+        if ok:
+            out.append(r["file"])
+    return sorted(out)

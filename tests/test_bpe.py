@@ -139,3 +139,18 @@ def test_bpe_counts_drive_packing(spark):
         shard_weight=4096,
     )
     assert packed.count() == 200
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(CORPUS)],
+        ["doc_id", "text"],
+    )
+    model = B.train_bpe(df, "text", num_merges=50, min_pair_count=1)
+    B.save_bpe(spark, model, str(tmp_path / "bpe"))
+    loaded = B.load_bpe(spark, str(tmp_path / "bpe"))
+    assert loaded["merges"] == model["merges"]
+    assert loaded["vocab"] == model["vocab"]
+    a = B.bpe_encode(df, "doc_id", "text", model).collect()
+    b = B.bpe_encode(df, "doc_id", "text", loaded).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

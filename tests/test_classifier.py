@@ -110,3 +110,18 @@ def test_classifier_filter_gate(spark, corpus):
     )
     kept = C.classifier_filter(corpus, "doc_id", "text", model, 0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == list(range(len(GOOD)))
+
+
+def test_classifier_save_load_roundtrip(spark, corpus, tmp_path):
+    import numpy as np
+
+    model = C.train_text_classifier(
+        corpus, "doc_id", "text", "label", n_buckets=1 << 10, iters=5, lr=2.0
+    )
+    C.save_classifier(spark, model, str(tmp_path / "clf"))
+    loaded = C.load_classifier(spark, str(tmp_path / "clf"))
+    np.testing.assert_array_equal(loaded["weights"], model["weights"])
+    assert loaded["bias"] == model["bias"]
+    a = sorted(map(str, C.classifier_score(corpus, "doc_id", "text", model).collect()))
+    b = sorted(map(str, C.classifier_score(corpus, "doc_id", "text", loaded).collect()))
+    assert a == b

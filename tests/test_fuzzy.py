@@ -107,3 +107,20 @@ def test_fuzzy_join_plan_has_no_cartesian_on_long_strings(spark):
     # strings are all >= d+1 chars: the tiny-fallback cross join must be
     # empty-pruned or trivially small; the candidate path is an equi-join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_dedup_canonical_with_chains(spark):
+    """a-b-c chains collapse to one cluster even when lev(a,c) > d."""
+    from bitfilters_spark.operators.fuzzy import fuzzy_dedup
+
+    rows = [
+        (0, "alpha"), (1, "alphb"), (2, "alhpb"),
+        (3, "omega"), (4, "omegas"),
+        (5, "solo"),
+        # true chain: 6-7 and 7-8 are 1 edit apart, 6-8 is 2 — CC merges
+        (6, "aaaa"), (7, "aaab"), (8, "aabb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    kept = sorted(r["doc_id"] for r in fuzzy_dedup(df, "doc_id", "name", 1).collect())
+    # d=1 edges: (0,1), (3,4), (6,7), (7,8) -> keep cluster minima + singletons
+    assert kept == [0, 2, 3, 5, 6]

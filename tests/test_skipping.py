@@ -287,3 +287,35 @@ def test_stats_index_all_null_column_yields_null_avg(spark, tmp_path):
     assert row["v_count"] == 0
     assert row["v_min"] is None and row["v_max"] is None
     assert row["v_avg"] is None
+
+
+def test_prune_files_multi_conjunction(spark, part_dir):
+    from bitfilters_spark.sources.skipping import (
+        build_zone_index, prune_files_multi, prune_files_range,
+    )
+
+    zi = build_zone_index(spark, part_dir, ["o_custkey", "o_totalprice"])
+    single = set(prune_files_range(zi, "o_custkey", 10, 40))
+    multi = set(prune_files_multi(zi, [("o_custkey", 10, 40)]))
+    assert multi == single
+    # conjunction can only prune more
+    both = set(
+        prune_files_multi(
+            zi, [("o_custkey", 10, 40), ("o_totalprice", 0.0, 1.0)]
+        )
+    )
+    assert both <= multi
+    # exactness: reading the surviving files + exact predicate == full scan
+    from pyspark.sql import functions as F
+    full = spark.read.parquet(part_dir).where(
+        (F.col("o_custkey").between(10, 40))
+        & (F.col("o_totalprice").between(0.0, 1.0))
+    )
+    if both:
+        got = spark.read.parquet(*sorted(both)).where(
+            (F.col("o_custkey").between(10, 40))
+            & (F.col("o_totalprice").between(0.0, 1.0))
+        )
+        assert got.count() == full.count()
+    else:
+        assert full.count() == 0
