@@ -533,3 +533,92 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.select(id_col).join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ PCA ---
+
+
+def embedding_moments(df: DataFrame, vec_col: str):
+    """(n, sum_vec d, gram d×d) accumulated distributedly: each partition
+    reduces its rows to ONE (count, Σx, ΣxxT) partial inside a numpy
+    mapInPandas kernel (BLAS X.T@X per Arrow batch), and the driver sums
+    the per-partition partials — P × (d² + d + 1) floats collected, never
+    rows. d=64 ⇒ ~33 KB per partition: metadata-scale by construction."""
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[pdf.columns[0]].values).astype("float64")
+            n += X.shape[0]
+            s = X.sum(0) if s is None else s + X.sum(0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not parts:
+        raise ValueError("empty input")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    return n, s, g
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int, center: bool = True) -> dict:
+    """PCA over an embedding column, Spark-first: ONE pass computes the
+    (n, Σx, ΣxxT) moments (see `embedding_moments` — the corpus never
+    leaves the executors), the d×d covariance eigendecomposes on the
+    driver (d is embedding width, tiny), and the top-k components come
+    back sign-canonicalized (largest-|coef| coordinate positive) so the
+    fit is deterministic up to float-sum ordering. Returns {"mean",
+    "components" k×d, "explained_variance", "total_variance"}."""
+    n, s, g = embedding_moments(df, vec_col)
+    mean = s / n
+    cov = g / n - (np.outer(mean, mean) if center else 0.0)
+    cov = (cov + cov.T) / 2.0  # symmetrize float noise
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for i in range(comps.shape[0]):  # canonical sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean if center else np.zeros_like(mean),
+        "components": comps,
+        "explained_variance": vals[order],
+        "total_variance": float(vals.sum()),
+    }
+
+
+def project_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, model: dict, out_col: str = "pca"
+) -> DataFrame:
+    """(id, out_col array<double>) — embeddings projected onto the fitted
+    components: one BLAS matmul per Arrow batch ((X-μ) @ Wᵀ), components
+    ship via the task closure (k×d floats). The cheap front half of a
+    reduce-then-ANN pipeline: project to k dims, then `cosine_topk` /
+    `ivf_topk` on vectors k/d the size."""
+    mean = np.asarray(model["mean"], dtype="float64")
+    comps = np.asarray(model["components"], dtype="float64")
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype("float64")
+        Y = (X - mean) @ comps.T
+        return pd.Series(list(Y))
+
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias(out_col))

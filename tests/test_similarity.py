@@ -264,3 +264,82 @@ def test_lsh_params_s_curve_math(spark):
     assert miss_16_4 < 1e-7
     with _pytest.raises(ValueError, match="increase k"):
         lsh_params(0.95, k=4, min_recall=0.999999)
+
+
+# ------------------------------------------------------------------ PCA ---
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+    from bitfilters_spark.operators.similarity import fit_pca, project_embeddings
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: known principal directions
+    X = rng.randn(400, 8) @ np.diag([5, 3, 2, 1, 0.5, 0.2, 0.1, 0.05])
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+
+    model = fit_pca(df, "embedding", k=3)
+
+    # numpy reference
+    mu = X.mean(0)
+    cov = np.cov(X.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    ref_vals = vals[order]
+    ref_comps = vecs[:, order].T.copy()
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref_comps[i])))
+        if ref_comps[i, j] < 0:
+            ref_comps[i] = -ref_comps[i]
+
+    np.testing.assert_allclose(model["mean"], mu, atol=1e-9)
+    np.testing.assert_allclose(model["explained_variance"], ref_vals, rtol=1e-9)
+    np.testing.assert_allclose(model["components"], ref_comps, atol=1e-8)
+
+    got = {r["vec_id"]: np.array(r["pca"]) for r in
+           project_embeddings(df, "vec_id", "embedding", model).collect()}
+    ref_proj = (X - mu) @ ref_comps.T
+    for i in range(len(X)):
+        np.testing.assert_allclose(got[i], ref_proj[i], atol=1e-8)
+
+
+def test_pca_partition_invariance(spark):
+    import numpy as np
+    from bitfilters_spark.operators.similarity import fit_pca
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(200, 6)
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(13)
+    m1, m2 = fit_pca(df1, "embedding", 2), fit_pca(df2, "embedding", 2)
+    np.testing.assert_allclose(m1["components"], m2["components"], atol=1e-9)
+    np.testing.assert_allclose(m1["explained_variance"], m2["explained_variance"], rtol=1e-9)
+
+
+def test_pca_then_topk_rotation_invariance(spark):
+    """The advertised pipeline: project, then ANN on the projection. At
+    full rank with center=False the projection is a pure rotation, so
+    cosine similarities — and therefore the exact top-k — are preserved
+    bit-for-bit-modulo-float: projected-space neighbors must equal
+    full-space neighbors."""
+    import numpy as np
+    from bitfilters_spark.operators.similarity import (
+        cosine_topk, fit_pca, project_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = len(emb.select("embedding").first()[0])
+    model = fit_pca(emb, "embedding", k=d, center=False)
+    # orthonormality of the learned basis
+    W = np.asarray(model["components"])
+    np.testing.assert_allclose(W @ W.T, np.eye(d), atol=1e-8)
+    proj = project_embeddings(emb, "vec_id", "embedding", model, out_col="embedding")
+    q_full = emb.limit(5)
+    q_proj = proj.limit(5)
+    want = sorted(map(tuple, cosine_topk(emb, q_full, "vec_id", "embedding", k=3)
+                      .select("query_id", "rank", "neighbor_id").collect()))
+    got = sorted(map(tuple, cosine_topk(proj, q_proj, "vec_id", "embedding", k=3)
+                     .select("query_id", "rank", "neighbor_id").collect()))
+    assert got == want
