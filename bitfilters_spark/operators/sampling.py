@@ -395,3 +395,87 @@ def epoch_shuffle(
         .sortWithinPartitions("__eh", key_col)
         .drop("__eh")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict,
+    mask: int = 1023,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """`hash_split` that cannot leak near-duplicates across splits: rows
+    connected by ``pairs`` (near-dup edges from MinHash/SimHash/embedding
+    dedup) are assigned as a UNIT — the split key is the connected
+    component's minimum id, so a-b-c chains land together even when a
+    and c were never directly paired. Unpaired rows split by their own
+    id exactly as `hash_split` would.
+
+    The standard eval-contamination guard: a val/test document whose
+    near-twin sits in train measures memorization, not generalization
+    (Lee et al. 2022 §6.2 measure exactly this effect).
+
+    Plan: components over the (tiny, derived) edge list + one left join
+    of (id → component) longs onto the corpus — broadcastable at scale —
+    then the same map-side CASE as `hash_split`."""
+    from .clustering import connected_components
+
+    comp = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias("__cid"), F.col("component").alias("__grp")
+    )
+    keyed = df.join(
+        comp, df[id_col] == comp["__cid"], "left"
+    ).withColumn("__key", F.coalesce("__grp", F.col(id_col))).drop(
+        "__cid", "__grp"
+    )
+    return hash_split(keyed, "__key", weights, mask, split_col).drop("__key")
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    n_stages: int,
+    epoch: int = 0,
+    n_partitions: int | None = None,
+    stage_col: str = "stage",
+) -> DataFrame:
+    """Curriculum ordering for training dataloaders: rows sort by
+    (difficulty stage, per-epoch hash) — easy stages stream first, and
+    WITHIN a stage the order is `epoch_shuffle`'s deterministic
+    permutation (curriculum without intra-stage shuffling just replays
+    score order, which over-correlates neighbors).
+
+    Stages are equal-population score quantiles (approx_percentile, one
+    aggregate collecting n_stages-1 numbers). Same physical plan shape
+    as `epoch_shuffle`: repartitionByRange on (stage, hash) +
+    sortWithinPartitions — partition files written in order ARE the
+    curriculum, no global sort bottleneck."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    if n_stages == 1:
+        out = df.withColumn(stage_col, F.lit(0))
+    else:
+        qs = df.agg(
+            F.percentile_approx(
+                score_col,
+                [i / n_stages for i in range(1, n_stages)],
+                10_000,
+            ).alias("qs")
+        ).collect()[0]["qs"]
+        stage = F.lit(n_stages - 1)
+        for i, edge in reversed(list(enumerate(qs))):
+            stage = F.when(F.col(score_col) <= F.lit(edge), F.lit(i)).otherwise(stage)
+        out = df.withColumn(stage_col, stage)
+    h = F.xxhash64(F.col(key_col), F.lit(int(epoch)))
+    return (
+        out.withColumn("__eh", h)
+        .repartitionByRange(n_partitions, F.col(stage_col), F.col("__eh"))
+        .sortWithinPartitions(stage_col, "__eh", key_col)
+        .drop("__eh")
+    )

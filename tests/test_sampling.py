@@ -283,3 +283,73 @@ def test_temperature_mixture_sample_rebalances(spark):
     assert sorted(r["k"] for r in out.collect()) == sorted(
         r["k"] for r in again.collect()
     )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from bitfilters_spark.operators.sampling import hash_split, leakage_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    # chains: (3k, 3k+1), (3k+1, 3k+2) -> triples share a component
+    pairs = []
+    for k in range(0, 1998, 3):
+        pairs += [(k, k + 1), (k + 1, k + 2)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = leakage_safe_split(
+        df, "doc_id", pdf, {"train": 8, "val": 1, "test": 1}
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 2000
+    for k in range(0, 1998, 3):
+        assert rows[k] == rows[k + 1] == rows[k + 2]
+    # proportions still roughly honored (clusters of 3, 10% targets)
+    import collections
+    c = collections.Counter(rows.values())
+    assert 0.05 < c["val"] / 2000 < 0.2 and 0.05 < c["test"] / 2000 < 0.2
+    # plain hash_split WOULD leak on this corpus (sanity that the guard
+    # is actually doing something)
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(df, "doc_id", {"train": 8, "val": 1, "test": 1}).collect()}
+    leaked = sum(
+        1 for k in range(0, 1998, 3)
+        if not (plain[k] == plain[k + 1] == plain[k + 2])
+    )
+    assert leaked > 0
+
+
+def test_leakage_safe_split_unpaired_matches_hash_split(spark):
+    from bitfilters_spark.operators.sampling import hash_split, leakage_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    a = {r["doc_id"]: r["split"] for r in
+         leakage_safe_split(df, "doc_id", empty, {"train": 3, "test": 1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(df, "doc_id", {"train": 3, "test": 1}).collect()}
+    assert a == b
+
+
+def test_curriculum_order_stages_then_shuffles(spark):
+    from bitfilters_spark.operators.sampling import curriculum_order
+
+    rows = [(i, float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, difficulty double")
+    out = curriculum_order(df, "doc_id", "difficulty", n_stages=4, epoch=1)
+    got = out.select("doc_id", "difficulty", "stage").toPandas()
+    # reading partitions in order yields non-decreasing stages
+    stages = got["stage"].tolist()
+    assert stages == sorted(stages)
+    # equal-population quantile stages (scores uniform 0..99)
+    import collections
+    c = collections.Counter(stages)
+    assert set(c) == {0, 1, 2, 3}
+    assert all(150 < v < 350 for v in c.values())
+    # stage respects difficulty: max difficulty of stage i <= min of i+2
+    for i in range(3):
+        assert got[got.stage == i]["difficulty"].max() <= got[got.stage == i + 1]["difficulty"].max()
+    # within a stage, epoch hash shuffles (not id order), deterministically
+    s0 = got[got.stage == 0]["doc_id"].tolist()
+    assert s0 != sorted(s0)
+    again = curriculum_order(df, "doc_id", "difficulty", n_stages=4, epoch=1)
+    assert again.select("doc_id").toPandas()["doc_id"].tolist() == got["doc_id"].tolist()
+    other = curriculum_order(df, "doc_id", "difficulty", n_stages=4, epoch=2)
+    assert other.select("doc_id").toPandas()["doc_id"].tolist() != got["doc_id"].tolist()
