@@ -479,7 +479,17 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         native=False,
     ).select("lang_pred", "bucket", "checksum")
-    return stats.join(chk, ["lang_pred", "bucket"])
+    # fuzzy_name_pairs leg (r7, operator #103): within-table edit-distance
+    # self-join on supplier names at d=1 via PassJoin pigeonhole blocking;
+    # the oracle brute-forces levenshtein over the cross product — the
+    # blocked join must find EXACTLY the same pairs (complete recall).
+    from bitfilters_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    sup = load_table(spark, sf_dir, "supplier")
+    fz = fuzzy_dedup_pairs(sup, "s_suppkey", "s_name", 1).agg(
+        F.count(F.lit(1)).cast("long").alias("fuzzy_name_pairs")
+    )
+    return stats.join(chk, ["lang_pred", "bucket"]).crossJoin(F.broadcast(fz))
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,12 +1101,20 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes engine-reproducible."""
     emb = load_table(spark, sf_dir, "embeddings")
     qt = SIM.quantize_int8(emb, "vec_id", "embedding")
+    # emb_total_var leg (r7, operator #105): the distributed one-pass
+    # moment accumulation behind `fit_pca` — total variance (= trace of
+    # the covariance = Σ eigenvalues) must match the oracle's per-dim
+    # var_pop sum; rounded to 6 dp (float-sum order differs by engine).
+    pca = SIM.fit_pca(emb, "embedding", k=4)
+    var_row = spark.createDataFrame(
+        [(round(float(pca["total_variance"]), 6),)], "emb_total_var double"
+    )
     return qt.select(
         "vec_id",
         F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_min("qvec").alias("q_min"),
         F.array_max("qvec").alias("q_max"),
-    )
+    ).crossJoin(F.broadcast(var_row))
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,7 +1723,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality_score), 6) AS avg_quality,
                    min(src_chars) AS min_chars, max(src_chars) AS max_chars,
-                   {_sql_signed("bit_xor(hash(doc_id))")} AS checksum
+                   {_sql_signed("bit_xor(hash(doc_id))")} AS checksum,
+                   (SELECT count(*)::BIGINT
+                    FROM supplier a JOIN supplier b
+                      ON a.s_suppkey < b.s_suppkey
+                     AND levenshtein(a.s_name, b.s_name) <= 1
+                   ) AS fuzzy_name_pairs
             FROM q GROUP BY lang_pred, bucket
         """,
         "q_kmv_distinct": """
@@ -2085,7 +2108,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    list_sum(qvec)::BIGINT AS q_sum,
                    list_min(qvec) AS q_min,
-                   list_max(qvec) AS q_max
+                   list_max(qvec) AS q_max,
+                   (WITH e AS (
+                      SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS dim
+                      FROM embeddings)
+                    SELECT round(sum(vp), 6)
+                    FROM (SELECT dim, var_pop(v) AS vp FROM e GROUP BY dim)
+                   ) AS emb_total_var
             FROM q
         """,
         "q_ivf_topk": """
