@@ -467,8 +467,8 @@ def curriculum_order(
                 [i / n_stages for i in range(1, n_stages)],
                 10_000,
             ).alias("qs")
-        ).collect()[0]["qs"]
-        stage = F.lit(n_stages - 1)
+        ).collect()[0]["qs"] or []  # empty input: no edges, stage 0
+        stage = F.lit(n_stages - 1) if qs else F.lit(0)
         for i, edge in reversed(list(enumerate(qs))):
             stage = F.when(F.col(score_col) <= F.lit(edge), F.lit(i)).otherwise(stage)
         out = df.withColumn(stage_col, stage)

@@ -330,3 +330,95 @@ def test_probe_cms_matches_column_probe(spark):
     two = build_filter(df, ["k"], "h", "cms", d=2, w=32)
     with pytest.raises(ValueError, match="one global sketch"):
         probe_cms(df, two, "h")
+
+
+# ----------------------------------------------------------- r7 operators ---
+
+
+def test_fuzzy_join_empty_sides(spark, empty_docs):
+    from bitfilters_spark.operators.fuzzy import fuzzy_dedup, fuzzy_join
+
+    e = empty_docs.withColumnRenamed("text", "name")
+    full = spark.createDataFrame([(1, "abc")], "doc_id long, name string")
+    assert fuzzy_join(e, full, "name", "name", 2, "doc_id", "doc_id").count() == 0
+    assert fuzzy_join(full, e, "name", "name", 2, "doc_id", "doc_id").count() == 0
+    assert fuzzy_dedup(e, "doc_id", "name", 1).count() == 0
+
+
+def test_bpe_empty_corpus(spark, empty_docs):
+    from bitfilters_spark.operators.bpe import bpe_encode, train_bpe
+
+    model = train_bpe(empty_docs, "text", num_merges=10)
+    assert model["merges"] == [] and model["vocab"] == {}
+    assert bpe_encode(empty_docs, "doc_id", "text", model).count() == 0
+    # a trained model encoding an empty frame is also fine
+    full = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m2 = train_bpe(full, "text", num_merges=5, min_pair_count=1)
+    assert bpe_encode(empty_docs, "doc_id", "text", m2).count() == 0
+
+
+def test_classifier_empty_inputs(spark, empty_docs):
+    from bitfilters_spark.operators.classifier import (
+        classifier_score, train_text_classifier,
+    )
+
+    labeled = empty_docs.withColumn("label", F.lit(0))
+    with pytest.raises(ValueError, match="empty training set"):
+        train_text_classifier(labeled, "doc_id", "text", "label", n_buckets=16)
+    full = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 0)], "doc_id long, text string, label int"
+    )
+    model = train_text_classifier(full, "doc_id", "text", "label",
+                                  n_buckets=16, iters=2, lr=1.0)
+    assert classifier_score(empty_docs, "doc_id", "text", model).count() == 0
+
+
+def test_pca_empty_raises_and_projection_empty_ok(spark):
+    import numpy as np
+    from bitfilters_spark.operators.similarity import fit_pca, project_embeddings
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        fit_pca(empty, "embedding", 2)
+    model = {"mean": np.zeros(3), "components": np.eye(3)[:2],
+             "explained_variance": np.ones(2), "total_variance": 3.0}
+    assert project_embeddings(empty, "vec_id", "embedding", model).count() == 0
+
+
+def test_sentence_and_mojibake_empty(spark, empty_docs):
+    from bitfilters_spark.operators.text import dedup_sentences
+    from bitfilters_spark.operators.web import fix_mojibake, fix_mojibake_exact
+
+    assert dedup_sentences(empty_docs, "doc_id", "text").count() == 0
+    out = empty_docs.select(
+        fix_mojibake("text").alias("a"), fix_mojibake_exact("text").alias("b")
+    )
+    assert out.count() == 0
+
+
+def test_leakage_split_and_curriculum_empty(spark, empty_docs):
+    from bitfilters_spark.operators.sampling import (
+        curriculum_order, leakage_safe_split, temperature_mixture_sample,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert leakage_safe_split(
+        empty_docs, "doc_id", pairs, {"train": 1, "test": 1}
+    ).count() == 0
+    scored = empty_docs.withColumn("difficulty", F.lit(0.0))
+    assert curriculum_order(scored, "doc_id", "difficulty", 3).count() == 0
+    src = empty_docs.withColumn("source", F.lit("s"))
+    assert temperature_mixture_sample(src, "doc_id", "source", 0.5).count() == 0
+
+
+def test_stats_index_empty_dir_aggregate(spark, tmp_path):
+    from bitfilters_spark.sources.skipping import (
+        aggregate_from_index, build_stats_index,
+    )
+
+    dest = str(tmp_path / "empty")
+    spark.createDataFrame([], "id long, v double").write.parquet(dest)
+    idx = build_stats_index(spark, dest, ["v"])
+    # zero data files with rows -> empty index -> NULL/0 aggregates
+    row = aggregate_from_index(idx, ["v"]).collect()[0]
+    assert (row["n_rows"] or 0) == 0

@@ -1347,3 +1347,82 @@ def test_streaming_pipeline_composition_matches_batch(spark, tmp_path):
     got_skip = skipping_read(spark, outp, "fp_hash", [probe_hash], index=idx).collect()
     want_skip = spark.read.parquet(outp).where(F.col("fp_hash") == probe_hash).collect()
     assert sorted(r["id"] for r in got_skip) == sorted(r["id"] for r in want_skip) == [6]
+
+
+def test_streaming_r7_gate_composition_matches_batch(spark, tmp_path):
+    """r7 streaming composition: per micro-batch, repair mojibake ->
+    score with a PERSISTED classifier (load once, reuse every batch) ->
+    gate -> count BPE tokens with a PERSISTED tokenizer -> append to
+    parquet. Three micro-batches must equal the identical batch
+    composition over the union (all stages stateless per-row, so
+    streaming ≡ batch exactly)."""
+    from bitfilters_spark.operators.bpe import (
+        bpe_token_counts, load_bpe, save_bpe, train_bpe,
+    )
+    from bitfilters_spark.operators.classifier import (
+        classifier_score, load_classifier, save_classifier,
+        train_text_classifier,
+    )
+    from bitfilters_spark.operators.web import fix_mojibake
+
+    good = ["solid careful analysis results", "replicated held out data",
+            "theorem proof assumptions hold", "variance reported seeds"]
+    junk = ["click free casino bonus now", "buy cheap pills winner now"]
+    train = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good)]
+        + [(10 + i, t, 0) for i, t in enumerate(junk)],
+        "doc_id long, text string, label int",
+    )
+    clf = train_text_classifier(train, "doc_id", "text", "label",
+                                n_buckets=1 << 10, iters=30, lr=6.0)
+    save_classifier(spark, clf, str(tmp_path / "clf"))
+    bpe = train_bpe(train, "text", num_merges=40, min_pair_count=1)
+    save_bpe(spark, bpe, str(tmp_path / "bpe"))
+
+    src, ckpt, outp = (str(tmp_path / p) for p in ("in", "ck", "out"))
+    batches = [
+        [(100, good[0]), (101, junk[0])],
+        [(102, good[1] + " extra"), (103, junk[1])],
+        [(104, good[2]), (105, good[3])],
+    ]
+
+    clf_loaded = load_classifier(spark, str(tmp_path / "clf"))
+    bpe_loaded = load_bpe(spark, str(tmp_path / "bpe"))
+
+    def gate(batch_df):
+        fixed = batch_df.select(
+            F.col("id").alias("doc_id"), fix_mojibake("fp").alias("text")
+        )
+        scored = classifier_score(fixed, "doc_id", "text", clf_loaded)
+        kept = fixed.join(
+            scored.where(F.col("score") >= 0.5).select("doc_id"), "doc_id"
+        )
+        return kept.join(
+            bpe_token_counts(kept, "doc_id", "text", bpe_loaded), "doc_id"
+        )
+
+    def sink(batch_df, batch_id):
+        gate(batch_df).write.mode("append").parquet(outp)
+
+    _write_batch(spark, src, batches[0])
+    stream = spark.readStream.schema("id long, fp string").parquet(src)
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            _write_batch(spark, src, b)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    allrows = spark.createDataFrame(
+        [r for b in batches for r in b], "id long, fp string"
+    )
+    want = sorted(map(tuple, gate(allrows).collect()))
+    got = sorted(map(tuple, spark.read.parquet(outp).collect()))
+    assert got == want
+    # the gate actually dropped the junk rows
+    kept_ids = {t[0] for t in got}
+    assert kept_ids == {100, 102, 104, 105}
