@@ -480,15 +480,17 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         native=False,
     ).select("lang_pred", "bucket", "checksum")
     # fuzzy_name_pairs leg (r7, operator #103): within-table edit-distance
-    # self-join on supplier names at d=1 via PassJoin pigeonhole blocking;
-    # the oracle brute-forces levenshtein over the cross product — the
+    # self-join on supplier names at d=1; strategy="deletion" (FastSS
+    # neighborhoods) because every s_name shares the "Supplier#" template
+    # prefix — the exact shape that makes segment blocking quadratic. The
+    # oracle brute-forces levenshtein over the cross product — the
     # blocked join must find EXACTLY the same pairs (complete recall).
     from bitfilters_spark.operators.fuzzy import fuzzy_dedup_pairs
 
     sup = load_table(spark, sf_dir, "supplier")
-    fz = fuzzy_dedup_pairs(sup, "s_suppkey", "s_name", 1).agg(
-        F.count(F.lit(1)).cast("long").alias("fuzzy_name_pairs")
-    )
+    fz = fuzzy_dedup_pairs(
+        sup, "s_suppkey", "s_name", 1, strategy="deletion"
+    ).agg(F.count(F.lit(1)).cast("long").alias("fuzzy_name_pairs"))
     return stats.join(chk, ["lang_pred", "bucket"]).crossJoin(F.broadcast(fz))
 
 

@@ -22,10 +22,16 @@ Scale: per left row, d+1 key rows; per right row, at most
 d=2) — linear fan-out, constants bounded by d, everything pure JVM
 (substring/length/sequence + one equi-join). Segment keys are hashed
 to 8-byte longs so the shuffle carries fixed-width keys, not strings.
-Skew guard: segments of very common values (empty-ish strings) are
-dropped above a frequency cap the same way the jaccard join caps hot
-shingles — correctness is preserved by routing capped-key rows through
-the short-string fallback only when a cap is configured.
+
+Skew: a segment VALUE shared corpus-wide (template prefixes —
+"Supplier#", "ORD-", course codes) makes that segment's bucket
+quadratic, and unlike the jaccard df-cap there is no recall-preserving
+way to just drop it (pairs whose edit falls outside the hot segment
+match ONLY on it). The complete fix is the second blocking strategy:
+``strategy="deletion"`` (FastSS neighborhoods) keys on the whole
+string minus d characters, so identical prefixes cost nothing — pick
+it for short template-shaped keys, keep "segment" for long free text
+(see `fuzzy_join` docstring for the exact trade).
 """
 
 from __future__ import annotations
@@ -57,6 +63,57 @@ def _segments(col, d: int):
     return F.array(*[seg(i) for i in range(k)])
 
 
+def _del_variants(c, d: int):
+    """array<string> of every variant of the string with 0..d character
+    deletions (FastSS neighborhoods, Bocek et al. 2007): lev(s,t) <= d
+    implies deleting the edited positions from each leaves a COMMON
+    string reachable with <= d deletions per side — so sharing a
+    variant is a complete blocking key. Pure JVM: nested transform over
+    index sequences + Column.substr with column args. Counts: d=1 ->
+    len+1 variants; d=2 -> 1 + len + C(len,2)."""
+    n = F.length(c)
+    out = F.array(c)
+    if d >= 1:
+        one = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, n - i)),
+        )
+        one = F.when(n >= 1, one).otherwise(F.array().cast("array<string>"))
+        out = F.concat(out, one)
+    if d >= 2:
+        two = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, n),
+                    lambda j: F.concat(
+                        c.substr(F.lit(1), i - 1),
+                        c.substr(i + 1, j - i - 1),
+                        c.substr(j + 1, n - j),
+                    ),
+                ),
+            )
+        )
+        two = F.when(n >= 2, two).otherwise(F.array().cast("array<string>"))
+        out = F.concat(out, two)
+    return F.array_distinct(out)
+
+
+def _deletion_join(L, R, d: int):
+    """Candidate pairs via shared deletion-neighborhood keys."""
+    lk = L.select(
+        "__lid",
+        "__lval",
+        F.explode(_del_variants(F.col("__lval"), d)).alias("__v"),
+    ).select("__lid", "__lval", F.xxhash64("__v").alias("__kh"))
+    rk = R.select(
+        "__rid",
+        "__rval",
+        F.explode(_del_variants(F.col("__rval"), d)).alias("__v"),
+    ).select("__rid", "__rval", F.xxhash64("__v").alias("__kh"))
+    return lk.join(rk, "__kh").select("__lid", "__lval", "__rid", "__rval")
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -65,14 +122,31 @@ def fuzzy_join(
     max_dist: int,
     left_id: str = None,
     right_id: str = None,
+    strategy: str = "segment",
 ) -> DataFrame:
     """(left_id, right_id, left_val, right_val, dist) — all cross pairs
-    with lev(left_val, right_val) <= max_dist. See module docstring for
-    the plan shape; NULL and empty-vs-long cases follow Levenshtein
-    semantics (NULL never matches; length difference > d can't match
-    and is pruned before the join)."""
+    with lev(left_val, right_val) <= max_dist. NULL never matches;
+    length difference > d is pruned before any join.
+
+    Two EXACT blocking strategies (both complete recall, both verified
+    in-join with `F.levenshtein`); pick by data shape:
+
+    - ``"segment"`` (default): PassJoin pigeonhole segments — O(d)
+      keys/row regardless of string length. Right for LONG strings
+      (titles, lines, URLs). Weakness: a segment value shared corpus-
+      wide (identical prefixes like "Supplier#") makes that bucket's
+      candidate volume quadratic.
+    - ``"deletion"``: FastSS deletion neighborhoods — len+1 (d=1) or
+      ~len²/2 (d=2) keys/row, but keys carry the WHOLE string minus d
+      chars, so shared prefixes cost nothing: only true near-pairs
+      collide. Right for SHORT keys (names, codes, words); d <= 2
+      enforced (variant count explodes beyond)."""
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
+    if strategy not in ("segment", "deletion"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "deletion" and max_dist > 2:
+        raise ValueError("deletion strategy supports max_dist <= 2")
     d, k = max_dist, max_dist + 1
 
     lid = left_id or "left_id"
@@ -83,6 +157,22 @@ def fuzzy_join(
     R = right.select(
         F.col(rid).alias("__rid"), F.col(right_col).alias("__rval")
     ).where(F.col(right_col).isNotNull())
+
+    if strategy == "deletion":
+        allc = _deletion_join(L, R, d).where(
+            F.abs(F.length("__lval") - F.length("__rval")) <= d
+        ).dropDuplicates(["__lid", "__rid"])
+        out = allc.withColumn(
+            "dist", F.levenshtein("__lval", "__rval")
+        ).where(F.col("dist") <= d)
+        rid_out = rid if rid != lid else rid + "_r"
+        return out.select(
+            F.col("__lid").alias(lid),
+            F.col("__rid").alias(rid_out),
+            F.col("__lval").alias("left_val"),
+            F.col("__rval").alias("right_val"),
+            "dist",
+        )
 
     # left: one row per segment, keyed by (len, i, segment-hash)
     lseg = (
@@ -150,12 +240,13 @@ def fuzzy_join(
         F.xxhash64(
             F.substring(F.col("__rval"), F.col("__pstart"), F.col("__slen"))
         ).alias("__kh"),
-    ).dropDuplicates(["__rid", "__len", "__i", "__kh"])
-
-    cand = (
-        lseg.join(probes, ["__len", "__i", "__kh"])
-        .select("__lid", "__lval", "__rid", "__rval")
-        .dropDuplicates(["__lid", "__rid"])
+    )
+    # no probe-level dedup: distinct shifts rarely produce identical
+    # substrings, so pre-deduping costs a full extra Exchange to remove
+    # almost nothing — the single PAIR-level dedup below (after the tiny
+    # fallback union) collapses all duplicate candidates at once
+    cand = lseg.join(probes, ["__len", "__i", "__kh"]).select(
+        "__lid", "__lval", "__rid", "__rval"
     )
 
     # fallback block for left strings shorter than d+1 chars: they have
@@ -186,12 +277,14 @@ def fuzzy_join(
 
 
 def fuzzy_dedup_pairs(
-    df: DataFrame, id_col: str, col: str, max_dist: int
+    df: DataFrame, id_col: str, col: str, max_dist: int,
+    strategy: str = "segment",
 ) -> DataFrame:
     """(id_a, id_b, dist) — within-corpus near-identical values (typo
     dedup for names/titles/URLs): the self-join form of `fuzzy_join`,
     a<b half kept (the right-id column is suffixed `_r` by the join)."""
-    pairs = fuzzy_join(df, df, col, col, max_dist, id_col, id_col)
+    pairs = fuzzy_join(df, df, col, col, max_dist, id_col, id_col,
+                       strategy=strategy)
     return pairs.where(F.col(id_col) < F.col(id_col + "_r")).select(
         F.col(id_col).alias("id_a"),
         F.col(id_col + "_r").alias("id_b"),
@@ -200,7 +293,8 @@ def fuzzy_dedup_pairs(
 
 
 def fuzzy_dedup(
-    df: DataFrame, id_col: str, col: str, max_dist: int
+    df: DataFrame, id_col: str, col: str, max_dist: int,
+    strategy: str = "segment",
 ) -> DataFrame:
     """Canonical typo-dedup: cluster all values within ``max_dist`` edits
     (connected components over the `fuzzy_dedup_pairs` edge list — so
@@ -209,5 +303,5 @@ def fuzzy_dedup(
     cluster→canonical policy as `dedup_near`, on edit-distance edges."""
     from .clustering import dedup_near
 
-    pairs = fuzzy_dedup_pairs(df, id_col, col, max_dist)
+    pairs = fuzzy_dedup_pairs(df, id_col, col, max_dist, strategy)
     return dedup_near(df, pairs.select("id_a", "id_b"), id_col)

@@ -31,14 +31,18 @@ def _brute(left, right, d):
     )
 
 
-def _check(spark, left, right, d):
+def _check(spark, left, right, d, strategies=("segment", "deletion")):
     L = spark.createDataFrame(left, "left_id long, name string")
     R = spark.createDataFrame(right, "right_id long, name string")
-    got = sorted(
-        (r["left_id"], r["right_id"], r["dist"])
-        for r in fuzzy_join(L, R, "name", "name", d).collect()
-    )
-    assert got == _brute(left, right, d)
+    want = _brute(left, right, d)
+    for s in strategies:
+        if s == "deletion" and d > 2:
+            continue
+        got = sorted(
+            (r["left_id"], r["right_id"], r["dist"])
+            for r in fuzzy_join(L, R, "name", "name", d, strategy=s).collect()
+        )
+        assert got == want, s
 
 
 NAMES = ["john smith", "jon smith", "john smyth", "jane smith", "j smith",
@@ -124,3 +128,20 @@ def test_fuzzy_dedup_canonical_with_chains(spark):
     kept = sorted(r["doc_id"] for r in fuzzy_dedup(df, "doc_id", "name", 1).collect())
     # d=1 edges: (0,1), (3,4), (6,7), (7,8) -> keep cluster minima + singletons
     assert kept == [0, 2, 3, 5, 6]
+
+
+def test_fuzzy_join_deletion_strategy_shared_prefix_corpus(spark):
+    """The hot-segment case PassJoin suffers on: every key shares a long
+    template prefix. Deletion blocking must stay exact (and is the
+    documented strategy for this shape)."""
+    left = [(i, f"Supplier#{i:09d}") for i in range(80)]
+    right = [(100 + i, f"Supplier#{i:09d}") for i in range(0, 160, 2)]
+    for d in (1, 2):
+        _check(spark, left, right, d)
+
+
+def test_fuzzy_join_deletion_rejects_large_d(spark):
+    df = spark.createDataFrame([(0, "abc")], "left_id long, name string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_dist <= 2"):
+        fuzzy_join(df, df, "name", "name", 3, strategy="deletion")
