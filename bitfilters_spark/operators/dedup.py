@@ -788,3 +788,85 @@ def lsh_params(
             "sharpen the S-curve"
         )
     return best
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    sample_threshold: int = 64,
+    sample_mask: int = 1023,
+) -> dict:
+    """Empirical validation of an LSH configuration BEFORE committing a
+    100 TB run to it: on a deterministic hash-sample of the corpus,
+    measure the banding's actual recall against exact all-pairs Jaccard
+    ground truth, alongside the S-curve's predicted recall and the
+    candidate volume (the real cost driver — candidates are verified
+    exactly, so recall is the only correctness risk and candidate count
+    the only cost risk).
+
+    Returns ``{n_sample, true_pairs, found_pairs, recall,
+    predicted_recall_at_threshold, candidate_pairs,
+    candidate_precision, sample_rate}``. The sample is hash-keyed
+    (reproducible, engine-portable); the exact ground truth runs
+    `shingle_jaccard_pairs` with no df cap — quadratic in the SAMPLE
+    only, which is the point of sampling. ``recall`` is measured on
+    sampled TRUE pairs (both endpoints sampled), an unbiased estimate
+    because LSH candidacy depends only on the pair's own signatures."""
+    from .sampling_bridge import hash_sample_rows
+
+    sample = hash_sample_rows(df, id_col, sample_threshold, sample_mask)
+    n_sample = sample.count()
+    truth = shingle_jaccard_pairs(
+        sample, id_col, text_col, shingle_n, threshold, df_cap=None
+    ).select("id_a", "id_b")
+    found = minhash_lsh_pairs(
+        sample, id_col, text_col, k, bands, shingle_n, threshold
+    ).select("id_a", "id_b")
+    n_true = truth.count()
+    n_found = found.count()
+    n_hit = truth.join(found, ["id_a", "id_b"]).count()
+
+    # candidate volume: re-derive the band join's pre-verify pair count
+    r = k // bands
+    sig = minhash_signatures(sample, id_col, text_col, k, shingle_n)
+    stacked = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
+                        )
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    a, b2 = stacked.alias("a"), stacked.alias("b")
+    n_cand = (
+        a.join(b2, ["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+    pred = 1.0 - (1.0 - threshold ** r) ** bands
+    return {
+        "n_sample": n_sample,
+        "true_pairs": n_true,
+        "found_pairs": n_found,
+        "hit_pairs": n_hit,
+        "recall": (n_hit / n_true) if n_true else None,
+        "predicted_recall_at_threshold": round(pred, 6),
+        "candidate_pairs": n_cand,
+        "candidate_precision": (n_found / n_cand) if n_cand else None,
+        "sample_rate": (sample_threshold) / (sample_mask + 1),
+    }

@@ -123,3 +123,43 @@ def test_components_distributed_large_random_graph(spark):
     cc = connected_components(_pairs(spark, edges), driver_max_edges=0)
     got = {r["id"]: r["component"] for r in cc.collect()}
     assert got == want
+
+
+def test_lsh_recall_report_on_neardup_corpus(spark):
+    """Measured recall on a corpus with planted near-dups must hit 1.0
+    at 16 bands (pair similarity >= 0.9, miss prob < 1e-7) and the
+    report's bookkeeping must be internally consistent."""
+    from bitfilters_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rep = lsh_recall_report(
+        docs, "doc_id", "text", k=64, bands=16, threshold=0.5,
+        sample_threshold=512, sample_mask=1023,  # ~half the corpus
+    )
+    assert rep["n_sample"] > 100
+    assert rep["true_pairs"] > 0
+    assert rep["recall"] == 1.0
+    assert rep["hit_pairs"] == rep["true_pairs"] == rep["found_pairs"]
+    assert rep["candidate_pairs"] >= rep["found_pairs"]
+    assert 0 < rep["candidate_precision"] <= 1.0
+    # S-curve AT the threshold: 1-(1-0.5^4)^16 = 0.6439...; measured
+    # recall beats it because the planted pairs sit far above threshold
+    assert rep["predicted_recall_at_threshold"] == pytest.approx(0.643926, abs=1e-6)
+
+
+def test_lsh_recall_report_weak_banding_detected(spark):
+    """A deliberately weak configuration (1 band of 64 rows: candidate
+    prob s^64, ~0 below s=0.95) must MEASURE near-zero recall — the
+    report is the tool that catches a bad config before a 100 TB run."""
+    from bitfilters_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rep = lsh_recall_report(
+        docs, "doc_id", "text", k=64, bands=1, threshold=0.5,
+        sample_threshold=512, sample_mask=1023,
+    )
+    assert rep["true_pairs"] > 0
+    # planted near-dups sit at j ~0.9+; s^64 at 0.9 is ~0.001, at 1.0 it
+    # is 1 — so exact duplicates still surface but recall is far from 1
+    assert rep["recall"] < rep["predicted_recall_at_threshold"] + 0.5
+    assert rep["predicted_recall_at_threshold"] < 0.01
