@@ -145,25 +145,41 @@ def train_text_classifier(
                 + F.log1p(F.exp(-F.abs(F.col("margin"))))
                 - F.col("y") * F.col("margin")
             ).alias("ll"),
-        ).persist()
-        # model-scale collects: <= n_buckets gradient rows + one scalar row
+        ).persist()  # consumed by both union branches below
+        # ONE model-scale collect per iteration: the per-bucket gradients
+        # plus a sentinel row (bucket = -1) carrying the bias gradient in
+        # `g` and the summed log-loss in `ll` — per-iteration driver
+        # round-trips halve vs separate gradient/scalar actions
         grad_rows = (
             errs.join(feats.select("id", "bucket", "cnt"), "id")
             .groupBy("bucket")
-            .agg(F.sum(F.col("err") * F.col("cnt")).alias("g"))
+            .agg(
+                F.sum(F.col("err") * F.col("cnt")).alias("g"),
+                F.lit(0.0).alias("ll"),
+            )
+            .unionByName(
+                errs.select(
+                    F.lit(-1).cast("long").alias("bucket"),
+                    F.col("err").alias("g"),
+                    F.col("ll"),
+                ).groupBy("bucket").agg(
+                    F.sum("g").alias("g"), F.sum("ll").alias("ll")
+                )
+            )
             .collect()
         )
-        scal = errs.agg(
-            F.sum("err").alias("be"), F.sum("ll").alias("ll")
-        ).collect()[0]
         errs.unpersist()
 
         g = np.zeros(n_buckets, dtype="float64")
+        be = ll = 0.0
         for r in grad_rows:
-            g[int(r["bucket"])] = float(r["g"])
+            if r["bucket"] < 0:
+                be, ll = float(r["g"]), float(r["ll"])
+            else:
+                g[int(r["bucket"])] = float(r["g"])
         w -= lr * (g / n + l2 * w)
-        bias -= lr * float(scal["be"]) / n
-        losses.append(float(scal["ll"]) / n)
+        bias -= lr * be / n
+        losses.append(ll / n)
     feats.unpersist()
     return {"weights": w, "bias": bias, "n_buckets": n_buckets, "losses": losses}
 
