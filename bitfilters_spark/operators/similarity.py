@@ -586,6 +586,15 @@ def fit_pca(df: DataFrame, vec_col: str, k: int, center: bool = True) -> dict:
     fit is deterministic up to float-sum ordering. Returns {"mean",
     "components" k×d, "explained_variance", "total_variance"}."""
     n, s, g = embedding_moments(df, vec_col)
+    return pca_from_moments(n, s, g, k, center)
+
+
+def pca_from_moments(n: int, s, g, k: int, center: bool = True) -> dict:
+    """The driver-side half of `fit_pca`, split out because moments are
+    ADDITIVE — partials from separate corpora, partitions, or stream
+    micro-batches sum component-wise, so this same eigensolve serves the
+    batch fit, cross-corpus combination, and `streaming/pca.py`."""
+    s, g = np.asarray(s, dtype="float64"), np.asarray(g, dtype="float64")
     mean = s / n
     cov = g / n - (np.outer(mean, mean) if center else 0.0)
     cov = (cov + cov.T) / 2.0  # symmetrize float noise

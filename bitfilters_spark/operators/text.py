@@ -861,3 +861,31 @@ def dedup_sentences(
         df, id_col, text_col,
         sep=SENTENCE_BOUNDARY_RE, min_chars=min_chars, join_sep=" ",
     )
+
+
+def nfkc_normalize(col, casefold: bool = False) -> Column:
+    """Unicode NFKC normalization (fullwidth→ASCII, ligatures split,
+    compatibility forms folded) with optional casefold — the standard
+    canonicalization in front of tokenizers/dedup that plain
+    `normalize_text` (an ASCII-oriented regexp chain) can't express.
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched pandas UDF over `unicodedata` (C-implemented; the
+    batch loop is the only Python). Compose: `nfkc_normalize` →
+    `fix_mojibake` is the wrong order — repair mojibake FIRST (NFKC
+    would fold the broken sequences' characters and break the repair
+    table's byte images)."""
+    import unicodedata
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def nf(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize("NFKC", t)
+            return out.casefold() if casefold else out
+
+        return s.map(one)
+
+    return nf(c)

@@ -1426,3 +1426,69 @@ def test_streaming_r7_gate_composition_matches_batch(spark, tmp_path):
     # the gate actually dropped the junk rows
     kept_ids = {t[0] for t in got}
     assert kept_ids == {100, 102, 104, 105}
+
+
+def test_streaming_pca_moments_match_batch(spark, tmp_path):
+    """Streaming moment folds over 3 micro-batches == batch moments over
+    the union; the mid-stream PCA == the batch fit; replaying a batch
+    (crash redelivery) changes nothing."""
+    import numpy as np
+    from bitfilters_spark.operators.similarity import (
+        embedding_moments, fit_pca,
+    )
+    from bitfilters_spark.streaming.pca import (
+        fold_moments_batch, load_moments, streaming_embedding_moments,
+        streaming_pca,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(90, 6) @ np.diag([4, 2, 1, 0.5, 0.2, 0.1])
+    rows = [(i, X[i].tolist()) for i in range(90)]
+
+    src = str(tmp_path / "pca_in")
+    ckpt = str(tmp_path / "pca_ck")
+    state = str(tmp_path / "pca_state")
+    for chunk in (rows[:30], rows[30:60]):
+        spark.createDataFrame(chunk, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    q = streaming_embedding_moments(stream, "embedding", state).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[60:], "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_b, s_b, g_b = embedding_moments(df, "embedding")
+    n_s, s_s, g_s = load_moments(state)
+    assert n_s == n_b == 90
+    np.testing.assert_allclose(s_s, s_b, rtol=1e-12)
+    np.testing.assert_allclose(g_s, g_b, rtol=1e-12)
+
+    live = streaming_pca(spark, state, k=2)
+    batch = fit_pca(df, "embedding", k=2)
+    np.testing.assert_allclose(live["components"], batch["components"], atol=1e-9)
+    np.testing.assert_allclose(
+        live["explained_variance"], batch["explained_variance"], rtol=1e-9
+    )
+
+    # crash-replay: re-fold the LAST batch id by hand -> same totals (no
+    # double count; bit-level drift only from float-sum order of the
+    # recomputed partial)
+    last_batch = spark.createDataFrame(
+        rows[60:], "vec_id long, embedding array<double>"
+    )
+    import os
+    ids = sorted(int(d.split("=")[1]) for d in os.listdir(state))
+    fold_moments_batch(last_batch, "embedding", state, ids[-1])
+    n2, s2, g2 = load_moments(state)
+    assert n2 == n_s
+    np.testing.assert_allclose(s2, s_s, rtol=1e-12)
+    np.testing.assert_allclose(g2, g_s, rtol=1e-12)

@@ -114,3 +114,26 @@ def test_dedup_sentences_min_chars_bypass(spark):
            dedup_sentences(df, "doc_id", "text", min_chars=10).collect()}
     # "Yes." is under min_chars: survives in BOTH docs
     assert got[0].startswith("Yes.") and got[1].startswith("Yes.")
+
+
+def test_nfkc_normalize_folds_compatibility_forms(spark):
+    from bitfilters_spark.operators.text import nfkc_normalize
+
+    rows = [
+        (0, "\uff28\uff45\uff4c\uff4c\uff4f"),  # fullwidth "Hello"
+        (1, "\ufb01le"),                             # fi-ligature "file"
+        (2, "caf\u00e9"),                            # already NFC: unchanged
+        (3, "\u2460"),                               # circled one -> "1"
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", nfkc_normalize("text").alias("t")).collect()}
+    assert got[0] == "Hello"
+    assert got[1] == "file"
+    assert got[2] == "caf\u00e9"
+    assert got[3] == "1"
+    assert got[4] is None
+    folded = {r["id"]: r["t"] for r in df.select(
+        "id", nfkc_normalize("text", casefold=True).alias("t")).collect()}
+    assert folded[0] == "hello"
