@@ -817,9 +817,9 @@ def lsh_recall_report(
     only, which is the point of sampling. ``recall`` is measured on
     sampled TRUE pairs (both endpoints sampled), an unbiased estimate
     because LSH candidacy depends only on the pair's own signatures."""
-    from .sampling_bridge import hash_sample_rows
+    from .sampling import hash_sample
 
-    sample = hash_sample_rows(df, id_col, sample_threshold, sample_mask)
+    sample = hash_sample(df, id_col, sample_threshold, sample_mask)
     n_sample = sample.count()
     truth = shingle_jaccard_pairs(
         sample, id_col, text_col, shingle_n, threshold, df_cap=None
