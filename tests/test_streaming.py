@@ -1492,3 +1492,84 @@ def test_streaming_pca_moments_match_batch(spark, tmp_path):
     assert n2 == n_s
     np.testing.assert_allclose(s2, s_s, rtol=1e-12)
     np.testing.assert_allclose(g2, g_s, rtol=1e-12)
+
+
+def test_streaming_classifier_sgd_learns_and_is_replay_safe(spark, tmp_path):
+    """Mini-batch SGD over 3 labeled micro-batches: the live model
+    separates the classes; one batch of steps == the batch trainer run
+    on that same data for the same step count (exact, same machinery);
+    replaying the last batch id changes nothing."""
+    import numpy as np
+    from bitfilters_spark.operators.classifier import (
+        classifier_score, train_text_classifier,
+    )
+    from bitfilters_spark.streaming.classifier import (
+        fold_classifier_batch, load_streaming_classifier,
+        streaming_classifier_train,
+    )
+
+    good = ["careful analysis converges", "held out data variance",
+            "theorem assumptions hold", "replicated across seeds",
+            "proof follows directly", "results are significant"]
+    bad = ["click free casino now", "buy cheap pills winner",
+           "bonus click winner free", "casino bonus buy now",
+           "free free click buy", "winner pills casino click"]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    chunks = [rows[0:4] + rows[6:10], rows[4:5] + rows[10:11],
+              rows[5:6] + rows[11:12]]
+
+    src = str(tmp_path / "clf_in"); ckpt = str(tmp_path / "clf_ck")
+    state = str(tmp_path / "clf_state")
+    def write(chunk):
+        spark.createDataFrame(chunk, "doc_id long, text string, label int") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    write(chunks[0])
+    stream = spark.readStream.schema(
+        "doc_id long, text string, label int"
+    ).parquet(src)
+    q = streaming_classifier_train(
+        stream, "doc_id", "text", "label", state,
+        n_buckets=1 << 10, steps_per_batch=10, lr=6.0,
+    ).option("checkpointLocation", ckpt).start()
+    try:
+        q.processAllAvailable()
+        # exactness vs the batch trainer: ONE batch seen so far, same
+        # data, same steps -> identical weights
+        m1 = load_streaming_classifier(state)
+        ref = train_text_classifier(
+            spark.createDataFrame(chunks[0], "doc_id long, text string, label int"),
+            "doc_id", "text", "label", n_buckets=1 << 10, iters=10, lr=6.0,
+        )
+        np.testing.assert_allclose(m1["weights"], ref["weights"], atol=1e-12)
+        assert m1["bias"] == pytest.approx(ref["bias"], abs=1e-12)
+
+        for c in chunks[1:]:
+            write(c)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    model = load_streaming_classifier(state)
+    assert len(model["losses"]) == 30  # 3 batches x 10 steps
+    full = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    scored = {r["doc_id"]: r["score"]
+              for r in classifier_score(full, "doc_id", "text", model).collect()}
+    assert all(scored[i] > 0.6 for i, _, y in rows if y == 1)
+    assert all(scored[i] < 0.4 for i, _, y in rows if y == 0)
+
+    # replay the highest batch id by hand: state identical (no double-step)
+    import os
+    ids = sorted(int(d.split("=")[1]) for d in os.listdir(state))
+    last_chunk = spark.createDataFrame(
+        chunks[-1], "doc_id long, text string, label int"
+    )
+    fold_classifier_batch(
+        last_chunk, "doc_id", "text", "label", state, ids[-1],
+        n_buckets=1 << 10, steps_per_batch=10, lr=6.0,
+    )
+    again = load_streaming_classifier(state)
+    np.testing.assert_allclose(again["weights"], model["weights"], rtol=1e-12)
+    assert len(again["losses"]) == 30
