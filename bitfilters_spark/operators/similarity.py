@@ -631,3 +631,56 @@ def project_embeddings(
         return pd.Series(list(Y))
 
     return df.select(F.col(id_col), proj(F.col(vec_col)).alias(out_col))
+
+
+def ann_recall_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    n_queries: int = 50,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Empirical validation of an IVF configuration BEFORE committing a
+    full run to it — the ANN twin of `dedup.lsh_recall_report`: on a
+    deterministic hash-sample of ``n_queries`` query vectors, compare
+    `ivf_topk`'s neighbors against exact brute-force `cosine_topk`
+    ground truth over the SAME corpus.
+
+    Returns ``{n_queries, recall_at_k (fraction of true top-k found),
+    top1_match_rate, scan_fraction (nprobe/n_centroids — the cost you
+    pay relative to brute force)}``. Recall here is the real quantity a
+    100 TB run trades against `scan_fraction`; raise ``nprobe`` until
+    the measured recall clears the bar (nprobe == n_centroids is
+    provably 1.0 — the degenerate-exact case the unit tests pin)."""
+    q = (
+        df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+                 < int((1 << 20) * min(1.0, 4.0 * n_queries / max(df.count(), 1))))
+        .limit(n_queries)
+        .select(id_col, vec_col)
+        .cache()
+    )
+    nq = q.count()
+    truth = cosine_topk(df, q, id_col, vec_col, k).select(
+        F.col("query_id"), F.col("neighbor_id")
+    )
+    approx = ivf_topk(
+        df, q, id_col, vec_col, k, n_centroids, nprobe, seed, centroids
+    ).select(F.col("query_id"), F.col("neighbor_id"))
+    n_true = truth.count()
+    n_hit = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    top1_true = cosine_topk(df, q, id_col, vec_col, 1).select("query_id", "neighbor_id")
+    top1_goti = ivf_topk(df, q, id_col, vec_col, 1, n_centroids, nprobe, seed, centroids)
+    t1 = top1_true.join(
+        top1_goti.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    q.unpersist()
+    return {
+        "n_queries": nq,
+        "recall_at_k": (n_hit / n_true) if n_true else None,
+        "top1_match_rate": (t1 / nq) if nq else None,
+        "scan_fraction": nprobe / n_centroids,
+    }

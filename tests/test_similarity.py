@@ -343,3 +343,31 @@ def test_pca_then_topk_rotation_invariance(spark):
     got = sorted(map(tuple, cosine_topk(proj, q_proj, "vec_id", "embedding", k=3)
                      .select("query_id", "rank", "neighbor_id").collect()))
     assert got == want
+
+
+def test_ann_recall_report_exact_when_nprobe_full(spark):
+    """nprobe == n_centroids is brute force: measured recall must be 1.0
+    and top-1 must match exactly."""
+    from bitfilters_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rep = ann_recall_report(
+        emb, k=5, n_centroids=8, nprobe=8, n_queries=10, seed=3
+    )
+    assert rep["n_queries"] > 0
+    assert rep["recall_at_k"] == 1.0
+    assert rep["top1_match_rate"] == 1.0
+    assert rep["scan_fraction"] == 1.0
+
+
+def test_ann_recall_report_tradeoff_monotone(spark):
+    """More probes -> recall (weakly) rises; tiny nprobe costs recall.
+    The report is the tool that surfaces that trade before a full run."""
+    from bitfilters_spark.operators.similarity import ann_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo = ann_recall_report(emb, k=5, n_centroids=16, nprobe=1, n_queries=10, seed=3)
+    hi = ann_recall_report(emb, k=5, n_centroids=16, nprobe=8, n_queries=10, seed=3)
+    assert lo["scan_fraction"] < hi["scan_fraction"]
+    assert lo["recall_at_k"] <= hi["recall_at_k"] + 1e-9
+    assert hi["recall_at_k"] > 0.5
