@@ -254,3 +254,40 @@ def load_classifier(spark, path: str) -> dict:
         "n_buckets": int(meta["n_buckets"]),
         "losses": [],
     }
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, lo, hi, n, mean_score, frac_positive) — reliability table
+    for a probabilistic gate: in a calibrated model each bin's empirical
+    positive rate tracks its mean score, and the table is what picks the
+    gate threshold honestly (keep-rate vs purity per bin) instead of
+    defaulting to 0.5. One map-side-combined groupBy over equal-width
+    score bins (score exactly 1.0 folds into the top bin)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    return (
+        scored.withColumn("__bin", b)
+        .groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(score_col).alias("mean_score"),
+            F.avg(F.col(label_col).cast("double")).alias("frac_positive"),
+        )
+        .select(
+            F.col("__bin").alias("bin"),
+            (F.col("__bin") / n_bins).alias("lo"),
+            ((F.col("__bin") + 1) / n_bins).alias("hi"),
+            "n",
+            "mean_score",
+            "frac_positive",
+        )
+        .orderBy("bin")
+    )

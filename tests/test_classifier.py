@@ -125,3 +125,38 @@ def test_classifier_save_load_roundtrip(spark, corpus, tmp_path):
     a = sorted(map(str, C.classifier_score(corpus, "doc_id", "text", model).collect()))
     b = sorted(map(str, C.classifier_score(corpus, "doc_id", "text", loaded).collect()))
     assert a == b
+
+
+def test_calibration_report_binning_and_rates(spark):
+    rows = [
+        # bin 0: scores ~0.05, all negative
+        (0, 0.04, 0), (1, 0.06, 0), (2, 0.05, 0),
+        # bin 9: scores high incl. exact 1.0 (must fold into top bin)
+        (3, 0.95, 1), (4, 1.0, 1), (5, 0.92, 0),
+        # bin 5
+        (6, 0.55, 1), (7, 0.52, 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    rep = {r["bin"]: r for r in C.calibration_report(df, "score", "label").collect()}
+    assert set(rep) == {0, 5, 9}
+    assert rep[0]["n"] == 3 and rep[0]["frac_positive"] == 0.0
+    assert rep[9]["n"] == 3 and rep[9]["frac_positive"] == pytest.approx(2 / 3)
+    assert rep[5]["n"] == 2 and rep[5]["frac_positive"] == 0.5
+    assert rep[9]["lo"] == pytest.approx(0.9) and rep[9]["hi"] == pytest.approx(1.0)
+    assert rep[0]["mean_score"] == pytest.approx(0.05)
+
+
+def test_calibration_on_trained_model(spark, corpus):
+    model = C.train_text_classifier(
+        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=24.0
+    )
+    scored = C.classifier_score(corpus, "doc_id", "text", model).join(
+        corpus.select("doc_id", "label"), "doc_id"
+    )
+    rep = C.calibration_report(scored, "score", "label", n_bins=4).collect()
+    # a separating model puts positives in high bins, negatives in low
+    for r in rep:
+        if r["bin"] == 0:
+            assert r["frac_positive"] == 0.0
+        if r["bin"] == 3:
+            assert r["frac_positive"] == 1.0
