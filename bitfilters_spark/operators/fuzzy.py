@@ -123,10 +123,25 @@ def fuzzy_join(
     left_id: str = None,
     right_id: str = None,
     strategy: str = "segment",
+    max_tiny_pairs: int = 100_000_000,
 ) -> DataFrame:
     """(left_id, right_id, left_val, right_val, dist) — all cross pairs
     with lev(left_val, right_val) <= max_dist. NULL never matches;
     length difference > d is pruned before any join.
+
+    ``left_id`` / ``right_id`` name the id columns carried through to the
+    output; when omitted they DEFAULT to columns literally named
+    ``left_id`` / ``right_id`` — pass them explicitly unless your tables
+    already use those names (an absent column raises AnalysisException).
+
+    ``max_tiny_pairs`` fail-fast guard: with ``strategy="segment"`` and
+    ``max_dist >= 3``, left strings shorter than d+1 chars fall back to a
+    salted length-block join whose candidate count is |tinyL| x |tinyR|
+    (genuinely quadratic — nearly every short pair is within d edits, so
+    the OUTPUT itself is quadratic); the join refuses to start when that
+    product exceeds this bound rather than running away silently. At
+    d <= 2 the fallback is an exact deletion-neighborhood join instead —
+    distributed, pruned, no guard needed.
 
     Two EXACT blocking strategies (both complete recall, both verified
     in-join with `F.levenshtein`); pick by data shape:
@@ -251,13 +266,51 @@ def fuzzy_join(
 
     # fallback block for left strings shorter than d+1 chars: they have
     # < k usable segments; their match partners differ by <= d in length,
-    # i.e. length <= 2d — a bounded-size set on both sides, joined by a
-    # coarse length-bucket key (exact lev verify still applies)
+    # i.e. length <= 2d. NEVER a broadcast cross join — nothing bounds
+    # these sets (a corpus of millions of short codes at d=2 puts every
+    # string of length <= 4 here), so:
+    #   d == 0  -> exact equi-join on the value;
+    #   d <= 2  -> FastSS deletion-neighborhood equi-join (complete for
+    #              lev <= d, distributed, shared keys prune real
+    #              non-pairs; variant fan-out is trivial at these
+    #              lengths);
+    #   d >= 3  -> salted block join (right side hashed into SALT
+    #              buckets, left replicated across them — the candidate
+    #              set IS quadratic here because nearly all short pairs
+    #              are within d edits), behind a fail-fast count guard
+    #              (`max_tiny_pairs`, same posture as streaming/asof.py's
+    #              max_right_rows) instead of a silent runaway.
     tinyL = L.where(F.length("__lval") < k)
     tinyR = R.where(F.length("__rval") <= 2 * d)
-    tiny = tinyL.crossJoin(F.broadcast(tinyR)) if d > 0 else tinyL.join(
-        tinyR, F.col("__lval") == F.col("__rval")
-    )
+    if d == 0:
+        tiny = tinyL.join(tinyR, F.col("__lval") == F.col("__rval"))
+    elif d <= 2:
+        tiny = _deletion_join(tinyL, tinyR, d).where(
+            F.abs(F.length("__lval") - F.length("__rval")) <= d
+        )
+    else:
+        n_l, n_r = tinyL.count(), tinyR.count()
+        if n_l * n_r > max_tiny_pairs:
+            raise ValueError(
+                f"fuzzy_join short-string fallback would generate "
+                f"{n_l} x {n_r} = {n_l * n_r} candidate pairs "
+                f"(> max_tiny_pairs={max_tiny_pairs}): at max_dist="
+                f"{d}, every left string shorter than {k} chars pairs "
+                f"with every right string of length <= {2 * d}, and "
+                f"that output is quadratic by nature. Pre-filter the "
+                f"short strings, lower max_dist, or raise "
+                f"max_tiny_pairs explicitly to accept the cost."
+            )
+        salt = 32
+        lk = tinyL.withColumn(
+            "__s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        rk = tinyR.withColumn(
+            "__s", (F.pmod(F.xxhash64("__rid"), F.lit(salt))).cast("int")
+        )
+        tiny = lk.join(rk, "__s").where(
+            F.abs(F.length("__lval") - F.length("__rval")) <= d
+        )
 
     allc = cand.unionByName(
         tiny.select("__lid", "__lval", "__rid", "__rval")

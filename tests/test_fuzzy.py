@@ -145,3 +145,56 @@ def test_fuzzy_join_deletion_rejects_large_d(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_dist <= 2"):
         fuzzy_join(df, df, "name", "name", 3, strategy="deletion")
+
+
+def test_fuzzy_short_string_corpus_no_cross_join(spark):
+    """The r7 latent hazard: a corpus dominated by strings shorter than
+    d+1 chars used to broadcast-cross-join under strategy="segment".
+    Now it routes through the distributed deletion-neighborhood join —
+    assert brute-force parity AND that no cartesian / broadcast
+    nested-loop join appears anywhere in the plan."""
+    rng = random.Random(11)
+    alpha = "abcdef"
+    left = [(i, "".join(rng.choice(alpha) for _ in range(rng.randint(1, 3))))
+            for i in range(60)]
+    right = [(100 + i, "".join(rng.choice(alpha) for _ in range(rng.randint(1, 4))))
+             for i in range(60)]
+    L = spark.createDataFrame(left, "left_id long, name string")
+    R = spark.createDataFrame(right, "right_id long, name string")
+    for d in (1, 2):
+        q = fuzzy_join(L, R, "name", "name", d)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = sorted((r["left_id"], r["right_id"], r["dist"]) for r in q.collect())
+        assert got == _brute(left, right, d)
+
+
+def test_fuzzy_short_string_d3_salted_block_parity(spark):
+    """d >= 3 short-string fallback: salted block join, still exact."""
+    rng = random.Random(13)
+    left = [(i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 3))))
+            for i in range(25)]
+    right = [(100 + i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 6))))
+             for i in range(25)]
+    L = spark.createDataFrame(left, "left_id long, name string")
+    R = spark.createDataFrame(right, "right_id long, name string")
+    q = fuzzy_join(L, R, "name", "name", 3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted((r["left_id"], r["right_id"], r["dist"]) for r in q.collect())
+    assert got == _brute(left, right, 3)
+
+
+def test_fuzzy_short_string_d3_guard_fails_fast(spark):
+    """The count guard refuses a quadratic short-string fallback instead
+    of running it away silently."""
+    rows = [(i, "ab") for i in range(40)]
+    df = spark.createDataFrame(rows, "left_id long, name string")
+    R = df.withColumnRenamed("left_id", "right_id")
+    with pytest.raises(ValueError, match="max_tiny_pairs"):
+        fuzzy_join(df, R, "name", "name", 3, max_tiny_pairs=100).collect()
+    # raising the bound explicitly accepts the cost and stays exact
+    got = fuzzy_join(df, R, "name", "name", 3, max_tiny_pairs=10_000)
+    assert got.count() == 40 * 40
