@@ -16,34 +16,31 @@ today's crawl with the model as of now" loop with no retraining job.
 
 from __future__ import annotations
 
-import os
+import io
 
 import numpy as np
 from pyspark.sql import DataFrame
 
 from ..operators.classifier import _margins, _weight_df, hashed_features
+from . import state_io
 
 
 def _state_dirs(state_path: str) -> list[tuple[int, str]]:
-    if not os.path.isdir(state_path):
-        return []
-    out = []
-    for name in os.listdir(state_path):
-        if name.startswith("batch="):
-            try:
-                out.append(
-                    (int(name.split("=", 1)[1]), os.path.join(state_path, name))
-                )
-            except ValueError:
-                continue
-    return sorted(out)
+    # batch= dirs whose weights.npz exists (crash between mkdirs and the
+    # payload write leaves an empty dir readers must not trip on);
+    # state_path is any Hadoop-FS URI — see streaming/state_io.py
+    return state_io.batch_state_dirs(state_path, "weights.npz")
+
+
+def _load_npz(path: str):
+    return np.load(io.BytesIO(state_io.read_bytes(path)))
 
 
 def load_streaming_classifier(state_path: str) -> dict | None:
     dirs = _state_dirs(state_path)
     if not dirs:
         return None
-    blob = np.load(os.path.join(dirs[-1][1], "weights.npz"))
+    blob = _load_npz(state_io.join(dirs[-1][1], "weights.npz"))
     return {
         "weights": blob["w"],
         "bias": float(blob["bias"]),
@@ -73,7 +70,7 @@ def fold_classifier_batch(
     prior = None
     for bid, path in reversed(_state_dirs(state_path)):
         if bid < batch_id:
-            blob = np.load(os.path.join(path, "weights.npz"))
+            blob = _load_npz(state_io.join(path, "weights.npz"))
             prior = (blob["w"].copy(), float(blob["bias"]), list(blob["losses"]))
             break
     if prior is None:
@@ -137,18 +134,18 @@ def fold_classifier_batch(
         losses.append(ll / n)
     feats.unpersist()
 
-    dest = os.path.join(state_path, f"batch={batch_id}")
-    os.makedirs(dest, exist_ok=True)
-    tmp = os.path.join(dest, "weights.npz.tmp")
-    with open(tmp, "wb") as f:
-        np.savez(
-            f,
-            w=w,
-            bias=bias,
-            n_buckets=n_buckets,
-            losses=np.asarray(losses, dtype="float64"),
-        )
-    os.replace(tmp, os.path.join(dest, "weights.npz"))
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        w=w,
+        bias=bias,
+        n_buckets=n_buckets,
+        losses=np.asarray(losses, dtype="float64"),
+    )
+    state_io.write_bytes(
+        state_io.join(state_path, f"batch={batch_id}", "weights.npz"),
+        buf.getvalue(),
+    )
 
 
 def streaming_classifier_train(

@@ -20,18 +20,16 @@ harmless.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 from ..functions.filters import MERGEABLE, _merge_blobs, build_filter
+from . import state_io
 
 
 def load_filter_blob(path: str) -> bytes | None:
-    if not os.path.exists(path):
-        return None
-    with open(path, "rb") as f:
-        return f.read()
+    """The blob at any Hadoop-FS URI (s3a/hdfs/local), or None — all
+    state I/O is scheme-agnostic, see streaming/state_io.py."""
+    return state_io.read_bytes(path)
 
 
 def streaming_filter_build(
@@ -63,11 +61,7 @@ def streaming_filter_build(
         part = bytes(rows[0]["filter"])
         prev = load_filter_blob(store_path)
         blob = part if prev is None else _merge_blobs(kind, [prev, part])
-        tmp = store_path + ".tmp"
-        os.makedirs(os.path.dirname(store_path) or ".", exist_ok=True)
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, store_path)
+        state_io.write_bytes(store_path, blob)
 
     return stream.writeStream.foreachBatch(fold).outputMode("update")
 

@@ -50,30 +50,27 @@ batch id is passed.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import state_io
+
 
 def _marker_path(path: str) -> str:
-    return os.path.join(path, "_last_batch")
+    return state_io.join(path, "_last_batch")
 
 
 def _read_marker(path: str) -> int:
+    # marker lives next to the index at any Hadoop-FS URI (state_io)
     try:
-        with open(_marker_path(path)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        raw = state_io.read_bytes(_marker_path(path))
+        return -1 if raw is None else int(raw.decode().strip())
+    except ValueError:
         return -1
 
 
 def _write_marker(path: str, batch_id: int) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = _marker_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, _marker_path(path))
+    state_io.write_bytes(_marker_path(path), str(batch_id).encode())
 
 
 def make_neardup_fold(
@@ -133,7 +130,7 @@ def make_neardup_fold(
         #    writes re-runs the batch; see the module docstring for why
         #    each step is idempotent under that replay.
         kept.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={batch_id}")
+            state_io.join(out_path, f"batch={batch_id}")
         )
         if have_index:
             append_to_lsh_index(kept, id_col, text_col, name, k, bands, shingle_n)

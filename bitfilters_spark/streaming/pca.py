@@ -14,29 +14,31 @@ the micro-batch id — a replayed batch overwrites its own directory with
 identical content instead of double-adding (the crash-idempotency
 pattern `streaming/neardup.py` established); `load_moments` reads the
 HIGHEST batch id, which always holds the fold of every batch up to it.
+
+``state_path`` is any Hadoop-FS URI (``s3a://``, ``hdfs://``, local) —
+all I/O goes through `state_io` (driver-side, scheme-agnostic), and
+readers skip a ``batch=`` directory whose npz is not yet written, so a
+crash between mkdirs and the payload write falls back to the previous
+committed batch instead of raising.
 """
 
 from __future__ import annotations
 
-import os
+import io
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import embedding_moments
+from . import state_io
 
 
 def _state_dirs(state_path: str) -> list[tuple[int, str]]:
-    if not os.path.isdir(state_path):
-        return []
-    out = []
-    for name in os.listdir(state_path):
-        if name.startswith("batch="):
-            try:
-                out.append((int(name.split("=", 1)[1]), os.path.join(state_path, name)))
-            except ValueError:
-                continue
-    return sorted(out)
+    return state_io.batch_state_dirs(state_path, "moments.npz")
+
+
+def _load_npz(path: str):
+    return np.load(io.BytesIO(state_io.read_bytes(path)))
 
 
 def load_moments(state_path: str):
@@ -44,7 +46,7 @@ def load_moments(state_path: str):
     dirs = _state_dirs(state_path)
     if not dirs:
         return None
-    blob = np.load(os.path.join(dirs[-1][1], "moments.npz"))
+    blob = _load_npz(state_io.join(dirs[-1][1], "moments.npz"))
     return int(blob["n"]), blob["s"], blob["g"]
 
 
@@ -78,17 +80,17 @@ def fold_moments_batch(
     prior = None
     for bid, path in reversed(_state_dirs(state_path)):
         if bid < batch_id:  # fold onto the state BEFORE this batch only
-            blob = np.load(os.path.join(path, "moments.npz"))
+            blob = _load_npz(state_io.join(path, "moments.npz"))
             prior = (int(blob["n"]), blob["s"], blob["g"])
             break
     if prior is not None:
         n_b, s_b, g_b = n_b + prior[0], s_b + prior[1], g_b + prior[2]
-    dest = os.path.join(state_path, f"batch={batch_id}")
-    os.makedirs(dest, exist_ok=True)
-    tmp = os.path.join(dest, "moments.npz.tmp")
-    with open(tmp, "wb") as f:
-        np.savez(f, n=n_b, s=s_b, g=g_b)
-    os.replace(tmp, os.path.join(dest, "moments.npz"))
+    buf = io.BytesIO()
+    np.savez(buf, n=n_b, s=s_b, g=g_b)
+    state_io.write_bytes(
+        state_io.join(state_path, f"batch={batch_id}", "moments.npz"),
+        buf.getvalue(),
+    )
 
 
 def streaming_pca(spark: SparkSession, state_path: str, k: int, center: bool = True):

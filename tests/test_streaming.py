@@ -1573,3 +1573,56 @@ def test_streaming_classifier_sgd_learns_and_is_replay_safe(spark, tmp_path):
     again = load_streaming_classifier(state)
     np.testing.assert_allclose(again["weights"], model["weights"], rtol=1e-12)
     assert len(again["losses"]) == 30
+
+
+def test_state_io_scheme_qualified_uri_and_crash_window(spark, tmp_path):
+    """r8: streaming state goes through Spark's Hadoop FileSystem API —
+    scheme-qualified URIs (``file:/...``, same resolver as s3a/hdfs on a
+    cluster) work for every state family, and a ``batch=`` directory
+    left WITHOUT its payload (crash between mkdirs and the npz write)
+    is skipped by loaders instead of raising."""
+    import numpy as np
+    from bitfilters_spark.streaming import state_io
+    from bitfilters_spark.streaming.pca import fold_moments_batch, load_moments
+    from bitfilters_spark.streaming.classifier import (
+        fold_classifier_batch, load_streaming_classifier,
+    )
+    from bitfilters_spark.streaming.filter_build import load_filter_blob
+
+    # --- raw layer over a file: URI
+    uri = "file:" + str(tmp_path / "raw" / "blob.bin")
+    assert state_io.read_bytes(uri) is None
+    state_io.write_bytes(uri, b"abc123")
+    assert state_io.read_bytes(uri) == b"abc123"
+    state_io.write_bytes(uri, b"xyz")  # overwrite via tmp+rename
+    assert state_io.read_bytes(uri) == b"xyz"
+    assert load_filter_blob(uri) == b"xyz"
+
+    # --- PCA moments under a file: URI state path
+    state = "file:" + str(tmp_path / "pca_state")
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold_moments_batch(df, "embedding", state, 0)
+    n, s, g = load_moments(state)
+    assert n == 20
+    np.testing.assert_allclose(s, np.array([sum(range(20)), 20.0]))
+
+    # --- crash window: an empty batch=1 dir must be invisible
+    (tmp_path / "pca_state" / "batch=1").mkdir()
+    n2, s2, _ = load_moments(state)
+    assert n2 == 20  # fell back to batch=0, did not raise
+
+    # --- classifier state under a file: URI, same crash-window rule
+    cstate = "file:" + str(tmp_path / "clf_state")
+    labeled = spark.createDataFrame(
+        [(0, "good text", 1.0), (1, "bad text", 0.0)] * 5,
+        "doc_id long, text string, label double",
+    )
+    fold_classifier_batch(
+        labeled, "doc_id", "text", "label", cstate, 0, n_buckets=64
+    )
+    m = load_streaming_classifier(cstate)
+    assert m is not None and m["n_buckets"] == 64
+    (tmp_path / "clf_state" / "batch=7").mkdir()
+    m2 = load_streaming_classifier(cstate)
+    assert m2 is not None and list(m2["losses"]) == list(m["losses"])
