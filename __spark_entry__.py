@@ -27,7 +27,7 @@ from bitfilters_spark.operators import multimodal as MM
 from bitfilters_spark.operators import similarity as SIM
 from bitfilters_spark.operators import text as T
 from bitfilters_spark.functions.hashing import duckdb_hash, spark_hash64
-from bitfilters_spark.sources import load_table
+from bitfilters_spark.sources import load_table, rebalance_scan
 
 # DuckDB version whose hash algorithm the container oracle (duckdb==1.0.0)
 # actually implements; see bitfilters_spark/core/hashing.py.
@@ -633,7 +633,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfilters_spark.operators.substring import dup_token_coverage
 
     sep = "\n\n"
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage: widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     fp = F.substring_index("text", " ", 5)
     keepers = D.dedup_groups(docs.withColumn("fp", fp), "fp", "doc_id").select(
         F.col("keeper").alias("doc_id"), "n_copies"
@@ -681,7 +682,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     start/stride/slice arithmetic is fully pinned by the oracle)."""
     from bitfilters_spark.operators.text import chunk_documents
 
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage: widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     chunks = (
         chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
         .groupBy("doc_id")
@@ -719,7 +721,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard pre-training document gate."""
     from bitfilters_spark.operators.text import gopher_rules
 
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage: widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     gates = gopher_rules(docs, "text", min_words=50).select(
         "doc_id",
         "n_stopwords_distinct",
@@ -735,7 +738,8 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exploded InSet counts, one (id, 4-int) shuffle) — which is
     label-identical to the `langid()` expression form; the equivalence
     is pinned separately in tests/test_text.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage: widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     return T.langid_table(docs, "doc_id", "text", out_col="lang_pred").select(
         "doc_id", "sw_en", "sw_de", "lang_pred"
     )
@@ -752,8 +756,11 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     block / remainder), and `boiler_clean`/`n_removed`/`n_lines` are
     hash-compared against the oracle's line-df reconstruction."""
     from bitfilters_spark.operators.web import remove_boilerplate_lines
+    from bitfilters_spark.sources import rebalance_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the docs parquet at bench scale is one file / one row group: widen
+    # the scan or every shingle/line kernel below runs on a single core
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.concat_ws(
@@ -802,8 +809,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine byte-exact — including the C1-control (latin-1-decoded)
     variants."""
     from bitfilters_spark.operators.web import fix_mojibake, moji_prefix
+    from bitfilters_spark.sources import rebalance_scan
 
-    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    # map-only query over one-row-group input: widen the scan first
+    docs = _pii_augmented(rebalance_scan(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id",
         *T.pii_metrics("text"),
@@ -864,7 +873,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (>= 0.5).
     Candidate generation is signature-dependent -> rows-only check here;
     recall vs the exact operator is asserted in tests."""
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage: widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.5)
 
 
@@ -1012,7 +1022,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfilters_spark.operators.text import ngram_contamination
     from bitfilters_spark.plans.filter_join import antijoin_filter
 
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage: widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
     contam = ngram_contamination(train, bench, "doc_id", "text", n=5, hashed=False)

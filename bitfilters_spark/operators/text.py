@@ -213,47 +213,59 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     * ``dup_trigram_frac`` — fraction of trigram occurrences that are
       repeats of an earlier trigram.
 
-    Distinct-counting is pure array arithmetic; the top-bigram count needs
-    a per-(doc, bigram) aggregate — explode + two hash-partitioned
-    aggregations on the doc id (map-side partial agg both times). The
-    exploded rows are (id, 8-byte hash): hashing the bigram BEFORE the
-    explode keeps the shuffle narrow at corpus scale.
+    ZERO shuffle (r8): both signals are per-document, so nothing should
+    leave the map stage. The top-bigram count — previously an explode
+    plus two hash-partitioned aggregations — is the longest equal-run in
+    the SORTED bigram array (max multiplicity == max run length), a pure
+    JVM ``array_sort`` + ``aggregate`` fold per row; distinct-counting
+    was already array arithmetic. At corpus scale this deletes two
+    Exchanges and a join from the plan, and is exact on the bigram
+    STRINGS (the old hashed-groupBy path could in principle merge two
+    bigrams on an xxhash64 collision).
     """
-    t = tokens(text_col)
     bigrams = word_shingles(text_col, 2)
     trigrams = word_shingles(text_col, 3)
-    base = df.select(
+
+    def max_run(arr):
+        first = F.lit(None).cast("string")
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                first.alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    return df.select(
         F.col(id_col),
         F.size(bigrams).alias("n_bigrams"),
         F.size(trigrams).alias("n_trigrams"),
         F.size(F.array_distinct(trigrams)).alias("n_uniq_trigrams"),
-        bigrams.alias("__bg"),
-    )
-    top = (
-        base.select(id_col, F.explode("__bg").alias("bg"))
-        .select(id_col, F.xxhash64("bg").alias("bgh"))
-        .groupBy(id_col, "bgh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_bigram_n"))
-    )
-    return (
-        base.drop("__bg")
-        .join(top, id_col, "left")
-        .select(
-            id_col,
-            "n_bigrams",
-            F.round(
-                F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double")
-                / F.greatest("n_bigrams", F.lit(1)),
-                6,
-            ).alias("top_bigram_frac"),
-            F.round(
-                (F.col("n_trigrams") - F.col("n_uniq_trigrams")).cast("double")
-                / F.greatest("n_trigrams", F.lit(1)),
-                6,
-            ).alias("dup_trigram_frac"),
-        )
+        max_run(bigrams).alias("top_bigram_n"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            F.col("top_bigram_n").cast("double") / F.greatest("n_bigrams", F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("n_trigrams") - F.col("n_uniq_trigrams")).cast("double")
+            / F.greatest("n_trigrams", F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac"),
     )
 
 

@@ -489,3 +489,22 @@ def test_classifier_scoring_is_broadcast_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rebalance_scan_widens_starved_input_only(spark, tmp_path):
+    """r8: rebalance_scan repartitions a row-group-starved scan to full
+    parallelism and is an exact no-op (same plan object) on inputs that
+    are already wide enough."""
+    from bitfilters_spark.sources import rebalance_scan
+
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    wide = rebalance_scan(narrow)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert wide.count() == 1000
+
+    already = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert rebalance_scan(already) is already
