@@ -307,3 +307,67 @@ def load_bpe(spark, path: str) -> dict:
         for r in spark.read.parquet(f"{path}/vocab").collect()
     }
     return {"merges": merges, "vocab": vocab}
+
+
+def save_bpe_text(model: dict, path: str, spark=None) -> None:
+    """Write the model in the PUBLIC interchange layout — ``vocab.json``
+    (piece → id) + ``merges.txt`` (``#version: 0.2`` header, one
+    space-separated merge per line in rank order) — the file pair GPT-2 /
+    RoBERTa ship and HuggingFace ``tokenizers``/`transformers` BPE
+    loaders read, with the same word-end convention this trainer already
+    uses (Sennrich ``</w>``, i.e. the subword-nmt lineage). A production
+    tokenizer exported this way can drive `bpe_token_counts` /
+    `pack_shards` budgets directly, and models trained here load into
+    standard tooling. Pieces never contain spaces (words are
+    whitespace-split upstream), so the line format is unambiguous.
+
+    Goes through the scheme-agnostic Hadoop FS layer (s3a/hdfs/local),
+    same as every other persisted artifact."""
+    import json as _json
+
+    from ..streaming import state_io
+
+    merges_txt = "#version: 0.2\n" + "".join(
+        f"{a} {b}\n" for a, b in model["merges"]
+    )
+    state_io.write_bytes(
+        state_io.join(path, "merges.txt"), merges_txt.encode("utf-8"), spark
+    )
+    state_io.write_bytes(
+        state_io.join(path, "vocab.json"),
+        _json.dumps(
+            {p: int(i) for p, i in model["vocab"].items()}, ensure_ascii=False
+        ).encode("utf-8"),
+        spark,
+    )
+
+
+def load_bpe_text(path: str, spark=None) -> dict:
+    """Load a ``vocab.json`` + ``merges.txt`` pair (ours or any public
+    tokenizer's) back into the engine's model dict. ``vocab.json`` is
+    optional in the wild (subword-nmt ships merges only) — when absent,
+    the vocab is reconstructed the same way `train_bpe` builds it:
+    base symbols first, then merge outputs in rank order."""
+    import json as _json
+
+    from ..streaming import state_io
+
+    raw = state_io.read_bytes(state_io.join(path, "merges.txt"), spark)
+    if raw is None:
+        raise FileNotFoundError(f"no merges.txt under {path}")
+    merges = []
+    for line in raw.decode("utf-8").splitlines():
+        if not line or line.startswith("#"):
+            continue
+        a, _, b = line.partition(" ")
+        merges.append((a, b))
+    vraw = state_io.read_bytes(state_io.join(path, "vocab.json"), spark)
+    if vraw is not None:
+        vocab = {p: int(i) for p, i in _json.loads(vraw.decode("utf-8")).items()}
+    else:
+        vocab = {}
+        for a, b in merges:
+            for piece in (a, b, a + b):
+                if piece not in vocab:
+                    vocab[piece] = len(vocab)
+    return {"merges": merges, "vocab": vocab}

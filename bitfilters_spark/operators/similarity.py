@@ -446,29 +446,13 @@ def lsh_bucket_pairs(
 # ------------------------------------------------------------- semdedup ---
 
 
-def semantic_dup_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-    n_centroids: int = 64,
-    seed: int = 42,
+def _assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, C: np.ndarray
 ) -> DataFrame:
-    """Within-cluster cosine pairs >= threshold — the candidate step of
-    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
-    embeddings with the bounded-sample coarse quantizer
-    (:func:`ivf_centroids`, broadcast), then compare ONLY rows sharing a
-    cell. Pair volume drops from n^2 to ~sum(cell_size^2) ≈ n^2 /
-    n_centroids; cross-cell near-dups are missed by design (the SemDeDup
-    approximation).
-
-    One cell-key shuffle; each cell's similarity matrix is one BLAS
-    matmul in its own task. SKEW NOTE: a pathologically popular cell
-    (many near-identical embeddings) serializes into one task — raise
-    ``n_centroids`` (cells shrink ~linearly) or pre-thin with
-    :func:`lsh_bucket_pairs` if that profile is expected.
-    """
-    C = ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    """(id, cell, vec): nearest-centroid cell per row plus the
+    L2-normalized vector — the shared coarse-quantizer assignment of
+    `semantic_dup_pairs` and `semdedup_miss_report` (one code path so
+    the report measures exactly the cells the dedup would use)."""
     bc = df.sparkSession.sparkContext.broadcast(C)
 
     cell_schema = StructType(
@@ -492,7 +476,33 @@ def semantic_dup_pairs(
                 {"id": ids, "cell": np.argmax(mat @ C_.T, axis=1), "vec": list(mat)}
             )
 
-    cells = df.select(id_col, vec_col).mapInPandas(assign, schema=cell_schema)
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=cell_schema)
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Within-cluster cosine pairs >= threshold — the candidate step of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings with the bounded-sample coarse quantizer
+    (:func:`ivf_centroids`, broadcast), then compare ONLY rows sharing a
+    cell. Pair volume drops from n^2 to ~sum(cell_size^2) ≈ n^2 /
+    n_centroids; cross-cell near-dups are missed by design (the SemDeDup
+    approximation).
+
+    One cell-key shuffle; each cell's similarity matrix is one BLAS
+    matmul in its own task. SKEW NOTE: a pathologically popular cell
+    (many near-identical embeddings) serializes into one task — raise
+    ``n_centroids`` (cells shrink ~linearly) or pre-thin with
+    :func:`lsh_bucket_pairs` if that profile is expected.
+    """
+    C = ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    cells = _assign_cells(df, id_col, vec_col, C)
 
     out_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType())]
@@ -533,6 +543,76 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.select(id_col).join(losers, id_col, "left_anti")
+
+
+def semdedup_miss_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 64,
+    n_sample: int = 2000,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Measured cross-cell miss rate of a SemDeDup configuration BEFORE
+    the full run — the `lsh_recall_report` / `ann_recall_report` twin
+    for the one approximation `semantic_dup_pairs` makes (pairs split
+    across coarse cells are never compared).
+
+    On a deterministic hash-sample of ``n_sample`` rows: exact duplicate
+    pairs come from the distributed brute-force `cosine_neardup_pairs`
+    (no cells involved), cells come from the SAME quantizer assignment
+    the dedup uses (`_assign_cells` over `ivf_centroids` trained on the
+    FULL corpus — the cells a real run would produce, unless explicit
+    ``centroids`` are passed), and every exact pair whose members land
+    in different cells is a measured miss.
+
+    Returns ``{n_sample, n_dup_pairs, n_missed, miss_rate,
+    n_centroids}`` — ``miss_rate`` is the fraction of true >= threshold
+    pairs a full SemDeDup at this ``n_centroids`` would not see; lower
+    ``n_centroids`` (bigger cells) drives it toward 0 at quadratic
+    pair-volume cost, the trade this report prices with data instead of
+    hope."""
+    n = df.count()
+    frac = min(1.0, (4.0 * n_sample) / max(n, 1))
+    sample = (
+        df.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+            < int((1 << 20) * frac)
+        )
+        .limit(n_sample)
+        .select(id_col, vec_col)
+        .cache()
+    )
+    ns = sample.count()
+    truth = cosine_neardup_pairs(sample, id_col, vec_col, threshold)
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    )
+    cells = _assign_cells(sample, id_col, vec_col, C).select("id", "cell")
+    marked = (
+        truth.join(cells.withColumnsRenamed({"id": "id_a", "cell": "cell_a"}), "id_a")
+        .join(cells.withColumnsRenamed({"id": "id_b", "cell": "cell_b"}), "id_b")
+        .select((F.col("cell_a") != F.col("cell_b")).alias("missed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("missed").cast("long")).alias("n_missed"),
+        )
+        .collect()[0]
+    )
+    sample.unpersist()
+    n_pairs = int(marked["n_pairs"])
+    n_missed = int(marked["n_missed"] or 0)
+    return {
+        "n_sample": ns,
+        "n_dup_pairs": n_pairs,
+        "n_missed": n_missed,
+        "miss_rate": (n_missed / n_pairs) if n_pairs else None,
+        "n_centroids": int(n_centroids) if centroids is None else len(C),
+    }
 
 
 # ------------------------------------------------------------------ PCA ---

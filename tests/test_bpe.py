@@ -154,3 +154,54 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     a = B.bpe_encode(df, "doc_id", "text", model).collect()
     b = B.bpe_encode(df, "doc_id", "text", loaded).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_bpe_public_format_roundtrip_and_packing(spark, tmp_path):
+    """r8 (#114): vocab.json + merges.txt interchange. A model saved in
+    the public layout loads back identical, encodes identically, and its
+    counts drive pack_shards; a merges-only file (subword-nmt style,
+    no vocab.json) reconstructs the train_bpe vocab ordering exactly."""
+    df = spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(CORPUS)],
+        ["doc_id", "text"],
+    )
+    model = B.train_bpe(df, "text", num_merges=50, min_pair_count=1)
+    path = str(tmp_path / "pub_bpe")
+    B.save_bpe_text(model, path, spark)
+
+    # the on-disk layout IS the public one
+    merges_txt = (tmp_path / "pub_bpe" / "merges.txt").read_text()
+    assert merges_txt.startswith("#version: 0.2\n")
+    assert all(
+        len(line.split(" ")) == 2
+        for line in merges_txt.splitlines()[1:]
+    )
+    import json
+
+    vocab = json.loads((tmp_path / "pub_bpe" / "vocab.json").read_text())
+    assert vocab == {p: i for p, i in model["vocab"].items()}
+
+    loaded = B.load_bpe_text(path, spark)
+    assert loaded["merges"] == model["merges"]
+    assert loaded["vocab"] == model["vocab"]
+    a = B.bpe_encode(df, "doc_id", "text", model).collect()
+    b = B.bpe_encode(df, "doc_id", "text", loaded).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+    # production-tokenizer counts -> pack_shards budgets, directly
+    from bitfilters_spark.operators.packing import pack_shards
+
+    counts = B.bpe_token_counts(df, "doc_id", "text", loaded)
+    packed = pack_shards(
+        counts.select("doc_id", F.col("n_bpe_tokens").alias("n_tokens")),
+        "doc_id", "n_tokens", shard_weight=64,
+    )
+    assert packed.count() == df.count()
+
+    # merges-only (no vocab.json): vocab rebuilt in train_bpe order
+    (tmp_path / "pub_bpe" / "vocab.json").unlink()
+    novocab = B.load_bpe_text(path, spark)
+    assert novocab["merges"] == model["merges"]
+    ranks = {p: i for i, p in enumerate(novocab["vocab"])}
+    for x, y in model["merges"]:
+        assert ranks[x + y] > ranks[x] and ranks[x + y] > ranks[y]

@@ -116,3 +116,68 @@ def test_dedup_is_deterministic(spark):
         for r in semantic_dedup(df.repartition(5), n_centroids=8).collect()
     }
     assert s1 == s2
+
+
+def test_miss_report_measures_planted_cross_cell_dup(spark):
+    """r8 (#115): plant a dup pair forced into DIFFERENT cells by
+    passing explicit centroids each member aligns with — the report
+    must count it as missed, and its rate must equal brute force over
+    the sample (here: the whole corpus, n_sample >= n)."""
+    from bitfilters_spark.operators.similarity import (
+        _assign_cells, semdedup_miss_report,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    # two orthogonal centroids; the planted pair sits BETWEEN them,
+    # jittered so one member snaps to each cell
+    c0 = np.eye(dim)[0]
+    c1 = np.eye(dim)[1]
+    mid = (c0 + c1) / np.linalg.norm(c0 + c1)
+    a = mid + 0.05 * c0
+    b = mid + 0.05 * c1
+    a, b = a / np.linalg.norm(a), b / np.linalg.norm(b)
+    assert float(a @ b) > 0.99  # a true dup pair
+    others = []
+    for i in range(40):
+        v = rng.normal(size=dim)
+        others.append(v / np.linalg.norm(v))
+    vecs = [a, b] + others
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = np.stack([c0, c1])
+
+    cells = {
+        r["id"]: r["cell"]
+        for r in _assign_cells(df, "vec_id", "embedding", C).collect()
+    }
+    assert cells[0] != cells[1]  # the plant is genuinely cross-cell
+
+    rep = semdedup_miss_report(
+        df, "vec_id", "embedding", threshold=0.95,
+        n_sample=1000, centroids=C,
+    )
+    assert rep["n_sample"] == len(vecs)
+    X = np.array(vecs)
+    true_pairs = _brute_pairs(X, 0.95)
+    missed = {
+        (i, j) for (i, j) in true_pairs if cells[i] != cells[j]
+    }
+    assert (0, 1) in missed
+    assert rep["n_dup_pairs"] == len(true_pairs)
+    assert rep["n_missed"] == len(missed)
+    assert rep["miss_rate"] == pytest.approx(len(missed) / len(true_pairs))
+
+
+def test_miss_report_zero_at_one_centroid(spark):
+    """n_centroids=1 is the degenerate-exact SemDeDup: nothing can be
+    cross-cell, so the measured miss rate is exactly 0."""
+    from bitfilters_spark.operators.similarity import semdedup_miss_report
+
+    df, _ = _corpus(spark, n=60)
+    rep = semdedup_miss_report(
+        df, "vec_id", "embedding", threshold=0.95,
+        n_centroids=1, n_sample=1000,
+    )
+    assert rep["n_dup_pairs"] > 0
+    assert rep["n_missed"] == 0 and rep["miss_rate"] == 0.0
