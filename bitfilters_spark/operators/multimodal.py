@@ -352,16 +352,12 @@ def sample_audio_windows(
 # ----------------------------------------------------- perceptual hashing ---
 
 
-def _phash_bits_real(payload: bytes) -> int:
-    """Classic 64-bit pHash: grayscale 32x32 -> 2D DCT-II (numpy matrix
-    form; no scipy) -> top-left 8x8 low-frequency block minus the DC
-    term -> median threshold. Visually-similar images land within a few
-    bits of each other; that is the whole point."""
-    Image = _pil()
-    with Image.open(io.BytesIO(payload)) as im:
-        g = np.asarray(
-            im.convert("L").resize((32, 32), Image.BILINEAR), dtype=np.float64
-        )
+def _phash_bits_gray(g: np.ndarray) -> int:
+    """64-bit pHash core over a 32x32 grayscale array: 2D DCT-II (numpy
+    matrix form; no scipy) -> top-left 8x8 low-frequency block minus the
+    DC term -> median threshold. Shared by the Pillow image path and the
+    ffmpeg video-keyframe path (a decoded keyframe IS a 32x32 gray
+    array), so both modalities hash identically."""
     n = 32
     k = np.arange(n)
     basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
@@ -373,6 +369,18 @@ def _phash_bits_real(payload: bytes) -> int:
         if v > med:
             bits |= 1 << i
     return bits
+
+
+def _phash_bits_real(payload: bytes) -> int:
+    """Classic 64-bit image pHash: Pillow grayscale 32x32 resize, then
+    the shared DCT/median core. Visually-similar images land within a
+    few bits of each other; that is the whole point."""
+    Image = _pil()
+    with Image.open(io.BytesIO(payload)) as im:
+        g = np.asarray(
+            im.convert("L").resize((32, 32), Image.BILINEAR), dtype=np.float64
+        )
+    return _phash_bits_gray(g)
 
 
 def _phash_bits_stub(payload: bytes) -> int:
@@ -532,38 +540,118 @@ def audio_near_pairs(
 # ----------------------------------------------------- video fingerprint ---
 
 
+def _ffmpeg():
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+HAS_FFMPEG = _ffmpeg() is not None
+
+
+def _video_keyframes_real(payload: bytes, ffmpeg: str) -> list:
+    """Decode a clip's KEYFRAMES (I-frames) to 32x32 grayscale arrays
+    via the ffmpeg binary — temp file in (mp4-style containers need
+    seekable input), rawvideo gray frames out. Clips whose encoder
+    emitted no selectable I-frames fall back to decoding every frame so
+    short/intra-only clips still fingerprint. Raises on bytes ffmpeg
+    cannot decode."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bin") as tf:
+        tf.write(payload)
+        tf.flush()
+        base = [ffmpeg, "-v", "error", "-i", tf.name]
+        tail = ["-vsync", "0", "-f", "rawvideo", "pipe:1"]
+        out = subprocess.run(
+            base + ["-vf", "select=eq(pict_type\\,I),scale=32:32,format=gray"]
+            + tail,
+            capture_output=True, check=True,
+        ).stdout
+        if not out:
+            out = subprocess.run(
+                base + ["-vf", "scale=32:32,format=gray"] + tail,
+                capture_output=True, check=True,
+            ).stdout
+    n = len(out) // 1024
+    if n == 0:
+        raise ValueError("ffmpeg produced no frames")
+    return [
+        np.frombuffer(out[i * 1024 : (i + 1) * 1024], dtype=np.uint8)
+        .astype(np.float64)
+        .reshape(32, 32)
+        for i in range(n)
+    ]
+
+
+def _resolve_video_codec(codec: str) -> str:
+    if codec not in ("auto", "stub", "ffmpeg"):
+        raise ValueError(f"codec must be auto|stub|ffmpeg, got {codec!r}")
+    if codec == "ffmpeg" and _ffmpeg() is None:
+        raise ImportError(
+            "codec='ffmpeg' requested but no ffmpeg binary on PATH"
+        )
+    return codec
+
+
 def video_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     frame_len: int = 4096,
     out_col: str = "vfp",
+    codec: str = "stub",
 ) -> DataFrame:
     """(id, vfp) — per-FRAME perceptual hashes in temporal order, one
-    hex symbol per frame. Video decode has no in-container codec (like
-    :func:`sample_frames`), so a "frame" is a fixed-length payload
-    chunk hashed with the locally-stable stub pHash; in production the
-    chunking loop becomes ffmpeg keyframe iteration + the real pHash
-    and NOTHING downstream changes. Shingles over consecutive frame
-    hashes capture temporal structure, so a re-cut sharing most scenes
-    still matches while an unrelated clip shares nothing."""
+    hex symbol per frame. Shingles over consecutive frame hashes capture
+    temporal structure, so a re-cut sharing most scenes still matches
+    while an unrelated clip shares nothing.
+
+    ``codec`` follows the image-family convention (multimodal.py:48):
+
+    - ``"stub"`` (default — oracle-stable, keeps entry queries
+      deterministic): a "frame" is a fixed-length ``frame_len`` payload
+      chunk hashed with the locally-stable stub pHash;
+    - ``"ffmpeg"``: REAL keyframes — the ffmpeg binary (gated, like
+      Pillow for images) decodes I-frames to 32x32 grayscale and each
+      is hashed with the same DCT pHash core as `image_phash`
+      (`_phash_bits_gray`); raises if no binary is on PATH;
+    - ``"auto"``: ffmpeg when present, per-payload stub fallback
+      (undecodable bytes or no binary).
+
+    Downstream (`video_near_pairs`, the LSH machinery) is identical for
+    both paths — the production swap the r6 docstring promised."""
     if frame_len <= 0:
         raise ValueError("frame_len must be positive")
+    codec = _resolve_video_codec(codec)
     schema = StructType(
         [StructField("doc_id", LongType()), StructField(out_col, StringType())]
     )
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ffmpeg = _ffmpeg() if codec != "stub" else None
         for pdf in batches:
             ids, fps = [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
                 raw = bytes(b)
-                hs = [
-                    f"{_phash_bits_stub(raw[off : off + frame_len]):016x}"
-                    for off in range(0, max(len(raw), 1), frame_len)
-                ]
+                hs = None
+                if ffmpeg is not None and raw:
+                    try:
+                        hs = [
+                            f"{_phash_bits_gray(g):016x}"
+                            for g in _video_keyframes_real(raw, ffmpeg)
+                        ]
+                    except Exception:
+                        if codec == "ffmpeg":
+                            raise
+                if hs is None:
+                    hs = [
+                        f"{_phash_bits_stub(raw[off : off + frame_len]):016x}"
+                        for off in range(0, max(len(raw), 1), frame_len)
+                    ]
                 ids.append(int(i))
                 fps.append(" ".join(hs))
             yield pd.DataFrame({"doc_id": ids, out_col: fps})
@@ -584,13 +672,16 @@ def video_near_pairs(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    codec: str = "stub",
 ) -> DataFrame:
     """Video near-duplicate pairs: MinHash+LSH over frame-hash shingles
     (exact-Jaccard verified) — the same pair machinery as text, audio
-    (#94), and image (#92); the join moves k longs per clip."""
+    (#94), and image (#92); the join moves k longs per clip. ``codec``
+    passes through to `video_fingerprint` (stub chunks or real ffmpeg
+    keyframes — the pair machinery is identical)."""
     from .dedup import minhash_lsh_pairs
 
-    fp = video_fingerprint(df, id_col, payload_col, frame_len).cache()
+    fp = video_fingerprint(df, id_col, payload_col, frame_len, codec=codec).cache()
     return minhash_lsh_pairs(
         fp, id_col, "vfp", k=k, bands=bands, shingle_n=shingle_n,
         threshold=threshold,

@@ -11,6 +11,7 @@ from .filter_build import (
 )
 from .filter_join import streaming_filter_join
 from .neardup import streaming_neardup_dedup
+from .pipeline import make_prep_pipeline_fold, streaming_prep_pipeline
 from .sessions import streaming_sessionize
 from .sketches import (
     streaming_cms_counts,
@@ -31,6 +32,8 @@ __all__ = [
     "streaming_filter_build",
     "streaming_filter_join",
     "streaming_indexed_sink",
+    "make_prep_pipeline_fold",
+    "streaming_prep_pipeline",
     "streaming_neardup_dedup",
     "streaming_quantiles",
     "streaming_sessionize",

@@ -326,3 +326,71 @@ def test_video_fingerprint_and_near_pairs(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
     assert not any(4 in p for p in pairs)
+
+
+def test_video_codec_validation_and_gate(spark):
+    """r8: video codec follows the image-family convention — bad names
+    rejected; codec='ffmpeg' requires the binary; codec='stub' output
+    is byte-identical to the historical default (oracle stability)."""
+    df = spark.createDataFrame(
+        [(1, bytes(range(200)) * 40)], "doc_id long, payload binary"
+    )
+    with pytest.raises(ValueError, match="codec"):
+        MM.video_fingerprint(df, codec="avi").collect()
+    if not MM.HAS_FFMPEG:
+        with pytest.raises(ImportError, match="ffmpeg"):
+            MM.video_fingerprint(df, codec="ffmpeg").collect()
+    default = MM.video_fingerprint(df).collect()
+    stub = MM.video_fingerprint(df, codec="stub").collect()
+    assert [r["vfp"] for r in default] == [r["vfp"] for r in stub]
+    # auto on undecodable bytes falls back to the stub per payload
+    auto = MM.video_fingerprint(df, codec="auto").collect()
+    assert [r["vfp"] for r in auto] == [r["vfp"] for r in stub]
+
+
+@pytest.mark.skipif(not MM.HAS_FFMPEG, reason="ffmpeg binary not on PATH")
+def test_video_real_keyframes_reencode_matches(spark, tmp_path):
+    """Gated real-decoder test (the video twin of the Pillow-gated image
+    tests): a re-encoded copy of a clip shares most per-keyframe pHashes
+    within a few bits; an unrelated clip does not."""
+    import subprocess
+
+    ff = MM._ffmpeg()
+
+    def clip(src, out, extra):
+        subprocess.run(
+            [ff, "-v", "error", "-f", "lavfi", "-i", src, "-t", "2"]
+            + extra + [str(out)],
+            check=True,
+        )
+
+    a = tmp_path / "a.mp4"
+    a2 = tmp_path / "a2.mp4"
+    c = tmp_path / "c.mp4"
+    clip("testsrc=size=64x64:rate=10", a, ["-pix_fmt", "yuv420p"])
+    # re-encode the SAME content at a different bitrate/gop
+    subprocess.run(
+        [ff, "-v", "error", "-i", str(a), "-b:v", "64k", "-g", "5", str(a2)],
+        check=True,
+    )
+    clip("testsrc2=size=64x64:rate=10", c, ["-pix_fmt", "yuv420p"])
+
+    rows = [
+        (1, a.read_bytes()), (2, a2.read_bytes()), (3, c.read_bytes()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: [int(h, 16) for h in r["vfp"].split(" ")]
+        for r in MM.video_fingerprint(df, codec="ffmpeg").collect()
+    }
+
+    def sim(xs, ys):
+        n = min(len(xs), len(ys))
+        close = sum(
+            1 for x, y in zip(xs[:n], ys[:n])
+            if bin(x ^ y).count("1") <= 12
+        )
+        return close / max(n, 1)
+
+    assert sim(got[1], got[2]) >= 0.5   # re-encode: most keyframes match
+    assert sim(got[1], got[3]) < 0.5    # unrelated content does not
