@@ -84,16 +84,27 @@ def _weight_df(spark, w: np.ndarray) -> DataFrame:
     return spark.createDataFrame(pdf, schema="bucket long, w double")
 
 
-def _margins(feats: DataFrame, wdf: DataFrame, bias: float) -> DataFrame:
-    """(id, y, margin) from cached features + broadcast weight table."""
-    return (
+def _margins(
+    feats: DataFrame, labels: DataFrame, wdf: DataFrame, bias: float
+) -> DataFrame:
+    """(id, y, margin) from cached features + broadcast weight table.
+
+    LEFT join from the labels so documents with ZERO tokens (no feature
+    rows) still appear with margin = bias: they contribute
+    ``sigmoid(bias) - y`` to the bias gradient and their log-loss term,
+    instead of silently vanishing while the 1/n scaling still counts
+    them (the r7 advisory bug)."""
+    dots = (
         feats.join(F.broadcast(wdf), "bucket", "left")
         .groupBy("id")
-        .agg(
-            (F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("cnt"))
-             + F.lit(float(bias))).alias("margin"),
-            F.first("y").alias("y"),
-        )
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("cnt")).alias("__dot"))
+    )
+    return labels.join(dots, "id", "left").select(
+        "id",
+        "y",
+        (F.coalesce(F.col("__dot"), F.lit(0.0)) + F.lit(float(bias))).alias(
+            "margin"
+        ),
     )
 
 
@@ -118,9 +129,9 @@ def train_text_classifier(
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     )
+    labels = labels.persist()
     feats = (
         hashed_features(df, id_col, text_col, n_buckets)
-        .join(labels, "id")
         .repartition("id")
         .persist()
     )
@@ -132,7 +143,7 @@ def train_text_classifier(
     bias = 0.0
     losses: list[float] = []
     for _ in range(iters):
-        m = _margins(feats, _weight_df(spark, w), bias)
+        m = _margins(feats, labels, _weight_df(spark, w), bias)
         errs = m.select(
             "id",
             "y",
@@ -181,6 +192,7 @@ def train_text_classifier(
         bias -= lr * be / n
         losses.append(ll / n)
     feats.unpersist()
+    labels.unpersist()
     return {"weights": w, "bias": bias, "n_buckets": n_buckets, "losses": losses}
 
 

@@ -87,14 +87,11 @@ def fold_classifier_batch(
     labels = batch_df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     )
-    feats = (
-        hashed_features(batch_df, id_col, text_col, n_buckets)
-        .join(labels, "id")
-        .persist()
-    )
+    labels = labels.persist()
+    feats = hashed_features(batch_df, id_col, text_col, n_buckets).persist()
     n = float(labels.count())
     for _ in range(steps_per_batch):
-        m = _margins(feats, _weight_df(spark, w), bias)
+        m = _margins(feats, labels, _weight_df(spark, w), bias)
         errs = m.select(
             "id",
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - F.col("y"))
@@ -133,6 +130,7 @@ def fold_classifier_batch(
         bias -= lr * be / n
         losses.append(ll / n)
     feats.unpersist()
+    labels.unpersist()
 
     buf = io.BytesIO()
     np.savez(

@@ -160,3 +160,51 @@ def test_calibration_on_trained_model(spark, corpus):
             assert r["frac_positive"] == 0.0
         if r["bin"] == 3:
             assert r["frac_positive"] == 1.0
+
+
+def test_featureless_docs_contribute_bias_gradient(spark):
+    """r8 (ADVICE fix): empty/whitespace documents have no feature rows
+    but ARE labeled examples — they must contribute sigmoid(bias) - y to
+    the bias gradient and log(2) to the zero-init loss, not silently
+    drop out of a denominator that still counts them. One GD step must
+    equal numpy over ALL docs, featureless included."""
+    nb = 1 << 10
+    rows = [(0, "good solid text", 1), (1, "bad spam text", 0),
+            (2, "", 1), (3, "   ", 0), (4, "more quality words", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    feats = C.hashed_features(df, "doc_id", "text", nb).collect()
+    ids = [0, 1, 2, 3, 4]
+    y = np.array([1, 0, 1, 0, 1], dtype="float64")
+    X = np.zeros((len(ids), nb))
+    for r in feats:
+        X[r["id"], r["bucket"]] = r["cnt"]
+    assert not X[2].any() and not X[3].any()  # genuinely featureless
+
+    lr = 2.0
+    p = np.full(len(ids), 0.5)
+    g = X.T @ (p - y) / len(ids)
+    w_np = -lr * g
+    b_np = -lr * float(np.mean(p - y))  # featureless rows included
+
+    model = C.train_text_classifier(
+        df, "doc_id", "text", "label", n_buckets=nb, iters=1, lr=lr
+    )
+    np.testing.assert_allclose(model["weights"], w_np, atol=1e-12)
+    assert model["bias"] == pytest.approx(b_np, abs=1e-12)
+    assert model["losses"][0] == pytest.approx(math.log(2.0), abs=1e-12)
+
+    # streaming fold: identical math on the same batch
+    import tempfile
+
+    from bitfilters_spark.streaming.classifier import (
+        fold_classifier_batch, load_streaming_classifier,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        fold_classifier_batch(
+            df, "doc_id", "text", "label", d, 0, n_buckets=nb, lr=lr
+        )
+        sm = load_streaming_classifier(d)
+    np.testing.assert_allclose(sm["weights"], w_np, atol=1e-12)
+    assert sm["bias"] == pytest.approx(b_np, abs=1e-12)
