@@ -807,7 +807,16 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain; the oracle replays the identical replace chain in DuckDB
     (generated from the same table, same order), so the repair is
     cross-engine byte-exact — including the C1-control (latin-1-decoded)
-    variants."""
+    variants.
+
+    r8 perf shape (stress ratio was 3.11x DuckDB): counts + redaction
+    come from `pii_scan`'s 3 pre-gated regex scans instead of 4, and the
+    repair splits at the constant " | " boundary — the prefix leg is the
+    full JVM chain over a literal (Catalyst constant-folds it to one
+    evaluation per plan; no entry contains ' ' or '|' so no match can
+    span the boundary) while the per-row text leg is `gated` (one
+    lead-char scan on clean text instead of 44 replaces). Outputs are
+    byte-identical to the r7 expression; the oracle is unchanged."""
     from bitfilters_spark.operators.web import fix_mojibake, moji_prefix
     from bitfilters_spark.sources import rebalance_scan
 
@@ -815,9 +824,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _pii_augmented(rebalance_scan(load_table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id",
-        *T.pii_metrics("text"),
-        T.redact_pii("text").alias("redacted"),
-        fix_mojibake(F.concat(F.lit(moji_prefix()), F.col("text"))).alias("fixed"),
+        *T.pii_scan("text"),
+        F.concat(
+            fix_mojibake(F.lit(moji_prefix())),
+            fix_mojibake(F.col("text"), gated=True),
+        ).alias("fixed"),
     )
 
 

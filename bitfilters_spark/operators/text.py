@@ -292,6 +292,49 @@ def redact_pii(col) -> Column:
     return F.regexp_replace(r, PHONE_RE, "<PHONE>")
 
 
+def pii_scan(col) -> list:
+    """(n_emails, n_phones, redacted) — same values as
+    ``pii_metrics + redact_pii`` but from at most 3 regex scans instead
+    of 4, each behind a substring pre-gate:
+
+    - the email scan is a single ``split`` whose parts yield BOTH the
+      count (len-1) and the redaction (join on the placeholder) —
+      ``Pattern.split`` finds exactly the non-overlapping matches
+      ``replaceAll`` does, so the fusion is identity-exact;
+    - phones count on the ORIGINAL text (a digit run inside an email is
+      still a phone occurrence — oracle semantics) while the replace
+      runs over the email-redacted string, as in :func:`redact_pii`;
+    - ``contains('@')`` / ``contains('-')`` pre-gates skip the regex
+      machinery entirely on rows that cannot match (every EMAIL_RE match
+      contains '@', every PHONE_RE match contains '-')."""
+    c = F.col(col) if isinstance(col, str) else col
+    eparts = F.split(c, EMAIL_RE, -1)
+    has_at = c.contains("@")
+    has_dash = c.contains("-")
+    n_emails = (
+        F.when(has_at, F.size(eparts) - 1)
+        .when(c.isNotNull(), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    e_red = F.when(has_at, F.array_join(eparts, "<EMAIL>")).otherwise(c)
+    n_phones = (
+        F.when(
+            has_dash,
+            F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))),
+        )
+        .when(c.isNotNull(), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    redacted = F.when(
+        has_dash, F.regexp_replace(e_red, PHONE_RE, "<PHONE>")
+    ).otherwise(e_red)
+    return [
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        redacted.alias("redacted"),
+    ]
+
+
 def tfidf(
     df: DataFrame,
     id_col: str,

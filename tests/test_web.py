@@ -307,3 +307,64 @@ def test_fix_mojibake_agrees_with_exact_on_table_chars(spark):
     ).collect()
     for r in out:
         assert r["chain"] == r["exact"], r
+
+
+def test_fix_mojibake_gated_identical_to_ungated(spark):
+    """gated=True must be byte-identical on every input class: each raw
+    table entry (incl. C1-control legs), mixed clean+broken, lead chars
+    with no full sequence, clean text, empty, NULL."""
+    from bitfilters_spark.operators.web import _MOJIBAKE, fix_mojibake
+
+    rows = [(i, f"pre {broken} post") for i, (broken, _) in enumerate(_MOJIBAKE)]
+    rows += [
+        (900, "clean ascii only"),
+        (901, ""),
+        (902, None),
+        (903, "lone leads â Ã Â no continuation"),
+        (904, "itâs cafÃ© mixed"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        "id",
+        fix_mojibake("text").alias("plain"),
+        fix_mojibake("text", gated=True).alias("gated"),
+    ).collect()
+    for r in out:
+        assert r["plain"] == r["gated"], r
+    got = {r["id"]: r["gated"] for r in out}
+    assert got[900] == "clean ascii only"
+    assert got[902] is None
+    assert got[904] == "it’s café mixed"
+
+
+def test_pii_scan_fuses_metrics_and_redaction(spark):
+    """pii_scan (3 pre-gated regex scans) must equal pii_metrics +
+    redact_pii (4 scans) value-for-value AND dtype-for-dtype — including
+    NULL text, adjacent/trailing matches, and '@'/'-' present without a
+    real match."""
+    from bitfilters_spark.operators.text import pii_metrics, pii_scan, redact_pii
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "clean text"),
+        (3, "a@b.co then 555-1234 end"),
+        (4, "ends with e@f.gg"),
+        (5, "555-0000"),
+        (6, "a@b.cc c@d.ee adjacent"),
+        (7, "888-9999 000-1111"),
+        (8, "user5.a_b%c+d@mail-host.example.com mid 123-4567"),
+        (9, "has @ alone and - alone"),
+        (10, "@@--@@"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    old = df.select("id", *pii_metrics("text"), redact_pii("text").alias("redacted"))
+    new = df.select("id", *pii_scan("text"))
+    assert dict(old.dtypes) == dict(new.dtypes)
+    o = {r["id"]: r.asDict() for r in old.collect()}
+    n = {r["id"]: r.asDict() for r in new.collect()}
+    assert o == n
+    assert n[3]["redacted"] == "<EMAIL> then <PHONE> end"
+    assert n[3]["n_emails"] == 1 and n[3]["n_phones"] == 1
+    assert n[0]["n_emails"] is None and n[0]["redacted"] is None
+    assert n[9]["n_emails"] == 0 and n[9]["n_phones"] == 0
