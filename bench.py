@@ -25,6 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _baseline(sf) -> dict | None:
+    """The frozen per-query baseline from BASELINE.md's ```json baseline
+    block, or None when absent / recorded at a different SF."""
+    try:
+        with open(os.path.join(_HERE, "BASELINE.md")) as f:
+            m = re.search(r"```json baseline\n(.*?)```", f.read(), re.S)
+        if not m:
+            return None
+        b = json.loads(m.group(1))
+        return b if b.get("sf") == sf else None
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -134,27 +148,42 @@ def main() -> None:
     except OSError as ex:
         print(f"bench: could not write BENCH_CURVE.json: {ex}", file=sys.stderr)
 
+    # Delta vs the standing baseline (BASELINE.md): the gate's "within 2x
+    # of BASELINE at the same SF" comparison, computed here so every run
+    # self-reports its position. Per-query regressions go to stderr (the
+    # final stdout line must stay short and single).
+    out = {
+        "metric": "sum_query_seconds",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_queries": len(times),
+        "n_failed": len(times) - len(ok),
+        "cold_sum_seconds": round(sum(cold.values()), 3),
+        "superlinear_over_10x": superlinear,
+        "detail_file": "BENCH_CURVE.json",
+    }
+    base = _baseline(sf)
+    if base:
+        out["baseline_warm_sum"] = base["warm_sum_s"]
+        out["vs_baseline"] = round(sum(ok) / base["warm_sum_s"], 3)
+        regressed = {
+            q: (t, base["queries"][q])
+            for q, t in times.items()
+            # >0.5s AND >1.5x: below either bound is machine noise at sf0.1
+            if q in base["queries"]
+            and t - base["queries"][q] > 0.5
+            and t > 1.5 * base["queries"][q]
+        }
+        for q, (t, b) in sorted(regressed.items()):
+            print(f"bench: {q} {b:.2f}s -> {t:.2f}s vs baseline", file=sys.stderr)
+
     # FINAL line (driver contract): one compact JSON object. Per-query
     # best-of-N times stay inline (the driver records them); everything
     # bulky lives in BENCH_CURVE.json.
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds",
-                "value": round(sum(ok), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": int(cpus),
-                "n_queries": len(times),
-                "n_failed": len(times) - len(ok),
-                "cold_sum_seconds": round(sum(cold.values()), 3),
-                "superlinear_over_10x": superlinear,
-                "detail_file": "BENCH_CURVE.json",
-            },
-            separators=(",", ":"),
-        )
-    )
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
