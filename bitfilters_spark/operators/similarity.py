@@ -764,3 +764,248 @@ def ann_recall_report(
         "top1_match_rate": (t1 / nq) if nq else None,
         "scan_fraction": nprobe / n_centroids,
     }
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — memory-bounded ANN codes
+# --------------------------------------------------------------------------
+#
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split each d-dim vector into m subvectors,
+# k-means each subspace to <= 256 centroids, store one byte per
+# subspace. A 768-dim float64 corpus compresses 6144 -> m bytes/vector
+# (m=8: 768x), which is what lets a 100 TB embedding store's CODES fit
+# a fraction of cluster memory while the raw vectors stay in parquet.
+# Query scoring is ADC (asymmetric distance computation): one (m x 256)
+# dot-product lookup table per query, then each candidate costs m table
+# lookups — no float vector is touched at scan time.
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> dict:
+    """Train PQ codebooks on a BOUNDED deterministic sample (driver-side
+    numpy on <= sample_rows vectors, like :func:`ivf_centroids` — O(sample),
+    never O(corpus)). Vectors are L2-normalized first so ADC dot-product
+    sums rank identically to cosine similarity.
+
+    k-means init deduplicates subvectors before choosing seeds, which
+    gives the exact regime the tests pin: when a subspace has <= n_codes
+    DISTINCT subvectors, every one becomes (and stays) its own centroid,
+    encoding is lossless, and `pq_topk` == `cosine_topk` exactly.
+
+    Returns {"codebooks": (m, n_codes_eff, d/m) float64, "m", "d"}."""
+    if not 1 <= n_codes <= 256:
+        raise ValueError("n_codes must be in [1, 256] (codes are one byte)")
+    frac_df = df.select(vec_col)
+    n = frac_df.limit(sample_rows * 2).count()
+    sample = frac_df.limit(sample_rows).collect() if n <= sample_rows else (
+        frac_df.sample(fraction=min(1.0, sample_rows / max(n, 1)), seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("train_pq: empty input")
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        uniq = np.unique(Xs, axis=0)
+        C = uniq[rng.choice(len(uniq), size=min(n_codes, len(uniq)), replace=False)]
+        for _ in range(iters):
+            # L2 assignment via the expansion ||x-c||^2 = ||x||^2 - 2xc + ||c||^2
+            dist = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = np.argmin(dist, axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books.append(C)
+    k_eff = max(len(b) for b in books)
+    # pad ragged books (a subspace with < n_codes distinct values) by
+    # repeating the last centroid — unreachable codes, harmless in ADC
+    cb = np.stack([np.vstack([b, np.repeat(b[-1:], k_eff - len(b), 0)]) for b in books])
+    return {"codebooks": cb, "m": m, "d": d}
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: dict | None = None,
+) -> DataFrame:
+    """(id, code binary) — m bytes per vector, the persisted-index form.
+    One mapInPandas pass, codebooks broadcast; vectors normalized with
+    the same convention the trainer used."""
+    cb, m = model["codebooks"], model["m"]
+    dsub = model["d"] // m
+    bc = df.sparkSession.sparkContext.broadcast(cb)
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("code", BinaryType())]
+    )
+
+    def enc(batches):
+        cb_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for s in range(m):
+                Xs = mat[:, s * dsub : (s + 1) * dsub]
+                C = cb_[s]
+                dist = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame({"id": ids, "code": [c.tobytes() for c in codes]})
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(enc, schema=schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k over PQ codes via ADC: per query, one (m x
+    n_codes) dot-product lookup table against the codebooks; each
+    candidate row costs m byte-indexed lookups — the corpus's float
+    vectors are never read. (query_id, rank, neighbor_id), ranked by
+    reconstructed cosine with neighbor id tiebreak, self-matches
+    excluded — the same contract as :func:`cosine_topk`, which it equals
+    exactly in the lossless-codebook regime."""
+    cb, m = model["codebooks"], model["m"]
+    dsub = model["d"] // m
+    k_eff = cb.shape[1]
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    # LUT[q, s, j] = q_sub(s) . centroid_j(s); ADC sim = sum_s LUT[q, s, code_s]
+    lut = np.einsum("qsd,sjd->qsj", qmat.reshape(len(qmat), m, dsub), cb)
+    sc = codes.sparkSession.sparkContext
+    bc = sc.broadcast((qids, lut.reshape(len(qmat), m * k_eff)))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        qids_, flat = bc.value
+        offs = np.arange(m, dtype=np.int64) * k_eff
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
+            idx = cm.astype(np.int64) + offs[None, :]
+            out = []
+            for qi in range(len(qids_)):
+                sims = flat[qi][idx].sum(axis=1)
+                mask = ids != qids_[qi]
+                cids, csims = ids[mask], sims[mask]
+                if not len(cids):
+                    continue
+                top = min(k, len(cids))
+                sel = np.argpartition(-csims, top - 1)[:top]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids_[qi], "neighbor_id": cids[sel], "sim": csims[sel]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    local = codes.select(id_col, "code").mapInPandas(local_topk, schema=schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def save_pq_index(model: dict, path: str) -> None:
+    """Codebooks are driver-side metadata (m x n_codes x d/m floats,
+    ~0.5 MB at d=768/m=8) — same .npz convention as the IVF index."""
+    np.savez(
+        path if path.endswith(".npz") else path + ".npz",
+        codebooks=model["codebooks"],
+        m=np.int64(model["m"]),
+        d=np.int64(model["d"]),
+    )
+
+
+def load_pq_index(path: str) -> dict:
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return {"codebooks": z["codebooks"], "m": int(z["m"]), "d": int(z["d"])}
+
+
+def pq_recall_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 256,
+    n_queries: int = 50,
+    seed: int = 42,
+    model: dict | None = None,
+) -> dict:
+    """The PQ twin of :func:`ann_recall_report`: measured recall@k and
+    top-1 match rate of ADC scoring vs exact cosine on a deterministic
+    query sample, plus the compression the codes buy. Validate (m,
+    n_codes) BEFORE encoding the full store."""
+    pq = model or train_pq(df, vec_col, m, n_codes, seed=seed)
+    q = (
+        df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+                 < int((1 << 20) * min(1.0, 4.0 * n_queries / max(df.count(), 1))))
+        .limit(n_queries)
+        .select(id_col, vec_col)
+        .cache()
+    )
+    nq = q.count()
+    codes = pq_encode(df, id_col, vec_col, pq)
+    truth = cosine_topk(df, q, id_col, vec_col, k).select("query_id", "neighbor_id")
+    approx = pq_topk(codes, q, pq, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    n_true = truth.count()
+    n_hit = truth.join(approx, ["query_id", "neighbor_id"]).count()
+    t1_true = cosine_topk(df, q, id_col, vec_col, 1).select("query_id", "neighbor_id")
+    t1_goti = pq_topk(codes, q, pq, id_col, vec_col, 1)
+    t1 = t1_true.join(
+        t1_goti.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    q.unpersist()
+    return {
+        "n_queries": nq,
+        "recall_at_k": (n_hit / n_true) if n_true else None,
+        "top1_match_rate": (t1 / nq) if nq else None,
+        "bytes_per_vector": pq["m"],
+        "compression_x": (pq["d"] * 8) / pq["m"],
+    }

@@ -386,12 +386,15 @@ def test_pca_empty_raises_and_projection_empty_ok(spark):
 
 
 def test_sentence_and_mojibake_empty(spark, empty_docs):
-    from bitfilters_spark.operators.text import dedup_sentences
+    from bitfilters_spark.operators.text import dedup_sentences, pii_scan
     from bitfilters_spark.operators.web import fix_mojibake, fix_mojibake_exact
 
     assert dedup_sentences(empty_docs, "doc_id", "text").count() == 0
     out = empty_docs.select(
-        fix_mojibake("text").alias("a"), fix_mojibake_exact("text").alias("b")
+        fix_mojibake("text").alias("a"),
+        fix_mojibake_exact("text").alias("b"),
+        fix_mojibake("text", gated=True).alias("c"),
+        *pii_scan("text"),
     )
     assert out.count() == 0
 

@@ -371,3 +371,89 @@ def test_ann_recall_report_tradeoff_monotone(spark):
     assert lo["scan_fraction"] < hi["scan_fraction"]
     assert lo["recall_at_k"] <= hi["recall_at_k"] + 1e-9
     assert hi["recall_at_k"] > 0.5
+
+
+def test_pq_lossless_regime_equals_cosine_topk(spark):
+    """When every subspace has <= n_codes distinct subvectors, the
+    codebooks store them all (dedup init + k-means fixpoint), encoding
+    is lossless, and ADC ranking == exact cosine ranking, row for row."""
+    from bitfilters_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_topk, train_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    # vectors assembled from a small pool of subvector patterns: 6
+    # distinct values per 4-dim subspace, 8 subspaces. Pool rows are
+    # unit-norm so every assembled vector has full norm sqrt(8) and the
+    # trainer's L2 normalization maps each subspace onto the SAME <= 6
+    # values for every row (a row-dependent norm would break that).
+    pool = rng.standard_normal((6, 4))
+    pool /= np.linalg.norm(pool, axis=1, keepdims=True)
+    rows = []
+    for i in range(80):
+        v = np.concatenate([pool[rng.integers(0, 6)] for _ in range(8)])
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = train_pq(df, m=8, n_codes=16, sample_rows=1000, seed=5)
+    codes = pq_encode(df, model=model)
+    q = df.where(F.col("vec_id") < 10)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk(codes, q, model, k=5).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, q, k=5).collect()
+    }
+    assert got == want
+
+
+def test_pq_recall_report_and_compression(spark):
+    from bitfilters_spark.operators.similarity import pq_recall_report
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = len(emb.select("embedding").first()[0])
+    rep = pq_recall_report(emb, k=5, m=8, n_codes=64, n_queries=10, seed=3)
+    assert rep["n_queries"] > 0
+    assert rep["bytes_per_vector"] == 8
+    assert rep["compression_x"] == d  # d*8 bytes of float64 -> 8 bytes
+    # 64 codes / 8 subspaces on a real embedding table: coarse but must
+    # beat chance by far (k=5 of ~2000 rows, chance recall ~0.25%)
+    assert rep["recall_at_k"] > 0.3
+    # finer codebooks must not hurt recall much; 256 codes beats 4
+    lo = pq_recall_report(emb, k=5, m=8, n_codes=4, n_queries=10, seed=3)
+    assert rep["recall_at_k"] >= lo["recall_at_k"] - 1e-9
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    from bitfilters_spark.operators.similarity import (
+        load_pq_index, pq_encode, pq_topk, save_pq_index, train_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = train_pq(emb, m=8, n_codes=32, seed=9)
+    p = str(tmp_path / "pq_index")
+    save_pq_index(model, p)
+    loaded = load_pq_index(p)
+    assert np.array_equal(loaded["codebooks"], model["codebooks"])
+    assert (loaded["m"], loaded["d"]) == (model["m"], model["d"])
+    q = emb.limit(3)
+    a = pq_topk(pq_encode(emb, model=model), q, model, k=3).collect()
+    b = pq_topk(pq_encode(emb, model=loaded), q, loaded, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_validation_errors(spark):
+    from bitfilters_spark.operators.similarity import train_pq
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(emb, m=2)
+    with pytest.raises(ValueError, match="n_codes"):
+        train_pq(emb, m=3, n_codes=512)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        train_pq(empty, m=1)
