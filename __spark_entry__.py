@@ -1063,14 +1063,30 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-weighted, everything else dropped) with thresholds derived from
     the observed per-source counts in pure integer arithmetic — so the
     oracle recomputes the SAME thresholds from the same counts in SQL and
-    draws the identical deterministic hash sample."""
+    draws the identical deterministic hash sample.
+
+    `n_feats`/`n_pos` legs (r8, operator #117 DSIR): per sampled doc,
+    total hashed unigram+bigram features and how many land in
+    target-leaning buckets ((np+1)·tq > (nq+1)·tp in exact 64-bit
+    integer arithmetic — the sign of the DSIR log-ratio with add-1
+    smoothing, no float thresholds anywhere); target = doc_id % 23 == 0,
+    buckets = DuckDB-parity hash % 4096 (power of two, so signed-bits
+    pmod ≡ unsigned %). The oracle recomputes the full pipeline —
+    feature lists, bucket distributions, totals, leaning test — in SQL."""
     from bitfilters_spark.operators import sampling as SP
+    from bitfilters_spark.operators.dsir import dsir_feature_stats
 
     docs = load_table(spark, sf_dir, "documents")
     out = SP.mixture_sample(
         docs, "doc_id", "source", {"src0": 3, "src1": 1, "src2": 1}, native=False
     )
-    return out.select("doc_id", "source")
+    stats = dsir_feature_stats(
+        docs, F.col("doc_id") % 23 == 0, parity=True, n_buckets=4096,
+        materialize=True,
+    )
+    return out.join(stats, "doc_id").select(
+        "doc_id", "source", "n_feats", "n_pos"
+    )
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2202,9 +2218,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT min(n * 1024 // wt) AS kk FROM counts JOIN w USING (s)),
             thr AS (
               SELECT s, wt * kk // n AS t
-              FROM counts JOIN w USING (s) CROSS JOIN k)
-            SELECT d.doc_id, d.source
-            FROM documents d JOIN thr ON thr.s = d.source
+              FROM counts JOIN w USING (s) CROSS JOIN k),
+            -- DSIR legs: hashed unigram+bigram features, bucket counts
+            -- for raw (nq) vs target doc_id%23==0 (np), integer leaning
+            -- test (np+1)*tq > (nq+1)*tp — replayed exactly
+            t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            fl AS (
+              SELECT doc_id,
+                     list_concat(
+                       list_filter(toks, x -> x <> ''),
+                       list_transform(
+                         generate_series(1, greatest(len(toks)-1, 0)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS fs
+              FROM t0),
+            fb AS (
+              SELECT doc_id, (hash(unnest(fs)) % 4096)::BIGINT AS bucket FROM fl),
+            bc AS (
+              SELECT bucket,
+                     count(*)::BIGINT AS nq,
+                     (count(*) FILTER (WHERE doc_id % 23 = 0))::BIGINT AS np
+              FROM fb GROUP BY bucket),
+            tt AS (
+              SELECT sum(np)::BIGINT + 4096 AS tp, sum(nq)::BIGINT + 4096 AS tq
+              FROM bc),
+            lean AS (
+              SELECT bucket,
+                     CASE WHEN (np+1)*tq > (nq+1)*tp THEN 1 ELSE 0 END AS pos
+              FROM bc CROSS JOIN tt),
+            per_doc AS (
+              SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                     sum(pos)::BIGINT AS n_pos
+              FROM fb JOIN lean USING (bucket) GROUP BY fb.doc_id)
+            SELECT d.doc_id, d.source,
+                   coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+                   coalesce(p.n_pos, 0)::BIGINT AS n_pos
+            FROM documents d
+            JOIN thr ON thr.s = d.source
+            LEFT JOIN per_doc p ON p.doc_id = d.doc_id
             WHERE (hash(d.doc_id) & 1023) < thr.t
         """,
         "q_vocab_topk": """
