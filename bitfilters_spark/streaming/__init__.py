@@ -1,4 +1,9 @@
 from .asof import streaming_asof_enrich, streaming_asof_join
+from .dsir import (
+    load_dsir_counts,
+    streaming_dsir_counts,
+    streaming_dsir_model,
+)
 from .dedup import (
     streaming_dedup_bloom,
     streaming_dedup_exact,
@@ -29,6 +34,9 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_distinct_counts",
     "streaming_drift",
+    "load_dsir_counts",
+    "streaming_dsir_counts",
+    "streaming_dsir_model",
     "streaming_filter_build",
     "streaming_filter_join",
     "streaming_indexed_sink",

@@ -1626,3 +1626,70 @@ def test_state_io_scheme_qualified_uri_and_crash_window(spark, tmp_path):
     (tmp_path / "clf_state" / "batch=7").mkdir()
     m2 = load_streaming_classifier(cstate)
     assert m2 is not None and list(m2["losses"]) == list(m["losses"])
+
+
+def test_streaming_dsir_counts_match_batch_fit(spark, tmp_path):
+    """Streamed raw-side bucket counts over 3 micro-batches == fit_dsir
+    on the union (log_ratio to 1e-12); the live model drives dsir_select
+    identically; replaying the last batch changes nothing."""
+    import numpy as np
+    from bitfilters_spark.operators.dsir import dsir_select, fit_dsir
+    from bitfilters_spark.streaming.dsir import (
+        fold_dsir_batch, load_dsir_counts, streaming_dsir_counts,
+        streaming_dsir_model,
+    )
+
+    B = 256
+    rows = [(i, f"alpha{i % 5} beta{i % 3} junk{i % 17}") for i in range(90)]
+    tgt = spark.createDataFrame(
+        [(900 + i, f"alpha{i % 5} beta{i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    src = str(tmp_path / "dsir_in")
+    ckpt = str(tmp_path / "dsir_ck")
+    state = str(tmp_path / "dsir_state")
+    for chunk in (rows[:30], rows[30:60]):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_dsir_counts(stream, "text", state, n_buckets=B).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[60:], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    live = {
+        r["bucket"]: r["log_ratio"]
+        for r in streaming_dsir_model(spark, state, tgt, n_buckets=B).collect()
+    }
+    batch = {
+        r["bucket"]: r["log_ratio"]
+        for r in fit_dsir(raw, tgt, n_buckets=B).collect()
+    }
+    assert set(live) == set(batch) and len(live) == B
+    for b in live:
+        assert abs(live[b] - batch[b]) < 1e-12
+
+    # the live model selects exactly like the batch model
+    model = streaming_dsir_model(spark, state, tgt, n_buckets=B)
+    a = sorted(r["doc_id"] for r in dsir_select(raw, model, 15, n_buckets=B).collect())
+    bsel = sorted(
+        r["doc_id"]
+        for r in dsir_select(raw, fit_dsir(raw, tgt, n_buckets=B), 15, n_buckets=B).collect()
+    )
+    assert a == bsel
+
+    # crash-replay of the last batch id: identical counts
+    before = load_dsir_counts(state).copy()
+    import os
+    ids = sorted(int(d.split("=")[1]) for d in os.listdir(state))
+    last = spark.createDataFrame(rows[60:], "doc_id long, text string")
+    fold_dsir_batch(last, "text", state, ids[-1], n_buckets=B)
+    np.testing.assert_array_equal(load_dsir_counts(state), before)
