@@ -1075,8 +1075,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature lists, bucket distributions, totals, leaning test — in SQL."""
     from bitfilters_spark.operators import sampling as SP
     from bitfilters_spark.operators.dsir import dsir_feature_stats
+    from bitfilters_spark.sources import rebalance_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # one-row-group input + heavy map stage (Arrow feature hashing):
+    # widen the scan (no-op at scale)
+    docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     out = SP.mixture_sample(
         docs, "doc_id", "source", {"src0": 3, "src1": 1, "src2": 1}, native=False
     )

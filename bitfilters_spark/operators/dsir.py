@@ -28,8 +28,8 @@ is quadratic and no driver materialization exceeds n_buckets rows.
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -149,61 +149,70 @@ def dsir_feature_stats(
     anywhere). This is the cross-engine-checkable core of the DSIR
     weight: sign(log_ratio) per feature.
 
-    ``parity=True`` hashes features with the DuckDB-parity hash
-    (Arrow UDF — the oracle path, like ``doc_fingerprint(native=False)``)
-    instead of xxhash64; requires power-of-two ``n_buckets`` so the
-    signed-bits pmod equals DuckDB's unsigned ``%``. Same plan shape as
-    :func:`dsir_weights`: two n_buckets-row aggregations, a broadcast
-    join, one doc-id shuffle.
+    ``parity=True`` hashes features with the DuckDB-parity hash (a
+    distinct-string-memoized Arrow kernel over the feature ARRAY column
+    — no explode feeds the UDF) instead of xxhash64; power-of-two
+    ``n_buckets`` keeps both paths on the same unsigned-% geometry.
 
     ``target`` may be a DataFrame (any corpus) or a Column predicate
     over ``raw`` — the predicate form computes np as a filtered count of
     the raw aggregation, no second corpus.
 
-    The feature stream is consumed twice (bucket distributions, then the
-    per-doc counts). ``materialize=True`` localCheckpoints the hashed
-    stream between the passes — faster on small/mid corpora, but the
-    stream is O(corpus tokens) rows, so at 100 TB the scale-safe default
-    (False) re-derives it: CPU re-hash beats writing a token-scale
-    intermediate."""
-    if parity:
-        if n_buckets & (n_buckets - 1):
-            raise ValueError("parity=True requires power-of-two n_buckets")
-        from bitfilters_spark.functions.hashing import duckdb_hash
-
-        def bucket_of(tok):
-            return F.pmod(duckdb_hash("v1.0.0", tok), F.lit(n_buckets))
-    else:
-        def bucket_of(tok):
-            return F.pmod(F.xxhash64(tok), F.lit(n_buckets))
+    Plan shape (parity path): the JVM builds the feature arrays
+    (higher-order fns in a plain projection); Python consumes them and
+    emits only TINY columns — pass 1 reduces each Arrow batch to its
+    nonzero bucket histogram (≤ n_buckets rows/batch, np.bincount),
+    pass 2 emits (id, n_feats, n_pos) with the leaning mask broadcast
+    as a numpy bool vector. No explode, no doc-id shuffle, no bucket
+    arrays ever serialized back to the JVM; the only wide op is the
+    n_buckets-row histogram sum, and the only driver materialization is
+    n_buckets count rows (the classifier-gradient contract). The text is
+    tokenized twice (once per pass) — deliberate: checkpointing the
+    feature arrays between passes would store O(corpus tokens) values,
+    the wrong trade at 100 TB. ``materialize`` is accepted for API
+    stability but no longer changes the parity plan."""
+    if parity and n_buckets & (n_buckets - 1):
+        raise ValueError("parity=True requires power-of-two n_buckets")
 
     uni = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     arr = F.concat(uni, word_shingles(text_col, 2)) if bigrams else uni
 
-    def feats_of(df):
-        return df.select(
-            F.col(id_col), F.explode(arr).alias("__tok")
-        ).select(id_col, bucket_of(F.col("__tok")).alias("bucket"))
+    if parity:
+        return _parity_feature_stats(raw, target, id_col, arr, n_buckets)
+
+    native_ba = F.transform(
+        arr, lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))
+    )
+
+    def with_buckets(df, extra_name=None, extra=None):
+        cols = [F.col(id_col)] + ([extra.alias(extra_name)] if extra_name else [])
+        return df.select(*cols, native_ba.alias("__ba"))
 
     if isinstance(target, Column):
-        # (id, bucket, is_t): one explode + one hash pass over raw, reused
-        # by both aggregations below via the checkpoint (hashed features
-        # are 17 bytes/row — far cheaper to keep than to re-hash)
-        fr = raw.select(
-            F.col(id_col), target.alias("__is_t"), F.explode(arr).alias("__tok")
-        ).select(id_col, "__is_t", bucket_of(F.col("__tok")).alias("bucket"))
+        fr = with_buckets(raw, "__is_t", target)
         if materialize:
             fr = fr.localCheckpoint(eager=False)
-        counts = fr.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("nq"),
-            F.count_if("__is_t").alias("np"),
+        counts = (
+            fr.select("__is_t", F.explode("__ba").alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("nq"),
+                F.count_if("__is_t").alias("np"),
+            )
         )
     else:
-        fr, ft = feats_of(raw), feats_of(target)
+        fr = with_buckets(raw)
+        if materialize:
+            fr = fr.localCheckpoint(eager=False)
         counts = (
-            fr.groupBy("bucket").agg(F.count(F.lit(1)).alias("nq"))
+            fr.select(F.explode("__ba").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("nq"))
             .join(
-                ft.groupBy("bucket").agg(F.count(F.lit(1)).alias("np")),
+                with_buckets(target)
+                .select(F.explode("__ba").alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("np")),
                 "bucket",
                 "full",
             )
@@ -213,27 +222,155 @@ def dsir_feature_stats(
                 F.coalesce("nq", F.lit(0)).alias("nq"),
             )
         )
-    tot = counts.agg(F.sum("np").alias("tp"), F.sum("nq").alias("tq")).first()
-    tp, tq = int(tot["tp"]) + n_buckets, int(tot["tq"]) + n_buckets
-    leaning = counts.select(
-        "bucket",
-        ((F.col("np") + 1) * F.lit(tq) > (F.col("nq") + 1) * F.lit(tp))
-        .cast("int")
-        .alias("pos"),
+
+    # leaning test resolved DRIVER-SIDE (n_buckets count rows — the
+    # classifier-gradient collect contract) into ONE '0'/'1' string
+    # literal (an array literal costs one py4j round trip PER element:
+    # ~2s of pure driver time at 4096 buckets, measured); the per-doc
+    # pass is then pure map-side array arithmetic — no doc-id shuffle.
+    mask_str = _leaning_mask(counts.collect(), n_buckets)
+    mask = F.lit(mask_str)
+    is_pos = lambda b: (  # noqa: E731
+        mask.substr((b + 1).cast("int"), F.lit(1)) == "1"
     )
-    per_doc = (
-        fr.join(F.broadcast(leaning), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("pos").cast("long").alias("n_pos"),
+    return fr.select(
+        F.col(id_col),
+        F.coalesce(F.size("__ba"), F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(
+            F.size(F.filter("__ba", is_pos)), F.lit(0)
+        ).cast("long").alias("n_pos"),
+    )
+
+
+def _leaning_mask(count_rows, n_buckets: int) -> str:
+    """'0'/'1' per bucket: smoothed target rate > smoothed raw rate,
+    exact integer comparison."""
+    nq_v = [0] * n_buckets
+    np_v = [0] * n_buckets
+    for r in count_rows:
+        nq_v[r["bucket"]] = r["nq"]
+        np_v[r["bucket"]] = r["np"]
+    tp, tq = sum(np_v) + n_buckets, sum(nq_v) + n_buckets
+    return "".join(
+        "1" if (np_v[b] + 1) * tq > (nq_v[b] + 1) * tp else "0"
+        for b in range(n_buckets)
+    )
+
+
+def _hash_flat(s, n_buckets: int):
+    """(lens, buckets) for a pandas Series of string arrays: flatten,
+    DuckDB-parity hash once per DISTINCT string (factorize memo — the
+    `bpe.py` encode trick; measured 30x on real corpora where features
+    repeat heavily), unsigned-mod into buckets."""
+    import pyarrow as pa
+
+    from bitfilters_spark.functions.hashing import _hash_arrays
+
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in s), dtype=np.int64, count=len(s)
+    )
+    if lens.sum():
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in s if x is not None and len(x)]
         )
-    )
-    return raw.select(id_col).join(per_doc, id_col, "left").select(
-        id_col,
-        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
-        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
-    )
+        codes, uniques = pd.factorize(pd.Series(flat))
+        hu, _ = _hash_arrays((pa.array(uniques.tolist()),), "v1.0.0")
+        buckets = (hu % np.uint64(n_buckets)).astype(np.int64)[codes]
+    else:
+        buckets = np.empty(0, dtype=np.int64)
+    return lens, buckets
+
+
+def _parity_feature_stats(
+    raw: DataFrame, target, id_col: str, feats: Column, n_buckets: int
+) -> DataFrame:
+    """The DuckDB-parity-hash implementation of `dsir_feature_stats` —
+    see its docstring for the plan shape. Python nodes are `mapInPandas`
+    (a pandas_udf COLUMN can be collapsed into a downstream Generate by
+    the optimizer, where Python eval crashes — observed on re-runs)."""
+    spark = raw.sparkSession
+    hist_schema = "bucket long, nq long, np long"
+
+    def hist_of(df, is_t_col):
+        cols = ([F.col(is_t_col)] if is_t_col else []) + [feats.alias("__feats")]
+        src = df.select(*cols)
+
+        def hist(batches):
+            for pdf in batches:
+                lens, buckets = _hash_flat(pdf["__feats"], n_buckets)
+                if not len(buckets):
+                    continue
+                nq = np.bincount(buckets, minlength=n_buckets)
+                if is_t_col:
+                    ist = np.repeat(
+                        pdf[is_t_col].to_numpy(dtype=bool), lens
+                    )
+                    np_h = np.bincount(buckets[ist], minlength=n_buckets)
+                else:
+                    np_h = np.zeros(n_buckets, dtype=np.int64)
+                nz = np.nonzero(nq)[0]
+                yield pd.DataFrame(
+                    {"bucket": nz, "nq": nq[nz], "np": np_h[nz]}
+                )
+
+        return src.mapInPandas(hist, schema=hist_schema)
+
+    if isinstance(target, Column):
+        counts = (
+            hist_of(raw.withColumn("__is_t", target), "__is_t")
+            .groupBy("bucket")
+            .agg(F.sum("nq").alias("nq"), F.sum("np").alias("np"))
+        )
+    else:
+        counts = (
+            hist_of(raw, None)
+            .groupBy("bucket")
+            .agg(F.sum("nq").alias("nq"))
+            .join(
+                hist_of(target, None)
+                .groupBy("bucket")
+                .agg(F.sum("nq").alias("np")),
+                "bucket",
+                "full",
+            )
+            .select(
+                "bucket",
+                F.coalesce("nq", F.lit(0)).alias("nq"),
+                F.coalesce("np", F.lit(0)).alias("np"),
+            )
+        )
+    mask = np.frombuffer(
+        _leaning_mask(counts.collect(), n_buckets).encode(), dtype=np.uint8
+    ) == ord("1")
+    bmask = spark.sparkContext.broadcast(mask)
+
+    out_schema = f"{id_col} long, n_feats long, n_pos long"
+    src2 = raw.select(F.col(id_col), feats.alias("__feats"))
+
+    def per_doc(batches):
+        m = bmask.value
+        for pdf in batches:
+            lens, buckets = _hash_flat(pdf["__feats"], n_buckets)
+            if len(buckets):
+                # per-row sums as cumsum differences: exact for empty
+                # rows anywhere (reduceat mis-handles repeated/trailing
+                # boundary indices)
+                csum = np.concatenate(
+                    ([0], np.cumsum(m[buckets].astype(np.int64)))
+                )
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                npos = csum[offs[1:]] - csum[offs[:-1]]
+            else:
+                npos = np.zeros(len(pdf), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "n_feats": lens,
+                    "n_pos": npos,
+                }
+            )
+
+    return src2.mapInPandas(per_doc, schema=out_schema)
 
 
 def dsir_select(
