@@ -718,8 +718,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + the Gopher rule-pack verdict (Rae et al. 2021
     Table A1 gates, evaluated in integer arithmetic so the oracle is
     bit-exact): one driver row covers both the composite score and the
-    standard pre-training document gate."""
-    from bitfilters_spark.operators.text import gopher_rules
+    standard pre-training document gate.
+
+    `c4_*` legs (r8, operator #119): the C4 rule pack over a planted
+    line structure (terminal-punct / >= 5-word line retention, brace /
+    lorem-ipsum / bad-word page gates) — every doc gets a deterministic
+    6-line page exercising keep AND drop paths of every rule; the
+    cleaned text is string-compared and the flags are integer, so the
+    oracle replay is bit-exact."""
+    from bitfilters_spark.operators.text import c4_rules, gopher_rules
 
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
@@ -728,9 +735,40 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stopwords_distinct",
         F.col("gopher_pass").cast("int").alias("gopher_pass"),
     )
-    return T.quality_metrics(docs, "text").select(
-        "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "ttr", "avg_token_len", "quality_score"
-    ).join(gates, "doc_id")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("This line has five proper words."),
+            F.substring("text", 1, 80),
+            F.when(did % 5 == 0, F.lit("curly { bracket } code line here."))
+            .otherwise(F.lit("Another good line with many words.")),
+            F.when(did % 7 == 0, F.lit("Lorem ipsum dolor sit amet friend."))
+            .otherwise(F.lit("Final line stays here today fine.")),
+            F.when(did % 11 == 0, F.lit("This page mentions badword1 sadly."))
+            .otherwise(F.lit("This page mentions nothing bad.")),
+            F.lit("short line."),
+        ).alias("text"),
+    )
+    c4 = c4_rules(aug, "text").select(
+        "doc_id",
+        "c4_clean",
+        F.col("c4_n_kept").cast("long").alias("c4_n_kept"),
+        F.col("c4_has_brace").cast("int").alias("c4_has_brace"),
+        F.col("c4_has_lorem").cast("int").alias("c4_has_lorem"),
+        F.col("c4_has_badword").cast("int").alias("c4_has_badword"),
+        F.col("c4_pass").cast("int").alias("c4_pass"),
+    )
+    return (
+        T.quality_metrics(docs, "text")
+        .select(
+            "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "ttr",
+            "avg_token_len", "quality_score",
+        )
+        .join(gates, "doc_id")
+        .join(c4, "doc_id")
+    )
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1996,7 +2034,38 @@ def oracle_sql() -> dict[str, str]:
                      len(list_intersect(string_split(text, ' '),
                          ['the','be','to','of','and','that','have','with']))
                        AS n_stop
-              FROM documents)
+              FROM documents),
+            -- C4 legs (operator #119): planted 6-line page, line
+            -- retention (terminal punct, >= 5 words, no 'javascript'),
+            -- page gates (brace / lorem / word-boundary bad word)
+            aug AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       'This line has five proper words.',
+                       substring(text, 1, 80),
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'curly { bracket } code line here.'
+                            ELSE 'Another good line with many words.' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'Lorem ipsum dolor sit amet friend.'
+                            ELSE 'Final line stays here today fine.' END,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN 'This page mentions badword1 sadly.'
+                            ELSE 'This page mentions nothing bad.' END,
+                       'short line.') AS text
+              FROM documents),
+            c4 AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                       l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND len(string_split_regex(trim(l), ' +')) >= 5
+                            AND NOT contains(lower(l), 'javascript')) AS kept,
+                     contains(text, '{') AS has_brace,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     regexp_matches(lower(text),
+                       '(^|[^a-z0-9])(badword1|badword2|obscenephrase)($|[^a-z0-9])')
+                       AS has_bad
+              FROM aug)
             SELECT m.doc_id, n_chars, n_tokens, n_uniq_tokens,
                    round(n_uniq_tokens::DOUBLE / n_tokens, 6) AS ttr,
                    round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6) AS avg_token_len,
@@ -2011,8 +2080,17 @@ def oracle_sql() -> dict[str, str]:
                          AND (10 * (g.n_hash + g.n_ellipsis) <= g.n_words)
                          AND (5 * g.n_alpha >= 4 * g.n_words)
                          AND (g.n_stop >= 2)
-                    THEN 1 ELSE 0 END AS gopher_pass
+                    THEN 1 ELSE 0 END AS gopher_pass,
+                   array_to_string(c4.kept, chr(10)) AS c4_clean,
+                   len(c4.kept)::BIGINT AS c4_n_kept,
+                   c4.has_brace::INT AS c4_has_brace,
+                   c4.has_lorem::INT AS c4_has_lorem,
+                   c4.has_bad::INT AS c4_has_badword,
+                   CASE WHEN len(c4.kept) >= 3 AND NOT c4.has_brace
+                             AND NOT c4.has_lorem AND NOT c4.has_bad
+                        THEN 1 ELSE 0 END AS c4_pass
             FROM m JOIN g ON m.doc_id = g.doc_id
+            JOIN c4 ON m.doc_id = c4.doc_id
         """,
         "q_langid": f"""
             WITH s AS (

@@ -532,6 +532,76 @@ def gopher_rules(
     )
 
 
+# tiny demo blocklist for the C4 bad-words page gate; production swaps
+# in the full public "List of Dirty Naughty Obscene..." list the paper
+# used — the rule shape (word-boundary match over the lowercased page)
+# is what matters here
+_C4_BAD_WORDS = ("badword1", "badword2", "obscenephrase")
+
+
+def c4_clean_lines(col, min_words: int = 5) -> Column:
+    """C4's line-level retention (Raffel et al. 2020, §2.2): keep only
+    lines that end in a terminal punctuation mark (. ! ? "), contain at
+    least ``min_words`` whitespace words, and do not mention
+    "javascript" (boilerplate cookie/JS warnings). Returns the document
+    rebuilt from the surviving lines — pure JVM array ops, no UDF, no
+    shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), " +")) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    bad_words: tuple = _C4_BAD_WORDS,
+) -> DataFrame:
+    """The C4 page-level rule pack (Raffel et al. 2020, §2.2) as flags
+    plus the line-cleaned text — the other classic web-cleaning gate
+    next to :func:`gopher_rules`:
+
+    - line filter (see :func:`c4_clean_lines`) and ``c4_n_kept`` —
+      the page must keep >= ``min_kept_lines`` lines (the paper's
+      "fewer than 3 sentences" proxy at line granularity);
+    - ``c4_has_brace``: page contains ``{`` (code);
+    - ``c4_has_lorem``: page contains "lorem ipsum";
+    - ``c4_has_badword``: any blocklist word appears (word-boundary
+      match over the lowercased page);
+    - ``c4_pass``: all of the above clear.
+
+    Integer/boolean outputs, pure JVM expressions in one pass —
+    bit-reproducible in any engine (the oracle replays each rule)."""
+    c = F.col(text_col)
+    cleaned = c4_clean_lines(c, min_line_words)
+    n_kept = F.when(
+        F.length(cleaned) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(cleaned, "\n")))
+    has_brace = c.contains("{")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    bad_re = "(^|[^a-z0-9])(" + "|".join(bad_words) + ")($|[^a-z0-9])"
+    has_bad = F.lower(c).rlike(bad_re)
+    keep = (
+        (n_kept >= min_kept_lines) & ~has_brace & ~has_lorem & ~has_bad
+    )
+    return df.select(
+        "*",
+        cleaned.alias("c4_clean"),
+        n_kept.alias("c4_n_kept"),
+        has_brace.alias("c4_has_brace"),
+        has_lorem.alias("c4_has_lorem"),
+        has_bad.alias("c4_has_badword"),
+        keep.alias("c4_pass"),
+    )
+
+
 def compression_signal(
     df: DataFrame, id_col: str, text_col: str = "text", level: int = 6
 ) -> DataFrame:

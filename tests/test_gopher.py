@@ -121,3 +121,48 @@ def test_blocklist_filter_token_level(spark):
     assert lenient == [1, 2, 4]
     # empty blocklist keeps everything
     assert blocklist_filter(df, "text", []).count() == 4
+
+
+def test_c4_line_filter_and_page_gates(spark):
+    """C4 rule pack: each line rule and each page gate fires on exactly
+    its target; the cleaned text preserves surviving lines in order."""
+    from bitfilters_spark.operators.text import c4_rules
+
+    pages = {
+        0: "Good first line stays right here.\nshort one.\nAnother fine sentence with enough words.",
+        1: "This page is fine overall today.\nBut it has a { brace line.",
+        2: "Nice opener sentence with many words.\nLorem Ipsum is planted right here.",
+        3: "Perfectly clean page line number one.\nThis line mentions badword1 openly here.",
+        4: "A javascript cookie warning sentence here.\nReal content line with proper ending.",
+        5: "no terminal punctuation on this line at all\nSecond line also unterminated",
+        6: "Embedded notbadword1x should not trip the word-boundary gate.",
+    }
+    df = spark.createDataFrame(list(pages.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_rules(df, "text").collect()}
+
+    assert out[0]["c4_n_kept"] == 2
+    assert out[0]["c4_clean"] == (
+        "Good first line stays right here.\n"
+        "Another fine sentence with enough words."
+    )
+    assert out[1]["c4_has_brace"] and not out[1]["c4_pass"]
+    assert out[2]["c4_has_lorem"] and not out[2]["c4_pass"]
+    assert out[3]["c4_has_badword"] and not out[3]["c4_pass"]
+    # javascript line dropped, the other survives
+    assert out[4]["c4_n_kept"] == 1
+    assert "javascript" not in out[4]["c4_clean"]
+    # nothing survives: n_kept 0, clean empty, page fails on min lines
+    assert out[5]["c4_n_kept"] == 0 and out[5]["c4_clean"] == ""
+    assert not out[5]["c4_pass"]
+    # word-boundary: substring hit must NOT fire the bad-word gate
+    assert not out[6]["c4_has_badword"]
+
+    # a page that keeps >= 3 lines and trips no gate passes
+    ok = spark.createDataFrame(
+        [(9, "One proper line stays right here.\n"
+             "Two proper lines stay right here.\n"
+             "Three proper lines stay right here.")],
+        "doc_id long, text string",
+    )
+    row = c4_rules(ok, "text").collect()[0]
+    assert row["c4_pass"] and row["c4_n_kept"] == 3
