@@ -1037,7 +1037,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sampling over events: keep ~80% of clicks,
     ~25% of views, ~50% of everything else — keyed on event_id hash so the
     draw is reproducible across engines (DuckDB-parity hash + low-bit
-    mask)."""
+    mask).
+
+    `rs_rank` leg (r8, operator #120): exact-k-per-key reservoir —
+    every event ranks within its event_type by (parity-hash(id+seed),
+    id); the rank rides along NULL unless the row is one of its type's
+    top-7, so the row set is unchanged and the oracle replays the
+    identical window."""
     from bitfilters_spark.operators import sampling as SP
 
     ev = load_table(spark, sf_dir, "events")
@@ -1049,7 +1055,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_threshold=512,
         native=False,
     )
-    return out.select("event_id", "event_type")
+    rs = SP.reservoir_sample(
+        ev.select("event_id", "event_type"), "event_type", 7, "event_id",
+        seed=5, native=False,
+    ).select("event_id", F.col("rs_rank").cast("long").alias("rs_rank"))
+    return out.select("event_id", "event_type").join(rs, "event_id", "left")
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2259,12 +2269,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS w_kept
             FROM documents
         """,
-        "q_stratified_sample": """
-            SELECT event_id, event_type FROM events
-            WHERE (hash(event_id) & 1023) <
-                  CASE event_type WHEN 'click' THEN 819
-                                  WHEN 'view' THEN 256
-                                  ELSE 512 END
+        "q_stratified_sample": f"""
+            WITH rs AS (
+              SELECT event_id,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY {_sql_signed("hash(event_id + 5)")}, event_id
+                     ) AS rs_rank
+              FROM events)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN rs.rs_rank <= 7 THEN rs.rs_rank END AS rs_rank
+            FROM events e JOIN rs USING (event_id)
+            WHERE (hash(e.event_id) & 1023) <
+                  CASE e.event_type WHEN 'click' THEN 819
+                                    WHEN 'view' THEN 256
+                                    ELSE 512 END
         """,
         "q_contamination": """
             WITH dg AS (

@@ -94,6 +94,56 @@ def stratified_hash_sample(
     return df.where(b < thr)
 
 
+def reservoir_sample(
+    df: DataFrame,
+    key_cols,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+    salt: int = 1,
+    native: bool = True,
+    rank_col: str = "rs_rank",
+) -> DataFrame:
+    """EXACTLY ``k`` rows per key (fewer if the key has fewer),
+    deterministic: rows rank by (hash(id, seed), id) within their key
+    and ranks ``<= k`` survive, so the draw is reproducible across runs,
+    engines (``native=False`` ranks by the DuckDB-parity hash of
+    ``id + seed``), and repartitioning — the per-class "cap at k
+    examples" shape that fraction-based :func:`stratified_hash_sample`
+    cannot express. Output keeps all columns plus ``rank_col`` (1..k).
+
+    Skew: a plain window sorts each key's rows in one task — fine for
+    balanced keys, quadratic pain for a 1B-row hot key. ``salt > 1``
+    runs two phases: rank within (key, hash-salt bucket) keeping k per
+    bucket (local top-k over salt× smaller groups), then the final
+    k among the ≤ k·salt survivors — same exact result (every salted
+    bucket keeps its own top-k by the SAME order, so the global top-k
+    survives phase 1 by pigeonhole)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if native:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        h = duckdb_hash("v1.0.0", (F.col(id_col) + F.lit(seed)).cast("long"))
+    order = [h.asc(), F.col(id_col).asc()]
+    out = df
+    if salt > 1:
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(salt))
+        w1 = Window.partitionBy(*keys, bucket).orderBy(*order)
+        out = (
+            out.withColumn("__rs1", F.row_number().over(w1))
+            .where(F.col("__rs1") <= k)
+            .drop("__rs1")
+        )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return out.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def mixture_thresholds(counts: dict, weights: dict, mask: int = 1023) -> dict:
     """Per-stratum hash thresholds that rebalance observed ``counts`` to
     the target ``weights`` mixture with MAXIMUM retention.

@@ -353,3 +353,37 @@ def test_curriculum_order_stages_then_shuffles(spark):
     assert again.select("doc_id").toPandas()["doc_id"].tolist() == got["doc_id"].tolist()
     other = curriculum_order(df, "doc_id", "difficulty", n_stages=4, epoch=2)
     assert other.select("doc_id").toPandas()["doc_id"].tolist() != got["doc_id"].tolist()
+
+
+def test_reservoir_sample_exact_k_and_salt_equivalence(spark):
+    """Exactly k rows per key (fewer when the key is small), rank 1..k,
+    deterministic across runs, and the salted two-phase form returns the
+    IDENTICAL row set and ranks as the plain window."""
+    from bitfilters_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, f"k{i % 5}") for i in range(200)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "id long, key string")
+
+    out = reservoir_sample(df, "key", 7, "id", seed=3).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append((r["rs_rank"], r["id"]))
+    for k in ("k0", "k1", "k2", "k3", "k4"):
+        assert sorted(r for r, _ in by_key[k]) == list(range(1, 8))
+    assert by_key["rare"] == [(1, 1000)]
+
+    again = {(r["key"], r["rs_rank"], r["id"])
+             for r in reservoir_sample(df, "key", 7, "id", seed=3).collect()}
+    assert again == {(r["key"], r["rs_rank"], r["id"]) for r in out}
+
+    salted = {(r["key"], r["rs_rank"], r["id"])
+              for r in reservoir_sample(df, "key", 7, "id", seed=3, salt=4).collect()}
+    assert salted == again
+
+    other = {(r["key"], r["rs_rank"], r["id"])
+             for r in reservoir_sample(df, "key", 7, "id", seed=4).collect()}
+    assert other != again  # a different seed draws a different sample
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        reservoir_sample(df, "key", 0, "id")
