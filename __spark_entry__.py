@@ -1040,10 +1040,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask).
 
     `rs_rank` leg (r8, operator #120): exact-k-per-key reservoir —
-    every event ranks within its event_type by (parity-hash(id+seed),
-    id); the rank rides along NULL unless the row is one of its type's
-    top-7, so the row set is unchanged and the oracle replays the
-    identical window."""
+    every SAMPLED event ranks within its event_type by a multiplicative
+    scramble of its id (pure integer arithmetic, engine-exact); the
+    rank rides along NULL unless the row is one of its type's top-7, so
+    the row set is unchanged and the oracle replays the identical
+    window."""
     from bitfilters_spark.operators import sampling as SP
 
     ev = load_table(spark, sf_dir, "events")
@@ -1055,11 +1056,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_threshold=512,
         native=False,
     )
+    # salt=32: event_type has ~3 values, so the plain window would sort
+    # all events in 3 tasks; the salted two-phase is bit-identical
+    # (pytest-pinned) and sorts in 96 parallel groups. The rank order is
+    # a multiplicative scramble — pure 64-bit integer arithmetic both
+    # engines replay exactly, no hash kernel on the 10M-row pass. The
+    # surviving rank set is <= 7 x n_types rows -> broadcast join.
+    scramble = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    sampled = out.select("event_id", "event_type")
     rs = SP.reservoir_sample(
-        ev.select("event_id", "event_type"), "event_type", 7, "event_id",
-        seed=5, native=False,
+        sampled, "event_type", 7, "event_id", salt=32, order_by=scramble
     ).select("event_id", F.col("rs_rank").cast("long").alias("rs_rank"))
-    return out.select("event_id", "event_type").join(rs, "event_id", "left")
+    return sampled.join(F.broadcast(rs), "event_id", "left")
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2270,20 +2278,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_stratified_sample": f"""
-            WITH rs AS (
+            WITH sampled AS (
+              SELECT event_id, event_type FROM events
+              WHERE (hash(event_id) & 1023) <
+                    CASE event_type WHEN 'click' THEN 819
+                                    WHEN 'view' THEN 256
+                                    ELSE 512 END),
+            rs AS (
               SELECT event_id,
                      row_number() OVER (
                        PARTITION BY event_type
-                       ORDER BY {_sql_signed("hash(event_id + 5)")}, event_id
+                       ORDER BY (event_id * 2654435761) % 4294967296, event_id
                      ) AS rs_rank
-              FROM events)
-            SELECT e.event_id, e.event_type,
+              FROM sampled)
+            SELECT s.event_id, s.event_type,
                    CASE WHEN rs.rs_rank <= 7 THEN rs.rs_rank END AS rs_rank
-            FROM events e JOIN rs USING (event_id)
-            WHERE (hash(e.event_id) & 1023) <
-                  CASE e.event_type WHEN 'click' THEN 819
-                                    WHEN 'view' THEN 256
-                                    ELSE 512 END
+            FROM sampled s JOIN rs USING (event_id)
         """,
         "q_contamination": """
             WITH dg AS (

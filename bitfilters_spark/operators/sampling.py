@@ -103,6 +103,7 @@ def reservoir_sample(
     salt: int = 1,
     native: bool = True,
     rank_col: str = "rs_rank",
+    order_by: Column | None = None,
 ) -> DataFrame:
     """EXACTLY ``k`` rows per key (fewer if the key has fewer),
     deterministic: rows rank by (hash(id, seed), id) within their key
@@ -111,6 +112,11 @@ def reservoir_sample(
     ``id + seed``), and repartitioning — the per-class "cap at k
     examples" shape that fraction-based :func:`stratified_hash_sample`
     cannot express. Output keeps all columns plus ``rank_col`` (1..k).
+
+    ``order_by`` overrides the hash with a caller-supplied scramble
+    expression (id still tiebreaks) — e.g. a multiplicative scramble
+    ``(id * 2654435761) % 2**32`` is pure integer arithmetic any engine
+    replays exactly, with no hash-kernel cost on the ranking pass.
 
     Skew: a plain window sorts each key's rows in one task — fine for
     balanced keys, quadratic pain for a 1B-row hot key. ``salt > 1``
@@ -124,7 +130,9 @@ def reservoir_sample(
     if k < 1:
         raise ValueError("k must be >= 1")
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    if native:
+    if order_by is not None:
+        h = order_by
+    elif native:
         h = F.xxhash64(F.col(id_col), F.lit(seed))
     else:
         h = duckdb_hash("v1.0.0", (F.col(id_col) + F.lit(seed)).cast("long"))

@@ -384,6 +384,15 @@ def test_reservoir_sample_exact_k_and_salt_equivalence(spark):
              for r in reservoir_sample(df, "key", 7, "id", seed=4).collect()}
     assert other != again  # a different seed draws a different sample
 
+    # caller-supplied scramble order: engine-free arithmetic, same laws
+    from pyspark.sql import functions as F
+    sc = (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+    plain = {(r["key"], r["rs_rank"], r["id"])
+             for r in reservoir_sample(df, "key", 7, "id", order_by=sc).collect()}
+    salted2 = {(r["key"], r["rs_rank"], r["id"])
+               for r in reservoir_sample(df, "key", 7, "id", order_by=sc, salt=4).collect()}
+    assert plain == salted2 and plain != again
+
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         reservoir_sample(df, "key", 0, "id")
