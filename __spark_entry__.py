@@ -1056,16 +1056,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_threshold=512,
         native=False,
     )
-    # salt=32: event_type has ~3 values, so the plain window would sort
-    # all events in 3 tasks; the salted two-phase is bit-identical
-    # (pytest-pinned) and sorts in 96 parallel groups. The rank order is
-    # a multiplicative scramble — pure 64-bit integer arithmetic both
-    # engines replay exactly, no hash kernel on the 10M-row pass. The
-    # surviving rank set is <= 7 x n_types rows -> broadcast join.
+    # event_type has ~3 values with millions of rows each — the window
+    # form's map-side sort IS the cost (WindowGroupLimit prunes shuffle,
+    # not the sort), so the leg runs the verified threshold pre-filter:
+    # one tiny count agg sets per-type cutoffs, the sort happens over
+    # ~k*safety candidates, exactness checked (equivalence pinned in
+    # tests/test_sampling.py incl. the adversarial fallback). The rank
+    # order is a multiplicative scramble — pure 64-bit integer
+    # arithmetic both engines replay exactly, no hash kernel anywhere.
     scramble = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
-    sampled = out.select("event_id", "event_type")
-    rs = SP.reservoir_sample(
-        sampled, "event_type", 7, "event_id", salt=32, order_by=scramble
+    # the pre-filter consumes the sample three times (count, candidates,
+    # verify) and each pass would re-run the Arrow parity-hash sampling
+    # predicate over all events — checkpoint the 2-column sample once
+    sampled = out.select("event_id", "event_type").localCheckpoint(eager=False)
+    rs = SP.reservoir_sample_prefiltered(
+        sampled, "event_type", 7, "event_id",
+        order_by=scramble, order_max=4294967296,
     ).select("event_id", F.col("rs_rank").cast("long").alias("rs_rank"))
     return sampled.join(F.broadcast(rs), "event_id", "left")
 

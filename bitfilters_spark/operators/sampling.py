@@ -118,6 +118,13 @@ def reservoir_sample(
     ``(id * 2654435761) % 2**32`` is pure integer arithmetic any engine
     replays exactly, with no hash-kernel cost on the ranking pass.
 
+    For LOW-cardinality keys with huge groups, prefer
+    :func:`reservoir_sample_prefiltered`: it replaces the whole-corpus
+    window sort with a verified threshold pre-filter — the sort (this
+    function's real cost at scale, even under Spark's WindowGroupLimit,
+    which still locally sorts every partition) happens over ~k·safety
+    candidate rows per key instead of the corpus.
+
     Skew: a plain window sorts each key's rows in one task — fine for
     balanced keys, quadratic pain for a 1B-row hot key. ``salt > 1``
     runs two phases: rank within (key, hash-salt bucket) keeping k per
@@ -150,6 +157,85 @@ def reservoir_sample(
     return out.withColumn(rank_col, F.row_number().over(w)).where(
         F.col(rank_col) <= k
     )
+
+
+def reservoir_sample_prefiltered(
+    df: DataFrame,
+    key_cols,
+    k: int,
+    id_col: str,
+    order_by: Column,
+    order_max: int,
+    safety: int = 64,
+    rank_col: str = "rs_rank",
+) -> DataFrame:
+    """:func:`reservoir_sample` for LOW-cardinality keys with huge
+    groups — same exact result, no corpus-wide sort.
+
+    The window form locally sorts every partition (Spark's
+    WindowGroupLimit prunes shuffle volume but still pays the full
+    map-side sort). Here instead: one count aggregate (#keys rows,
+    metadata-scale by the low-cardinality contract) sets a per-key
+    threshold T = order_max·k·safety / n_key; rows with ``order_by``
+    >= T cannot be in the top-k unless the filter undershot, so the
+    window runs over ~k·safety candidates per key — a map-side
+    predicate plus a sort of almost nothing. EXACTNESS is verified,
+    not assumed: any key whose candidate count comes back below k
+    (adversarial/non-uniform ``order_by``) is re-ranked by the plain
+    window over just that key's rows and unioned in — so the result
+    equals :func:`reservoir_sample` with the same ``order_by`` for ANY
+    inputs, and the fast path merely requires ``order_by`` to be
+    roughly uniform on [0, order_max). Keys with fewer than k·safety
+    rows get T >= order_max (nothing dropped)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # per-key threshold as a when-chain (#keys branches)
+    thr = F.lit(order_max)
+    for r in counts:
+        cond = None
+        for kc in keys:
+            c = F.col(kc) == r[kc]
+            cond = c if cond is None else (cond & c)
+        t = min(order_max, -(-order_max * k * safety // max(r["n"], 1)))
+        thr = F.when(cond, F.lit(t)).otherwise(thr)
+
+    cand = df.where(order_by < thr)
+    order = [order_by.asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = cand.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+    # verify: a key with >= k rows must yield k ranked rows
+    got = {
+        tuple(r[kc] for kc in keys): r["n"]
+        for r in ranked.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    short = [
+        r for r in counts
+        if min(r["n"], k) > got.get(tuple(r[kc] for kc in keys), 0)
+    ]
+    if short:
+        cond = F.lit(False)
+        for r in short:
+            c = None
+            for kc in keys:
+                cc = F.col(kc) == r[kc]
+                c = cc if c is None else (c & cc)
+            cond = cond | c
+        redo = (
+            df.where(cond)
+            .withColumn(rank_col, F.row_number().over(w))
+            .where(F.col(rank_col) <= k)
+        )
+        keep = ~cond
+        ranked = ranked.where(keep).unionByName(redo)
+    return ranked
 
 
 def mixture_thresholds(counts: dict, weights: dict, mask: int = 1023) -> dict:

@@ -396,3 +396,39 @@ def test_reservoir_sample_exact_k_and_salt_equivalence(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         reservoir_sample(df, "key", 0, "id")
+
+
+def test_reservoir_prefiltered_equals_window_incl_fallback(spark):
+    """The threshold pre-filter form must equal the plain window for any
+    order_by: a uniform scramble (fast path) AND an adversarial order
+    concentrated at the top of the range on a key large enough that the
+    filter undershoots (verified fallback path)."""
+    from pyspark.sql import functions as F
+    from bitfilters_spark.operators.sampling import (
+        reservoir_sample, reservoir_sample_prefiltered,
+    )
+
+    rows = [(i, f"k{i % 3}") for i in range(3000)] + [(9000, "rare")]
+    df = spark.createDataFrame(rows, "id long, key string")
+    M = 2**32
+
+    sc = (F.col("id") * F.lit(2654435761)) % F.lit(M)
+    want = {(r["key"], r["rs_rank"], r["id"])
+            for r in reservoir_sample(df, "key", 7, "id", order_by=sc).collect()}
+    got = {(r["key"], r["rs_rank"], r["id"])
+           for r in reservoir_sample_prefiltered(
+               df, "key", 7, "id", order_by=sc, order_max=M).collect()}
+    assert got == want
+
+    # adversarial: all of k0's order values sit at the top of the range
+    # (uniformity assumption broken); k0 has 1000 > k*safety rows with
+    # safety=8, so T < M and the filter keeps nothing -> fallback must
+    # re-rank k0 exactly
+    adv = F.when(F.col("key") == "k0", F.lit(M - 10) + F.col("id") % 3)            .otherwise(sc)
+    want_a = {(r["key"], r["rs_rank"], r["id"])
+              for r in reservoir_sample(df, "key", 7, "id", order_by=adv).collect()}
+    got_a = {(r["key"], r["rs_rank"], r["id"])
+             for r in reservoir_sample_prefiltered(
+                 df, "key", 7, "id", order_by=adv, order_max=M, safety=8).collect()}
+    assert got_a == want_a
+    assert sum(1 for kk, _, _ in got_a if kk == "k0") == 7
