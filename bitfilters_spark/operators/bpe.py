@@ -371,3 +371,57 @@ def load_bpe_text(path: str, spark=None) -> dict:
                 if piece not in vocab:
                     vocab[piece] = len(vocab)
     return {"merges": merges, "vocab": vocab}
+
+
+def tokenizer_fertility_report(
+    df: DataFrame,
+    model: dict,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer quality: (group, n_docs, n_words, n_tokens,
+    n_bytes, fertility, bytes_per_token) where fertility = BPE tokens
+    per whitespace word and bytes_per_token = UTF-8 bytes per token —
+    the standard "how well does this tokenizer fit this corpus slice"
+    report (high fertility on a language slice means the vocab
+    under-serves it; compare slices BEFORE committing a tokenizer to a
+    training run, especially one imported via `load_bpe_text`).
+
+    Plan: the encode pass is the Arrow-batched distinct-word-memoized
+    encoder (`bpe_encode`); everything else is one map-side-combined
+    aggregation over (group) — #groups result rows, one tiny shuffle."""
+    # bpe_encode carries exactly one id column through — pack the group
+    # key and the word/byte counts into a struct so one encode pass
+    # feeds the whole aggregation
+    src = df.select(
+        F.struct(
+            F.col(group_col).alias("g"),
+            F.size(F.filter(tokens(text_col), lambda t: t != F.lit("")))
+            .alias("nw"),
+            F.octet_length(text_col).alias("nb"),
+        ).alias("__k"),
+        F.col(text_col),
+    )
+    enc = bpe_encode(src, "__k", text_col, model)
+    return (
+        enc.groupBy(F.col("__k.g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__k.nw").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+            F.sum("__k.nb").alias("n_bytes"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_bytes",
+            F.round(
+                F.col("n_tokens") / F.greatest("n_words", F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_bytes") / F.greatest("n_tokens", F.lit(1)), 6
+            ).alias("bytes_per_token"),
+        )
+    )

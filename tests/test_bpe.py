@@ -205,3 +205,36 @@ def test_bpe_public_format_roundtrip_and_packing(spark, tmp_path):
     ranks = {p: i for i, p in enumerate(novocab["vocab"])}
     for x, y in model["merges"]:
         assert ranks[x + y] > ranks[x] and ranks[x + y] > ranks[y]
+
+
+def test_tokenizer_fertility_report(spark):
+    """Per-group fertility: hand-checkable totals on a two-group corpus
+    where one group's vocabulary matches training (low fertility) and
+    the other is out-of-domain (fertility near characters-per-word)."""
+    from bitfilters_spark.operators.bpe import (
+        tokenizer_fertility_report, train_bpe,
+    )
+
+    indomain = [(i, "src_a", "alpha beta gamma alpha beta") for i in range(20)]
+    ood = [(100 + i, "src_b", "zzyzx qwfp zzyzx") for i in range(10)]
+    df = spark.createDataFrame(
+        indomain + ood, "doc_id long, source string, text string"
+    )
+    model = train_bpe(
+        df.where(df.source == "src_a"), "text",
+        num_merges=200, min_pair_count=1,
+    )
+    rep = {
+        r["source"]: r.asDict()
+        for r in tokenizer_fertility_report(df, model, "source").collect()
+    }
+    a, b = rep["src_a"], rep["src_b"]
+    assert a["n_docs"] == 20 and b["n_docs"] == 10
+    assert a["n_words"] == 100 and b["n_words"] == 30
+    assert a["n_bytes"] == 20 * len("alpha beta gamma alpha beta")
+    # trained words merge into one piece each -> fertility exactly 1.0
+    assert a["fertility"] == 1.0
+    assert a["n_tokens"] == 100
+    # out-of-domain text fragments into many pieces per word
+    assert b["fertility"] > 2.0
+    assert b["bytes_per_token"] < a["bytes_per_token"]
