@@ -425,3 +425,56 @@ def test_stats_index_empty_dir_aggregate(spark, tmp_path):
     # zero data files with rows -> empty index -> NULL/0 aggregates
     row = aggregate_from_index(idx, ["v"]).collect()[0]
     assert (row["n_rows"] or 0) == 0
+
+
+def test_r8_operators_empty_inputs(spark, empty_docs):
+    """c4 rules, reservoir (both forms), DSIR trio, fertility report,
+    and PQ search all yield empty/sane results on empty input instead
+    of raising."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from bitfilters_spark.operators.bpe import tokenizer_fertility_report
+    from bitfilters_spark.operators.dsir import (
+        dsir_feature_stats, dsir_select, dsir_weights, fit_dsir,
+    )
+    from bitfilters_spark.operators.sampling import (
+        reservoir_sample, reservoir_sample_prefiltered,
+    )
+    from bitfilters_spark.operators.similarity import pq_encode, pq_topk
+    from bitfilters_spark.operators.text import c4_rules
+
+    assert c4_rules(empty_docs, "text").count() == 0
+
+    e2 = empty_docs.withColumn("key", F.lit("k"))
+    assert reservoir_sample(e2, "key", 3, "doc_id").count() == 0
+    sc = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)
+    assert reservoir_sample_prefiltered(
+        e2, "key", 3, "doc_id", order_by=sc, order_max=1 << 32
+    ).count() == 0
+
+    tgt = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    model = fit_dsir(empty_docs, tgt, n_buckets=32)
+    assert model.count() == 32  # smoothed table covers every bucket
+    assert dsir_weights(empty_docs, model, n_buckets=32).count() == 0
+    assert dsir_select(empty_docs, model, 5, n_buckets=32).count() == 0
+    stats = dsir_feature_stats(
+        empty_docs, F.col("doc_id") % 2 == 0, n_buckets=32, parity=True
+    )
+    assert stats.count() == 0
+
+    bpe_model = {"merges": [("a", "b")], "vocab": {"a": 0, "b": 1, "ab": 2}}
+    e3 = empty_docs.withColumn("source", F.lit("s"))
+    assert tokenizer_fertility_report(e3, bpe_model, "source").count() == 0
+
+    pq = {
+        "codebooks": np.zeros((2, 4, 2)), "m": 2, "d": 4,
+    }
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    codes = pq_encode(empty_vecs, model=pq)
+    assert codes.count() == 0
+    q = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4])], "vec_id long, embedding array<double>"
+    )
+    assert pq_topk(codes, q, pq, k=3).count() == 0
