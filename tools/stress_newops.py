@@ -146,6 +146,65 @@ def main(sf_dir: str) -> None:
             probe_names, names, "name", "name", 1, "doc_id", "doc_id"
         ).count()
         out["fuzzy_join_s"] = round(time.time() - t0, 2)
+
+        # r8: DSIR fit + Gumbel-top-k selection over the 10x corpus
+        from bitfilters_spark.operators.dsir import dsir_select, fit_dsir
+
+        target = stress.where(F.col("doc_id") % 23 == 0)
+        t0 = time.time()
+        model = fit_dsir(stress, target, n_buckets=8192)
+        model.count()
+        out["dsir_fit_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["dsir_selected"] = dsir_select(
+            stress, model, 5000, n_buckets=8192
+        ).count()
+        out["dsir_select_s"] = round(time.time() - t0, 2)
+
+        # r8: PQ over a 10x embedding store (per-copy noise so codes
+        # differ), encode + ADC top-k for 50 queries
+        from bitfilters_spark.operators.similarity import (
+            pq_encode, pq_topk, train_pq,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb10 = (
+            emb.crossJoin(copies)
+            .select(
+                (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (F.col("copy") * (i + 1) % 7) / 100.0,
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+        n_emb = emb10.count()
+        t0 = time.time()
+        pq = train_pq(emb10, m=8, n_codes=256)
+        out["pq_train_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        codes = pq_encode(emb10, model=pq).localCheckpoint()
+        out["pq_codes"] = codes.count()
+        out["pq_encode_s"] = round(time.time() - t0, 2)
+        queries = emb10.where(F.col("vec_id") % (n_emb // 50) == 1).limit(50)
+        t0 = time.time()
+        out["pq_topk_rows"] = pq_topk(codes, queries, pq, k=10).count()
+        out["pq_topk_s"] = round(time.time() - t0, 2)
+
+        # r8: exact per-key reservoir via the verified threshold
+        # pre-filter on a low-cardinality key over the 10x corpus
+        from bitfilters_spark.operators.sampling import (
+            reservoir_sample_prefiltered,
+        )
+
+        keyed = stress.withColumn("key", F.pmod("doc_id", F.lit(5)))
+        sc = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1 << 32)
+        t0 = time.time()
+        out["reservoir_rows"] = reservoir_sample_prefiltered(
+            keyed, "key", 100, "doc_id", order_by=sc, order_max=1 << 32
+        ).count()
+        out["reservoir_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
