@@ -508,3 +508,67 @@ def test_rebalance_scan_widens_starved_input_only(spark, tmp_path):
         spark.sparkContext.defaultParallelism
     )
     assert rebalance_scan(already) is already
+
+
+def test_dsir_stats_per_doc_pass_is_map_only(spark):
+    """dsir_feature_stats (parity): the per-doc output plan must contain
+    NO Exchange and no join — the leaning mask broadcasts and the counts
+    come from mapInPandas over the feature projection; the only wide op
+    in the whole operator is the n_buckets histogram aggregation, which
+    runs during construction."""
+    from bitfilters_spark.operators.dsir import dsir_feature_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} tail{i}") for i in range(300)],
+        "doc_id long, text string",
+    ).repartition(4)
+    out = dsir_feature_stats(
+        docs, F.col("doc_id") % 5 == 0, n_buckets=64, parity=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_reservoir_prefiltered_plan_has_no_corpus_window_sort(spark):
+    """The pre-filtered reservoir's output plan: the window runs AFTER
+    the threshold filter (candidates only). The filter must sit directly
+    on the scan side below the window sort."""
+    from bitfilters_spark.operators.sampling import reservoir_sample_prefiltered
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(5000)], "id long, key string"
+    )
+    sc_ = (F.col("id") * F.lit(2654435761)) % F.lit(1 << 32)
+    out = reservoir_sample_prefiltered(
+        df, "key", 5, "id", order_by=sc_, order_max=1 << 32
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the candidate Filter (order < threshold CASE) appears below Window
+    w = plan.index("Window")
+    assert "Filter" in plan[w:], "threshold filter must precede the window sort"
+    assert plan[w:].index("Filter") > 0
+
+
+def test_pq_topk_never_shuffles_codes_before_local_topk(spark):
+    """pq_topk: the codes side feeds mapInPandas directly (broadcast
+    LUTs, per-partition top-k); the only Exchange is the final
+    per-query rank over #queries x k x #partitions candidate rows."""
+    from bitfilters_spark.operators.similarity import (
+        pq_encode, pq_topk, train_pq,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = train_pq(df, m=4, n_codes=16, seed=1)
+    codes = pq_encode(df, model=model).repartition(4)
+    out = pq_topk(codes, df.limit(3), model, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    before_window = plan.split("Window")[-1]  # below the rank window
+    # below the window: mapInPandas over codes, no hash Exchange other
+    # than the window's own requirement above it
+    assert "MapInPandas" in before_window
+    assert before_window.count("Exchange hashpartitioning") <= 1
