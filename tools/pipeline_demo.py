@@ -5,11 +5,15 @@ Synthesizes a "crawl" from the documents table (HTML wrapping + URLs with
 tracking noise + injected duplicates), then runs:
 
   strip_html + fix_mojibake -> normalize_url dedup -> blocklist +
-  Gopher rule gates -> TRAINED quality classifier gate (GPT-3 recipe:
+  Gopher rule gates -> C4 page gates (brace/lorem — catches the
+  injected code/boilerplate pages) -> TRAINED quality classifier gate
+  (GPT-3 recipe:
   reference-corpus positives vs noisy crawl negatives; catches the
   injected word-shaped junk no rule names) -> normalize_text exact
   dedup -> LSH near-dup dedup vs a persisted index -> n-gram
-  decontamination -> vocabulary + token encoding (packing budgets use
+  decontamination -> DSIR selection (keep the 60% most
+  reference-like, importance resampling) -> vocabulary + token
+  encoding (packing budgets use
   the ENCODER's token counts, not the whitespace heuristic) -> BPE
   tokenizer TRAINED in-engine on the surviving corpus (merge count /
   subword-vocab / token-inflation reported) -> sequence packing ->
@@ -116,8 +120,25 @@ def main(sf_dir: str) -> None:
                 F.col("doc_id").cast("string"),
             ).alias("url"),
         )
+        # r8: code/boilerplate pages (curly-brace JS fragments + lorem
+        # ipsum filler) for the C4 page gates to catch
+        codejunk = docs.where(F.col("doc_id") % 25 == 7).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("<html><body><p>Lorem ipsum dolor sit amet. "),
+                F.lit("function f() { return 1; } "),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+            F.concat(
+                F.lit("https://template.example.com/t/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
         crawl = stage(
-            "crawl", crawl.unionByName(recrawl).unionByName(junk).localCheckpoint()
+            "crawl",
+            crawl.unionByName(recrawl).unionByName(junk)
+            .unionByName(codejunk).localCheckpoint(),
         )
 
         extracted = crawl.select(
@@ -139,6 +160,19 @@ def main(sf_dir: str) -> None:
         gated = stage(
             "quality_gate",
             blocklist_filter(gated, "text", ["spam", "casino"]).localCheckpoint(),
+        )
+
+        # r8: C4 page gates — the corpus is single-line so the line-
+        # retention rule is not applicable; the brace/lorem page gates
+        # catch exactly the injected code/boilerplate pages
+        from bitfilters_spark.operators.text import c4_rules
+
+        gated = stage(
+            "c4_gate",
+            c4_rules(gated, "text")
+            .where("NOT c4_has_brace AND NOT c4_has_lorem")
+            .select("doc_id", "text", "url")
+            .localCheckpoint(),
         )
 
         # r7: TRAINED quality gate, the GPT-3/LLaMA recipe — positives =
@@ -194,6 +228,20 @@ def main(sf_dir: str) -> None:
             clean.join(
                 contaminated.select("doc_id"), "doc_id", "left_anti"
             ).localCheckpoint(),
+        )
+
+        # r8: DSIR data selection — keep the 60% of surviving docs most
+        # like the curated reference corpus (importance resampling over
+        # hashed n-gram buckets; deterministic Gumbel-top-k)
+        from bitfilters_spark.operators.dsir import dsir_select, fit_dsir
+
+        n_decon = decon.count()
+        dsir_model = fit_dsir(decon, docs, n_buckets=8192)
+        decon = stage(
+            "dsir_select",
+            dsir_select(
+                decon, dsir_model, max(1, int(n_decon * 0.6)), n_buckets=8192
+            ).drop("log_weight").localCheckpoint(),
         )
 
         # TOKENIZER-DRIVEN packing: shard/sequence budgets use the REAL
