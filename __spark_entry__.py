@@ -1165,8 +1165,16 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
-    agg = tok.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
+    # n + df in one aggregation CHAIN rather than count+countDistinct in
+    # one agg: the latter plans an Expand that doubles the exploded rows
+    # before the shuffle; per-(token, doc_id) partials shuffle once at
+    # ~distinct-pairs volume, then the token-level agg is vocabulary-
+    # sized (r8 — stress ratio 3.3 on the Expand plan)
+    agg = (
+        tok.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("token")
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("df"))
     )
     top = agg.orderBy(F.col("n").desc(), "token").limit(100)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
