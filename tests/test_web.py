@@ -368,3 +368,29 @@ def test_pii_scan_fuses_metrics_and_redaction(spark):
     assert n[3]["n_emails"] == 1 and n[3]["n_phones"] == 1
     assert n[0]["n_emails"] is None and n[0]["redacted"] is None
     assert n[9]["n_emails"] == 0 and n[9]["n_phones"] == 0
+
+
+def test_pii_scan_parity_combinatorial(spark):
+    """All 3-fragment combinations of adversarial pieces (partial
+    emails, boundary phones, separators, lone trigger chars) — several
+    hundred generated rows in ONE job, pii_scan ≡ pii_metrics+redact
+    row-for-row."""
+    import itertools
+
+    from bitfilters_spark.operators.text import pii_metrics, pii_scan, redact_pii
+
+    frags = [
+        "", "x", "@", "-", "a@b.cd", "555-1234", "a@b", "1-2", "@x.co",
+        "user+tag@host-name.org", "...", "12-345-6789", "e@f.gg h@i.jj",
+    ]
+    rows = [
+        (i, " ".join(c))
+        for i, c in enumerate(itertools.product(frags, repeat=3))
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    old = df.select("id", *pii_metrics("text"), redact_pii("text").alias("redacted"))
+    new = df.select("id", *pii_scan("text"))
+    o = {r["id"]: r.asDict() for r in old.collect()}
+    n = {r["id"]: r.asDict() for r in new.collect()}
+    assert o == n
+    assert len(o) == len(frags) ** 3
