@@ -54,6 +54,7 @@ from pyspark.sql.functions import arrow_udf
 
 from ..core import bloom as B
 from ..core import cms as CM
+from ..core import cuckoo as CKF
 from ..core import kmv as KV
 from ..core import fuse as FU
 from ..core import hll as HL
@@ -63,7 +64,7 @@ from ..core import xor as X
 from ..core import hashing as H
 from .hashing import _hash_arrays
 
-MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms", "kmv", "hll", "mg"}
+MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms", "kmv", "hll", "mg", "cuckoo"}
 PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
 
 
@@ -95,6 +96,8 @@ def _bulk_build(kind: str, hashes: np.ndarray, p: dict) -> bytes:
         return HL.hll_build(hashes, p["p"])
     if kind == "mg":
         return MG.mg_build(hashes, p["k"])
+    if kind == "cuckoo":
+        return CKF.ck_build(hashes, p["nbuckets"], p["fp_bits"], p["bucket_size"])
     raise ValueError(f"unknown filter kind {kind!r}")
 
 
@@ -113,6 +116,8 @@ def _merge_blobs(kind: str, blobs: list) -> bytes:
         return HL.hll_merge(blobs)
     if kind == "mg":
         return MG.mg_merge(blobs)
+    if kind == "cuckoo":
+        return CKF.ck_merge(blobs)
     raise ValueError(f"filter kind {kind!r} is not mergeable")
 
 
@@ -132,6 +137,9 @@ def build_filter(
     w: int = 16384,
     k: int = 64,
     p: int = 12,
+    nbuckets: int = 65536,
+    fp_bits: int = 12,
+    bucket_size: int = 4,
     filter_col: str = "filter",
 ) -> DataFrame:
     """Aggregate hashes into one serialized filter per group.
@@ -148,7 +156,11 @@ def build_filter(
     Probing routes each hash to its shard's sub-filter (same prefix
     function), so membership semantics are identical.
     """
-    params = {"q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp, "d": d, "w": w, "k": k, "p": p}
+    params = {
+        "q": q, "r": r, "num_sectors": num_sectors, "n": n, "fpp": fpp,
+        "d": d, "w": w, "k": k, "p": p,
+        "nbuckets": nbuckets, "fp_bits": fp_bits, "bucket_size": bucket_size,
+    }
     dummy = not group_cols
     if dummy:
         df = df.withColumn("__g", F.lit(0))
@@ -180,6 +192,10 @@ def build_filter(
                     gvals[kk] = kk
                     if kind == "quotient":
                         part = np.unique(Q.qf_fingerprints(hs[m], q, r))
+                        prev = acc.get(kk)
+                        acc[kk] = part if prev is None else np.union1d(prev, part)
+                    elif kind == "cuckoo":
+                        part = CKF.ck_entries(hs[m], nbuckets, fp_bits)
                         prev = acc.get(kk)
                         acc[kk] = part if prev is None else np.union1d(prev, part)
                     elif kind == "duckdb_bloom":
@@ -226,6 +242,8 @@ def build_filter(
                         + np.uint64(len(st)).tobytes()
                         + st.astype("<u8").tobytes()
                     )
+                elif kind == "cuckoo":
+                    blob = CKF.ck_partial_serialize(st, nbuckets, fp_bits, bucket_size)
                 elif kind == "duckdb_bloom":
                     blob = B.duckdb_bloom_serialize(st)
                 elif kind == "cms":
@@ -335,6 +353,9 @@ def build_filters_multi(
             if kind == "quotient":
                 part = np.unique(Q.qf_fingerprints(hs, p["q"], p["r"]))
                 state[skey] = part if prev is None else np.union1d(prev, part)
+            elif kind == "cuckoo":
+                part = CKF.ck_entries(hs, p["nbuckets"], p["fp_bits"])
+                state[skey] = part if prev is None else np.union1d(prev, part)
             elif kind == "duckdb_bloom":
                 sect = B.duckdb_bloom_build(hs, p["num_sectors"])
                 state[skey] = sect if prev is None else prev | sect
@@ -356,6 +377,10 @@ def build_filters_multi(
             return (
                 Q._MAGIC + bytes([p["q"], p["r"]])
                 + np.uint64(len(st)).tobytes() + st.astype("<u8").tobytes()
+            )
+        if kind == "cuckoo":
+            return CKF.ck_partial_serialize(
+                st, p["nbuckets"], p["fp_bits"], p.get("bucket_size", 4)
             )
         if kind == "duckdb_bloom":
             return B.duckdb_bloom_serialize(st)
@@ -471,6 +496,8 @@ def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
         return _shard_probe(blob, hashes)
     if magic == b"QF01":
         return Q.qf_probe(blob, hashes)
+    if magic == CKF.CKF_MAGIC:
+        return CKF.ck_probe(blob, hashes)
     if magic == b"XORF":
         return X.xor_probe(blob, hashes)
     if magic == b"BFUS":
@@ -757,6 +784,7 @@ def merge_filters(
             magic = blobs[0][:4]
             kind = {
                 b"QF01": "quotient",
+                b"CKF1": "cuckoo",
                 b"SBL1": "bloom",
                 b"CMS1": "cms",
                 b"KMV1": "kmv",
@@ -778,6 +806,7 @@ def merge_filters(
 
 _KIND_BY_MAGIC = {
     b"QF01": "quotient",
+    b"CKF1": "cuckoo",
     b"XORF": "xor",
     b"BFUS": "binary_fuse",
     b"SBL1": "bloom",
@@ -820,6 +849,8 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
             magic = b[:4]
             if magic == Q._MAGIC:
                 out.append(int(np.frombuffer(b[6:14], dtype="<u8")[0]))
+            elif magic == CKF.CKF_MAGIC:
+                out.append(int(np.count_nonzero(CKF.ck_deserialize(b)[3])))
             elif magic == KV.KMV_MAGIC:
                 k, vals = KV.kmv_deserialize(b)
                 out.append(int(len(vals)))
@@ -848,6 +879,9 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
             elif magic == HL.HLL_MAGIC:
                 p_, regs = HL.hll_deserialize(b)
                 out.append(float(np.count_nonzero(regs)) / len(regs))
+            elif magic == CKF.CKF_MAGIC:
+                tab = CKF.ck_deserialize(b)[3]
+                out.append(float(np.count_nonzero(tab)) / tab.size)
             elif magic not in _KIND_BY_MAGIC:  # duckdb_bloom (no magic)
                 sect = B.duckdb_bloom_deserialize(b)
                 bits = np.unpackbits(sect.view(np.uint8)).sum()
@@ -881,23 +915,25 @@ def filter_describe(filters: DataFrame, filter_col: str = "filter") -> DataFrame
     )
 
 
-def quotient_filter_remove(
+def filter_remove(
     filters: DataFrame,
     deletions: DataFrame,
     hash_col: str,
     on: list | None = None,
     filter_col: str = "filter",
 ) -> DataFrame:
-    """Delete keys from per-group quotient filters (the quotient filter's
-    distinguishing capability vs XOR/fuse — reference ``docs/README.md``
-    §Quotient Filters: supports deletion). ``filters`` is the output of
-    :func:`build_filter` (kind="quotient"); ``deletions`` carries the same
-    group columns plus ``hash_col`` rows to remove. Groups cogroup so each
-    filter is rewritten once; deletion hashes shuffle only to their group.
+    """Delete keys from per-group filters of a deletable kind — quotient
+    (the reference's deletable filter, ``docs/README.md`` §Quotient
+    Filters) or cuckoo (``core/cuckoo.py``); the kind is sniffed from each
+    blob. ``filters`` is the output of :func:`build_filter`; ``deletions``
+    carries the same group columns plus ``hash_col`` rows to remove.
+    Groups cogroup so each filter is rewritten once; deletion hashes
+    shuffle only to their group.
 
-    Removal is by fingerprint: deleting a key also deletes any other key
-    sharing its low q+r hash bits (inherent to quotient filters; identical
-    in the reference)."""
+    Removal is by fingerprint: deleting a key also deletes any hash-twin
+    sharing its fingerprint (quotient: the low q+r hash bits; cuckoo: the
+    (fp, bucket-pair) entry) — inherent to every fingerprint filter and
+    identical in the reference's quotient implementation."""
     on = list(on or [])
     dummy = not on
     if dummy:
@@ -915,13 +951,28 @@ def quotient_filter_remove(
         out = fl_pdf.iloc[[0]].copy()
         if len(del_pdf):
             hs = _to_u64(del_pdf["__h"])
-            out[filter_col] = [Q.qf_remove(bytes(out[filter_col].iloc[0]), hs)]
+            blob = bytes(out[filter_col].iloc[0])
+            if blob[:4] == CKF.CKF_MAGIC:
+                out[filter_col] = [CKF.ck_remove(blob, hs)]
+            elif blob[:4] == Q._MAGIC:
+                out[filter_col] = [Q.qf_remove(blob, hs)]
+            else:
+                raise ValueError(
+                    "filter_remove supports deletable kinds only "
+                    "(quotient QF01 / cuckoo CKF1); got "
+                    + repr(blob[:4])
+                )
         return out
 
     res = filters.groupBy(*on).cogroup(dels.groupBy(*on)).applyInPandas(
         apply, schema=schema
     )
     return res.drop("__g") if dummy else res
+
+
+# the historical name (deletion entered the engine via the quotient kind)
+quotient_filter_remove = filter_remove
+cuckoo_filter_remove = filter_remove
 
 
 def quotient_filter_resize(
