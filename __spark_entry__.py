@@ -76,9 +76,9 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-count parity for the whole filter family in ONE query
     (reference exercises them in one statement too,
     test/sql/bitfilters.test:40-90): build quotient/xor8/xor16/fuse8/
-    fuse16/bloom per ``o_orderkey % 2`` group, probe every member, count
-    hits per (filter_type, group). No false negatives => every count
-    equals the group size, which is the SQL oracle."""
+    fuse16/bloom/cuckoo per ``o_orderkey % 2`` group, probe every member,
+    count hits per (filter_type, group). No false negatives => every
+    count equals the group size, which is the SQL oracle."""
     specs = [
         ("quotient", "quotient", {"q": 16, "r": 4}),
         ("xor8", "xor8", {}),
@@ -86,6 +86,7 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fuse8", "fuse8", {}),
         ("fuse16", "fuse16", {}),
         ("bloom", "bloom", {"n": 50_000, "fpp": 0.01}),
+        ("cuckoo", "cuckoo", {"nbuckets": 262144, "fp_bits": 12, "bucket_size": 4}),
     ]
     orders = load_table(spark, sf_dir, "orders")
     # 12 branches (6 builds + 6 probes) hang off this tiny projection:
@@ -134,7 +135,7 @@ _FILTER_MEMBERS_ORACLE = """
       FROM orders GROUP BY remainder)
     SELECT ft.filter_type, m.remainder, m.matches
     FROM (VALUES ('quotient'), ('xor8'), ('xor16'), ('fuse8'),
-                 ('fuse16'), ('bloom')) ft(filter_type)
+                 ('fuse16'), ('bloom'), ('cuckoo')) ft(filter_type)
     CROSS JOIN m
 """
 
@@ -213,6 +214,86 @@ def q_quotient_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters = build_filter(keyed, ["grp"], "h", "quotient", q=16, r=4)
     deletions = keyed.where(F.col("o_orderkey") % 3 == 0)
     updated = quotient_filter_remove(filters, deletions, "h", on=["grp"])
+    return (
+        probe_filter(keyed, updated, "h", on=["grp"])
+        .where(F.col("__contains"))
+        .groupBy(F.col("grp").alias("remainder"))
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+
+
+# cuckoo geometry shared by the cuckoo queries and their oracles: nbuckets
+# is sized so the 10x stress orders table (~750k keys/group) still fits
+# 4-way buckets under the 95% load bound
+_CK_NB = 262144
+
+
+def _ck_keyed_cte(fp_bits: int) -> str:
+    """DuckDB CTE body computing each order key's cuckoo entry code
+    ((min(i1, i2) << 16) | fp) — the placement-independent membership
+    identity of core/cuckoo.py (same offset constant, same 0->1 fp remap;
+    DuckDB's hash() is UBIGINT so >> is a logical shift, matching the
+    numpy u64 kernel bit-for-bit — parity asserted in
+    tests/test_cuckoo.py)."""
+    return f"""
+              SELECT grp, o_orderkey,
+                     least(i1, xor(i1, (fp * 1540483477) & {_CK_NB - 1})) * 65536
+                       + fp AS code
+              FROM (
+                SELECT grp, o_orderkey, i1,
+                       CASE WHEN fp0 = 0 THEN 1 ELSE fp0 END AS fp
+                FROM (
+                  SELECT o_orderkey % 2 AS grp, o_orderkey,
+                         (hash(o_orderkey) >> 32) & {(1 << fp_bits) - 1} AS fp0,
+                         hash(o_orderkey) & {_CK_NB - 1} AS i1
+                  FROM orders))"""
+
+
+def q_cuckoo_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter FP count, EXACT oracle (Fan et al. 2014 partial-key
+    cuckoo hashing, core/cuckoo.py). The probe outcome is placement-
+    independent — contains(x) iff x's (fingerprint, canonical-bucket)
+    entry code collides with a stored key's — so with DuckDB-parity
+    hashing the oracle replays membership as a code semijoin. fp_bits=6
+    keeps the deterministic cross-group collision count observable at
+    driver scale (the realistic-width leg rides q_filter_members)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    filters = build_filter(
+        keyed, ["grp"], "h", "cuckoo", nbuckets=_CK_NB, fp_bits=6, bucket_size=4
+    )
+    flipped = keyed.withColumn("remainder", F.lit(1) - F.col("grp"))
+    return (
+        probe_filter(flipped, filters, "h", on=["remainder"])
+        .where(F.col("__contains"))
+        .groupBy("remainder")
+        .agg(F.count(F.lit(1)).alias("false_positives"))
+    )
+
+
+def q_cuckoo_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter DELETION (with quotient, the deletable half of the
+    AMQ family — xor/fuse/bloom can't remove). Build per-group filters,
+    delete every key with o_orderkey % 3 == 0, probe ALL keys: survivors
+    are exactly the keys whose (fp, bucket-pair) entry remains — the same
+    set-difference semijoin shape as q_quotient_delete, one abstraction
+    up (entry codes instead of raw fingerprint bits)."""
+    from bitfilters_spark.functions import filter_remove
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        "o_orderkey",
+        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
+    )
+    filters = build_filter(
+        keyed, ["grp"], "h", "cuckoo", nbuckets=_CK_NB, fp_bits=12, bucket_size=4
+    )
+    deletions = keyed.where(F.col("o_orderkey") % 3 == 0)
+    updated = filter_remove(filters, deletions, "h", on=["grp"])
     return (
         probe_filter(keyed, updated, "h", on=["grp"])
         .where(F.col("__contains"))
@@ -311,8 +392,9 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter size + metadata comparison (reference 'Filter Comparison
-    Example'), extended with the sketch family. All 9 filters are built
-    from ONE scan of the hashed projection (build_filters_multi).
+    Example'), extended with the sketch family and the cuckoo filter. All
+    10 filters are built from ONE scan of the hashed projection
+    (build_filters_multi).
 
     Fully oracle-checked since round 5: the build hash is duckdb_hash
     (DuckDB's native hash() reproduces it), n_entries is the exact
@@ -335,6 +417,7 @@ def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("duckdb_bloom", "duckdb_bloom", {"num_sectors": 16384}),
         ("cms", "cms", {"d": 4, "w": 16384}),
         ("kmv", "kmv", {"k": 1024}),
+        ("cuckoo", "cuckoo", {"nbuckets": 262144, "fp_bits": 12, "bucket_size": 4}),
     ]
     from bitfilters_spark.functions.filters import filter_describe
 
@@ -918,6 +1001,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT (Broder's asymmetric complement of
+    resemblance, operators/dedup.py shingle_containment_pairs): catches a
+    short document embedded in a long one, which Jaccard structurally
+    misses (j ~= |A|/|B|). The corpus's near-dups are symmetric, so the
+    asymmetric case is planted IN-QUERY: every >= 60-word document
+    contributes a 30-word-prefix excerpt (id = -doc_id) whose shingle set
+    is a strict subset of its parent's — containment exactly 1.0, both
+    engines derive the excerpts from the same split/slice expressions.
+    df_cap=64 blocking as in q_ngram_jaccard_pairs; verification exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.where(F.size(F.split(F.col("text"), " ")) >= 60).select(
+        (-F.col("doc_id")).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ").alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return D.shingle_containment_pairs(
+        corpus, "doc_id", "text", shingle_n=3, threshold=0.9, df_cap=64
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (>= 0.5).
     Candidate generation is signature-dependent -> rows-only check here;
@@ -1479,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quotient_false_positives": q_quotient_false_positives,
         "q_quotient_resize": q_quotient_resize,
         "q_quotient_delete": q_quotient_delete,
+        "q_cuckoo_false_positives": q_cuckoo_false_positives,
+        "q_cuckoo_delete": q_cuckoo_delete,
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_bloom_false_positives": q_bloom_false_positives,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
@@ -1503,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_pii_redact": q_pii_redact,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_containment_pairs": q_containment_pairs,
         "q_neardup_clusters": q_neardup_clusters,
         "q_cluster_report": q_cluster_report,
         "q_dedup_near": q_dedup_near,
@@ -1622,6 +1729,35 @@ def _shingle_jaccard_oracle_sql(threshold: float) -> str:
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE i::DOUBLE / (na.n + nb.n - i) >= {threshold}
     """
+
+
+_CONTAINMENT_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT -doc_id AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ') AS text
+      FROM documents WHERE len(string_split(text, ' ')) >= 60),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             || ' ' || string_split(text,' ')[i+2]))) AS s
+      FROM corpus),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i::DOUBLE / na.n, 6) AS c_ab,
+           round(i::DOUBLE / nb.n, 6) AS c_ba,
+           round(i::DOUBLE / least(na.n, nb.n), 6) AS containment
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE i::DOUBLE / least(na.n, nb.n) >= 0.9
+"""
 
 
 def _neardup_cc_sql(final_select: str, threshold: float = 0.1) -> str:
@@ -1781,6 +1917,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT grp, sig FROM keyed WHERE o_orderkey % 3 = 0)
             SELECT k.grp AS remainder, count(*) AS matches
             FROM keyed k JOIN kept s ON s.grp = k.grp AND s.sig = k.sig
+            GROUP BY k.grp
+        """,
+        "q_cuckoo_false_positives": f"""
+            WITH keyed AS ({_ck_keyed_cte(6)}),
+            codes AS (SELECT DISTINCT grp, code FROM keyed)
+            SELECT s.grp AS remainder, count(*) AS false_positives
+            FROM keyed k JOIN codes s ON s.code = k.code AND s.grp <> k.grp
+            GROUP BY s.grp
+        """,
+        "q_cuckoo_delete": f"""
+            WITH keyed AS ({_ck_keyed_cte(12)}),
+            kept AS (
+              SELECT DISTINCT grp, code FROM keyed
+              EXCEPT
+              SELECT DISTINCT grp, code FROM keyed WHERE o_orderkey % 3 = 0)
+            SELECT k.grp AS remainder, count(*) AS matches
+            FROM keyed k JOIN kept s ON s.grp = k.grp AND s.code = k.code
             GROUP BY k.grp
         """,
         "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
@@ -2219,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
+        "q_containment_pairs": _CONTAINMENT_ORACLE,
         "q_neardup_clusters": _neardup_cc_sql(
             "SELECT id AS doc_id, component FROM comp"
         ),
@@ -2567,5 +2721,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'cms', (12 + 8 * 4 * 16384)::INTEGER, -1::BIGINT
             UNION ALL SELECT 'kmv', (12 + 8 * least(1024, n))::INTEGER,
                    least(1024, n)::BIGINT FROM geo2
+            UNION ALL SELECT 'cuckoo', (10 + 262144 * 4 * 2)::INTEGER,
+                   (SELECT count(DISTINCT
+                        least(i1, xor(i1, (fp * 1540483477) & 262143)) * 65536 + fp)
+                    FROM (
+                      SELECT CASE WHEN fp0 = 0 THEN 1 ELSE fp0 END AS fp, i1
+                      FROM (
+                        SELECT (hash(o_orderkey) >> 32) & 4095 AS fp0,
+                               hash(o_orderkey) & 262143 AS i1
+                        FROM orders)))::BIGINT
         """,
     }

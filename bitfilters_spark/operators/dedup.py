@@ -194,6 +194,79 @@ def shingle_jaccard_pairs(
     stages, but no task ever holds a hot shingle's full occurrence list.
     Results are identical (tested); choose by the corpus's skew profile.
     """
+    res = _shingle_pair_intersections(
+        df, id_col, text_col, shingle_n, df_cap, prethin_hot
+    )
+    return (
+        res.withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+    prethin_hot: bool = False,
+) -> DataFrame:
+    """EXACT shingle CONTAINMENT pairs — the asymmetric complement of
+    :func:`shingle_jaccard_pairs` (Broder 1997 distinguishes resemblance
+    from containment for exactly this reason): C(A,B) = |A∩B| / |A| finds
+    a short document quoted or embedded inside a long one, where Jaccard
+    = |A∩B| / |A∪B| is diluted to ~|A|/|B| and never crosses a useful
+    threshold. The canonical training-data case: a tweet-sized page
+    duplicated inside an aggregator page, boilerplate-wrapped re-posts,
+    quote-heavy forum chains.
+
+    Emits (id_a, id_b, c_ab, c_ba, containment) for every pair whose
+    max-direction containment ``max(|A∩B|/|A|, |A∩B|/|B|) = |A∩B| /
+    min(|A|,|B|)`` clears ``threshold`` (both directions carried so the
+    caller can tell which side is the contained one). Same physical plan
+    as the Jaccard operator — the pair-intersection core is SHARED
+    (`_shingle_pair_intersections`): one df-computing window shuffle that
+    pre-partitions the blocking self-join, map-side partial-agg of
+    intersection counts, set sizes riding as group keys; ``df_cap`` /
+    ``prethin_hot`` behave identically (verification exact over full
+    shingle sets; recall complete while a qualifying pair shares one
+    sub-cap shingle)."""
+    res = _shingle_pair_intersections(
+        df, id_col, text_col, shingle_n, df_cap, prethin_hot
+    )
+    return (
+        res.withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("n_a", "n_b"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / F.col("n_a"), 6).alias("c_ab"),
+            F.round(F.col("inter").cast("double") / F.col("n_b"), 6).alias("c_ba"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    df_cap: int | None,
+    prethin_hot: bool,
+) -> DataFrame:
+    """(id_a, id_b, n_a, n_b, inter) for every doc pair sharing >= 1
+    (sub-cap) shingle — the shared blocking + exact-verification core of
+    the Jaccard and containment pair operators (plan shape documented at
+    :func:`shingle_jaccard_pairs`)."""
     from pyspark.sql import Window
 
     # work on 8-byte shingle hashes, not strings, and carry each doc's
@@ -272,14 +345,7 @@ def shingle_jaccard_pairs(
         )
     else:
         res = res.withColumn("inter", F.col("ic"))
-    return (
-        res.withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return res.select("id_a", "id_b", "n_a", "n_b", "inter")
 
 
 # -------------------------------------------------------------- simhash ---

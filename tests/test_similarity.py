@@ -234,6 +234,88 @@ def test_shingle_jaccard_prethin_equals_window_path(spark):
     assert {(a, b) for a, b, _ in window_path} >= {(0, 100), (1, 101)}
 
 
+def test_containment_finds_embedded_doc_jaccard_misses(spark):
+    """A 20-word doc verbatim inside a 200-word doc: containment 1.0,
+    Jaccard ~0.09 — the asymmetric case the operator exists for."""
+    from bitfilters_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    long_words = [f"w{i}" for i in range(200)]
+    short = " ".join(long_words[50:70])
+    rows = [
+        (1, " ".join(long_words)),
+        (2, short),
+        (3, "totally different content " + " ".join(f"z{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = shingle_containment_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    r = cont[0]
+    assert r["containment"] == 1.0 and r["c_ba"] == 1.0 and r["c_ab"] < 0.15
+    jac = shingle_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []  # resemblance misses the embedding entirely
+
+
+def test_containment_matches_brute_force(spark):
+    """Every emitted direction ratio equals the python set computation."""
+    from bitfilters_spark.operators.dedup import shingle_containment_pairs
+
+    rng = __import__("random").Random(5)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                c = inter / min(len(sets[a]), len(sets[b]))
+                if c >= 0.3:
+                    expect[(a, b)] = (
+                        round(inter / len(sets[a]), 6),
+                        round(inter / len(sets[b]), 6),
+                        round(c, 6),
+                    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["c_ab"], r["c_ba"], r["containment"])
+        for r in shingle_containment_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_containment_prethin_equals_window(spark):
+    """df_cap physical strategies agree for the containment variant too
+    (they share _shingle_pair_intersections with the Jaccard operator)."""
+    from bitfilters_spark.operators.dedup import shingle_containment_pairs
+
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"{boiler} body {i} alpha beta gamma delta {i}") for i in range(20)]
+    rows += [(100, "body 0 alpha beta"), (101, rows[1][1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.4, df_cap=4)
+    a = {
+        tuple(r) for r in
+        shingle_containment_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    b = {
+        tuple(r) for r in
+        shingle_containment_pairs(
+            docs, "doc_id", "text", prethin_hot=True, **kw
+        ).collect()
+    }
+    assert a == b and a
+
+
 def test_lsh_params_s_curve_math(spark):
     """The chosen (bands, rows) must clear the recall bar at the
     threshold and minimize the half-threshold candidate rate among k's
