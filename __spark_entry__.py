@@ -1224,6 +1224,31 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation (#124,
+    sampling.allocate_token_budget): theta with sum_d min(T_d, theta) =
+    budget over lang/source domains, budget = 60% of corpus tokens
+    (integer-derived in both engines). theta comes from one double
+    division on exact integer sums, so cross-engine float equality is
+    structural; the oracle replays the max-over-valid-segment-candidates
+    closed form with window functions."""
+    from bitfilters_spark.operators.sampling import allocate_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.concat_ws("/", "lang", "source").alias("domain"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    total = toks.agg(F.sum("n_tok").alias("t")).collect()[0]["t"] or 0
+    out = allocate_token_budget(toks, "domain", "n_tok", int(total) * 6 // 10)
+    return out.select(
+        "domain",
+        "tokens",
+        F.round("cap", 6).alias("cap"),
+        F.round("keep_frac", 6).alias("keep_frac"),
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture rebalancing: keep sources at a 3:1:1 target (src0
     over-weighted, everything else dropped) with thresholds derived from
@@ -1601,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_pack_shards": q_pack_shards,
         "q_mixture_sample": q_mixture_sample,
+        "q_token_budget": q_token_budget,
         "q_contamination": q_contamination,
         "q_quality_score": q_quality_score,
         "q_langid": q_langid,
@@ -2487,6 +2513,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.n_grams, s.n_hit,
                    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS fp_clean
             FROM scored s LEFT JOIN clean c USING (doc_id)
+        """,
+        "q_token_budget": """
+            WITH stats AS (
+              SELECT lang || '/' || source AS domain,
+                     sum(len(string_split(text, ' ')))::BIGINT AS tokens
+              FROM documents GROUP BY 1),
+            b AS (SELECT (sum(tokens)::BIGINT * 6) // 10 AS bud,
+                         count(*) AS d FROM stats),
+            ord AS (
+              SELECT domain, tokens,
+                     sum(tokens) OVER (ORDER BY tokens, domain)::BIGINT AS p,
+                     row_number() OVER (ORDER BY tokens, domain) AS i
+              FROM stats),
+            th AS (
+              SELECT greatest(
+                       (SELECT bud::DOUBLE / d FROM b),
+                       coalesce((SELECT max((bud - p)::DOUBLE / (d - i))
+                                 FROM ord, b
+                                 WHERE i < d
+                                   AND (bud - p)::DOUBLE / (d - i) >= tokens),
+                                -1e308)
+                     ) AS theta)
+            SELECT domain, tokens,
+                   round(least(tokens::DOUBLE, theta), 6) AS cap,
+                   round(CASE WHEN tokens > 0
+                              THEN least(tokens::DOUBLE, theta) / tokens
+                              ELSE 0.0 END, 6) AS keep_frac
+            FROM stats, th
         """,
         "q_mixture_sample": """
             WITH w(s, wt) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)),

@@ -623,3 +623,138 @@ def curriculum_order(
         .sortWithinPartitions(stage_col, "__eh", key_col)
         .drop("__eh")
     )
+
+
+def allocate_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budget: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Water-filling token-budget allocation across domains: the level
+    theta with sum_d min(T_d, theta) = budget, so every domain keeps all
+    its tokens up to a common cap and the surplus of huge domains funds
+    full retention of small ones — the principled form of "cap the head,
+    keep the tail" that a fixed per-domain cap (#52 cap_per_group) or
+    temperature mixing (#102) only approximate. Output one row per
+    domain: (domain, tokens, cap = min(tokens, theta), keep_frac);
+    feed keep_frac into weighted_hash_sample / mixture_sample to realize
+    the allocation, or cap directly into pack-time budgets.
+
+    Distributed closed form, no driver-side domain table: per-domain
+    totals T_d are one map-side-combined aggregate; domains sort
+    ascending by (T, domain) with the pack_shards two-phase prefix sum
+    (range partition -> P partial sums to the driver -> broadcast
+    offsets, never a one-partition window); each row i then tests its
+    own segment candidate theta_i = (budget - P_i) / (D - i), and
+        theta = max(budget / D, max over { theta_i : theta_i >= T_i })
+    — the max formulation needs no lead/lag, so the scan stays one pass.
+    Correctness of the max form over the classic "unique valid segment"
+    characterization is property-tested against a brute-force
+    water-filler. Everything after the stats aggregate runs at
+    #domains scale (metadata, not corpus).
+
+    budget >= sum(T) degenerates to cap = T (theta clears every domain).
+    Zero-token domains keep cap = 0, keep_frac = 0.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    stats = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))).alias("tokens")
+    )
+    # localCheckpoint, not cache: the broadcast offsets below are only
+    # valid for THIS materialization's range boundaries (same reasoning
+    # as pack_shards)
+    parts = (
+        stats.repartitionByRange(n_partitions, F.col("tokens"), F.col("domain"))
+        .sortWithinPartitions("tokens", "domain")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    partials = {
+        r["__pid"]: (r["t"], r["c"])
+        for r in parts.groupBy("__pid")
+        .agg(F.sum("tokens").alias("t"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    max_pid = max(partials, default=-1)
+    tok_off, cnt_off = {}, {}
+    run_t = run_c = 0
+    for pid in range(max_pid + 1):
+        tok_off[pid], cnt_off[pid] = run_t, run_c
+        t, c = partials.get(pid, (0, 0))
+        run_t += t
+        run_c += c
+    total_t, n_domains = run_t, run_c
+    if n_domains == 0:
+        return stats.select(
+            "domain",
+            "tokens",
+            F.lit(0.0).alias("cap"),
+            F.lit(0.0).alias("keep_frac"),
+        )
+
+    dtype = parts.schema["domain"].dataType
+    cand_schema = StructType(
+        [
+            StructField("domain", dtype),
+            StructField("tokens", LongType()),
+            StructField("cand", DoubleType()),
+        ]
+    )
+    B, D = float(budget), n_domains
+
+    def candidates(batches):
+        local_t = local_i = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if local_t is None:
+                pid = int(pdf["__pid"].iloc[0])
+                local_t, local_i = tok_off.get(pid, 0), cnt_off.get(pid, 0)
+            import numpy as np
+
+            ws = pdf["tokens"].to_numpy(dtype=np.int64)
+            p = local_t + ws.cumsum()  # inclusive prefix P_i
+            i = local_i + np.arange(1, len(ws) + 1)  # global 1-based rank
+            local_t += int(ws.sum())
+            local_i += len(ws)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                theta_i = (B - p) / (D - i)  # i == D -> inf/nan, masked below
+            valid = (i < D) & (theta_i >= ws)
+            yield pd.DataFrame(
+                {
+                    "domain": pdf["domain"],
+                    "tokens": ws,
+                    "cand": np.where(valid, theta_i, -np.inf),
+                }
+            )
+
+    cands = parts.mapInPandas(candidates, schema=cand_schema)
+    # ONE number leaves the cluster: theta (B/D is the always-valid i=0
+    # segment candidate)
+    theta_row = cands.agg(
+        F.greatest(F.lit(B / D), F.max("cand")).alias("__theta")
+    )
+    return (
+        cands.select("domain", "tokens")
+        .crossJoin(F.broadcast(theta_row))
+        .select(
+            "domain",
+            "tokens",
+            F.least(F.col("tokens").cast("double"), F.col("__theta")).alias("cap"),
+            F.when(
+                F.col("tokens") > 0,
+                F.least(F.col("tokens").cast("double"), F.col("__theta"))
+                / F.col("tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("keep_frac"),
+        )
+    )

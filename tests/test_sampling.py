@@ -432,3 +432,66 @@ def test_reservoir_prefiltered_equals_window_incl_fallback(spark):
                  df, "key", 7, "id", order_by=adv, order_max=M, safety=8).collect()}
     assert got_a == want_a
     assert sum(1 for kk, _, _ in got_a if kk == "k0") == 7
+
+
+def test_allocate_token_budget_matches_brute_force(spark):
+    """Water-filling (#124): distributed max-over-candidates theta equals
+    a binary-search brute-force water level on random domain profiles,
+    and the budget is met exactly (sum of caps == min(budget, total))."""
+    import numpy as np
+
+    from bitfilters_spark.operators.sampling import allocate_token_budget
+
+    def brute_theta(T, B):
+        if sum(T) <= B:
+            return float("inf")
+        lo, hi = 0.0, float(max(T))
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if sum(min(t, mid) for t in T) < B:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        d = int(rng.integers(1, 40))
+        T = rng.integers(0, 1000, d).tolist()
+        B = int(rng.integers(0, max(1, sum(T) * 12 // 10)))
+        df = spark.createDataFrame(
+            [(f"d{i}", int(t)) for i, t in enumerate(T)],
+            "domain string, tokens long",
+        )
+        out = allocate_token_budget(df, "domain", "tokens", B, n_partitions=3)
+        caps = {r["domain"]: r["cap"] for r in out.collect()}
+        th = brute_theta(T, B)
+        for i, t in enumerate(T):
+            want = float(t) if th == float("inf") else min(float(t), th)
+            assert abs(caps[f"d{i}"] - want) < 1e-6
+        assert abs(sum(caps.values()) - min(B, sum(T))) < 1e-6 * max(1, B)
+
+
+def test_allocate_token_budget_semantics(spark):
+    """Head capped at theta, tail fully kept; budget >= total keeps all;
+    zero-token domain gets keep_frac 0; rows aggregate before allocating."""
+    from bitfilters_spark.operators.sampling import allocate_token_budget
+
+    rows = [("big", 600), ("big", 400), ("mid", 300), ("tiny", 50), ("zero", 0)]
+    df = spark.createDataFrame(rows, "domain string, tokens long")
+    out = {r["domain"]: r for r in
+           allocate_token_budget(df, "domain", "tokens", 750).collect()}
+    # T = {big:1000, mid:300, tiny:50, zero:0}; theta = 700: 700+min(300,700)
+    # -> over; solve: tiny+zero full (50), big/mid capped? mid=300<theta?
+    # f(theta)=min(1000,th)+min(300,th)+50 = 750 -> th+300+50=750 -> th=400
+    # (valid: 300 <= 400 <= 1000)
+    assert abs(out["big"]["cap"] - 400.0) < 1e-9
+    assert abs(out["mid"]["cap"] - 300.0) < 1e-9
+    assert abs(out["tiny"]["cap"] - 50.0) < 1e-9
+    assert out["zero"]["cap"] == 0.0 and out["zero"]["keep_frac"] == 0.0
+    assert abs(out["big"]["keep_frac"] - 0.4) < 1e-12
+    assert abs(out["mid"]["keep_frac"] - 1.0) < 1e-12
+    # budget beyond total: no capping
+    all_kept = {r["domain"]: r["keep_frac"] for r in
+                allocate_token_budget(df, "domain", "tokens", 10_000).collect()}
+    assert all(f == 1.0 for d, f in all_kept.items() if d != "zero")
