@@ -386,19 +386,27 @@ def simhash64(
                 ids = pdf[id_col]
                 toks = [t.split(" ") for t in pdf[text_col]]
                 counts = np.array([len(t) for t in toks])
-                flat = [w.encode() for ts in toks for w in ts]
-                h = hash_bytes(flat, "v1.0.0")
-                bits = (
-                    (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+                # hash each DISTINCT token once (corpora repeat tokens
+                # heavily — the occurrence/vocab ratio is the speedup),
+                # then gather per occurrence; unpackbits expands the 64
+                # hash bits ~10x faster than the shift-loop broadcast
+                codes, uniq = pd.factorize(
+                    np.array([w for ts in toks for w in ts], dtype=object)
+                )
+                h_u = hash_bytes([w.encode() for w in uniq], "v1.0.0")
+                bits_u = np.unpackbits(
+                    h_u.view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
                 ).astype(np.int32)
-                # segment-sum via cumsum + boundary differences: O(tokens*64)
-                # vectorized (np.add.at's unbuffered scatter path is ~25x
-                # slower on this shape)
+                # per-doc popcounts: segment-sum of the gathered bit rows
+                # (reduceat — one pass, no (tokens, 64) cumsum buffer);
+                # split(" ") yields >= 1 token even on "", so every
+                # segment is non-empty and reduceat's empty-segment
+                # identity-copy case can't arise
                 bounds = np.zeros(len(ids) + 1, dtype=np.int64)
                 np.cumsum(counts, out=bounds[1:])
-                cs = np.zeros((len(bits) + 1, 64), dtype=np.int64)
-                np.cumsum(bits, axis=0, out=cs[1:])
-                pop = cs[bounds[1:]] - cs[bounds[:-1]]
+                pop = np.add.reduceat(bits_u[codes], bounds[:-1], axis=0)
                 sig_bits = (2 * pop - counts[:, None]) > 0
                 vals = np.zeros(len(ids), dtype=np.uint64)
                 for b in range(64):
