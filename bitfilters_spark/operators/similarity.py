@@ -361,11 +361,21 @@ def quantize_int8(
         F.lit(1e-12),
     )
     out = df.withColumn("__scale", scale)
-    q = F.transform(
-        v,
-        lambda x: F.floor(
-            x.cast("double") / F.col("__scale") * 127.0 + F.lit(0.5)
-        ).cast("int"),
+    # __scale must be referenced TWICE here: with a single reference,
+    # CollapseProject inlines the O(d) array_max reduction into the
+    # per-element lambda once a downstream select prunes the scale
+    # column, turning this projection into O(d^2) interpreted work per
+    # row (and the driver query's three aggregates re-evaluate it 3x).
+    # The when() guard is semantically a no-op (greatest pins scale
+    # >= 1e-12) but pins the reference count.
+    q = F.when(
+        F.col("__scale") > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(
+                x.cast("double") / F.col("__scale") * 127.0 + F.lit(0.5)
+            ).cast("int"),
+        ),
     )
     return out.select(
         F.col(id_col),
