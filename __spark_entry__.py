@@ -1022,6 +1022,20 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED (term-frequency) Jaccard >= 0.1 over 3-word shingle
+    multisets (operators/dedup.py weighted_jaccard_pairs, #125): the
+    multiset generalization set-Jaccard is blind to — repetition changes
+    the score. sum(max) is derived (n_a + n_b - sum(min)), so only the
+    shared-term min-mass crosses the pair shuffle; df_cap=64 is the same
+    blocking skew guard as q_ngram_jaccard_pairs, with hot-term min-mass
+    added back exactly from bounded broadcast tf maps."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.weighted_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard (>= 0.5).
     Candidate generation is signature-dependent -> rows-only check here;
@@ -1635,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": q_tfidf,
         "q_pii_redact": q_pii_redact,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_weighted_jaccard": q_weighted_jaccard,
         "q_containment_pairs": q_containment_pairs,
         "q_neardup_clusters": q_neardup_clusters,
         "q_cluster_report": q_cluster_report,
@@ -2398,6 +2413,27 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
+        "q_weighted_jaccard": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            shm AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(w) - 2, 0)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM w),
+            tot AS (SELECT doc_id, count(*) AS n FROM shm GROUP BY doc_id),
+            cnt AS (SELECT doc_id, s, count(*) AS c FROM shm GROUP BY 1, 2),
+            ism AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(least(a.c, b.c)) AS m
+              FROM cnt a JOIN cnt b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(m::DOUBLE / (na.n + nb.n - m), 6) AS wjaccard
+            FROM ism
+            JOIN tot na ON na.doc_id = id_a
+            JOIN tot nb ON nb.doc_id = id_b
+            WHERE m::DOUBLE / (na.n + nb.n - m) >= 0.1
+        """,
         "q_containment_pairs": _CONTAINMENT_ORACLE,
         "q_neardup_clusters": _neardup_cc_sql(
             "SELECT id AS doc_id, component FROM comp"

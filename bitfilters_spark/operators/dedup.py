@@ -348,6 +348,294 @@ def _shingle_pair_intersections(
     return res.select("id_a", "id_b", "n_a", "n_b", "inter")
 
 
+# ----------------------------------------------- weighted jaccard / ICWS ---
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """EXACT weighted (term-frequency) Jaccard pairs:
+
+        J_w(A, B) = sum_t min(tf_A(t), tf_B(t)) / sum_t max(tf_A(t), tf_B(t))
+
+    The multiset generalization of set Jaccard (Ioffe 2010 §1): a doc that
+    repeats a passage 5x and one that repeats it once are far apart here
+    even though their shingle SETS are identical — the boilerplate/spam
+    profile set-Jaccard is blind to. sum(max) never needs its own join:
+    sum_t max = n_a + n_b - sum_t min (totals include each side's private
+    terms, whose min is 0), so only sum(min) over SHARED terms is computed.
+
+    Plan: (id, n, term-hash, tf) rows from one groupBy (n = the doc's
+    total term count, taken from the pre-explode array size so no extra
+    shuffle/window); blocking self-join on the 8-byte term hash; the pair
+    groupBy partial-aggregates sum(least(tf_a, tf_b)) map-side with n_a,
+    n_b riding as group keys — the `_shingle_pair_intersections` shape
+    with weights. ``shingle_n=1`` weighs raw tokens (classic tf); larger n
+    weighs shingles (near-dup use; sharply smaller document frequencies).
+
+    ``df_cap``: same skew guard + recall caveat as `shingle_jaccard_pairs`
+    — a term in d docs yields d^2 blocking rows, so terms with df >
+    df_cap are excluded from BLOCKING only (a qualifying pair must share
+    at least one sub-cap term to be found). Emitted values stay EXACT:
+    each doc's hot-term tf rides as a bounded map<hash,int> (at most
+    rows/df_cap distinct terms are hot), AQE broadcasts the two map
+    joins, and sum(min) adds the hot mass back via map_zip_with."""
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        (word_shingles(text_col, shingle_n) if shingle_n > 1 else tokens(text_col)).alias("ta"),
+    )
+    tok = (
+        src.select("id", F.size("ta").alias("n"), F.explode("ta").alias("t"))
+        .groupBy("id", "n", F.xxhash64("t").alias("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hotmaps = None
+    if df_cap is not None:
+        tok = tok.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("th"))
+        )
+        hotmaps = (
+            tok.where(F.col("df") > df_cap)
+            .groupBy("id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("th", "c"))).alias("hm"))
+        )
+        tok = tok.where(F.col("df") <= df_cap).drop("df")
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(b, "th")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.sum(F.least("a.c", "b.c")).alias("ism"))
+    )
+    if hotmaps is not None:
+        empty = F.create_map().cast("map<bigint,bigint>")
+        ha = hotmaps.select(F.col("id").alias("id_a"), F.col("hm").alias("hm_a"))
+        hb = hotmaps.select(F.col("id").alias("id_b"), F.col("hm").alias("hm_b"))
+        hot_ism = F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    F.coalesce("hm_a", empty),
+                    F.coalesce("hm_b", empty),
+                    lambda _, x, y: F.when(
+                        x.isNotNull() & y.isNotNull(), F.least(x, y)
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        pairs = (
+            pairs.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn("ism", F.col("ism") + hot_ism)
+        )
+    return (
+        pairs.withColumn(
+            "wjaccard",
+            F.col("ism").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ism")),
+        )
+        .where(F.col("wjaccard") >= threshold)
+        .select("id_a", "id_b", F.round("wjaccard", 6).alias("wjaccard"))
+    )
+
+
+def _icws_kernel(th: "np.ndarray", w: "np.ndarray", k: int, seed: int):
+    """Vectorized Ioffe 2010 consistent weighted sampling over one doc's
+    (term-hash, weight) arrays -> k int64 sample codes. All randomness is
+    counter-based (murmur-style mixes of term-hash x sample-index), so
+    signatures are deterministic and agree across executors/engines.
+    P[sig_A[j] == sig_B[j]] = J_w(A, B) exactly (the CWS property)."""
+    import numpy as np
+
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xBF58476D1CE4E5B9)
+    C3 = np.uint64(0x94D049BB133111EB)
+
+    def mix(x):
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * C2
+            x = (x ^ (x >> np.uint64(27))) * C3
+            return x ^ (x >> np.uint64(31))
+
+    js = (np.arange(k, dtype=np.uint64) + np.uint64(seed)) * C1
+    with np.errstate(over="ignore"):
+        base = mix(th[:, None] ^ js[None, :])  # (U, k)
+
+    def unif(salt):
+        with np.errstate(over="ignore"):
+            u = mix(base + np.uint64(salt) * C1)
+        # map to (0,1): top 53 bits, never exactly 0
+        return ((u >> np.uint64(11)).astype(np.float64) + 0.5) / 9007199254740992.0
+
+    # Gamma(2,1) = -ln(u1*u2)
+    r = -np.log(unif(1) * unif(2))
+    c = -np.log(unif(3) * unif(4))
+    beta = unif(5)
+    lnw = np.log(w.astype(np.float64))[:, None]
+    tk = np.floor(lnw / r + beta)
+    lny = r * (tk - beta)
+    lna = np.log(c) - lny - r
+    best = np.argmin(lna, axis=0)  # (k,)
+    with np.errstate(over="ignore"):
+        code = mix(th[best] ^ mix(tk[best, np.arange(k)].astype(np.int64).view(np.uint64)))
+    return code.view(np.int64)
+
+
+def icws_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    shingle_n: int = 1,
+    seed: int = 0x1C5,
+) -> DataFrame:
+    """(id, sig: array<bigint>[k]) — consistent-weighted-sampling sketch
+    (Ioffe 2010): the weighted-minhash twin of `minhash_signatures`, with
+    per-sample collision probability EXACTLY J_w. One zero-shuffle
+    mapInPandas pass: per-doc tf from numpy unique, the k samples from
+    the vectorized counter-based kernel (term hashes memoized per batch:
+    the randomness tables are per (term, j), shared across docs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_type), StructField("sig", ArrayType(LongType()))]
+    )
+    src = ensure_parallelism(df).select(
+        F.col(id_col),
+        (word_shingles(text_col, shingle_n) if shingle_n > 1 else tokens(text_col)).alias("ta"),
+    )
+
+    def compute(batches):
+        from ..core.hashing import hash_bytes
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, sigs = [], []
+            # per-batch memo: term -> uint64 hash (hash each distinct once)
+            all_terms = pd.factorize(
+                np.array([t for ta in pdf["ta"] for t in ta], dtype=object)
+            )
+            codes, uniq = all_terms
+            h_u = hash_bytes([t.encode() for t in uniq], "v1.0.0")
+            off = 0
+            for i, ta in zip(pdf[id_col], pdf["ta"]):
+                m = len(ta)
+                dc = codes[off : off + m]
+                off += m
+                if m == 0:
+                    ids.append(i)
+                    sigs.append(np.zeros(0, dtype=np.int64))
+                    continue
+                u, cnt = np.unique(dc, return_counts=True)
+                sig = _icws_kernel(h_u[u], cnt.astype(np.float64), k, seed)
+                ids.append(i)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return src.mapInPandas(compute, schema=schema)
+
+
+def icws_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    seed: int = 0x1C5,
+) -> DataFrame:
+    """Weighted-Jaccard near-dup pairs: ICWS signatures -> LSH banding ->
+    EXACT weighted-Jaccard verification, so output values are exact and
+    banding affects recall only (the `minhash_lsh_pairs` contract, on
+    multiset similarity). Verification is pure JVM map algebra: each
+    doc's tf map rides the candidate join as map<bigint,int>, sum(min)
+    via map_zip_with + aggregate — candidate pairs move two tf maps,
+    never text."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} not divisible by bands={bands}")
+    r = k // bands
+    sig = icws_signatures(df, id_col, text_col, k, shingle_n, seed).cache()
+    band_cols = [
+        F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
+        .alias(f"b{b}")
+        for b in range(bands)
+    ]
+    stacked = sig.select(F.col(id_col).alias("id"), *band_cols).select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        (word_shingles(text_col, shingle_n) if shingle_n > 1 else tokens(text_col)).alias("ta"),
+    )
+    # term occurrences are grouped BEFORE collecting so the tf map
+    # carries counts and collect_list stays bounded by the doc's vocab
+    tf = (
+        src.select("id", F.size("ta").alias("n"), F.explode("ta").alias("t"))
+        .groupBy("id", "n", F.xxhash64("t").alias("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id", "n")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("th", "c"))
+            ).alias("tf")
+        )
+    )
+    ta_ = tf.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("tf").alias("tf_a"))
+    tb_ = tf.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("tf").alias("tf_b"))
+    ism = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "tf_a", "tf_b",
+                lambda _, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), F.least(x, y)
+                ).otherwise(F.lit(0)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.join(ta_, "id_a")
+        .join(tb_, "id_b")
+        .withColumn("__ism", ism)
+        .withColumn(
+            "wjaccard",
+            F.col("__ism").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("__ism")),
+        )
+        .where(F.col("wjaccard") >= threshold)
+        .select("id_a", "id_b", F.round("wjaccard", 6).alias("wjaccard"))
+    )
+
+
 # -------------------------------------------------------------- simhash ---
 
 
