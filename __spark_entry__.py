@@ -123,17 +123,37 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     stack_args = ", ".join(f"'{name}', {name}" for name, _, _ in specs)
-    return agg.select(
+    members = agg.select(
         F.expr(f"stack({len(specs)}, {stack_args}) as (filter_type, matches)"),
         "remainder",
     ).select("filter_type", "remainder", "matches")
+    # sizes leg (operator #14, r9 fold): the size/metadata comparison rides
+    # the same driver row as the member counts so the whole filter family's
+    # correctness fits ONE of the driver's 50 slots; legs are disjoint on
+    # remainder (-1 marks a sizes row).
+    neg = F.lit(-1).cast("long")
+    sizes = _filter_sizes(spark, sf_dir).select(
+        "filter_type",
+        neg.alias("remainder"),
+        neg.alias("matches"),
+        F.col("size_bytes").cast("long").alias("size_bytes"),
+        F.col("n_entries").cast("long").alias("n_entries"),
+    )
+    return members.select(
+        "filter_type",
+        F.col("remainder").cast("long").alias("remainder"),
+        F.col("matches").cast("long").alias("matches"),
+        neg.alias("size_bytes"),
+        neg.alias("n_entries"),
+    ).unionByName(sizes)
 
 
 _FILTER_MEMBERS_ORACLE = """
     WITH m AS (
       SELECT o_orderkey % 2 AS remainder, count(*) AS matches
       FROM orders GROUP BY remainder)
-    SELECT ft.filter_type, m.remainder, m.matches
+    SELECT ft.filter_type, m.remainder, m.matches,
+           -1::BIGINT AS size_bytes, -1::BIGINT AS n_entries
     FROM (VALUES ('quotient'), ('xor8'), ('xor16'), ('fuse8'),
                  ('fuse16'), ('bloom'), ('cuckoo')) ft(filter_type)
     CROSS JOIN m
@@ -250,13 +270,39 @@ def _ck_keyed_cte(fp_bits: int) -> str:
 
 
 def q_cuckoo_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cuckoo-filter FP count, EXACT oracle (Fan et al. 2014 partial-key
-    cuckoo hashing, core/cuckoo.py). The probe outcome is placement-
-    independent — contains(x) iff x's (fingerprint, canonical-bucket)
-    entry code collides with a stored key's — so with DuckDB-parity
-    hashing the oracle replays membership as a code semijoin. fp_bits=6
-    keeps the deterministic cross-group collision count observable at
-    driver scale (the realistic-width leg rides q_filter_members)."""
+    """Both cuckoo-filter behaviors in one driver row (r9 fold — one
+    queries() slot for operator #122), leg-tagged:
+
+    - `fp` leg: cross-group false-positive count, EXACT oracle (Fan et
+      al. 2014 partial-key cuckoo hashing, core/cuckoo.py). The probe
+      outcome is placement-independent — contains(x) iff x's
+      (fingerprint, canonical-bucket) entry code collides with a stored
+      key's — so with DuckDB-parity hashing the oracle replays
+      membership as a code semijoin. fp_bits=6 keeps the deterministic
+      cross-group collision count observable at driver scale (the
+      realistic-width leg rides q_filter_members).
+    - `del` leg: DELETION (with quotient, the deletable half of the AMQ
+      family — xor/fuse/bloom can't remove). Build per-group filters,
+      delete every key with o_orderkey % 3 == 0, probe ALL keys:
+      survivors are exactly the keys whose (fp, bucket-pair) entry
+      remains — the same set-difference semijoin shape as
+      q_quotient_delete, one abstraction up (entry codes instead of raw
+      fingerprint bits).
+    """
+    fp = _cuckoo_fp_leg(spark, sf_dir).select(
+        F.lit("fp").alias("leg"),
+        F.col("remainder").cast("long").alias("remainder"),
+        F.col("false_positives").cast("long").alias("n"),
+    )
+    de = _cuckoo_delete_leg(spark, sf_dir).select(
+        F.lit("del").alias("leg"),
+        F.col("remainder").cast("long").alias("remainder"),
+        F.col("matches").cast("long").alias("n"),
+    )
+    return fp.unionByName(de)
+
+
+def _cuckoo_fp_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     keyed = orders.select(
         (F.col("o_orderkey") % 2).alias("grp"),
@@ -274,13 +320,7 @@ def q_cuckoo_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cuckoo_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cuckoo-filter DELETION (with quotient, the deletable half of the
-    AMQ family — xor/fuse/bloom can't remove). Build per-group filters,
-    delete every key with o_orderkey % 3 == 0, probe ALL keys: survivors
-    are exactly the keys whose (fp, bucket-pair) entry remains — the same
-    set-difference semijoin shape as q_quotient_delete, one abstraction
-    up (entry codes instead of raw fingerprint bits)."""
+def _cuckoo_delete_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfilters_spark.functions import filter_remove
 
     orders = load_table(spark, sf_dir, "orders")
@@ -390,7 +430,7 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter size + metadata comparison (reference 'Filter Comparison
     Example'), extended with the sketch family and the cuckoo filter. All
     10 filters are built from ONE scan of the hashed projection
@@ -588,7 +628,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       carrying the order date (days since epoch) as payload —
       `p50_day`/`p90_day` are nearest-rank quantiles of the sample,
       reproduced exactly by the oracle ranking the same rows by the
-      same hash.
+      same hash;
+    - sketch-algebra OVERLAP row (grp = -1, r9 fold of q_kmv_overlap —
+      operator #44's second half): estimate the overlap between the two
+      groups' key sets from their KMV sketches ALONE — no join of the
+      underlying rows. The combine (merge k smallest, count values
+      present in both) is pure integer arithmetic on two KB-size blobs,
+      so the oracle reproduces the numbers exactly. Mapped into this
+      row's columns as est64=union_est, est_exact=n_both, p50_day=k_eff.
     """
     from bitfilters_spark.functions.filters import kmv_distinct
     from bitfilters_spark.functions.sample import bks_quantile_col, bottomk_sample
@@ -622,7 +669,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         F.round(F.col("fill_ratio") * 4096).cast("long").alias("hll_occupied"),
     )
-    return (
+    base = (
         s64.select("grp", kmv_distinct("filter").alias("est64"))
         .join(sbig.select("grp", kmv_distinct("filter").alias("est_exact")), "grp")
         .join(
@@ -634,30 +681,21 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp",
         )
         .join(hocc, "grp")
+        .select("grp", "est64", "est_exact", "p50_day", "p90_day", "hll_occupied")
     )
-
-
-def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch algebra: estimate the overlap between two groups' key sets
-    from their KMV sketches alone — no join of the underlying rows. The
-    combine (merge k smallest, count values present in both) is pure
-    integer arithmetic on two KB-size blobs, so the oracle reproduces the
-    numbers exactly."""
     from bitfilters_spark.core.kmv import kmv_overlap
 
-    orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(
-        (F.col("o_orderkey") % 2).alias("grp"),
-        duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h"),
-    )
     sketches = {
         r["grp"]: bytes(r["filter"])
         for r in build_filter(keyed, ["grp"], "h", "kmv", k=128).collect()
     }
     k_eff, n_both, union_est = kmv_overlap(sketches[0], sketches[1])
-    return spark.createDataFrame(
-        [(k_eff, n_both, union_est)], "k_eff long, n_both long, union_est long"
+    overlap = spark.createDataFrame(
+        [(-1, union_est, n_both, k_eff, -1, -1)],
+        "grp long, est64 long, est_exact long, p50_day long, p90_day long,"
+        " hll_occupied long",
     )
+    return base.unionByName(overlap)
 
 
 def q_filter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,15 +1113,26 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of near-dup pairs: (doc_id, component) where
-    component = min doc_id reachable through the pair graph. Oracle is a
-    DuckDB recursive CTE over the same edge set."""
-    cc = CL.connected_components(_neardup_pairs(spark, sf_dir))
-    return cc.select(F.col("id").alias("doc_id"), "component")
-
-
-def q_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster member counts (the dedup 'report' shape for near-dups)."""
-    return CL.cluster_report(_neardup_pairs(spark, sf_dir))
+    component = min doc_id reachable through the pair graph, PLUS the
+    per-cluster member count (the dedup 'report' shape, r9 fold of
+    q_cluster_report — operator #28's second surface) carried on every
+    member row. Oracle is a DuckDB recursive CTE over the same edge set
+    with a COUNT() OVER the component."""
+    # one CC run feeds both surfaces: the labels ARE the report's input
+    # (CL.cluster_report == groupBy(component).count over these labels),
+    # so the member count is a groupBy + broadcast join, not a second
+    # iterative component search
+    cc = CL.connected_components(_neardup_pairs(spark, sf_dir)).localCheckpoint()
+    report = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.select(F.col("id").alias("doc_id"), "component")
+        .join(F.broadcast(report), "component")
+        .select(
+            "doc_id",
+            "component",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,24 +1423,61 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: synth payload -> stub decode -> typed meta
-    rollup. Decode is a documented stub; the metadata is deterministic so
-    the oracle can recompute it from the source column."""
+    """The whole multimodal surface (operator #25: decode metadata, frame
+    sampling, feature extraction) in one leg-tagged driver row (r9 fold —
+    three queries() slots become one):
+
+    - `meta` leg: synth payload -> stub decode -> typed meta rollup per
+      format. Decode is a documented stub; the metadata is deterministic
+      so the oracle recomputes it from the source column.
+      k=format, v1=n, v2=total_bytes, v3=total_width.
+    - `frame` leg: frame-sampling shape — 1 payload row -> k frame rows
+      through mapInPandas (stub sampler, deterministic: L bytes ->
+      (L%4)+1 frames of L//k bytes), so the explosion is
+      oracle-expressible. k=doc_id, v1=frame_idx, v2=n_bytes.
+    - `feat` leg: feature-extraction pipeline (stub encoder, real
+      mapInPandas/Arrow mechanics) — each doc's feature dimensionality
+      and argmax bin; integer-derived outputs so the float32 vectors
+      never face a cross-engine float comparison (the deterministic stub
+      byte-histogram mod 16 is exactly reproducible in SQL over the
+      ASCII corpus). k=doc_id, v1=dim, v2=top_bin.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    meta = MM.extract_media_meta(MM.attach_payload(docs), "doc_id", "payload", codec="stub")
-    return meta.groupBy("format").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_bytes").cast("long").alias("total_bytes"),
-        F.sum("width").cast("long").alias("total_width"),
+    payload = MM.attach_payload(docs)
+    zero = F.lit(0).cast("long")
+    meta = (
+        MM.extract_media_meta(payload, "doc_id", "payload", codec="stub")
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("width").cast("long").alias("total_width"),
+        )
+        .select(
+            F.lit("meta").alias("leg"),
+            F.col("format").alias("k"),
+            F.col("n").cast("long").alias("v1"),
+            F.col("total_bytes").alias("v2"),
+            F.col("total_width").alias("v3"),
+        )
     )
-
-
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling shape: 1 payload row -> k frame rows through
-    mapInPandas (stub sampler, deterministic: L bytes -> (L%4)+1 frames of
-    L//k bytes), so the explosion is oracle-expressible."""
-    docs = load_table(spark, sf_dir, "documents")
-    return MM.sample_frames(MM.attach_payload(docs), "doc_id", "payload")
+    frames = MM.sample_frames(payload, "doc_id", "payload").select(
+        F.lit("frame").alias("leg"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("frame_idx").cast("long").alias("v1"),
+        F.col("n_bytes").cast("long").alias("v2"),
+        zero.alias("v3"),
+    )
+    feats = MM.extract_features(payload, "doc_id", "payload", codec="stub").select(
+        F.lit("feat").alias("leg"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.size("features").cast("long").alias("v1"),
+        (F.array_position("features", F.array_max("features")) - 1)
+        .cast("long")
+        .alias("v2"),
+        zero.alias("v3"),
+    )
+    return meta.unionByName(frames).unionByName(feats)
 
 
 def q_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,38 +1571,45 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: 30-min-gap sessions per user (lag + cumulative sum
-    over ONE user-partitioned window), rolled up to per-session stats.
-    Timestamps exported as epoch-µs to keep the comparison format-free."""
-    from bitfilters_spark.operators import timeseries as TS
+def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL four time-series operators in one driver row (sessionization,
+    as-of join, range join, windowed rollup — operators #27/#36/#37/#41),
+    union-tagged so each leg keeps its full-resolution oracle while the
+    whole family costs ONE queries() slot (the driver caps correctness
+    rows at 50; r8 let five queries fall past the cap):
 
-    ev = load_table(spark, sf_dir, "events")
-    s = TS.session_stats(ev, "user_id", "ts", "event_id", gap_minutes=30.0)
-    return s.select(
-        "user_id",
-        "session_id",
-        "n_events",
-        TS.ts_micros(s, "start_ts").alias("start_us"),
-        TS.ts_micros(s, "end_ts").alias("end_us"),
-    )
-
-
-def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two time-series legs in one result (keeps queries() under the
-    driver's 50-row cap without losing either operator's signal):
-
-    - as-of: every event picks up the latest error `value` at-or-before
-      its timestamp for its user (union + carry-forward window: one
-      shuffle on user_id, no range join). Oracle = DuckDB ASOF LEFT JOIN.
-    - range join: the same events land in overlapping value intervals via
-      bucketed blocking (equi-join on bucket id + exact range re-check —
-      no nested-loop join); events in no interval keep interval_id = -1,
-      events in two intervals appear twice.
+    - `sess` leg: 30-min-gap sessions per user (lag + cumulative sum over
+      ONE user-partitioned window) rolled up to per-session stats;
+      timestamps exported as epoch-µs so the comparison is format-free.
+      k=user_id, v1=session_id, v2=n_events, v3=start_us, v4=end_us.
+    - `asof` leg: every event picks up the latest error `value`
+      at-or-before its timestamp for its user (union + carry-forward
+      window: one shuffle on user_id, no range join; oracle = DuckDB
+      ASOF LEFT JOIN), PLUS the range-join assignment of the same events
+      into overlapping value intervals via bucketed blocking (equi-join
+      on bucket id + exact range re-check — never a nested-loop join).
+      k=event_id, v1=interval_id (-1 when in no interval; rows duplicate
+      when an event lands in two), vd=err_value.
+    - `win` leg: tumbling-hour event rollup (same code shape batch &
+      streaming). k=hour|event_type, v1=n, v2=first_event.
     """
     from bitfilters_spark.operators import timeseries as TS
 
     ev = load_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+
+    s = TS.session_stats(ev, "user_id", "ts", "event_id", gap_minutes=30.0)
+    sess = s.select(
+        F.lit("sess").alias("leg"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("session_id").cast("long").alias("v1"),
+        F.col("n_events").cast("long").alias("v2"),
+        TS.ts_micros(s, "start_ts").cast("long").alias("v3"),
+        TS.ts_micros(s, "end_ts").cast("long").alias("v4"),
+        zd.alias("vd"),
+    )
+
     rates = (
         ev.where(F.col("event_type") == "error")
         .groupBy("user_id", "ts")
@@ -1533,11 +1626,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rj = TS.range_join(
         ev.select("event_id", "value"), iv, "value", bucket_width=5.0
     ).select("event_id", "interval_id")
-    return joined.join(rj, "event_id", "left").select(
-        "event_id",
-        "err_value",
-        F.coalesce("interval_id", F.lit(-1).cast("long")).alias("interval_id"),
+    asf = joined.join(rj, "event_id", "left").select(
+        F.lit("asof").alias("leg"),
+        F.col("event_id").cast("string").alias("k"),
+        F.coalesce(F.col("interval_id").cast("long"), F.lit(-1).cast("long")).alias("v1"),
+        zero.alias("v2"),
+        zero.alias("v3"),
+        zero.alias("v4"),
+        F.col("err_value").cast("double").alias("vd"),
     )
+
+    win = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
+        .select(
+            F.lit("win").alias("leg"),
+            F.concat_ws("|", "hour", "event_type").alias("k"),
+            F.col("n").cast("long").alias("v1"),
+            F.col("first_event").cast("long").alias("v2"),
+            zero.alias("v3"),
+            zero.alias("v4"),
+            zd.alias("vd"),
+        )
+    )
+    return sess.unionByName(asf).unionByName(win)
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,33 +1696,6 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction pipeline (stub encoder, real mapInPandas/Arrow
-    mechanics): emit each doc's feature dimensionality and argmax bin.
-    Integer-derived outputs so the float32 vectors never face a
-    cross-engine float comparison; the deterministic stub (byte-histogram
-    mod 16) is exactly reproducible in SQL over the ASCII corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = MM.extract_features(MM.attach_payload(docs), "doc_id", "payload", codec="stub")
-    return feats.select(
-        "doc_id",
-        F.size("features").alias("dim"),
-        (F.array_position("features", F.array_max("features")) - 1).alias("top_bin"),
-    )
-
-
-def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window event rollup (same code shape batch & streaming)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
-    )
-
-
 # ---------------------------------------------------------------- driver ---
 
 
@@ -1623,7 +1711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quotient_resize": q_quotient_resize,
         "q_quotient_delete": q_quotient_delete,
         "q_cuckoo_false_positives": q_cuckoo_false_positives,
-        "q_cuckoo_delete": q_cuckoo_delete,
         "q_bloom_fp_bounded": q_bloom_fp_bounded,
         "q_bloom_false_positives": q_bloom_false_positives,
         "q_duckdb_bloom_members": q_duckdb_bloom_members,
@@ -1633,7 +1720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_union": q_filter_union,
         "q_cms_counts": q_cms_counts,
         "q_kmv_distinct": q_kmv_distinct,
-        "q_kmv_overlap": q_kmv_overlap,
         "q_duckdb_hash": q_duckdb_hash,
         "q_filter_join": q_filter_join,
         "q_dedup_exact": q_dedup_exact,
@@ -1652,7 +1738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_jaccard": q_weighted_jaccard,
         "q_containment_pairs": q_containment_pairs,
         "q_neardup_clusters": q_neardup_clusters,
-        "q_cluster_report": q_cluster_report,
         "q_dedup_near": q_dedup_near,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_simhash_values": q_simhash_values,
@@ -1666,17 +1751,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": q_vocab_topk,
         "q_data_skipping": q_data_skipping,
         "q_multimodal_meta": q_multimodal_meta,
-        "q_multimodal_frames": q_multimodal_frames,
-        "q_multimodal_features": q_multimodal_features,
-        "q_events_window": q_events_window,
+        "q_timeseries": q_timeseries,
         "q_pipeline_e2e": q_pipeline_e2e,
-        "q_sessionize": q_sessionize,
-        "q_asof_join": q_asof_join,
-        # Deliberately LAST: the driver caps correctness rows at 50; if the
-        # dict ever grows past the cap again, this (weakest-oracle) entry is
-        # the one that should fall off first.
-        "q_filter_sizes": q_filter_sizes,
     }
+    # HARD INVARIANT (r8 lesson: five green queries silently fell past the
+    # driver's 50-row correctness cap): every entry must fit the gate —
+    # tests/test_oracle_dtypes.py::test_queries_fit_driver_correctness_cap
+    # fails the suite at 51. Consolidate legs (the q_dedup_exact pattern)
+    # before adding a new row.
 
 
 def _moji_fixed_sql() -> str:
@@ -1926,7 +2008,13 @@ def oracle_sql() -> dict[str, str]:
     h_int = "hash(o_orderkey)"
     h_multi = _sql_combine("hash(user_id)", "hash(event_type)")
     return {
-        "q_filter_members": _FILTER_MEMBERS_ORACLE,
+        "q_filter_members": f"""
+            SELECT * FROM ({_FILTER_MEMBERS_ORACLE})
+            UNION ALL
+            SELECT filter_type, -1::BIGINT AS remainder, -1::BIGINT AS matches,
+                   size_bytes::BIGINT AS size_bytes, n_entries
+            FROM ({_FILTER_SIZES_ORACLE})
+        """,
         "q_quotient_false_positives": """
             WITH keyed AS (
               SELECT o_orderkey % 2 AS grp, hash(o_orderkey) & 1048575 AS sig
@@ -1961,21 +2049,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k.grp
         """,
         "q_cuckoo_false_positives": f"""
-            WITH keyed AS ({_ck_keyed_cte(6)}),
-            codes AS (SELECT DISTINCT grp, code FROM keyed)
-            SELECT s.grp AS remainder, count(*) AS false_positives
-            FROM keyed k JOIN codes s ON s.code = k.code AND s.grp <> k.grp
-            GROUP BY s.grp
-        """,
-        "q_cuckoo_delete": f"""
-            WITH keyed AS ({_ck_keyed_cte(12)}),
-            kept AS (
-              SELECT DISTINCT grp, code FROM keyed
-              EXCEPT
-              SELECT DISTINCT grp, code FROM keyed WHERE o_orderkey % 3 = 0)
-            SELECT k.grp AS remainder, count(*) AS matches
-            FROM keyed k JOIN kept s ON s.grp = k.grp AND s.code = k.code
-            GROUP BY k.grp
+            SELECT 'fp' AS leg, remainder, false_positives AS n FROM (
+              WITH keyed AS ({_ck_keyed_cte(6)}),
+              codes AS (SELECT DISTINCT grp, code FROM keyed)
+              SELECT s.grp AS remainder, count(*) AS false_positives
+              FROM keyed k JOIN codes s ON s.code = k.code AND s.grp <> k.grp
+              GROUP BY s.grp)
+            UNION ALL
+            SELECT 'del' AS leg, remainder, matches AS n FROM (
+              WITH keyed AS ({_ck_keyed_cte(12)}),
+              kept AS (
+                SELECT DISTINCT grp, code FROM keyed
+                EXCEPT
+                SELECT DISTINCT grp, code FROM keyed WHERE o_orderkey % 3 = 0)
+              SELECT k.grp AS remainder, count(*) AS matches
+              FROM keyed k JOIN kept s ON s.grp = k.grp AND s.code = k.code
+              GROUP BY k.grp)
         """,
         "q_bloom_fp_bounded": "SELECT TRUE AS within_bound",
         "q_bloom_false_positives": _bloom_fp_oracle_sql(10_000, 0.01),
@@ -2080,28 +2169,33 @@ def oracle_sql() -> dict[str, str]:
             FROM kmv JOIN qs ON kmv.grp = qs.grp
             JOIN (SELECT grp, count(DISTINCT h >> 52)::BIGINT AS hll_occupied
                   FROM d GROUP BY grp) hocc ON kmv.grp = hocc.grp
-        """,
-        "q_kmv_overlap": """
-            WITH keyed AS (
-              SELECT o_orderkey % 2 AS grp, hash(o_custkey) AS h FROM orders),
-            d AS (SELECT DISTINCT grp, h FROM keyed),
-            r AS (
-              SELECT grp, h,
-                     row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
-              FROM d),
-            s AS (SELECT grp, h FROM r WHERE rn <= 128),
-            m AS (
-              SELECT h FROM (SELECT DISTINCT h FROM s) ORDER BY h LIMIT 128),
-            mk AS (SELECT max(h) AS kth, count(*) AS n FROM m),
-            b AS (
-              SELECT count(*) AS n_both FROM m
-              WHERE h IN (SELECT h FROM s WHERE grp = 0)
-                AND h IN (SELECT h FROM s WHERE grp = 1))
-            SELECT 128 AS k_eff, b.n_both,
-                   (CASE WHEN mk.n < 128 THEN mk.n::HUGEINT
-                         ELSE (127::HUGEINT * 18446744073709551616::HUGEINT)
-                              // mk.kth::HUGEINT END)::BIGINT AS union_est
-            FROM b, mk
+            UNION ALL
+            -- sketch-algebra overlap row (grp = -1): union/overlap estimated
+            -- from the two groups' k=128 KMV sketches alone
+            SELECT -1::BIGINT AS grp, union_est AS est64, n_both AS est_exact,
+                   k_eff AS p50_day, -1::BIGINT AS p90_day,
+                   -1::BIGINT AS hll_occupied
+            FROM (
+              WITH keyed2 AS (
+                SELECT o_orderkey % 2 AS grp, hash(o_custkey) AS h FROM orders),
+              d2 AS (SELECT DISTINCT grp, h FROM keyed2),
+              r2 AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM d2),
+              s2 AS (SELECT grp, h FROM r2 WHERE rn <= 128),
+              m2 AS (
+                SELECT h FROM (SELECT DISTINCT h FROM s2) ORDER BY h LIMIT 128),
+              mk AS (SELECT max(h) AS kth, count(*) AS n FROM m2),
+              b AS (
+                SELECT count(*) AS n_both FROM m2
+                WHERE h IN (SELECT h FROM s2 WHERE grp = 0)
+                  AND h IN (SELECT h FROM s2 WHERE grp = 1))
+              SELECT 128::BIGINT AS k_eff, b.n_both::BIGINT AS n_both,
+                     (CASE WHEN mk.n < 128 THEN mk.n::HUGEINT
+                           ELSE (127::HUGEINT * 18446744073709551616::HUGEINT)
+                                // mk.kth::HUGEINT END)::BIGINT AS union_est
+              FROM b, mk)
         """,
         "q_filter_union": (
             lambda mask: f"""
@@ -2436,10 +2530,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_containment_pairs": _CONTAINMENT_ORACLE,
         "q_neardup_clusters": _neardup_cc_sql(
-            "SELECT id AS doc_id, component FROM comp"
-        ),
-        "q_cluster_report": _neardup_cc_sql(
-            "SELECT component, count(*) AS n_members FROM comp GROUP BY component"
+            "SELECT id AS doc_id, component,"
+            " (count(*) OVER (PARTITION BY component))::BIGINT AS n_members"
+            " FROM comp"
         ),
         "q_dedup_near": _neardup_cc_sql(
             "SELECT doc_id FROM documents "
@@ -2649,18 +2742,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (7, 61, 133)
         """,
         "q_multimodal_meta": """
-            SELECT CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                        ELSE 'webp' END AS format,
-                   count(*) AS n,
-                   CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-                   CAST(sum((ascii(substr(text, 1, 1)) % 16) * 16 + 16) AS BIGINT) AS total_width
-            FROM documents GROUP BY format
-        """,
-        "q_multimodal_frames": """
-            SELECT doc_id,
-                   unnest(generate_series(0, length(text) % 4)) AS frame_idx,
-                   length(text) // ((length(text) % 4) + 1) AS n_bytes
+            SELECT 'meta' AS leg, format AS k, n AS v1, total_bytes AS v2,
+                   total_width AS v3
+            FROM (
+              SELECT CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                          ELSE 'webp' END AS format,
+                     count(*) AS n,
+                     CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+                     CAST(sum((ascii(substr(text, 1, 1)) % 16) * 16 + 16)
+                          AS BIGINT) AS total_width
+              FROM documents GROUP BY format)
+            UNION ALL
+            SELECT 'frame' AS leg, doc_id::VARCHAR AS k,
+                   unnest(generate_series(0, length(text) % 4))::BIGINT AS v1,
+                   (length(text) // ((length(text) % 4) + 1))::BIGINT AS v2,
+                   0::BIGINT AS v3
             FROM documents
+            UNION ALL
+            SELECT 'feat' AS leg, doc_id::VARCHAR AS k, 16::BIGINT AS v1,
+                   top_bin::BIGINT AS v2, 0::BIGINT AS v3
+            FROM (
+              WITH res AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, length(text)),
+                         i -> ascii(substr(text, i, 1)) % 16)) AS bin
+                FROM documents),
+              hist AS (
+                SELECT doc_id, bin, count(*) AS c FROM res GROUP BY doc_id, bin),
+              top AS (
+                SELECT doc_id, bin, c,
+                       row_number() OVER (
+                         PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+                FROM hist)
+              SELECT doc_id, bin AS top_bin FROM top WHERE rn = 1)
         """,
         "q_pipeline_e2e": """
             WITH RECURSIVE
@@ -2710,7 +2825,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM clean
         """,
-        "q_sessionize": """
+        "q_timeseries": """
             WITH l AS (
               SELECT event_id, user_id, ts,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -2724,15 +2839,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, sum(is_new) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
-              FROM f)
-            SELECT user_id, min(event_id) AS session_id,
-                   count(*) AS n_events,
-                   epoch_us(min(ts)) AS start_us,
-                   epoch_us(max(ts)) AS end_us
-            FROM s GROUP BY user_id, sn
-        """,
-        "q_asof_join": """
-            WITH rates AS (
+              FROM f),
+            rates AS (
               SELECT user_id, ts, max(value) AS err_value
               FROM events WHERE event_type = 'error'
               GROUP BY user_id, ts),
@@ -2747,41 +2855,40 @@ def oracle_sql() -> dict[str, str]:
             rj AS (
               SELECT e.event_id, iv.interval_id
               FROM events e JOIN iv ON iv.lo <= e.value AND e.value < iv.hi)
-            SELECT a.event_id, a.err_value,
-                   coalesce(rj.interval_id, -1)::BIGINT AS interval_id
+            SELECT 'sess' AS leg, user_id::VARCHAR AS k,
+                   min(event_id)::BIGINT AS v1,
+                   count(*)::BIGINT AS v2,
+                   epoch_us(min(ts))::BIGINT AS v3,
+                   epoch_us(max(ts))::BIGINT AS v4,
+                   0.0::DOUBLE AS vd
+            FROM s GROUP BY user_id, sn
+            UNION ALL
+            SELECT 'asof' AS leg, a.event_id::VARCHAR AS k,
+                   coalesce(rj.interval_id, -1)::BIGINT AS v1,
+                   0::BIGINT AS v2, 0::BIGINT AS v3, 0::BIGINT AS v4,
+                   a.err_value::DOUBLE AS vd
             FROM a LEFT JOIN rj USING (event_id)
+            UNION ALL
+            SELECT 'win' AS leg,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     || '|' || event_type AS k,
+                   count(*)::BIGINT AS v1,
+                   min(event_id)::BIGINT AS v2,
+                   0::BIGINT AS v3, 0::BIGINT AS v4, 0.0::DOUBLE AS vd
+            FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
-        "q_multimodal_features": """
-            WITH res AS (
-              SELECT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, length(text)),
-                       i -> ascii(substr(text, i, 1)) % 16)) AS bin
-              FROM documents),
-            hist AS (
-              SELECT doc_id, bin, count(*) AS c FROM res GROUP BY doc_id, bin),
-            top AS (
-              SELECT doc_id, bin, c,
-                     row_number() OVER (
-                       PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
-              FROM hist)
-            SELECT doc_id, 16 AS dim, bin AS top_bin FROM top WHERE rn = 1
-        """,
-        "q_events_window": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                   event_type, count(*) AS n, min(event_id) AS first_event
-            FROM events GROUP BY hour, event_type
-        """,
-        # Exact size/metadata oracle: every blob layout is this engine's
-        # documented format (core/{quotient,xor,fuse,bloom,cms,kmv}.py),
-        # so each serialized size is a closed-form function of the
-        # distinct-hash count n — recomputed here in SQL. n_entries is the
-        # stored-entry count where the format records one (quotient
-        # fingerprints = distinct low q+r=20 hash bits; KMV = k smallest
-        # retained values), -1 elsewhere. xor/fuse sizes assume
-        # first-attempt peel success — deterministic for given data,
-        # verified at the driver SF.
-        "q_filter_sizes": """
+    }
+
+
+# Exact size/metadata oracle (the sizes leg of q_filter_members): every
+# blob layout is this engine's documented format
+# (core/{quotient,xor,fuse,bloom,cms,kmv}.py), so each serialized size is
+# a closed-form function of the distinct-hash count n — recomputed here in
+# SQL. n_entries is the stored-entry count where the format records one
+# (quotient fingerprints = distinct low q+r=20 hash bits; KMV = k smallest
+# retained values), -1 elsewhere. xor/fuse sizes assume first-attempt peel
+# success — deterministic for given data, verified at the driver SF.
+_FILTER_SIZES_ORACLE = """
             WITH base AS (
               SELECT count(DISTINCT hash(o_orderkey)) AS n,
                      count(DISTINCT (hash(o_orderkey) & 1048575)) AS nfp
@@ -2820,5 +2927,4 @@ def oracle_sql() -> dict[str, str]:
                         SELECT (hash(o_orderkey) >> 32) & 4095 AS fp0,
                                hash(o_orderkey) & 262143 AS i1
                         FROM orders)))::BIGINT
-        """,
-    }
+        """

@@ -812,11 +812,27 @@ def simhash_pairs_from_sigs(
 
 
 def simhash_candidates(
-    sig: DataFrame, id_col: str, max_hamming: int = 8
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 8,
+    index_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """The pre-verify banded candidate join: columns (band, bv, a.id,
     a.simhash, b.id, b.simhash) with a.id < b.id. Exposed separately so
-    tests can assert the candidate count stays bounded on skewed corpora."""
+    tests can assert the candidate count stays bounded on skewed corpora.
+
+    The index side (n_bands rows/doc, ~30 B each) is broadcast
+    DETERMINISTICALLY whenever it holds at most ``index_broadcast_rows``
+    rows: the r8 stress artifact caught AQE flipping this join to
+    sort-merge at 50k docs (the static size estimate of the exploded
+    cached subplan crosses autoBroadcastJoinThreshold), which shuffled the
+    ~240x-exploded probe side through an Exchange — 13.3 s -> 65.1 s for
+    an index side of 5 MB. Counting ``sig`` costs one job over 16-byte
+    rows (cached in the production path) and removes the optimizer's
+    discretion. Above the threshold (cluster-scale corpora, where a
+    broadcast would not fit) the equi-join shuffles both sides on
+    (band, bv) — the documented scale path: probe rows are 4 longs each
+    and never re-shuffle after the join."""
     n_bands, radius, widths, starts = simhash_banding(max_hamming)
     exact_entries = []
     band_masks = []
@@ -846,6 +862,8 @@ def simhash_candidates(
             ).alias("bv"),
         )
     a, b = probes.alias("a"), index.alias("b")
+    if sig.count() * n_bands <= index_broadcast_rows:
+        b = F.broadcast(b)
     return a.join(b, ["band", "bv"]).where(F.col("a.id") < F.col("b.id"))
 
 

@@ -286,7 +286,7 @@ def streaming_window_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Tumbling-window rollup with late-data watermark — the streaming twin
-    of the batch q_events_window (same groupBy/agg shape; Structured
+    of the batch q_timeseries win leg (same groupBy/agg shape; Structured
     Streaming handles incremental state and late arrivals)."""
     return (
         stream.withWatermark(ts_col, watermark)

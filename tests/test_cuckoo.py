@@ -1,6 +1,6 @@
 """Cuckoo filter (#122): kernel laws, Spark build/probe/merge/delete, and
 the DuckDB-replayable placement-independent membership identity that backs
-q_cuckoo_false_positives / q_cuckoo_delete."""
+q_cuckoo_false_positives (fp + del legs)."""
 
 import duckdb
 import numpy as np

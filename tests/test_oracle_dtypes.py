@@ -31,3 +31,19 @@ def test_oracle_dtypes_match_spark_schema():
         timeout=560,
     )
     assert proc.returncode == 0, f"dtype mismatches:\n{proc.stdout[-4000:]}"
+
+
+def test_queries_fit_driver_correctness_cap():
+    """The driver records correctness for at most 50 queries() rows; r8
+    grew the dict to 55 and five previously-green queries silently fell
+    out of the gate. Every entry must fit — consolidate legs (the
+    q_dedup_exact pattern) before adding a 51st."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    assert len(qs) <= 50, f"queries() has {len(qs)} entries; the driver caps at 50"
+    # every query must keep a same-named oracle (rows-only checks are the
+    # explicitly-exempt non-SQL surfaces; today there are none)
+    missing = [k for k in qs if k not in E.oracle_sql()]
+    assert not missing, f"queries without oracles: {missing}"

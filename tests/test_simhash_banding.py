@@ -116,3 +116,60 @@ def test_near_pairs_end_to_end_unchanged(spark):
     rows = simhash_near_pairs(docs, "doc_id", "text", max_hamming=16, native=False).collect()
     got = {(r["id_a"], r["id_b"]) for r in rows}
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_candidate_join_broadcast_is_deterministic_not_aqe(spark):
+    """Pins the r9 stress fix: at 50k docs the r8 path left the broadcast
+    decision to the optimizer's static estimate of an exploded cached
+    subplan, which flipped the candidate join to sort-merge and shuffled
+    the ~240x-exploded probe side (13.3 s -> 65.1 s in the r8 stress
+    artifact). The index side must now broadcast by explicit hint
+    whenever n_docs * n_bands <= index_broadcast_rows — visible in the
+    STATIC plan, no AQE discretion — and fall back to a plain equi-join
+    above the threshold (cluster-scale corpora, where a broadcast could
+    not fit)."""
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.dedup import simhash_pairs_from_sigs
+
+    # 50k docs — the exact scale where the r8 stress run lost the broadcast
+    sig = spark.range(50_000).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("simhash")
+    ).cache()
+    try:
+        plan = _plan_of(simhash_pairs_from_sigs(sig, "doc_id", 8))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, "probe side must never shuffle here"
+    finally:
+        sig.unpersist()
+
+    # the strongest pin: with the optimizer's own broadcasting disabled
+    # entirely, the explicit hint must still force the broadcast (it is a
+    # hint, not an estimate) — and above the row threshold the hint must
+    # be absent, degrading to the shuffled equi-join scale path
+    from bitfilters_spark.operators.dedup import simhash_candidates
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.xxhash64("id").alias("simhash")
+        )
+        plan2 = _plan_of(simhash_candidates(small, "doc_id", 8))
+        assert "BroadcastHashJoin" in plan2, "hint must not depend on conf"
+        plan3 = _plan_of(
+            simhash_candidates(small, "doc_id", 8, index_broadcast_rows=10)
+        )
+        assert "BroadcastHashJoin" not in plan3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -78,16 +78,16 @@ NOTES = {
         "the probable-hit branch carries a BroadcastHashJoin(left_anti) "
         "against the benchmark keys."
     ),
-    "q_asof_join": (
-        "As-of join as union + carry-forward window: each union branch "
-        "shuffles once into the shared user_id partitioning, then a single "
-        "Window (last ignorenulls) — no range join, no per-key quadratic "
-        "candidate set."
-    ),
-    "q_sessionize": (
-        "Sessionization: one Exchange on user_id; lag, cumulative sum, and the "
-        "per-session min all run in Window execs over the same partitioning — "
-        "Spark reuses the sort, no second shuffle for the rollup."
+    "q_timeseries": (
+        "All four time-series legs union-tagged in one plan. sess leg: one "
+        "Exchange on user_id; lag, cumulative sum, and the per-session min "
+        "all run in Window execs over the same partitioning — Spark reuses "
+        "the sort, no second shuffle for the rollup. asof leg: union + "
+        "carry-forward window (single Window with last ignorenulls over the "
+        "same user_id partitioning — no range join, no per-key quadratic "
+        "candidate set) plus the bucketed-blocking range join (equi-join on "
+        "bucket id + exact re-check, never a nested loop). win leg: one "
+        "map-side-combined hash aggregate."
     ),
     "q_tfidf": (
         "Document-frequency side is vocabulary-sized: check the "
