@@ -457,7 +457,12 @@ def _filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("duckdb_bloom", "duckdb_bloom", {"num_sectors": 16384}),
         ("cms", "cms", {"d": 4, "w": 16384}),
         ("kmv", "kmv", {"k": 1024}),
-        ("cuckoo", "cuckoo", {"nbuckets": 262144, "fp_bits": 12, "bucket_size": 4}),
+        # 2x the per-group geometry of q_cuckoo_*: THIS build is ungrouped
+        # (the whole orders table in one filter), so the 10x stress table's
+        # ~1.5M distinct keys needs 524288x4 slots to stay at 71% load —
+        # 262144 overflowed the 95% bound there (caught by the r9 stress
+        # sweep; the oracle's size/mask constants match below)
+        ("cuckoo", "cuckoo", {"nbuckets": 524288, "fp_bits": 12, "bucket_size": 4}),
     ]
     from bitfilters_spark.functions.filters import filter_describe
 
@@ -1029,6 +1034,21 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf(docs, "doc_id", "text")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 targeted data selection (operator #128,
+    text.bm25_scores): rank the corpus against a 3-query benchmark set
+    (the first 8 tokens of docs 0/5/10) — the retrieval counterpart of
+    DSIR's importance weights. Deterministic arithmetic over integer
+    tf/df/dl counts, replayed term-for-term in SQL (same operation
+    order, round 6); only docs sharing a query term appear."""
+    docs = load_table(spark, sf_dir, "documents")
+    qset = docs.where(F.col("doc_id").isin(0, 5, 10)).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring_index("text", " ", 8).alias("query"),
+    )
+    return T.bm25_scores(docs, qset, "doc_id")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard >= 0.1, df-capped blocking (skew guard:
     a shingle in d docs fans out d^2 candidate rows; capping df bounds the
@@ -1067,7 +1087,16 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score. sum(max) is derived (n_a + n_b - sum(min)), so only the
     shared-term min-mass crosses the pair shuffle; df_cap=64 is the same
     blocking skew guard as q_ngram_jaccard_pairs, with hot-term min-mass
-    added back exactly from bounded broadcast tf maps."""
+    added back exactly from per-map-bounded tf maps.
+
+    Oracle-equivalence caveat (same data-dependent posture as
+    q_ngram_jaccard_pairs): the DuckDB oracle replays the full UNCAPPED
+    multiset pair join, while the Spark side blocks on shingles with
+    df <= 64 — a pair whose shared shingles are ALL hot would be missed
+    by blocking. On this corpus every qualifying pair shares sub-cap
+    shingles (near-dup text always does), so the sides agree; a more
+    boilerplate-heavy corpus would need df_cap=None or an
+    EXISTS-shared-sub-cap-shingle clause in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.weighted_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
@@ -1655,6 +1684,33 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.unionByName(asf).unionByName(win)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (operator #127,
+    web.url_frontier_schedule) with events as the frontier: host =
+    user_id (thousands of hosts), URL key = event_id, priority = value.
+    per_host_per_round=3 ⇒ no host fetches more than 3 URLs in any
+    round, highest-value first — ONE window over the host key, the same
+    shuffle a fetcher fleet partitions by. The `fetcher` leg pins the
+    stable host->worker assignment with the DuckDB-parity hash (the
+    operator's default is JVM xxhash64; parity here makes the leg
+    oracle-exact: pmod of a two's-complement i64 ≡ u64 % 8)."""
+    from bitfilters_spark.operators.web import url_frontier_schedule
+
+    ev = load_table(spark, sf_dir, "events")
+    fr = ev.select(
+        "event_id", F.col("user_id").cast("string").alias("h"), "value"
+    )
+    out = url_frontier_schedule(
+        fr, "event_id", host_col="h", priority_col="value", per_host_per_round=3
+    )
+    return out.select(
+        "event_id",
+        "host",
+        "round",
+        F.pmod(duckdb_hash(ORACLE_VERSION, "host"), F.lit(8)).cast("long").alias("fetcher"),
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep, composed from the verified pieces:
     quality gate (>= 30 tokens) → exact dedup (keep min doc_id per 5-token
@@ -1733,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_repetition": q_repetition,
         "q_tfidf": q_tfidf,
+        "q_bm25": q_bm25,
         "q_pii_redact": q_pii_redact,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_weighted_jaccard": q_weighted_jaccard,
@@ -1752,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_data_skipping": q_data_skipping,
         "q_multimodal_meta": q_multimodal_meta,
         "q_timeseries": q_timeseries,
+        "q_crawl_frontier": q_crawl_frontier,
         "q_pipeline_e2e": q_pipeline_e2e,
     }
     # HARD INVARIANT (r8 lesson: five green queries silently fell past the
@@ -2506,6 +2564,43 @@ def oracle_sql() -> dict[str, str]:
                    {_moji_fixed_sql()} AS fixed
             FROM aug
         """,
+        # BM25: exact term-for-term replay of text.bm25_scores — the same
+        # idf smoothing, the same operation ORDER inside each float
+        # expression (IEEE parity), query terms deduplicated, df computed
+        # over query terms only, round 6 absorbs summation-order ulps.
+        "q_bm25": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qt AS (
+              SELECT DISTINCT doc_id AS query_id,
+                     unnest(string_split(
+                       array_to_string(string_split(text, ' ')[1:8], ' '),
+                       ' ')) AS token
+              FROM documents WHERE doc_id IN (0, 5, 10)),
+            docfreq AS (
+              SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tok WHERE token IN (SELECT token FROM qt)
+              GROUP BY token),
+            hits AS (
+              SELECT qt.query_id, tf.doc_id,
+                     ln(1.0 + ((st.n - docfreq.df) + 0.5) / (docfreq.df + 0.5))
+                       * ((tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)))
+                       AS c
+              FROM tf
+              JOIN qt ON qt.token = tf.token
+              JOIN docfreq ON docfreq.token = tf.token
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN st)
+            SELECT query_id, doc_id, round(sum(c), 6) AS score
+            FROM hits GROUP BY 1, 2
+        """,
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
         "q_weighted_jaccard": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2825,6 +2920,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM clean
         """,
+        "q_crawl_frontier": """
+            SELECT event_id, user_id::VARCHAR AS host,
+                   ((row_number() OVER (
+                       PARTITION BY user_id ORDER BY value DESC, event_id
+                     ) - 1) // 3)::BIGINT AS round,
+                   (hash(user_id::VARCHAR) % 8)::BIGINT AS fetcher
+            FROM events
+        """,
         "q_timeseries": """
             WITH l AS (
               SELECT event_id, user_id, ts,
@@ -2918,13 +3021,13 @@ _FILTER_SIZES_ORACLE = """
             UNION ALL SELECT 'cms', (12 + 8 * 4 * 16384)::INTEGER, -1::BIGINT
             UNION ALL SELECT 'kmv', (12 + 8 * least(1024, n))::INTEGER,
                    least(1024, n)::BIGINT FROM geo2
-            UNION ALL SELECT 'cuckoo', (10 + 262144 * 4 * 2)::INTEGER,
+            UNION ALL SELECT 'cuckoo', (10 + 524288 * 4 * 2)::INTEGER,
                    (SELECT count(DISTINCT
-                        least(i1, xor(i1, (fp * 1540483477) & 262143)) * 65536 + fp)
+                        least(i1, xor(i1, (fp * 1540483477) & 524287)) * 65536 + fp)
                     FROM (
                       SELECT CASE WHEN fp0 = 0 THEN 1 ELSE fp0 END AS fp, i1
                       FROM (
                         SELECT (hash(o_orderkey) >> 32) & 4095 AS fp0,
-                               hash(o_orderkey) & 262143 AS i1
+                               hash(o_orderkey) & 524287 AS i1
                         FROM orders)))::BIGINT
         """

@@ -60,12 +60,13 @@ from ..core import fuse as FU
 from ..core import hll as HL
 from ..core import mg as MG
 from ..core import quotient as Q
+from ..core import ribbon as RB
 from ..core import xor as X
 from ..core import hashing as H
 from .hashing import _hash_arrays
 
 MERGEABLE = {"bloom", "duckdb_bloom", "quotient", "cms", "kmv", "hll", "mg", "cuckoo"}
-PEELED = {"xor8", "xor16", "fuse8", "fuse16"}
+PEELED = {"xor8", "xor16", "fuse8", "fuse16", "ribbon8", "ribbon16"}
 
 
 def _to_u64(s: pd.Series) -> np.ndarray:
@@ -83,6 +84,10 @@ def _bulk_build(kind: str, hashes: np.ndarray, p: dict) -> bytes:
         return FU.fuse_build(hashes, 8)
     if kind == "fuse16":
         return FU.fuse_build(hashes, 16)
+    if kind == "ribbon8":
+        return RB.ribbon_build(hashes, 8)
+    if kind == "ribbon16":
+        return RB.ribbon_build(hashes, 16)
     if kind == "duckdb_bloom":
         return B.duckdb_bloom_serialize(B.duckdb_bloom_build(hashes, p["num_sectors"]))
     if kind == "bloom":
@@ -500,6 +505,8 @@ def _probe_blob(blob: bytes, hashes: np.ndarray) -> np.ndarray:
         return CKF.ck_probe(blob, hashes)
     if magic == b"XORF":
         return X.xor_probe(blob, hashes)
+    if magic == RB.RIBBON_MAGIC:
+        return RB.ribbon_probe(blob, hashes)
     if magic == b"BFUS":
         return FU.fuse_probe(blob, hashes)
     if magic == b"SBL1":
@@ -808,6 +815,7 @@ _KIND_BY_MAGIC = {
     b"QF01": "quotient",
     b"CKF1": "cuckoo",
     b"XORF": "xor",
+    b"RIBN": "ribbon",
     b"BFUS": "binary_fuse",
     b"SBL1": "bloom",
     b"SHRD": "sharded",

@@ -373,6 +373,60 @@ def load_bpe_text(path: str, spark=None) -> dict:
     return {"merges": merges, "vocab": vocab}
 
 
+def load_hf_tokenizer_json(path: str, spark=None) -> dict:
+    """Load a HuggingFace ``tokenizer.json`` (the single-file format the
+    ``tokenizers`` library serializes and production tokenizers actually
+    ship) into the engine's model dict.
+
+    Reads ``model.vocab`` (piece → id) and ``model.merges`` — accepting
+    BOTH public merge encodings: the classic ``"a b"`` strings and the
+    ``["a", "b"]`` pairs newer ``tokenizers`` releases write. Added
+    tokens (``added_tokens``) are folded into the vocab at their
+    declared ids so budget/encode passes see the full id space; only
+    ``model.type == "BPE"`` is supported (WordPiece/Unigram have
+    different inference rules and would silently miscount).
+
+    The returned dict is exactly what :func:`load_bpe_text` produces —
+    ``{"merges": [(a, b), ...], "vocab": {piece: id}}`` — so an imported
+    production tokenizer drives :func:`bpe_encode` /
+    :func:`bpe_token_counts` / `pack_shards` budgets unchanged. The
+    engine encodes with the Sennrich ``</w>`` word-end convention;
+    tokenizers trained with other conventions (GPT-2 byte-level ``Ġ``
+    prefixes) import losslessly but their space-marker merges never fire
+    in this encoder — check `tokenizer_fertility_report` before
+    committing an import to a budget pass. Goes through the
+    scheme-agnostic Hadoop FS layer like every other persisted
+    artifact."""
+    import json as _json
+
+    from ..streaming import state_io
+
+    raw = state_io.read_bytes(path, spark)
+    if raw is None:
+        raise FileNotFoundError(f"no tokenizer.json at {path}")
+    doc = _json.loads(raw.decode("utf-8"))
+    model = doc.get("model") or {}
+    mtype = model.get("type", "BPE")
+    if mtype != "BPE":
+        raise ValueError(f"tokenizer.json model.type={mtype!r}; only BPE is supported")
+    merges = []
+    for m in model.get("merges", []):
+        if isinstance(m, str):
+            a, _, b = m.partition(" ")
+        else:
+            a, b = m[0], m[1]
+        merges.append((a, b))
+    vocab = {p: int(i) for p, i in (model.get("vocab") or {}).items()}
+    for tok in doc.get("added_tokens", []) or []:
+        vocab.setdefault(tok["content"], int(tok["id"]))
+    if not vocab:
+        for a, b in merges:
+            for piece in (a, b, a + b):
+                if piece not in vocab:
+                    vocab[piece] = len(vocab)
+    return {"merges": merges, "vocab": vocab}
+
+
 def tokenizer_fertility_report(
     df: DataFrame,
     model: dict,

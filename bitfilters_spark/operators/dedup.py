@@ -382,9 +382,13 @@ def weighted_jaccard_pairs(
     — a term in d docs yields d^2 blocking rows, so terms with df >
     df_cap are excluded from BLOCKING only (a qualifying pair must share
     at least one sub-cap term to be found). Emitted values stay EXACT:
-    each doc's hot-term tf rides as a bounded map<hash,int> (at most
-    rows/df_cap distinct terms are hot), AQE broadcasts the two map
-    joins, and sum(min) adds the hot mass back via map_zip_with."""
+    each doc's hot-term tf rides as a map<hash,int> that is PER-MAP
+    bounded (at most rows/df_cap distinct terms are hot), and sum(min)
+    adds the hot mass back via map_zip_with. The hotmaps TABLE is not
+    globally bounded — one row per document containing any hot term, so
+    on a boilerplate-heavy corpus (every doc contains 'the') the two map
+    joins are full-size equi-joins on the pair ids, not broadcasts; AQE
+    broadcasts them only when the hot-doc set happens to be small."""
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         (word_shingles(text_col, shingle_n) if shingle_n > 1 else tokens(text_col)).alias("ta"),
@@ -454,7 +458,16 @@ def _icws_kernel(th: "np.ndarray", w: "np.ndarray", k: int, seed: int):
     (term-hash, weight) arrays -> k int64 sample codes. All randomness is
     counter-based (murmur-style mixes of term-hash x sample-index), so
     signatures are deterministic and agree across executors/engines.
-    P[sig_A[j] == sig_B[j]] = J_w(A, B) exactly (the CWS property)."""
+
+    Ioffe's proof gives P[sig_A[j] == sig_B[j]] = J_w(A, B) under
+    INDEPENDENT uniforms; here the five per-(term, j) variates are
+    counter-based — each uniform runs its own salted avalanche over the
+    pre-mix input (salt folded in BEFORE the finalizer, so variates are
+    not bijections of one post-avalanche state) — making the collision
+    probability J_w up to the PRNG approximation. The k=512 / 3.5-sigma
+    statistical test (tests/test_weighted_jaccard.py) bounds, not
+    eliminates, any residual bias; exact values come from the
+    `weighted_jaccard_pairs` verification, never from the sketch."""
     import numpy as np
 
     C1 = np.uint64(0x9E3779B97F4A7C15)
@@ -469,11 +482,13 @@ def _icws_kernel(th: "np.ndarray", w: "np.ndarray", k: int, seed: int):
 
     js = (np.arange(k, dtype=np.uint64) + np.uint64(seed)) * C1
     with np.errstate(over="ignore"):
-        base = mix(th[:, None] ^ js[None, :])  # (U, k)
+        pre = th[:, None] ^ js[None, :]  # (U, k) pre-avalanche state
 
     def unif(salt):
+        # salt enters BEFORE the avalanche: each variate gets its own
+        # full mix of (term, j, salt), not a remix of a shared output
         with np.errstate(over="ignore"):
-            u = mix(base + np.uint64(salt) * C1)
+            u = mix(pre ^ (np.uint64(salt) * C1))
         # map to (0,1): top 53 bits, never exactly 0
         return ((u >> np.uint64(11)).astype(np.float64) + 0.5) / 9007199254740992.0
 
@@ -501,7 +516,9 @@ def icws_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[k]) — consistent-weighted-sampling sketch
     (Ioffe 2010): the weighted-minhash twin of `minhash_signatures`, with
-    per-sample collision probability EXACTLY J_w. One zero-shuffle
+    per-sample collision probability J_w (exact under Ioffe's i.i.d.
+    assumption; counter-based determinism makes it an approximation —
+    see `_icws_kernel`). One zero-shuffle
     mapInPandas pass: per-doc tf from numpy unique, the k samples from
     the vectorized counter-based kernel (term hashes memoized per batch:
     the randomness tables are per (term, j), shared across docs)."""
@@ -569,6 +586,13 @@ def icws_lsh_pairs(
     if k % bands != 0:
         raise ValueError(f"k={k} not divisible by bands={bands}")
     r = k // bands
+    # cached because the signature plan feeds both sides of the band
+    # self-join; k longs per doc. Deliberately NOT unpersisted: the
+    # returned DataFrame's lineage still references the cached plan (an
+    # eager unpersist would silently recompute signatures per side), so
+    # the blocks live until the session drops them — same documented
+    # lifetime trade as minhash_lsh_pairs; call
+    # spark.catalog.clearCache() between suite-style repeated runs.
     sig = icws_signatures(df, id_col, text_col, k, shingle_n, seed).cache()
     band_cols = [
         F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))

@@ -298,22 +298,92 @@ AUDIO_WINDOW_SCHEMA = StructType(
 )
 
 
+def _soundfile():
+    """Import soundfile lazily (inside executors too); None when absent."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+HAS_SOUNDFILE = _soundfile() is not None
+
+
+def decode_audio_pcm(payload: bytes, codec: str = "auto") -> np.ndarray:
+    """Decode an audio payload to an int64 mono PCM sample array.
+
+    ``codec`` follows the module convention (cf. ``_resolve_codec``):
+
+    - ``"wav"``: REAL decode of RIFF/WAVE containers via the stdlib
+      ``wave`` module (always available — no gate): 8/16/32-bit PCM,
+      multi-channel downmixed to mono by integer channel mean. This is
+      the production path for the dominant uncompressed interchange
+      format; energies stay integer-exact.
+    - ``"soundfile"``: libsndfile-gated decode for compressed containers
+      (FLAC/OGG/...); samples are read as int16 and downmixed the same
+      way. Raises ImportError when the library is absent.
+    - ``"stub"``: the payload's bytes read as 8-bit PCM — deterministic,
+      dependency-free, oracle-stable (the pre-r9 behavior).
+    - ``"auto"``: sniff the RIFF/WAVE magic -> ``wav``; else
+      ``soundfile`` when importable and parseable; else ``stub``.
+    """
+    if codec not in ("auto", "stub", "wav", "soundfile"):
+        raise ValueError(f"codec must be auto|stub|wav|soundfile, got {codec!r}")
+    is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    if codec == "wav" or (codec == "auto" and is_wav):
+        import io as _io  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        with wave.open(_io.BytesIO(payload), "rb") as w:
+            nch, width = w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 1:  # WAV 8-bit is unsigned, centered at 128
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        elif width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        else:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        if nch > 1:  # integer mean keeps energies engine-reproducible
+            x = x[: len(x) - len(x) % nch].reshape(-1, nch).sum(axis=1) // nch
+        return x
+    if codec == "soundfile" or (codec == "auto" and not is_wav and HAS_SOUNDFILE):
+        sf = _soundfile()
+        if sf is None:
+            raise ImportError("codec='soundfile' requested but soundfile is not installed")
+        import io as _io  # noqa: PLC0415
+
+        try:
+            data, _sr = sf.read(_io.BytesIO(payload), dtype="int16", always_2d=True)
+            return data.astype(np.int64).sum(axis=1) // data.shape[1]
+        except Exception:
+            if codec == "soundfile":
+                raise
+    return np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+
+
 def sample_audio_windows(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     win: int = 1024,
     hop: int = 512,
+    codec: str = "stub",
 ) -> DataFrame:
     """Audio payload -> fixed-length overlapping analysis windows (the
     ASR / audio-embedding preprocessing shape: window, hop, per-window
-    energy). Like :func:`sample_frames`, the DECODE is a stub — the
-    payload's bytes are read as 8-bit PCM samples (a real pipeline swaps
-    in soundfile/librosa here) — but the Spark mechanics are the real
-    thing: mapInPandas row explosion (one clip -> ceil(L/hop) windows),
-    numpy-vectorized per-window energy (sum of squared samples, INTEGER
-    arithmetic so the result is engine-reproducible), and a tail window
-    shorter than ``win`` kept with its true sample count."""
+    energy). The DECODE follows :func:`decode_audio_pcm` — ``codec="wav"``
+    is a REAL PCM decode (stdlib ``wave``; 8/16/32-bit, mono downmix),
+    ``"soundfile"`` the gated compressed-container path, ``"stub"``
+    (default, oracle-stable) reads the bytes as 8-bit PCM. The Spark
+    mechanics are identical on every path: mapInPandas row explosion
+    (one clip -> ceil(L/hop) windows), numpy-vectorized per-window
+    energy (sum of squared samples, INTEGER arithmetic so the result is
+    engine-reproducible), and a tail window shorter than ``win`` kept
+    with its true sample count."""
     if win <= 0 or hop <= 0:
         raise ValueError("win and hop must be positive")
 
@@ -323,7 +393,7 @@ def sample_audio_windows(
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x = np.frombuffer(bytes(b), dtype=np.int8).astype(np.int64)
+                x = decode_audio_pcm(bytes(b), codec=codec)
                 L = len(x)
                 for w, off in enumerate(range(0, max(L, 1), hop)):
                     if off >= L:
@@ -476,6 +546,7 @@ def audio_fingerprint(
     win: int = 1024,
     hop: int = 512,
     out_col: str = "afp",
+    codec: str = "stub",
 ) -> DataFrame:
     """(id, afp) — an ENERGY-ENVELOPE fingerprint string per audio clip:
     each analysis window (from :func:`sample_audio_windows`) quantizes
@@ -491,7 +562,7 @@ def audio_fingerprint(
     Plan: the window explode is mapInPandas (∝ samples), the ordered
     reassembly is the encode_documents groupBy shape (one shuffle of
     (id, symbol longs)); log2-quantization happens in JVM exprs."""
-    w = sample_audio_windows(df, id_col, payload_col, win=win, hop=hop)
+    w = sample_audio_windows(df, id_col, payload_col, win=win, hop=hop, codec=codec)
     # eighth-of-an-octave energy bins: window-to-window jitter of a
     # steady signal (~±3% energy, ~0.04 in log2) stays in one symbol,
     # while real envelope movement (speech/music dynamics) crosses bins
@@ -523,14 +594,16 @@ def audio_near_pairs(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    codec: str = "stub",
 ) -> DataFrame:
     """Audio near-duplicate pairs: MinHash+LSH over energy-envelope
     shingles (exact-Jaccard verified at ``threshold``, same recall
     semantics as text `minhash_lsh_pairs`). The pair join moves k longs
-    per clip — payload bytes never shuffle."""
+    per clip — payload bytes never shuffle. ``codec="wav"`` runs the
+    REAL stdlib PCM decode (see :func:`decode_audio_pcm`)."""
     from .dedup import minhash_lsh_pairs
 
-    fp = audio_fingerprint(df, id_col, payload_col, win, hop).cache()
+    fp = audio_fingerprint(df, id_col, payload_col, win, hop, codec=codec).cache()
     return minhash_lsh_pairs(
         fp, id_col, "afp", k=k, bands=bands, shingle_n=shingle_n,
         threshold=threshold,

@@ -369,6 +369,76 @@ def tfidf(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc id, score) — Okapi BM25 relevance of every document
+    against a SMALL query set (Robertson & Zaragoza 2009): the standard
+    targeted data-selection primitive ("rank the corpus by similarity to
+    my eval/benchmark set, keep/inspect the head" — the retrieval-based
+    counterpart of DSIR's importance weights).
+
+        score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                                / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (the standard
+        always-positive smoothing)
+
+    Plan: one corpus pass builds per-(doc, token) tf + doc length; the
+    query-side token set is tiny and BROADCAST, so only matching
+    (doc, token) rows survive the semijoin before any aggregation —
+    corpus rows shuffle once (explode→groupBy on the doc id), df/avgdl
+    are metadata-scale aggregates, and the final per-(query, doc) sum is
+    map-side-combinable. Every term is deterministic arithmetic over
+    integer counts, so the whole score is SQL-replayable to the cent
+    (driver oracle rounds to 6 decimals). Only docs sharing ≥1 term with
+    the query appear (score 0 rows are not materialized — at 100 TB the
+    result is hits-sized, not corpus-sized)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf_df = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    qtok = queries.select(
+        F.col(query_id_col), F.explode(tokens(query_text_col)).alias("token")
+    ).distinct()
+    docfreq = (
+        tok.select(id_col, "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(qtok.select("token").distinct()), "token")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    hits = (
+        tf_df.join(F.broadcast(qtok), "token")
+        .join(F.broadcast(docfreq), "token")
+        .join(dl, id_col)
+    )
+    contrib = idf * (
+        F.col("tf") * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        hits.groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+
+
 def doc_fingerprint(text_col: str, native: bool = True) -> Column:
     """Content fingerprint of whitespace-normalized lowercase text.
     native=True -> xxhash64 (JVM); False -> DuckDB-parity hash (Arrow UDF)."""

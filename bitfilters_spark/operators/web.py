@@ -384,3 +384,59 @@ def moji_repair_sql(expr: str) -> str:
         f = fixed.replace("'", "''")
         out = f"replace({out}, '{b}', '{f}')"
     return out
+
+
+def url_frontier_schedule(
+    df,
+    url_col: str,
+    host_col=None,
+    priority_col=None,
+    per_host_per_round: int = 1,
+    n_fetchers: int | None = None,
+):
+    """Politeness-partitioned crawl scheduling: assign every URL a fetch
+    ``round`` such that at most ``per_host_per_round`` URLs of the same
+    host land in one round (per-host rate limiting as a PLAN property,
+    not a runtime limiter), highest ``priority_col`` first within each
+    host; optionally a stable ``fetcher`` assignment
+    (hash(host) % n_fetchers) so a host is always fetched by the same
+    worker — connection reuse, and the rate limit is enforceable locally
+    with no coordination.
+
+    round = (rank_within_host - 1) // per_host_per_round with rank over
+    ONE host-partitioned window ordered by (priority DESC, url) — a
+    single shuffle on the host key, scan-speed expressions elsewhere,
+    and the whole schedule is deterministic and SQL-replayable (exact
+    oracle: the identical QUALIFY-free window in ANSI SQL). At 100 TB
+    the frontier shuffles once on host — the same key a real fetcher
+    fleet partitions by — and hot hosts cost rank-sort only within
+    their own partition group (use `skew_report` on the host column
+    before scheduling a pathological frontier).
+
+    ``host_col`` defaults to :func:`url_domain` of ``url_col``; pass an
+    existing column name to skip the parse. Returns the input columns
+    plus (host, round, fetcher?).
+    """
+    from pyspark.sql import Window
+
+    if per_host_per_round <= 0:
+        raise ValueError("per_host_per_round must be positive")
+    host = (
+        (F.col(host_col) if isinstance(host_col, str) else host_col)
+        if host_col is not None
+        else url_domain(url_col)
+    )
+    out = df.withColumn("host", host)
+    order = (
+        [F.col(priority_col).desc()] if priority_col is not None else []
+    ) + [F.col(url_col)]
+    w = Window.partitionBy("host").orderBy(*order)
+    out = out.withColumn(
+        "round",
+        ((F.row_number().over(w) - 1) / per_host_per_round).cast("long"),
+    )
+    if n_fetchers is not None:
+        out = out.withColumn(
+            "fetcher", F.pmod(F.xxhash64("host"), F.lit(n_fetchers)).cast("long")
+        )
+    return out

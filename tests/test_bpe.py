@@ -238,3 +238,61 @@ def test_tokenizer_fertility_report(spark):
     # out-of-domain text fragments into many pieces per word
     assert b["fertility"] > 2.0
     assert b["bytes_per_token"] < a["bytes_per_token"]
+
+
+def test_hf_tokenizer_json_import_drives_encode_and_packing(spark, tmp_path):
+    """r9 (#6): HuggingFace tokenizer.json import — the single-file format
+    the `tokenizers` library serializes. A model exported through that
+    layout (both public merge encodings: "a b" strings and ["a","b"]
+    pairs) loads into the same dict save_bpe_text round-trips, encodes
+    identically, and its counts drive pack_shards."""
+    import json
+
+    df = spark.createDataFrame(
+        [(i, " ".join([w] * n)) for i, (w, n) in enumerate(CORPUS)],
+        ["doc_id", "text"],
+    )
+    model = B.train_bpe(df, "text", num_merges=50, min_pair_count=1)
+
+    # write the model AS a tokenizer.json (what `tokenizers` would save),
+    # with one added token to exercise the added_tokens fold-in
+    def write_tok(path, merges_as_pairs: bool):
+        doc = {
+            "version": "1.0",
+            "added_tokens": [{"id": len(model["vocab"]), "content": "<unk>"}],
+            "model": {
+                "type": "BPE",
+                "vocab": {p: i for p, i in model["vocab"].items()},
+                "merges": (
+                    [[a, b] for a, b in model["merges"]]
+                    if merges_as_pairs
+                    else [f"{a} {b}" for a, b in model["merges"]]
+                ),
+            },
+        }
+        path.write_text(json.dumps(doc))
+
+    for pairs in (False, True):
+        p = tmp_path / f"tokenizer_{pairs}.json"
+        write_tok(p, merges_as_pairs=pairs)
+        loaded = B.load_hf_tokenizer_json(str(p), spark)
+        assert loaded["merges"] == model["merges"]
+        assert loaded["vocab"]["<unk>"] == len(model["vocab"])
+        assert {k: v for k, v in loaded["vocab"].items() if k != "<unk>"} == model["vocab"]
+
+    # the imported model drives the downstream budget path unchanged
+    from bitfilters_spark.operators.packing import pack_shards
+
+    counts = B.bpe_token_counts(df, "doc_id", "text", loaded)
+    shards = pack_shards(counts, "doc_id", "n_bpe_tokens", 64).collect()
+    ref = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in B.bpe_token_counts(df, "doc_id", "text", model).collect()}
+    assert {r["doc_id"]: r["n_bpe_tokens"] for r in shards} == ref
+
+    # non-BPE models must refuse loudly, not miscount silently
+    bad = tmp_path / "wp.json"
+    bad.write_text(json.dumps({"model": {"type": "WordPiece", "vocab": {}}}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="WordPiece"):
+        B.load_hf_tokenizer_json(str(bad), spark)

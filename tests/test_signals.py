@@ -220,3 +220,48 @@ def test_drift_report_constant_and_null_columns(spark):
     b_diff = spark.createDataFrame([(4, 9)], "id long, c long")
     assert drift_report(a, b_same, ["c"])["c"]["psi"] == 0.0
     assert drift_report(a, b_diff, ["c"])["c"]["psi"] == float("inf")
+
+
+def test_bm25_scores_match_python_reference(spark):
+    """BM25 (#128) equals a transparent pure-python computation to 1e-9:
+    idf = ln(1 + (N - df + .5)/(df + .5)) rounded to the 6-decimal oracle contract, query terms deduplicated,
+    zero-overlap (query, doc) rows not materialized."""
+    import math
+
+    from bitfilters_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "cherry durian elderberry fig"),
+        (4, "grape melon kiwi"),
+    ]
+    queries = [(100, "apple banana banana"), (200, "fig")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(ddf, qdf, "doc_id").collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    want = {}
+    for qid, qtext in queries:
+        for d, t in toks.items():
+            s = 0.0
+            for term in sorted(set(qtext.split())):
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                df = sum(term in set(tt) for tt in toks.values())
+                idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl)))
+            if s > 0:
+                want[(qid, d)] = s
+    assert set(got) == set(want), "zero-overlap rows must not appear"
+    for key, v in want.items():
+        # the operator rounds to 6 decimals (oracle-parity contract)
+        assert got[key] == round(v, 6), (key, got[key], v)

@@ -1,6 +1,7 @@
 """Crawl-side operators: HTML stripping and URL hygiene (pure expression
 chains — the map-side front door of the text pipeline)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from bitfilters_spark.operators.web import normalize_url, strip_html, url_domain
@@ -394,3 +395,48 @@ def test_pii_scan_parity_combinatorial(spark):
     n = {r["id"]: r.asDict() for r in new.collect()}
     assert o == n
     assert len(o) == len(frags) ** 3
+
+
+def test_url_frontier_schedule_politeness_and_stability(spark):
+    """Crawl scheduling (#127): no host exceeds per_host_per_round URLs in
+    any round, rounds fill highest-priority-first, the host->fetcher map
+    is stable (a host never splits across fetchers), and host_col=None
+    derives the host from the URL itself."""
+    from bitfilters_spark.operators.web import url_frontier_schedule
+
+    rows = []
+    for h in range(20):
+        for i in range(7):
+            rows.append((f"https://site{h}.example.com/p{i}", float((h * 7 + i) % 13)))
+    df = spark.createDataFrame(rows, "url string, score double")
+    out = url_frontier_schedule(
+        df, "url", priority_col="score", per_host_per_round=2, n_fetchers=4
+    ).collect()
+
+    # politeness: <= 2 URLs per (host, round); every URL scheduled exactly once
+    from collections import Counter
+
+    per = Counter((r["host"], r["round"]) for r in out)
+    assert max(per.values()) <= 2 and len(out) == len(rows)
+    # priority: a URL in a later round never outranks one in an earlier
+    # round of the same host
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append((r["round"], r["score"], r["url"]))
+    for h, items in by_host.items():
+        items.sort()
+        scores = [s for _, s, _ in items]
+        # within a host, scores are non-increasing across rounds
+        assert all(
+            a[1] >= b[1] for a, b in zip(items, items[1:]) if a[0] < b[0]
+        ), f"priority inversion in {h}"
+    # stability: one fetcher per host, fetcher in [0, 4)
+    fmap = {}
+    for r in out:
+        assert 0 <= r["fetcher"] < 4
+        assert fmap.setdefault(r["host"], r["fetcher"]) == r["fetcher"]
+    # host derived from the URL (registrable domain)
+    assert all(r["host"].endswith(".example.com") for r in out)
+
+    with pytest.raises(ValueError):
+        url_frontier_schedule(df, "url", per_host_per_round=0)

@@ -139,29 +139,34 @@ def main() -> None:
                 doc = json.load(f)
         except (OSError, ValueError):
             doc = {}
+    # merge at query level so a long sweep can run in batches (``only``)
+    # without wiping the block's other rows; drop rows for queries that
+    # no longer exist so consolidations can't leave stale entries behind
+    prev = (
+        doc.get("queries", {}) if block == "main"
+        else doc.get(block, {}).get("queries", {})
+    )
+    prev = {q: r for q, r in prev.items() if q in qs}
+    prev.update(out)
+    ok_all = [r for r in prev.values() if "ratio" in r]
+    st = round(sum(r["spark_s"] for r in ok_all), 3)
+    dt = round(sum(r["duckdb_s"] for r in ok_all), 3)
+    merged_summary = {
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "n_compared": len(ok_all),
+        "spark_total_s": st,
+        "duckdb_total_s": dt,
+        "total_ratio": round(st / dt, 2) if dt else None,
+        "median_ratio": sorted(r["ratio"] for r in ok_all)[len(ok_all) // 2]
+        if ok_all
+        else None,
+    }
     if block == "main":
-        doc["summary"], doc["queries"] = summary, out
+        doc["summary"], doc["queries"] = merged_summary, prev
+        summary = merged_summary
     else:
-        # merge at query level so a long stress sweep can run in batches
-        prev = doc.get(block, {}).get("queries", {})
-        prev.update(out)
-        ok_all = [r for r in prev.values() if "ratio" in r]
-        st = round(sum(r["spark_s"] for r in ok_all), 3)
-        dt = round(sum(r["duckdb_s"] for r in ok_all), 3)
-        doc[block] = {
-            "summary": {
-                "sf_dir": sf_dir,
-                "runs": runs,
-                "n_compared": len(ok_all),
-                "spark_total_s": st,
-                "duckdb_total_s": dt,
-                "total_ratio": round(st / dt, 2) if dt else None,
-                "median_ratio": sorted(r["ratio"] for r in ok_all)[len(ok_all) // 2]
-                if ok_all
-                else None,
-            },
-            "queries": prev,
-        }
+        doc[block] = {"summary": merged_summary, "queries": prev}
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc[block]["summary"] if block != "main" else summary))
