@@ -390,33 +390,41 @@ def bm25_scores(
         idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (the standard
         always-positive smoothing)
 
-    Plan: one corpus pass builds per-(doc, token) tf + doc length; the
-    query-side token set is tiny and BROADCAST, so only matching
-    (doc, token) rows survive the semijoin before any aggregation —
-    corpus rows shuffle once (explode→groupBy on the doc id), df/avgdl
-    are metadata-scale aggregates, and the final per-(query, doc) sum is
-    map-side-combinable. Every term is deterministic arithmetic over
+    Plan: doc lengths and corpus stats come map-side from the scan (a
+    projection-only pass, no shuffle); the ONE corpus explode is
+    semijoined against the BROADCAST query-term set BEFORE its tf
+    aggregation, so non-matching tokens die map-side and every Exchange
+    in the plan is hits-sized — the corpus vocabulary never shuffles.
+    df derives from the (already query-term-only) tf table, and the
+    final per-(query, doc) sum map-side-combines. Every term is deterministic arithmetic over
     integer counts, so the whole score is SQL-replayable to the cent
     (driver oracle rounds to 6 decimals). Only docs sharing ≥1 term with
     the query appear (score 0 rows are not materialized — at 100 TB the
     result is hits-sized, not corpus-sized)."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    tf_df = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # doc length and corpus stats come map-side from the scan (one
+    # projection pass, no explode, no shuffle)
+    dl = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("dl")
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col)).cast("long")).alias("avgdl"),
     ).collect()[0]
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     qtok = queries.select(
         F.col(query_id_col), F.explode(tokens(query_text_col)).alias("token")
     ).distinct()
-    docfreq = (
-        tok.select(id_col, "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # the broadcast query-term semijoin sits BEFORE the tf aggregation,
+    # so every shuffle in the plan is hits-sized: non-matching tokens die
+    # map-side inside the explode stage and the corpus vocabulary never
+    # crosses an Exchange
+    tf_df = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
         .join(F.broadcast(qtok.select("token").distinct()), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    docfreq = tf_df.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

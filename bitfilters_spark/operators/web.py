@@ -413,9 +413,14 @@ def url_frontier_schedule(
     their own partition group (use `skew_report` on the host column
     before scheduling a pathological frontier).
 
-    ``host_col`` defaults to :func:`url_domain` of ``url_col``; pass an
-    existing column name to skip the parse. Returns the input columns
-    plus (host, round, fetcher?).
+    ``host_col`` defaults to the URL's full lowercase HOSTNAME
+    (``url_domain(url, registrable=False)``) — politeness is a
+    per-server property, so site3.example.com and site4.example.com
+    rate-limit independently (group by the registrable domain instead
+    by passing ``host_col=url_domain(col, registrable=True)`` when one
+    operator runs the whole domain). Pass an existing column name to
+    skip the parse. Returns the input columns plus (host, round,
+    fetcher?).
     """
     from pyspark.sql import Window
 
@@ -424,7 +429,7 @@ def url_frontier_schedule(
     host = (
         (F.col(host_col) if isinstance(host_col, str) else host_col)
         if host_col is not None
-        else url_domain(url_col)
+        else url_domain(url_col, registrable=False)
     )
     out = df.withColumn("host", host)
     order = (

@@ -435,8 +435,8 @@ def test_url_frontier_schedule_politeness_and_stability(spark):
     for r in out:
         assert 0 <= r["fetcher"] < 4
         assert fmap.setdefault(r["host"], r["fetcher"]) == r["fetcher"]
-    # host derived from the URL (registrable domain)
-    assert all(r["host"].endswith(".example.com") for r in out)
+    # host derived from the URL (full hostname: per-server politeness)
+    assert {r["host"] for r in out} == {f"site{h}.example.com" for h in range(20)}
 
     with pytest.raises(ValueError):
         url_frontier_schedule(df, "url", per_host_per_round=0)
