@@ -410,7 +410,10 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(text_col)).cast("long")).alias("avgdl"),
     ).collect()[0]
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    # empty corpus: avg() is NULL; any positive avgdl works (no hit row
+    # can exist to read it)
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 1.0
     qtok = queries.select(
         F.col(query_id_col), F.explode(tokens(query_text_col)).alias("token")
     ).distinct()

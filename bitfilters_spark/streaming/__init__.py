@@ -17,6 +17,7 @@ from .filter_build import (
 from .filter_join import streaming_filter_join
 from .neardup import streaming_neardup_dedup
 from .pipeline import make_prep_pipeline_fold, streaming_prep_pipeline
+from .frontier import streaming_frontier
 from .sessions import streaming_sessionize
 from .sketches import (
     streaming_cms_counts,
@@ -44,6 +45,7 @@ __all__ = [
     "streaming_prep_pipeline",
     "streaming_neardup_dedup",
     "streaming_quantiles",
+    "streaming_frontier",
     "streaming_sessionize",
     "streaming_topk",
     "streaming_window_counts",

@@ -478,3 +478,65 @@ def test_r8_operators_empty_inputs(spark, empty_docs):
         [(1, [0.1, 0.2, 0.3, 0.4])], "vec_id long, embedding array<double>"
     )
     assert pq_topk(codes, q, pq, k=3).count() == 0
+
+
+def test_r9_operators_empty_inputs(spark, empty_docs):
+    """Ribbon build/probe, BM25, frontier scheduling, audio decode, and
+    the HF import on empty/degenerate inputs."""
+    import numpy as np
+
+    from bitfilters_spark.core.ribbon import ribbon_build, ribbon_probe
+    from bitfilters_spark.operators.text import bm25_scores
+    from bitfilters_spark.operators.web import url_frontier_schedule
+
+    # ribbon: empty key set builds a minimal valid blob; nothing matches
+    blob = ribbon_build(np.array([], dtype=np.uint64), 8)
+    assert not ribbon_probe(blob, np.arange(10, dtype=np.uint64)).any()
+    # spark-side empty grouped build yields zero filter rows
+    empty_keyed = spark.createDataFrame([], "grp long, h long")
+    assert build_filter(empty_keyed, ["grp"], "h", "ribbon8").count() == 0
+
+    # BM25: empty corpus (stats come from a collect — must not divide by
+    # zero), and empty query set -> zero rows either way
+    queries = spark.createDataFrame(
+        [(1, "apple banana")], "query_id long, query string"
+    )
+    assert bm25_scores(empty_docs.withColumnRenamed("text", "text"),
+                       queries, "doc_id").count() == 0
+    docs = spark.createDataFrame([(1, "apple pie")], "doc_id long, text string")
+    empty_q = spark.createDataFrame([], "query_id long, query string")
+    assert bm25_scores(docs, empty_q, "doc_id").count() == 0
+
+    # frontier: empty frontier schedules nothing
+    empty_urls = spark.createDataFrame([], "url string, score double")
+    assert url_frontier_schedule(
+        empty_urls, "url", priority_col="score", n_fetchers=4
+    ).count() == 0
+
+
+def test_r9_audio_and_hf_degenerate_inputs(spark, tmp_path):
+    import numpy as np
+
+    from bitfilters_spark.operators.bpe import load_hf_tokenizer_json
+    from bitfilters_spark.operators.multimodal import (
+        decode_audio_pcm,
+        sample_audio_windows,
+    )
+
+    # zero-byte payload: stub decode yields no samples, no windows emitted
+    assert len(decode_audio_pcm(b"", codec="stub")) == 0
+    df = spark.createDataFrame([(1, b""), (2, None)], "doc_id long, payload binary")
+    assert sample_audio_windows(df, codec="stub").count() == 0
+    # truncated/invalid RIFF under codec='wav' raises, not garbage
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_audio_pcm(b"RIFF0000WAVE", codec="wav")
+
+    # tokenizer.json with no merges/vocab loads to an empty model
+    import json
+
+    p = tmp_path / "tok.json"
+    p.write_text(json.dumps({"model": {"type": "BPE", "vocab": {}, "merges": []}}))
+    m = load_hf_tokenizer_json(str(p), spark)
+    assert m == {"merges": [], "vocab": {}}

@@ -1693,3 +1693,81 @@ def test_streaming_dsir_counts_match_batch_fit(spark, tmp_path):
     last = spark.createDataFrame(rows[60:], "doc_id long, text string")
     fold_dsir_batch(last, "text", state, ids[-1], n_buckets=B)
     np.testing.assert_array_equal(load_dsir_counts(state), before)
+
+
+def test_streaming_frontier_politeness_and_backlog_drain(spark, tmp_path):
+    """Streaming frontier (#129): per-host per-wave release cap,
+    priority order across waves matching the batch scheduler, bounded
+    backlog with explicit dropped rows, and watermark-driven drain on
+    later batches that carry no new input for the host."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_frontier
+
+    src = str(tmp_path / "fr_in")
+    ckpt = str(tmp_path / "fr_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, host string, score double, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    # host a: 5 URLs, cap 2, backlog cap 2 -> wave 1 releases p5,p4;
+    # p3,p2 backlogged; p1 overflows as dropped
+    write([(f"http://a/{i}", "a", float(i), t(0)) for i in range(1, 6)])
+
+    stream = spark.readStream.schema(
+        "url string, host string, score double, ts timestamp"
+    ).parquet(src)
+    fr = streaming_frontier(
+        stream, "url", "host", ts_col="ts", priority_col="score",
+        per_wave=2, max_backlog=2,
+    )
+    q = (
+        fr.writeStream.format("memory")
+        .queryName("fr_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+
+    def got():
+        return [
+            (r["host"], r["url"], r["wave"], r["status"])
+            for r in spark.sql(
+                "SELECT * FROM fr_sink ORDER BY host, wave, priority DESC, url"
+            ).collect()
+        ]
+
+    try:
+        # processAllAvailable runs the drain timers as the watermark
+        # advances, so the backlog may flush across several waves within
+        # one call — the politeness CONTRACT is per-wave, not per-call
+        q.processAllAvailable()
+        write([("http://b/1", "b", 1.0, t(1))])
+        q.processAllAvailable()
+        write([("http://b/2", "b", 1.0, t(2))])
+        q.processAllAvailable()
+        rows = got()
+        a_rel = {(u, w) for h, u, w, s in rows if h == "a" and s == "released"}
+        # priority order across waves, never more than per_wave per wave
+        assert a_rel == {
+            ("http://a/5", 1), ("http://a/4", 1),
+            ("http://a/3", 2), ("http://a/2", 2),
+        }
+        from collections import Counter
+
+        per_wave = Counter((h, w) for h, u, w, s in rows if s == "released")
+        assert max(per_wave.values()) <= 2
+        # overflow is an explicit dropped row, and never releases
+        assert [r for r in rows if r[3] == "dropped"] == [
+            ("a", "http://a/1", 1, "dropped")
+        ]
+        urls = [u for h, u, w, s in rows if s == "released"]
+        assert len(urls) == len(set(urls)) and "http://a/1" not in urls
+        # host b schedules independently
+        b_rel = [u for h, u, w, s in rows if h == "b" and s == "released"]
+        assert set(b_rel) == {"http://b/1", "http://b/2"}
+    finally:
+        q.stop()
