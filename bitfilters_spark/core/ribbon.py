@@ -33,12 +33,28 @@ from .hashing import murmur_mix
 
 RIBBON_MAGIC = b"RIBN"
 _W = 64  # ribbon width: one u64 coefficient word per key
-_ALPHA = 0.935  # paper-safe load for w=64 on-the-fly construction
+
+
+def _alpha(n: int) -> float:
+    """Size-aware load factor: a PLAIN ribbon's failure probability grows
+    with the table (the longest-displacement tail scales with log m), so
+    the slack must widen as n does — measured on this kernel: 0.935
+    succeeds through ~200k keys but exhausts 32 seeds at 1.5M, where
+    0.92 builds first-try. Stepwise with margin (deterministic in n, so
+    the geometry stays a closed form); the sharded build path
+    (``num_shards``) keeps sub-filters small enough for the dense end
+    AND parallelizes the sequential insertion loop — that is the
+    recommended route past ~1M keys."""
+    if n <= 1 << 18:
+        return 0.935
+    if n <= 1 << 21:
+        return 0.915
+    return 0.90
 
 
 def _geometry(n: int) -> int:
     """Solution slots BEFORE the +w tail; deterministic in n."""
-    return max(_W, int(np.ceil(max(n, 1) / _ALPHA)))
+    return max(_W, int(np.ceil(max(n, 1) / _alpha(max(n, 1)))))
 
 
 def _key_rows(keys: np.ndarray, seed: int, m: int):

@@ -205,6 +205,36 @@ def main(sf_dir: str) -> None:
             keyed, "key", 100, "doc_id", order_by=sc, order_max=1 << 32
         ).count()
         out["reservoir_s"] = round(time.time() - t0, 2)
+
+        # r9: ribbon filter at the 10x orders table (~1.5M keys) — the
+        # SHARDED build path (the documented route past ~1M keys: plain
+        # bulk insertion is a sequential Python loop, ~28s at 1.5M;
+        # 32 hash-prefix shards build in parallel)
+        from bitfilters_spark.functions import build_filter, probe_filter
+        from bitfilters_spark.functions.hashing import spark_hash64
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        okeys = (
+            orders.crossJoin(copies)
+            .select(
+                (F.col("o_orderkey") * 10 + F.col("copy")).alias("k")
+            )
+            .select(spark_hash64("k").alias("h"))
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        rib = build_filter(okeys, [], "h", "ribbon8", num_shards=32)
+        rib_blob = bytes(rib.collect()[0]["filter"])
+        out["ribbon_build_s"] = round(time.time() - t0, 2)
+        out["ribbon_bytes_per_key"] = round(
+            len(rib_blob) / okeys.distinct().count(), 3
+        )
+        t0 = time.time()
+        hits = (
+            probe_filter(okeys, rib, "h").where(F.col("__contains")).count()
+        )
+        out["ribbon_probe_s"] = round(time.time() - t0, 2)
+        assert hits == okeys.count(), "ribbon false negative at stress"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
