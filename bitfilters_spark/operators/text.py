@@ -428,25 +428,36 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     docfreq = tf_df.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
     hits = (
         tf_df.join(F.broadcast(qtok), "token")
         .join(F.broadcast(docfreq), "token")
         .join(dl, id_col)
     )
-    contrib = idf * (
+    contrib = bm25_contribution(n_docs, avgdl, k1, b)
+    return (
+        hits.groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+
+
+def bm25_contribution(
+    n_docs: float, avgdl: float, k1: float = 1.2, b: float = 0.75
+) -> Column:
+    """The per-(query-term, doc) BM25 contribution over columns
+    (tf, dl, df) — shared by :func:`bm25_scores` and the persisted-index
+    probe (`operators/bm25_index.py`) so both paths produce BIT-IDENTICAL
+    scores (same IEEE operation order, which the driver oracle replays
+    term for term)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return idf * (
         F.col("tf") * (F.lit(k1) + 1.0)
         / (
             F.col("tf")
             + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
         )
-    )
-    return (
-        hits.groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
 
 

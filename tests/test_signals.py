@@ -265,3 +265,39 @@ def test_bm25_scores_match_python_reference(spark):
     for key, v in want.items():
         # the operator rounds to 6 decimals (oracle-parity contract)
         assert got[key] == round(v, 6), (key, got[key], v)
+
+
+def test_bm25_index_probe_equals_direct_scores(spark, tmp_path):
+    """Persisted BM25 index (#130): bm25_query_index over a built index
+    returns EXACTLY bm25_scores on the same corpus (shared contribution
+    expression => bit-identical floats), and the query-term In-filter is
+    pushed into the postings scan."""
+    import contextlib
+    import io as _io
+
+    from bitfilters_spark.operators.bm25_index import (
+        bm25_query_index,
+        build_bm25_index,
+    )
+    from bitfilters_spark.operators.text import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.where(F.col("doc_id").isin(0, 5, 10)).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring_index("text", " ", 8).alias("query"),
+    )
+    stats = build_bm25_index(docs, "doc_id", "text", "bm25ix", num_buckets=8)
+    assert stats["n_docs"] == docs.count()
+
+    via_index = bm25_query_index(spark, "bm25ix", queries)
+    direct = bm25_scores(docs, queries, "doc_id")
+    a = {(r["query_id"], r["id"]): r["score"] for r in via_index.collect()}
+    d = {(r["query_id"], r["doc_id"]): r["score"] for r in direct.collect()}
+    assert a == d and len(a) > 0
+
+    # the scan must carry the pushed In filter on token
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        via_index.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "In(token" in plan
