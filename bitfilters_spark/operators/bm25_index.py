@@ -42,10 +42,17 @@ def build_bm25_index(
     text_col: str,
     name: str,
     num_buckets: int = 32,
+    path: str | None = None,
 ) -> dict:
     """Build and persist the index; returns its stats dict
-    ``{"n_docs": float, "avgdl": float}`` (also persisted)."""
+    ``{"n_docs": float, "avgdl": float}`` (also persisted). ``path``
+    makes the tables EXTERNAL (data under ``path/<table>``, bucket
+    metadata in the catalog) — same contract as the LSH index; without
+    it the managed warehouse location must not already hold an orphaned
+    directory for the name."""
     spark = df.sparkSession
+    for suffix in ("postings", "vocab", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
     stats_row = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(text_col)).cast("long")).alias("avgdl"),
@@ -68,16 +75,26 @@ def build_bm25_index(
         ["token"],
         num_buckets=num_buckets,
         sort_cols=["token"],
+        path=f"{path}/{name}_postings" if path else None,
     )
     vocab = (
         spark.table(f"{name}_postings")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    write_bucketed(vocab, f"{name}_vocab", ["token"], num_buckets=num_buckets)
-    spark.createDataFrame(
+    write_bucketed(
+        vocab,
+        f"{name}_vocab",
+        ["token"],
+        num_buckets=num_buckets,
+        path=f"{path}/{name}_vocab" if path else None,
+    )
+    sw = spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs double, avgdl double"
-    ).write.mode("overwrite").saveAsTable(f"{name}_stats")
+    ).write.mode("overwrite")
+    if path:
+        sw = sw.option("path", f"{path}/{name}_stats")
+    sw.saveAsTable(f"{name}_stats")
     return {"n_docs": n_docs, "avgdl": avgdl}
 
 

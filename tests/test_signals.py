@@ -286,7 +286,11 @@ def test_bm25_index_probe_equals_direct_scores(spark, tmp_path):
         F.col("doc_id").alias("query_id"),
         F.substring_index("text", " ", 8).alias("query"),
     )
-    stats = build_bm25_index(docs, "doc_id", "text", "bm25ix", num_buckets=8)
+    for s in ("postings", "vocab", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS bm25ix_{s}")
+    stats = build_bm25_index(
+        docs, "doc_id", "text", "bm25ix", num_buckets=8, path=str(tmp_path)
+    )
     assert stats["n_docs"] == docs.count()
 
     via_index = bm25_query_index(spark, "bm25ix", queries)
