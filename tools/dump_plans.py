@@ -89,6 +89,24 @@ NOTES = {
         "bucket id + exact re-check, never a nested loop). win leg: one "
         "map-side-combined hash aggregate."
     ),
+    "q_bm25": (
+        "Every Exchange is hits-sized: the broadcast query-term semijoin "
+        "sits INSIDE the explode stage (non-matching tokens die map-side, "
+        "the corpus vocabulary never shuffles), doc lengths and corpus "
+        "stats come map-side from a projection-only scan, and the final "
+        "per-(query, doc) sum partial-aggregates before its Exchange."
+    ),
+    "q_crawl_frontier": (
+        "One window over the host key — the same shuffle a fetcher fleet "
+        "partitions by; round and fetcher are pure expressions over the "
+        "rank, so politeness is a plan property with a single Exchange."
+    ),
+    "q_multimodal_meta": (
+        "Three leg-tagged mapInPandas branches (meta rollup, frame "
+        "explosion, feature argmax) over ONE attach_payload projection; "
+        "the only Exchanges are the meta groupBy and the final union's "
+        "consumers — payload bytes never shuffle."
+    ),
     "q_tfidf": (
         "Document-frequency side is vocabulary-sized: check the "
         "BroadcastHashJoin (no shuffle of the corpus-side tf rows against df); "
