@@ -76,9 +76,11 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-count parity for the whole filter family in ONE query
     (reference exercises them in one statement too,
     test/sql/bitfilters.test:40-90): build quotient/xor8/xor16/fuse8/
-    fuse16/bloom/cuckoo per ``o_orderkey % 2`` group, probe every member,
-    count hits per (filter_type, group). No false negatives => every
-    count equals the group size, which is the SQL oracle."""
+    fuse16/bloom/cuckoo/ribbon8/ribbon16 per ``o_orderkey % 2`` group,
+    probe every member, count hits per (filter_type, group). No false
+    negatives => every count equals the group size, which is the SQL
+    oracle. Ribbon legs (operator #126) joined in r10 — the banded-Gauss
+    AMQ rides the same grouped build/probe path as the peeled kinds."""
     specs = [
         ("quotient", "quotient", {"q": 16, "r": 4}),
         ("xor8", "xor8", {}),
@@ -87,6 +89,8 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fuse16", "fuse16", {}),
         ("bloom", "bloom", {"n": 50_000, "fpp": 0.01}),
         ("cuckoo", "cuckoo", {"nbuckets": 262144, "fp_bits": 12, "bucket_size": 4}),
+        ("ribbon8", "ribbon8", {}),
+        ("ribbon16", "ribbon16", {}),
     ]
     orders = load_table(spark, sf_dir, "orders")
     # 12 branches (6 builds + 6 probes) hang off this tiny projection:
@@ -155,7 +159,8 @@ _FILTER_MEMBERS_ORACLE = """
     SELECT ft.filter_type, m.remainder, m.matches,
            -1::BIGINT AS size_bytes, -1::BIGINT AS n_entries
     FROM (VALUES ('quotient'), ('xor8'), ('xor16'), ('fuse8'),
-                 ('fuse16'), ('bloom'), ('cuckoo')) ft(filter_type)
+                 ('fuse16'), ('bloom'), ('cuckoo'),
+                 ('ribbon8'), ('ribbon16')) ft(filter_type)
     CROSS JOIN m
 """
 
@@ -432,9 +437,9 @@ def q_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter size + metadata comparison (reference 'Filter Comparison
-    Example'), extended with the sketch family and the cuckoo filter. All
-    10 filters are built from ONE scan of the hashed projection
-    (build_filters_multi).
+    Example'), extended with the sketch family, the cuckoo filter, and
+    (r10) the ribbon filters. All 12 filters are built from ONE scan of
+    the hashed projection (build_filters_multi).
 
     Fully oracle-checked since round 5: the build hash is duckdb_hash
     (DuckDB's native hash() reproduces it), n_entries is the exact
@@ -463,6 +468,11 @@ def _filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 262144 overflowed the 95% bound there (caught by the r9 stress
         # sweep; the oracle's size/mask constants match below)
         ("cuckoo", "cuckoo", {"nbuckets": 524288, "fp_bits": 12, "bucket_size": 4}),
+        # ribbon geometry is a closed form of n (core/ribbon.py:_geometry
+        # — the seed retries of a failed elimination never change it), so
+        # the serialized size is SQL-replayable exactly like xor/fuse
+        ("ribbon8", "ribbon8", {}),
+        ("ribbon16", "ribbon16", {}),
     ]
     from bitfilters_spark.functions.filters import filter_describe
 
@@ -1034,19 +1044,59 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf(docs, "doc_id", "text")
 
 
+_BM25_IX_CACHE: dict = {}
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 targeted data selection (operator #128,
     text.bm25_scores): rank the corpus against a 3-query benchmark set
     (the first 8 tokens of docs 0/5/10) — the retrieval counterpart of
     DSIR's importance weights. Deterministic arithmetic over integer
     tf/df/dl counts, replayed term-for-term in SQL (same operation
-    order, round 6); only docs sharing a query term appear."""
+    order, round 6); only docs sharing a query term appear.
+
+    Two leg-tagged paths in one driver row (r10): src='scan' is the
+    direct corpus-pass ``bm25_scores``; src='index' probes a PERSISTED
+    inverted index (operator #130, ``bm25_query_index`` — norm-in-
+    postings layout, query-term In-filter pushed into the bucketed
+    postings scan). Both share ``bm25_contribution``, so their rows are
+    bit-identical and ONE SQL replay oracles both legs. The index is
+    built once per (process, sf_dir) — the operator's design point is
+    build-once/probe-many, so warm bench iterations measure the probe."""
     docs = load_table(spark, sf_dir, "documents")
     qset = docs.where(F.col("doc_id").isin(0, 5, 10)).select(
         F.col("doc_id").alias("query_id"),
         F.substring_index("text", " ", 8).alias("query"),
     )
-    return T.bm25_scores(docs, qset, "doc_id")
+    direct = T.bm25_scores(docs, qset, "doc_id").select(
+        F.lit("scan").alias("src"), "query_id", "doc_id", "score"
+    )
+    name = _BM25_IX_CACHE.get(sf_dir)
+    if name is None:
+        import tempfile
+        import uuid
+
+        from bitfilters_spark.operators.bm25_index import build_bm25_index
+
+        name = f"q_bm25_ix_{uuid.uuid4().hex[:8]}"
+        build_bm25_index(
+            docs,
+            "doc_id",
+            "text",
+            name,
+            num_buckets=8,
+            path=tempfile.mkdtemp(prefix="bm25ix_"),
+        )
+        _BM25_IX_CACHE[sf_dir] = name
+    from bitfilters_spark.operators.bm25_index import bm25_query_index
+
+    via_index = bm25_query_index(spark, name, qset).select(
+        F.lit("index").alias("src"),
+        "query_id",
+        F.col("id").alias("doc_id"),
+        "score",
+    )
+    return direct.unionByName(via_index)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2598,8 +2648,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN docfreq ON docfreq.token = tf.token
               JOIN dl ON dl.doc_id = tf.doc_id
               CROSS JOIN st)
-            SELECT query_id, doc_id, round(sum(c), 6) AS score
-            FROM hits GROUP BY 1, 2
+            SELECT legs.src, query_id, doc_id, round(sum(c), 6) AS score
+            FROM hits
+            CROSS JOIN (VALUES ('scan'), ('index')) legs(src)
+            GROUP BY 1, 2, 3
         """,
         "q_ngram_jaccard_pairs": _shingle_jaccard_oracle_sql(0.1),
         "q_weighted_jaccard": """
@@ -3000,7 +3052,14 @@ _FILTER_SIZES_ORACLE = """
               SELECT n, nfp,
                      greatest(16, ceil((32 + 1.23 * n) / 3)::BIGINT) AS bl,
                      (1::BIGINT << least(greatest(
-                        floor(ln(n) / ln(3.33) + 2.25)::BIGINT, 3), 18)) AS sl
+                        floor(ln(n) / ln(3.33) + 2.25)::BIGINT, 3), 18)) AS sl,
+                     -- ribbon: m = max(w=64, ceil(n / alpha(n))) with the
+                     -- size-aware stepwise load factor (core/ribbon.py);
+                     -- blob = 22-byte header + (m + 64) slots * bits/8
+                     greatest(64, ceil(n / (CASE
+                        WHEN n <= 262144 THEN 0.935
+                        WHEN n <= 2097152 THEN 0.915
+                        ELSE 0.90 END))::BIGINT) AS rm
               FROM base),
             geo2 AS (
               SELECT *,
@@ -3021,6 +3080,10 @@ _FILTER_SIZES_ORACLE = """
             UNION ALL SELECT 'cms', (12 + 8 * 4 * 16384)::INTEGER, -1::BIGINT
             UNION ALL SELECT 'kmv', (12 + 8 * least(1024, n))::INTEGER,
                    least(1024, n)::BIGINT FROM geo2
+            UNION ALL SELECT 'ribbon8', (22 + rm + 64)::INTEGER, -1::BIGINT
+                   FROM geo2
+            UNION ALL SELECT 'ribbon16', (22 + 2 * (rm + 64))::INTEGER, -1::BIGINT
+                   FROM geo2
             UNION ALL SELECT 'cuckoo', (10 + 524288 * 4 * 2)::INTEGER,
                    (SELECT count(DISTINCT
                         least(i1, xor(i1, (fp * 1540483477) & 524287)) * 65536 + fp)

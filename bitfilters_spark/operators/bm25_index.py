@@ -10,30 +10,113 @@ between query batches. This module splits that cost:
   token-sorted postings table ``<name>_postings`` (token, id, tf, dl —
   the doc length is DENORMALIZED into the posting row, the classic
   norm-in-postings layout, so query time needs no doc-length join), a
-  vocabulary table ``<name>_vocab`` (token, df), and a 1-row
-  ``<name>_stats`` (n_docs, avgdl). Bucketing + in-bucket token sort
-  pre-pay the probe-time work: a query's postings live in known buckets,
-  in sorted runs parquet min/max stats prune to.
+  vocabulary table ``<name>_vocab`` holding ADDITIVE (token, df) partial
+  counts, and an ADDITIVE ``<name>_stats`` (n_docs, sum_dl) — both sum
+  at probe time, which is what makes :func:`append_to_bm25_index`
+  incremental. Bucketing + in-bucket token sort pre-pay the probe-time
+  work: a query's postings live in known buckets, in sorted runs parquet
+  min/max stats prune to. The build lands in STAGING tables first and
+  swaps into place only after every write succeeds — a failed rebuild
+  leaves the previous index fully queryable.
+* :func:`append_to_bm25_index` — fold NEW documents in at cost ∝ the new
+  data (the `append_to_lsh_index` maintenance pattern): postings append
+  into the bucketed layout, vocab/stats append partial rows. The indexed
+  corpus is never rescanned.
 * :func:`bm25_query_index` — scores a query set against the index: the
   tiny query-term set is BROADCAST and pushed into the postings scan as
   an ``In`` filter (map-side; non-matching postings never leave the
-  scan), df rides a broadcast join of the (query-term-filtered)
-  vocabulary, and the per-(query, doc) sum map-side-combines. Cost ∝
-  postings of the query terms, never ∝ corpus size.
+  scan), df rides a broadcast join of the (query-term-filtered, then
+  partial-summed) vocabulary, and the per-(query, doc) sum
+  map-side-combines. Cost ∝ postings of the query terms, never ∝ corpus
+  size.
 
-Composition law (pytest, tests/test_signals.py): ``bm25_query_index``
-over a built index returns EXACTLY ``bm25_scores`` on the same corpus —
-both paths share :func:`text.bm25_contribution`, so the float operation
-order is identical and the equality is bit-exact, not approximate.
+Composition laws (pytest, tests/test_signals.py): ``bm25_query_index``
+over a built index returns EXACTLY ``bm25_scores`` on the same corpus,
+and probing after ``append_to_bm25_index`` returns EXACTLY probing a
+from-scratch rebuild over the union — both paths share
+:func:`text.bm25_contribution` and integer-exact (tf, df, dl, n_docs,
+sum_dl) inputs, so the float operation order is identical and the
+equalities are bit-exact, not approximate.
+
+Single-writer contract (same as the LSH index): appends are plain
+parquet-table appends with no transaction log — serialize appends when
+probe results must reflect a consistent index version. Appended ids are
+assumed NEW documents (re-appending an indexed id would double-count its
+postings, like re-appending to the LSH index duplicates its band rows).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import write_bucketed
 from .text import bm25_contribution, tokens
+
+_SUFFIXES = ("postings", "vocab", "stats")
+
+
+def _check_name(name: str) -> str:
+    """Index names are interpolated into SQL DDL statements — restrict to
+    identifier characters so a crafted name cannot smuggle SQL."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"index name {name!r} must be a plain SQL identifier "
+            "([A-Za-z_][A-Za-z0-9_]*)"
+        )
+    return name
+
+
+def _write_geom(spark: SparkSession, name: str, num_buckets: int) -> None:
+    """Stamp the bucket geometry on the postings table (the
+    `neardup_index` convention) so an append with a different bucket
+    count fails loudly instead of silently breaking co-located probes."""
+    spark.sql(
+        f"ALTER TABLE {name}_postings SET TBLPROPERTIES "
+        f"('bitfilters.num_buckets'='{num_buckets}')"
+    )
+
+
+def _check_geom(spark: SparkSession, name: str, num_buckets: int) -> None:
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {name}_postings").collect()
+    except Exception:
+        return
+    props = {r["key"]: r["value"] for r in rows}
+    have = props.get("bitfilters.num_buckets")
+    if have is not None and int(have) != num_buckets:
+        raise ValueError(
+            f"BM25 index '{name}' was built with num_buckets={have}, called "
+            f"with num_buckets={num_buckets}; appended rows would land in "
+            "the wrong buckets. Pass the stored geometry."
+        )
+
+
+def _corpus_tables(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, vocab-partial, stats-partial) DataFrames for a corpus
+    slice — shared by build and append so both produce identical rows."""
+    postings = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(text_col)).cast("long").alias("dl"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("token", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("token", "id", "tf", "dl")
+    )
+    vocab = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(tokens(text_col)).cast("long")), F.lit(0).cast("long")
+        ).alias("sum_dl"),
+    )
+    return postings, vocab, stats
 
 
 def build_bm25_index(
@@ -44,58 +127,92 @@ def build_bm25_index(
     num_buckets: int = 32,
     path: str | None = None,
 ) -> dict:
-    """Build and persist the index; returns its stats dict
-    ``{"n_docs": float, "avgdl": float}`` (also persisted). ``path``
-    makes the tables EXTERNAL (data under ``path/<table>``, bucket
-    metadata in the catalog) — same contract as the LSH index; without
-    it the managed warehouse location must not already hold an orphaned
-    directory for the name."""
-    spark = df.sparkSession
-    for suffix in ("postings", "vocab", "stats"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
-    stats_row = df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(text_col)).cast("long")).alias("avgdl"),
-    ).collect()[0]
-    n_docs = float(stats_row["n_docs"])
-    avgdl = float(stats_row["avgdl"]) if stats_row["avgdl"] is not None else 1.0
+    """Build and persist the index; returns ``{"n_docs": float, "avgdl":
+    float}``. ``path`` makes the tables EXTERNAL (data under
+    ``path/<table>__stage``, bucket metadata in the catalog) — same
+    contract as the LSH index; without it the managed warehouse location
+    must not already hold an orphaned directory for the staging names.
 
-    postings = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.size(tokens(text_col)).cast("long").alias("dl"),
-            F.explode(tokens(text_col)).alias("token"),
-        )
-        .groupBy("token", "id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    Atomicity: every table is written to ``<name>__stage_<suffix>`` first
+    and the old index stays live until all three staging writes succeed;
+    the final swap is metadata-only (drop + rename). A crash mid-build
+    leaves the previous index untouched; a crash mid-swap (a window of
+    three catalog statements, not a corpus scan) leaves the staging
+    tables intact for a re-run."""
+    _check_name(name)
+    spark = df.sparkSession
+    stage = f"{name}__stage"
+    for suffix in _SUFFIXES:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}_{suffix}")
+
+    postings, vocab, stats = _corpus_tables(df, id_col, text_col)
     write_bucketed(
-        postings.select("token", "id", "tf", "dl"),
-        f"{name}_postings",
+        postings,
+        f"{stage}_postings",
         ["token"],
         num_buckets=num_buckets,
         sort_cols=["token"],
-        path=f"{path}/{name}_postings" if path else None,
-    )
-    vocab = (
-        spark.table(f"{name}_postings")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        path=f"{path}/{name}_postings__stage" if path else None,
     )
     write_bucketed(
         vocab,
-        f"{name}_vocab",
+        f"{stage}_vocab",
         ["token"],
         num_buckets=num_buckets,
-        path=f"{path}/{name}_vocab" if path else None,
+        path=f"{path}/{name}_vocab__stage" if path else None,
     )
-    sw = spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs double, avgdl double"
-    ).write.mode("overwrite")
+    sw = stats.write.mode("overwrite")
     if path:
-        sw = sw.option("path", f"{path}/{name}_stats")
-    sw.saveAsTable(f"{name}_stats")
+        sw = sw.option("path", f"{path}/{name}_stats__stage")
+    sw.saveAsTable(f"{stage}_stats")
+    _write_geom(spark, stage, num_buckets)
+
+    # all three staging writes succeeded — swap (metadata-only)
+    for suffix in _SUFFIXES:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        spark.sql(f"ALTER TABLE {stage}_{suffix} RENAME TO {name}_{suffix}")
+    row = spark.table(f"{name}_stats").collect()[0]
+    n_docs = float(row["n_docs"])
+    avgdl = row["sum_dl"] / n_docs if n_docs else 1.0
     return {"n_docs": n_docs, "avgdl": avgdl}
+
+
+def append_to_bm25_index(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str,
+    num_buckets: int = 32,
+) -> None:
+    """Fold NEW documents into the index at cost ∝ the new data: postings
+    append into the bucketed layout (Spark routes appended rows to their
+    buckets, probe-time plans unchanged), vocab df and (n_docs, sum_dl)
+    append as partial rows the probe sums — all three statistics are
+    additive, so append-then-probe ≡ rebuild-then-probe bit-exactly
+    (tested). The indexed corpus is never rescanned."""
+    _check_name(name)
+    spark = new_df.sparkSession
+    _check_geom(spark, name, num_buckets)
+    postings, vocab, stats = _corpus_tables(new_df, id_col, text_col)
+    postings.write.mode("append").format("parquet").bucketBy(
+        num_buckets, "token"
+    ).sortBy("token").saveAsTable(f"{name}_postings")
+    vocab.write.mode("append").format("parquet").bucketBy(
+        num_buckets, "token"
+    ).saveAsTable(f"{name}_vocab")
+    stats.write.mode("append").format("parquet").saveAsTable(f"{name}_stats")
+
+
+def bm25_index_stats(spark: SparkSession, name: str) -> dict:
+    """Live ``{"n_docs": float, "avgdl": float}`` from the additive stats
+    partials (one row per build/append)."""
+    row = (
+        spark.table(f"{_check_name(name)}_stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .collect()[0]
+    )
+    n_docs = float(row["n"] or 0)
+    return {"n_docs": n_docs, "avgdl": row["s"] / n_docs if n_docs else 1.0}
 
 
 def bm25_query_index(
@@ -109,17 +226,33 @@ def bm25_query_index(
 ) -> DataFrame:
     """(query_id, id, score) for every (query, doc) pair sharing a term —
     identical rows to ``bm25_scores`` on the indexed corpus."""
-    stats = spark.table(f"{name}_stats").collect()[0]
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    qtok = queries.select(
+    _check_name(name)
+    st = bm25_index_stats(spark, name)
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    # collect the (query_id, token) pairs ONCE and derive BOTH the
+    # literal In-filter term list and the broadcast join side from the
+    # same collected result — a nondeterministic queries plan (sample,
+    # limit, uncached shuffle) can then never disagree between the two
+    # uses; queries are small by contract, so this is metadata-scale
+    qtok_plan = queries.select(
         F.col(query_id_col), F.explode(tokens(query_text_col)).alias("token")
     ).distinct()
-    # the term list is collected once (queries are small by contract) so
-    # the postings scan gets a LITERAL In-filter it can push to parquet
-    # row groups — a broadcast join alone cannot prune the scan
-    terms = [r["token"] for r in qtok.select("token").distinct().collect()]
+    qrows = qtok_plan.collect()
+    terms = sorted({r["token"] for r in qrows})
+    qtok = spark.createDataFrame(
+        [(r[query_id_col], r["token"]) for r in qrows], qtok_plan.schema
+    )
+    # the literal term list pushes into the postings scan as a parquet
+    # In-filter (a broadcast join alone cannot prune the scan); df sums
+    # the vocab partials AFTER the same term filter, so the aggregation
+    # is query-term-sized
     postings = spark.table(f"{name}_postings").where(F.col("token").isin(terms))
-    vocab = spark.table(f"{name}_vocab").where(F.col("token").isin(terms))
+    vocab = (
+        spark.table(f"{name}_vocab")
+        .where(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
+    )
     hits = postings.join(F.broadcast(qtok), "token").join(
         F.broadcast(vocab), "token"
     )

@@ -390,22 +390,21 @@ def bm25_scores(
         idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (the standard
         always-positive smoothing)
 
-    Plan: doc lengths and corpus stats come map-side from the scan (a
-    projection-only pass, no shuffle); the ONE corpus explode is
-    semijoined against the BROADCAST query-term set BEFORE its tf
-    aggregation, so non-matching tokens die map-side and every Exchange
-    in the plan is hits-sized — the corpus vocabulary never shuffles.
-    df derives from the (already query-term-only) tf table, and the
-    final per-(query, doc) sum map-side-combines. Every term is deterministic arithmetic over
+    Plan: corpus stats come map-side from the scan (a projection-only
+    pass, no shuffle); the ONE corpus explode is semijoined against the
+    BROADCAST query-term set BEFORE its tf aggregation, so non-matching
+    tokens die map-side and every Exchange in the plan is hits-sized —
+    the corpus vocabulary never shuffles. The doc length is CARRIED
+    THROUGH the tf groupBy as a grouping key (dl is per-doc constant, so
+    groups are unchanged) — the norm-in-postings layout the persisted
+    index (`operators/bm25_index.py`) uses, applied to the batch path:
+    no corpus-sized doc-length join at score time. df derives from the
+    (already query-term-only) tf table, and the final per-(query, doc)
+    sum map-side-combines. Every term is deterministic arithmetic over
     integer counts, so the whole score is SQL-replayable to the cent
     (driver oracle rounds to 6 decimals). Only docs sharing ≥1 term with
     the query appear (score 0 rows are not materialized — at 100 TB the
     result is hits-sized, not corpus-sized)."""
-    # doc length and corpus stats come map-side from the scan (one
-    # projection pass, no explode, no shuffle)
-    dl = df.select(
-        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("dl")
-    )
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(text_col)).cast("long")).alias("avgdl"),
@@ -420,18 +419,21 @@ def bm25_scores(
     # the broadcast query-term semijoin sits BEFORE the tf aggregation,
     # so every shuffle in the plan is hits-sized: non-matching tokens die
     # map-side inside the explode stage and the corpus vocabulary never
-    # crosses an Exchange
+    # crosses an Exchange; dl rides the groupBy as a (per-doc constant)
+    # grouping key, so no separate doc-length join is ever needed
     tf_df = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        df.select(
+            F.col(id_col),
+            F.size(tokens(text_col)).cast("long").alias("dl"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
         .join(F.broadcast(qtok.select("token").distinct()), "token")
-        .groupBy(id_col, "token")
+        .groupBy(id_col, "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     docfreq = tf_df.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    hits = (
-        tf_df.join(F.broadcast(qtok), "token")
-        .join(F.broadcast(docfreq), "token")
-        .join(dl, id_col)
+    hits = tf_df.join(F.broadcast(qtok), "token").join(
+        F.broadcast(docfreq), "token"
     )
     contrib = bm25_contribution(n_docs, avgdl, k1, b)
     return (

@@ -305,3 +305,65 @@ def test_bm25_index_probe_equals_direct_scores(spark, tmp_path):
         via_index.explain(mode="formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "In(token" in plan
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance (#130): building on half the corpus then
+    appending the other half probes EXACTLY like a from-scratch rebuild
+    over the union — postings/vocab/stats are all additive, so the
+    scores are bit-identical, not approximate."""
+    from bitfilters_spark.operators.bm25_index import (
+        append_to_bm25_index,
+        bm25_index_stats,
+        bm25_query_index,
+        build_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    queries = docs.where(F.col("doc_id").isin(0, 5, 10)).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring_index("text", " ", 8).alias("query"),
+    )
+    build_bm25_index(
+        old, "doc_id", "text", "bm25app", num_buckets=8,
+        path=str(tmp_path / "app"),
+    )
+    append_to_bm25_index(new, "doc_id", "text", "bm25app", num_buckets=8)
+    build_bm25_index(
+        docs, "doc_id", "text", "bm25full", num_buckets=8,
+        path=str(tmp_path / "full"),
+    )
+    a = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in bm25_query_index(spark, "bm25app", queries).collect()
+    }
+    b = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in bm25_query_index(spark, "bm25full", queries).collect()
+    }
+    assert a == b and len(a) > 0
+    sa = bm25_index_stats(spark, "bm25app")
+    sb = bm25_index_stats(spark, "bm25full")
+    assert sa == sb and sa["n_docs"] == docs.count()
+
+
+def test_bm25_index_guards(spark, tmp_path):
+    """Name validation (SQL-injection guard) and geometry stamping: an
+    append with a mismatched bucket count must fail loudly instead of
+    silently landing rows in the wrong buckets."""
+    from bitfilters_spark.operators.bm25_index import (
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    with pytest.raises(ValueError, match="identifier"):
+        build_bm25_index(docs, "doc_id", "text", "bad name; DROP TABLE x")
+    build_bm25_index(
+        docs, "doc_id", "text", "bm25geo", num_buckets=4,
+        path=str(tmp_path / "geo"),
+    )
+    with pytest.raises(ValueError, match="num_buckets"):
+        append_to_bm25_index(docs, "doc_id", "text", "bm25geo", num_buckets=8)
