@@ -268,6 +268,279 @@ def load_classifier(spark, path: str) -> dict:
     }
 
 
+def _class_weight_df(spark, W: np.ndarray) -> DataFrame:
+    """Sparse long-format weight table (cls, bucket, w) — model-scale,
+    broadcast into the feature join. Only nonzero entries serialize."""
+    ks, bs = np.nonzero(W)
+    pdf = pd.DataFrame(
+        {"cls": ks.astype("int64"), "bucket": bs.astype("int64"), "w": W[ks, bs]}
+    )
+    return spark.createDataFrame(pdf, schema="cls long, bucket long, w double")
+
+
+def _class_margins(
+    feats: DataFrame, labels: DataFrame, cdf: DataFrame, wdf: DataFrame
+) -> DataFrame:
+    """(id, y, cls, margin) — one row per (document, class).
+
+    The per-class dot products come from ONE broadcast join of the cached
+    features against the long-format weight table (K rows per matched
+    bucket) + a groupBy on (id, cls); the labels × classes frame (classes
+    is a broadcast K-row DataFrame carrying each class's bias) LEFT-joins
+    those dots so documents with zero tokens — and classes whose weights
+    are still all-zero — keep margin = bias instead of vanishing."""
+    dots = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("w") * F.col("cnt")).alias("__dot"))
+    )
+    return (
+        labels.crossJoin(F.broadcast(cdf))
+        .join(dots, ["id", "cls"], "left")
+        .select(
+            "id",
+            "y",
+            "cls",
+            (F.coalesce(F.col("__dot"), F.lit(0.0)) + F.col("__bias")).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+def train_langid_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1 << 15,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> dict:
+    """Trained multi-class language ID (the fasttext langid recipe,
+    Joulin et al. 2016, applied with this module's distributed trainer):
+    full-batch SOFTMAX regression over hashed bag-of-token features —
+    the multi-class extension of :func:`train_text_classifier` the
+    stopword heuristic (`text.langid`) can't reach: it learns
+    vocabulary the heuristic's 4 stopword lists don't cover and scales
+    to any label set without hand-curated word lists.
+
+    ``label_col`` holds arbitrary string labels; classes are their
+    sorted distinct values (deterministic index assignment). Returns
+    ``{"weights": float64[K, n_buckets], "bias": float64[K], "classes":
+    [str], "n_buckets": int, "losses": [mean cross-entropy per iter]}``.
+
+    Scale shape per iteration (same contract as the binary trainer —
+    the driver holds MODEL state only, never examples): the margin
+    computation is one broadcast join + a groupBy on (id, cls); the
+    softmax normalizes inside a single id-partitioned window (one
+    shuffle computes max and sum-exp together); the gradient groupBy
+    emits ≤ K·n_buckets rows and the per-iteration collect is
+    model-scale. K rides as a column, so nothing in the plan grows
+    with the class count except row multiplicity."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    classes = sorted(
+        r[0] for r in df.select(F.col(label_col)).distinct().collect()
+    )
+    if not classes:
+        raise ValueError("empty training set")
+    k = len(classes)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    idx_expr = F.when(F.col(label_col) == classes[0], F.lit(0))
+    for c in classes[1:]:
+        idx_expr = idx_expr.when(F.col(label_col) == c, F.lit(cls_idx[c]))
+    labels = df.select(
+        F.col(id_col).alias("id"), idx_expr.cast("long").alias("y")
+    ).persist()
+    feats = (
+        hashed_features(df, id_col, text_col, n_buckets)
+        .repartition("id")
+        .persist()
+    )
+    n = float(labels.count())
+
+    W = np.zeros((k, n_buckets), dtype="float64")
+    bias = np.zeros(k, dtype="float64")
+    losses: list[float] = []
+    win = Window.partitionBy("id")
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"cls": np.arange(k, dtype="int64"), "__bias": bias}
+            ),
+            schema="cls long, __bias double",
+        )
+        m = _class_margins(feats, labels, cdf, _class_weight_df(spark, W))
+        # stable softmax entirely inside ONE id-partitioned window: both
+        # the max and the sum of shifted exps come out of the same shuffle
+        probs = m.select(
+            "id",
+            "y",
+            "cls",
+            (
+                F.exp(F.col("margin") - F.max("margin").over(win))
+                / F.sum(F.exp(F.col("margin") - F.max("margin").over(win))).over(
+                    win
+                )
+            ).alias("p"),
+        )
+        errs = probs.select(
+            "id",
+            "cls",
+            (F.col("p") - (F.col("y") == F.col("cls")).cast("double")).alias(
+                "err"
+            ),
+            F.when(F.col("y") == F.col("cls"), -F.log(F.col("p"))).alias("__ce"),
+        ).persist()
+        # ONE model-scale collect: per-(cls, bucket) gradients, plus a
+        # bucket = -1 sentinel per class carrying the bias gradient in
+        # `g` and the class's cross-entropy sum in `ll`
+        grad_rows = (
+            errs.join(feats.select("id", "bucket", "cnt"), "id")
+            .groupBy("cls", "bucket")
+            .agg(F.sum(F.col("err") * F.col("cnt")).alias("g"), F.lit(0.0).alias("ll"))
+            .unionByName(
+                errs.groupBy("cls").agg(
+                    F.sum("err").alias("g"),
+                    F.coalesce(F.sum("__ce"), F.lit(0.0)).alias("ll"),
+                ).select("cls", F.lit(-1).cast("long").alias("bucket"), "g", "ll")
+            )
+            .collect()
+        )
+        errs.unpersist()
+
+        G = np.zeros((k, n_buckets), dtype="float64")
+        bg = np.zeros(k, dtype="float64")
+        ce = 0.0
+        for r in grad_rows:
+            if r["bucket"] < 0:
+                bg[int(r["cls"])] = float(r["g"])
+                ce += float(r["ll"])
+            else:
+                G[int(r["cls"]), int(r["bucket"])] = float(r["g"])
+        W -= lr * (G / n + l2 * W)
+        bias -= lr * bg / n
+        losses.append(ce / n)
+    feats.unpersist()
+    labels.unpersist()
+    return {
+        "weights": W,
+        "bias": bias,
+        "classes": classes,
+        "n_buckets": n_buckets,
+        "losses": losses,
+    }
+
+
+def langid_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+    out_col: str = "lang",
+) -> DataFrame:
+    """``df`` plus ``out_col`` (argmax class label) and ``confidence``
+    (its softmax probability) under a :func:`train_langid_classifier`
+    model — the trained drop-in for ``text.langid``/``langid_table``
+    (same output shape: one label per document; keep the heuristic as
+    the zero-dependency fallback when no model has been trained).
+
+    Plan: broadcast weight join + (id, cls) groupBy for the dots, then
+    argmax and softmax-confidence inside one id-partitioned window; ties
+    break to the lowest class index (deterministic, mirroring the
+    heuristic's fixed preference order). Zero-token documents get the
+    bias-only prediction instead of dropping out."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    classes = list(model["classes"])
+    W = np.asarray(model["weights"], dtype="float64")
+    bias = np.asarray(model["bias"], dtype="float64")
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"cls": np.arange(len(classes), dtype="int64"), "__bias": bias}
+        ),
+        schema="cls long, __bias double",
+    )
+    feats = hashed_features(df, id_col, text_col, model["n_buckets"])
+    labels = df.select(F.col(id_col).alias("id"), F.lit(0).alias("y"))
+    m = _class_margins(feats, labels, cdf, _class_weight_df(spark, W))
+    win = Window.partitionBy("id")
+    order = Window.partitionBy("id").orderBy(F.desc("margin"), F.asc("cls"))
+    scored = (
+        m.select(
+            "id",
+            "cls",
+            "margin",
+            (
+                F.exp(F.col("margin") - F.max("margin").over(win))
+                / F.sum(
+                    F.exp(F.col("margin") - F.max("margin").over(win))
+                ).over(win)
+            ).alias("confidence"),
+            F.row_number().over(order).alias("__rk"),
+        )
+        .where(F.col("__rk") == 1)
+        .select("id", "cls", "confidence")
+    )
+    label_expr = F.lit(classes[0])
+    for i, c in enumerate(classes[1:], start=1):
+        label_expr = F.when(F.col("cls") == i, F.lit(c)).otherwise(label_expr)
+    return df.join(
+        scored.select(
+            F.col("id").alias(id_col),
+            label_expr.alias(out_col),
+            "confidence",
+        ),
+        id_col,
+    )
+
+
+def save_langid_classifier(spark, model: dict, path: str) -> None:
+    """Persist the multi-class model: sparse (cls, bucket, w) weights +
+    one meta row per class (label, bias, width) — same train-once /
+    score-every-crawl contract as the binary classifier."""
+    W = np.asarray(model["weights"], dtype="float64")
+    ks, bs = np.nonzero(W)
+    pdf = pd.DataFrame(
+        {"cls": ks.astype("int64"), "bucket": bs.astype("int64"), "w": W[ks, bs]}
+    )
+    spark.createDataFrame(pdf, "cls long, bucket long, w double").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/weights")
+    meta = pd.DataFrame(
+        {
+            "cls": np.arange(len(model["classes"]), dtype="int64"),
+            "label": list(model["classes"]),
+            "bias": np.asarray(model["bias"], dtype="float64"),
+            "n_buckets": int(model["n_buckets"]),
+        }
+    )
+    spark.createDataFrame(
+        meta, "cls long, label string, bias double, n_buckets long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_langid_classifier(spark, path: str) -> dict:
+    meta = sorted(
+        spark.read.parquet(f"{path}/meta").collect(), key=lambda r: r["cls"]
+    )
+    k, n_buckets = len(meta), int(meta[0]["n_buckets"])
+    W = np.zeros((k, n_buckets), dtype="float64")
+    for r in spark.read.parquet(f"{path}/weights").collect():
+        W[int(r["cls"]), int(r["bucket"])] = float(r["w"])
+    return {
+        "weights": W,
+        "bias": np.array([float(r["bias"]) for r in meta]),
+        "classes": [r["label"] for r in meta],
+        "n_buckets": n_buckets,
+        "losses": [],
+    }
+
+
 def calibration_report(
     scored: DataFrame,
     score_col: str,

@@ -208,3 +208,143 @@ def test_featureless_docs_contribute_bias_gradient(spark):
         sm = load_streaming_classifier(d)
     np.testing.assert_allclose(sm["weights"], w_np, atol=1e-12)
     assert sm["bias"] == pytest.approx(b_np, abs=1e-12)
+
+
+# ---- trained multi-class language ID (#131) -------------------------------
+
+LANGS = {
+    "en": ["the quick brown fox jumps over the lazy dog near the river",
+           "science requires careful measurement and honest reporting of results",
+           "children love reading stories about distant planets and brave explorers",
+           "weather patterns shift slowly across the northern coastline"],
+    "de": ["der schnelle braune fuchs springt über den faulen hund am fluss",
+           "wissenschaft erfordert sorgfältige messung und ehrliche berichte",
+           "kinder lieben geschichten über ferne planeten und mutige forscher",
+           "das wetter ändert sich langsam entlang der nördlichen küste"],
+    "fr": ["le renard brun rapide saute par dessus le chien paresseux",
+           "la science exige des mesures soigneuses et des rapports honnêtes",
+           "les enfants adorent les histoires de planètes lointaines",
+           "le temps change lentement le long de la côte nord"],
+    "es": ["el rápido zorro marrón salta sobre el perro perezoso junto al río",
+           "la ciencia exige mediciones cuidadosas e informes honestos",
+           "los niños adoran las historias de planetas lejanos",
+           "el clima cambia lentamente a lo largo de la costa norte"],
+    "it": ["la volpe marrone veloce salta sopra il cane pigro vicino al fiume",
+           "la scienza richiede misurazioni accurate e resoconti onesti",
+           "i bambini adorano le storie di pianeti lontani",
+           "il tempo cambia lentamente lungo la costa settentrionale"],
+}
+
+
+@pytest.fixture(scope="module")
+def lang_corpus(spark):
+    rows = []
+    for li, (lg, sents) in enumerate(sorted(LANGS.items())):
+        rows += [(li * 100 + i, t, lg) for i, t in enumerate(sents)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_langid_one_step_matches_numpy(spark, lang_corpus):
+    """One multi-class Spark GD step == one numpy softmax GD step on
+    identical features (1e-12 — the r9 directive's exactness bar)."""
+    nb = 1 << 10
+    feats = C.hashed_features(lang_corpus, "doc_id", "text", nb).collect()
+    rows = lang_corpus.collect()
+    classes = sorted({r["lang"] for r in rows})
+    k = len(classes)
+    ids = sorted(r["doc_id"] for r in rows)
+    pos = {d: i for i, d in enumerate(ids)}
+    lab = {r["doc_id"]: classes.index(r["lang"]) for r in rows}
+    X = np.zeros((len(ids), nb))
+    for r in feats:
+        X[pos[r["id"]], r["bucket"]] = r["cnt"]
+    Y = np.zeros((len(ids), k))
+    for d, c in lab.items():
+        Y[pos[d], c] = 1.0
+
+    lr = 2.0
+    P = np.full((len(ids), k), 1.0 / k)  # softmax at zero init
+    G = (P - Y).T @ X / len(ids)
+    W_np = -lr * G
+    b_np = -lr * np.mean(P - Y, axis=0)
+
+    model = C.train_langid_classifier(
+        lang_corpus, "doc_id", "text", "lang", n_buckets=nb, iters=1, lr=lr
+    )
+    assert model["classes"] == classes
+    np.testing.assert_allclose(model["weights"], W_np, atol=1e-12)
+    np.testing.assert_allclose(model["bias"], b_np, atol=1e-12)
+    # zero-init cross-entropy is exactly log(K)
+    assert model["losses"][0] == pytest.approx(math.log(k), abs=1e-12)
+
+
+@pytest.fixture(scope="module")
+def lang_model(spark, lang_corpus):
+    """One trained model shared by the separation / roundtrip tests."""
+    return C.train_langid_classifier(
+        lang_corpus, "doc_id", "text", "lang", n_buckets=1 << 12,
+        iters=60, lr=12.0,
+    )
+
+
+def test_langid_separates_fixture_heuristic_cannot(spark, lang_corpus, lang_model):
+    """The trained model labels a 5-language fixture exactly; the
+    stopword heuristic (text.langid) structurally CANNOT — it has no
+    Italian class at all and misroutes Romance languages whose stopwords
+    overlap its 4 lists (the r9 'What's missing #3' gap)."""
+    from bitfilters_spark.operators.text import langid
+
+    model = lang_model
+    assert model["losses"][-1] < model["losses"][0] * 0.1
+    got = {
+        r["doc_id"]: (r["pred"], r["confidence"])
+        for r in C.langid_score(
+            lang_corpus, "doc_id", "text", model, out_col="pred"
+        ).collect()
+    }
+    truth = {r["doc_id"]: r["lang"] for r in lang_corpus.collect()}
+    for d, lg in truth.items():
+        assert got[d][0] == lg, f"doc {d}: want {lg}, got {got[d]}"
+        assert 0.0 < got[d][1] <= 1.0
+    # the heuristic mislabels EVERY Italian document (it can only emit
+    # en/de/fr/es/zh)
+    heur = {
+        r["doc_id"]: r["hl"]
+        for r in lang_corpus.select("doc_id", langid("text").alias("hl")).collect()
+    }
+    it_docs = [d for d, lg in truth.items() if lg == "it"]
+    assert all(heur[d] != "it" for d in it_docs)
+
+
+def test_langid_save_load_and_corpus_rollup(spark, lang_corpus, lang_model, tmp_path):
+    """Persisted-model roundtrip + composition with the corpus-profiling
+    rollup shape: per-language document counts from the TRAINED labels
+    match ground truth (the langid_table drop-in contract)."""
+    model = lang_model
+    C.save_langid_classifier(spark, model, str(tmp_path / "langid"))
+    loaded = C.load_langid_classifier(spark, str(tmp_path / "langid"))
+    assert loaded["classes"] == model["classes"]
+    np.testing.assert_array_equal(loaded["weights"], model["weights"])
+    np.testing.assert_array_equal(loaded["bias"], model["bias"])
+
+    scored = C.langid_score(lang_corpus, "doc_id", "text", loaded, out_col="pred")
+    rollup = {
+        r["pred"]: r["n"]
+        for r in scored.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rollup == {lg: len(s) for lg, s in LANGS.items()}
+
+
+def test_langid_empty_doc_gets_bias_prediction(spark):
+    """Zero-token documents must get the bias-only argmax (deterministic
+    lowest-index tie-break at zero bias), not silently drop out."""
+    df = spark.createDataFrame(
+        [(0, "hello world text", "en"), (1, "hallo welt text", "de"), (2, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    model = C.train_langid_classifier(
+        df, "doc_id", "text", "lang", n_buckets=256, iters=3, lr=1.0
+    )
+    got = {r["doc_id"]: r["lang2"] for r in C.langid_score(
+        df, "doc_id", "text", model, out_col="lang2").collect()}
+    assert len(got) == 3 and got[2] in model["classes"]
