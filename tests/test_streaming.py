@@ -1760,14 +1760,135 @@ def test_streaming_frontier_politeness_and_backlog_drain(spark, tmp_path):
 
         per_wave = Counter((h, w) for h, u, w, s in rows if s == "released")
         assert max(per_wave.values()) <= 2
-        # overflow is an explicit dropped row, and never releases
+        # overflow is an explicit dropped row tagged wave = -1 (it was
+        # never scheduled into a wave), and never releases
         assert [r for r in rows if r[3] == "dropped"] == [
-            ("a", "http://a/1", 1, "dropped")
+            ("a", "http://a/1", -1, "dropped")
         ]
         urls = [u for h, u, w, s in rows if s == "released"]
         assert len(urls) == len(set(urls)) and "http://a/1" not in urls
         # host b schedules independently
         b_rel = [u for h, u, w, s in rows if h == "b" and s == "released"]
         assert set(b_rel) == {"http://b/1", "http://b/2"}
+    finally:
+        q.stop()
+
+
+def test_streaming_frontier_resubmission_default_at_least_once(spark, tmp_path):
+    """Re-submission contract, default mode (r9 directive #6): a URL
+    released in wave k that re-arrives in a later micro-batch is
+    released AGAIN — released URLs leave state, so the frontier is
+    at-least-once per submission (the documented contract; a crawler
+    feeding extracted links back in must dedupe upstream or opt into
+    dedupe=True)."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_frontier
+
+    src = str(tmp_path / "rs_in")
+    ckpt = str(tmp_path / "rs_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, host string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    write([("http://a/x", "a", t(0))])
+    stream = spark.readStream.schema(
+        "url string, host string, ts timestamp"
+    ).parquet(src)
+    fr = streaming_frontier(stream, "url", "host", ts_col="ts", per_wave=2)
+    q = (
+        fr.writeStream.format("memory")
+        .queryName("rs_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([("http://a/x", "a", t(1))])  # the SAME url, re-discovered
+        q.processAllAvailable()
+        rel = [
+            (r["url"], r["wave"])
+            for r in spark.sql(
+                "SELECT * FROM rs_sink WHERE status = 'released' ORDER BY wave"
+            ).collect()
+        ]
+        # released twice — once per submission (the wave counter restarts
+        # between the two because the drained host's state was removed;
+        # waves number rounds WITHIN a backlog episode)
+        assert [u for u, _ in rel] == ["http://a/x", "http://a/x"]
+    finally:
+        q.stop()
+
+
+def test_streaming_frontier_dedupe_exactly_once_in_window(spark, tmp_path):
+    """dedupe=True: re-arrivals of already-released URLs are suppressed
+    (exactly-once within the seen_cap window), duplicates WITHIN a batch
+    collapse to one release at their max priority, backlogged duplicates
+    are suppressed too, and genuinely new URLs still flow."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_frontier
+
+    src = str(tmp_path / "dd_in")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, host string, score double, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    # batch 1: x twice (in-batch dup, different priorities), y once; cap 1
+    # -> wave 1 releases x at its max priority 9.0, y backlogs
+    write(
+        [
+            ("http://a/x", "a", 1.0, t(0)),
+            ("http://a/x", "a", 9.0, t(0)),
+            ("http://a/y", "a", 5.0, t(0)),
+        ]
+    )
+    stream = spark.readStream.schema(
+        "url string, host string, score double, ts timestamp"
+    ).parquet(src)
+    fr = streaming_frontier(
+        stream, "url", "host", ts_col="ts", priority_col="score",
+        per_wave=1, dedupe=True,
+    )
+    q = (
+        fr.writeStream.format("memory")
+        .queryName("dd_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: x again (already released), y again (still backlogged
+        # or just released), z new
+        write(
+            [
+                ("http://a/x", "a", 9.9, t(1)),
+                ("http://a/y", "a", 5.0, t(1)),
+                ("http://a/z", "a", 2.0, t(1)),
+            ]
+        )
+        q.processAllAvailable()
+        write([("http://a/nudge", "a", 0.1, t(3))])  # advance watermark
+        q.processAllAvailable()
+        rows = [
+            (r["url"], r["priority"], r["status"])
+            for r in spark.sql("SELECT * FROM dd_sink ORDER BY wave, url").collect()
+        ]
+        rel = [u for u, p, s in rows if s == "released"]
+        # every url released exactly once, x at the collapsed max priority
+        assert sorted(rel) == [
+            "http://a/nudge", "http://a/x", "http://a/y", "http://a/z"
+        ]
+        assert [p for u, p, s in rows if u == "http://a/x"] == [9.0]
+        assert not [r for r in rows if r[2] == "dropped"]
     finally:
         q.stop()
