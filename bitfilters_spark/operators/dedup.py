@@ -808,7 +808,8 @@ def _signed64(v: int) -> int:
 
 
 def simhash_pairs_from_sigs(
-    sig: DataFrame, id_col: str, max_hamming: int = 8
+    sig: DataFrame, id_col: str, max_hamming: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact {(id_a, id_b, hamming): hamming <= max_hamming} from a
     ``(id, simhash)`` DataFrame via asymmetric multi-probe banding (see
@@ -824,7 +825,7 @@ def simhash_pairs_from_sigs(
     (∝ n²·probes/2^width), NOT Θ(n²/values) as exact narrow bands give.
     """
     return (
-        simhash_candidates(sig, id_col, max_hamming)
+        simhash_candidates(sig, id_col, max_hamming, n_rows=n_rows)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -840,6 +841,7 @@ def simhash_candidates(
     id_col: str,
     max_hamming: int = 8,
     index_broadcast_rows: int = 4_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The pre-verify banded candidate join: columns (band, bv, a.id,
     a.simhash, b.id, b.simhash) with a.id < b.id. Exposed separately so
@@ -851,12 +853,18 @@ def simhash_candidates(
     sort-merge at 50k docs (the static size estimate of the exploded
     cached subplan crosses autoBroadcastJoinThreshold), which shuffled the
     ~240x-exploded probe side through an Exchange — 13.3 s -> 65.1 s for
-    an index side of 5 MB. Counting ``sig`` costs one job over 16-byte
-    rows (cached in the production path) and removes the optimizer's
-    discretion. Above the threshold (cluster-scale corpora, where a
-    broadcast would not fit) the equi-join shuffles both sides on
-    (band, bv) — the documented scale path: probe rows are 4 longs each
-    and never re-shuffle after the join."""
+    an index side of 5 MB. The size gate needs the signature count:
+    pass ``n_rows`` when the caller already knows it (the composed
+    operators — ``simhash_near_pairs``, ``dedup_near`` — count their
+    cached signatures once and thread it through, so the gate costs no
+    extra job); otherwise ``sig`` is counted here — one job over
+    16-byte rows, so CACHE ``sig`` if its lineage is expensive. The
+    default threshold's broadcast is ~120 MB of packed rows at 4M —
+    size it down if driver memory is tight. Above the threshold
+    (cluster-scale corpora, where a broadcast would not fit) the
+    equi-join shuffles both sides on (band, bv) — the documented scale
+    path: probe rows are 4 longs each and never re-shuffle after the
+    join."""
     n_bands, radius, widths, starts = simhash_banding(max_hamming)
     exact_entries = []
     band_masks = []
@@ -886,7 +894,8 @@ def simhash_candidates(
             ).alias("bv"),
         )
     a, b = probes.alias("a"), index.alias("b")
-    if sig.count() * n_bands <= index_broadcast_rows:
+    sig_rows = n_rows if n_rows is not None else sig.count()
+    if sig_rows * n_bands <= index_broadcast_rows:
         b = F.broadcast(b)
     return a.join(b, ["band", "bv"]).where(F.col("a.id") < F.col("b.id"))
 
@@ -899,7 +908,10 @@ def simhash_near_pairs(
     # 16 bytes/doc; cached so the band self-join doesn't run the signature
     # aggregation (the expensive part) once per side
     sig = simhash64(df, id_col, text_col, native=native).cache()
-    return simhash_pairs_from_sigs(sig, id_col, max_hamming)
+    # count the cached signatures ONCE and thread the size through the
+    # broadcast gate, so compositions (dedup_near over simhash) never pay
+    # the gate's sizing job twice (r9 Wrong #3)
+    return simhash_pairs_from_sigs(sig, id_col, max_hamming, n_rows=sig.count())
 
 
 # ---------------------------------------------------- paragraph dedup ---

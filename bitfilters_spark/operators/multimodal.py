@@ -294,6 +294,9 @@ AUDIO_WINDOW_SCHEMA = StructType(
         StructField("start_sample", LongType()),
         StructField("n_samples", LongType()),
         StructField("energy", LongType()),
+        # which decoder actually ran (wav|soundfile|stub) — lets a corpus
+        # run count/flag clips where codec='auto' degraded to the stub
+        StructField("codec_used", StringType()),
     ]
 )
 
@@ -311,7 +314,9 @@ def _soundfile():
 HAS_SOUNDFILE = _soundfile() is not None
 
 
-def decode_audio_pcm(payload: bytes, codec: str = "auto") -> np.ndarray:
+def decode_audio_pcm(
+    payload: bytes, codec: str = "auto", return_codec: bool = False
+):
     """Decode an audio payload to an int64 mono PCM sample array.
 
     ``codec`` follows the module convention (cf. ``_resolve_codec``):
@@ -328,9 +333,20 @@ def decode_audio_pcm(payload: bytes, codec: str = "auto") -> np.ndarray:
       dependency-free, oracle-stable (the pre-r9 behavior).
     - ``"auto"``: sniff the RIFF/WAVE magic -> ``wav``; else
       ``soundfile`` when importable and parseable; else ``stub``.
-    """
+
+    ``auto`` DEGRADES to the stub read when soundfile is missing or the
+    payload doesn't parse — real PCM only for containers it can decode.
+    ``return_codec=True`` returns ``(samples, used)`` with ``used`` in
+    ``{"wav", "soundfile", "stub"}`` so corpus-scale runs can DETECT
+    degraded decodes instead of fingerprinting garbage silently (the
+    r9 advisory); ``sample_audio_windows`` surfaces it as the
+    ``codec_used`` column."""
     if codec not in ("auto", "stub", "wav", "soundfile"):
         raise ValueError(f"codec must be auto|stub|wav|soundfile, got {codec!r}")
+
+    def _ret(x, used):
+        return (x, used) if return_codec else x
+
     is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
     if codec == "wav" or (codec == "auto" and is_wav):
         import io as _io  # noqa: PLC0415
@@ -349,7 +365,7 @@ def decode_audio_pcm(payload: bytes, codec: str = "auto") -> np.ndarray:
             raise ValueError(f"unsupported WAV sample width {width}")
         if nch > 1:  # integer mean keeps energies engine-reproducible
             x = x[: len(x) - len(x) % nch].reshape(-1, nch).sum(axis=1) // nch
-        return x
+        return _ret(x, "wav")
     if codec == "soundfile" or (codec == "auto" and not is_wav and HAS_SOUNDFILE):
         sf = _soundfile()
         if sf is None:
@@ -358,11 +374,11 @@ def decode_audio_pcm(payload: bytes, codec: str = "auto") -> np.ndarray:
 
         try:
             data, _sr = sf.read(_io.BytesIO(payload), dtype="int16", always_2d=True)
-            return data.astype(np.int64).sum(axis=1) // data.shape[1]
+            return _ret(data.astype(np.int64).sum(axis=1) // data.shape[1], "soundfile")
         except Exception:
             if codec == "soundfile":
                 raise
-    return np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+    return _ret(np.frombuffer(payload, dtype=np.int8).astype(np.int64), "stub")
 
 
 def sample_audio_windows(
@@ -378,7 +394,10 @@ def sample_audio_windows(
     energy). The DECODE follows :func:`decode_audio_pcm` — ``codec="wav"``
     is a REAL PCM decode (stdlib ``wave``; 8/16/32-bit, mono downmix),
     ``"soundfile"`` the gated compressed-container path, ``"stub"``
-    (default, oracle-stable) reads the bytes as 8-bit PCM. The Spark
+    (default, oracle-stable) reads the bytes as 8-bit PCM; every row
+    carries ``codec_used`` — which decoder actually ran — so an
+    ``auto`` corpus run can count clips that degraded to the stub
+    instead of fingerprinting garbage silently. The Spark
     mechanics are identical on every path: mapInPandas row explosion
     (one clip -> ceil(L/hop) windows), numpy-vectorized per-window
     energy (sum of squared samples, INTEGER arithmetic so the result is
@@ -389,11 +408,13 @@ def sample_audio_windows(
 
     def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, wis, starts, lens, energies = [], [], [], [], []
+            ids, wis, starts, lens, energies, useds = [], [], [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x = decode_audio_pcm(bytes(b), codec=codec)
+                x, used = decode_audio_pcm(
+                    bytes(b), codec=codec, return_codec=True
+                )
                 L = len(x)
                 for w, off in enumerate(range(0, max(L, 1), hop)):
                     if off >= L:
@@ -404,6 +425,7 @@ def sample_audio_windows(
                     starts.append(off)
                     lens.append(len(seg))
                     energies.append(int(np.dot(seg, seg)))
+                    useds.append(used)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -411,6 +433,7 @@ def sample_audio_windows(
                     "start_sample": starts,
                     "n_samples": lens,
                     "energy": energies,
+                    "codec_used": useds,
                 }
             )
 

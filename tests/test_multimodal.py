@@ -483,3 +483,30 @@ def test_audio_near_pairs_real_wav_decode(spark):
     }
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_decode_audio_codec_used_surfaces_degradation(spark):
+    """r9 ADVICE: codec='auto' degrading to the stub must be DETECTABLE.
+    return_codec names the decoder that ran, and sample_audio_windows
+    surfaces it as the codec_used column so a corpus run can count
+    undecoded compressed clips instead of fingerprinting garbage."""
+    from bitfilters_spark.operators.multimodal import (
+        decode_audio_pcm,
+        sample_audio_windows,
+    )
+
+    wav = _make_wav(440.0, n=2048)
+    _, used_wav = decode_audio_pcm(wav, codec="auto", return_codec=True)
+    assert used_wav == "wav"
+    junk = b"\x01\x02" * 700  # not a parseable container anywhere
+    _, used_junk = decode_audio_pcm(junk, codec="auto", return_codec=True)
+    assert used_junk == "stub"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(junk))], "doc_id long, payload binary"
+    )
+    got = {
+        (r["doc_id"], r["codec_used"])
+        for r in sample_audio_windows(df, codec="auto").collect()
+    }
+    assert {(1, "wav"), (2, "stub")} == {(d, c) for d, c in got}
