@@ -89,8 +89,12 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fuse16", "fuse16", {}),
         ("bloom", "bloom", {"n": 50_000, "fpp": 0.01}),
         ("cuckoo", "cuckoo", {"nbuckets": 262144, "fp_bits": 12, "bucket_size": 4}),
-        ("ribbon8", "ribbon8", {}),
-        ("ribbon16", "ribbon16", {}),
+        # 8 hash-prefix shards per group: the banded-Gauss construction is
+        # sequential per sub-filter, so the multi-build distributes it
+        # across (group, shard) finish tasks (SHRD container; counts-only
+        # oracle is shard-agnostic)
+        ("ribbon8", "ribbon8", {"num_shards": 8}),
+        ("ribbon16", "ribbon16", {"num_shards": 8}),
     ]
     orders = load_table(spark, sf_dir, "orders")
     # 12 branches (6 builds + 6 probes) hang off this tiny projection:
@@ -468,11 +472,14 @@ def _filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 262144 overflowed the 95% bound there (caught by the r9 stress
         # sweep; the oracle's size/mask constants match below)
         ("cuckoo", "cuckoo", {"nbuckets": 524288, "fp_bits": 12, "bucket_size": 4}),
-        # ribbon geometry is a closed form of n (core/ribbon.py:_geometry
-        # — the seed retries of a failed elimination never change it), so
-        # the serialized size is SQL-replayable exactly like xor/fuse
-        ("ribbon8", "ribbon8", {}),
-        ("ribbon16", "ribbon16", {}),
+        # ribbon geometry is a closed form of each sub-filter's key count
+        # (core/ribbon.py:_geometry — seed retries never change it) and
+        # the 8-way shard split is a pure function of the hash prefix
+        # ((h >> 48) % 8), so the SHRD container size is SQL-replayable:
+        # the oracle recomputes per-shard distinct counts and sums the
+        # sub-blob closed forms
+        ("ribbon8", "ribbon8", {"num_shards": 8}),
+        ("ribbon16", "ribbon16", {"num_shards": 8}),
     ]
     from bitfilters_spark.functions.filters import filter_describe
 
@@ -3053,13 +3060,6 @@ _FILTER_SIZES_ORACLE = """
                      greatest(16, ceil((32 + 1.23 * n) / 3)::BIGINT) AS bl,
                      (1::BIGINT << least(greatest(
                         floor(ln(n) / ln(3.33) + 2.25)::BIGINT, 3), 18)) AS sl,
-                     -- ribbon: m = max(w=64, ceil(n / alpha(n))) with the
-                     -- size-aware stepwise load factor (core/ribbon.py);
-                     -- blob = 22-byte header + (m + 64) slots * bits/8
-                     greatest(64, ceil(n / (CASE
-                        WHEN n <= 262144 THEN 0.935
-                        WHEN n <= 2097152 THEN 0.915
-                        ELSE 0.90 END))::BIGINT) AS rm
               FROM base),
             geo2 AS (
               SELECT *,
@@ -3068,7 +3068,26 @@ _FILTER_SIZES_ORACLE = """
               FROM geo),
             bloom AS (
               SELECT greatest(64, (ceil(-50000 * ln(0.01) / (ln(2) * ln(2)))::BIGINT
-                                   + 63) // 64 * 64) AS mbits)
+                                   + 63) // 64 * 64) AS mbits),
+            -- ribbon rides an 8-shard SHRD container: per-shard m_s =
+            -- max(w=64, ceil(cnt_s / alpha(cnt_s))) with the size-aware
+            -- stepwise load factor (core/ribbon.py); sub-blob = 22-byte
+            -- header + (m_s + 64) slots * bits/8; container = 4 magic +
+            -- 4 num_shards + 8*8 lengths + sum(sub-blobs). Shards with
+            -- zero keys pack as empty byte strings (no term in the sum).
+            ribshard AS (
+              SELECT greatest(64, ceil(cnt / (CASE
+                        WHEN cnt <= 262144 THEN 0.935
+                        WHEN cnt <= 2097152 THEN 0.915
+                        ELSE 0.90 END))::BIGINT) AS ms
+              FROM (
+                SELECT (h >> 48) % 8 AS shard, count(*) AS cnt
+                FROM (SELECT DISTINCT hash(o_orderkey) AS h FROM orders)
+                GROUP BY 1)),
+            rib AS (
+              SELECT (72 + sum(22 + ms + 64))::INTEGER AS sz8,
+                     (72 + sum(22 + 2 * (ms + 64)))::INTEGER AS sz16
+              FROM ribshard)
             SELECT 'quotient' AS filter_type, (14 + 8 * nfp)::INTEGER AS size_bytes,
                    nfp::BIGINT AS n_entries FROM geo2
             UNION ALL SELECT 'xor8', (21 + 3 * bl)::INTEGER, -1::BIGINT FROM geo2
@@ -3080,10 +3099,8 @@ _FILTER_SIZES_ORACLE = """
             UNION ALL SELECT 'cms', (12 + 8 * 4 * 16384)::INTEGER, -1::BIGINT
             UNION ALL SELECT 'kmv', (12 + 8 * least(1024, n))::INTEGER,
                    least(1024, n)::BIGINT FROM geo2
-            UNION ALL SELECT 'ribbon8', (22 + rm + 64)::INTEGER, -1::BIGINT
-                   FROM geo2
-            UNION ALL SELECT 'ribbon16', (22 + 2 * (rm + 64))::INTEGER, -1::BIGINT
-                   FROM geo2
+            UNION ALL SELECT 'ribbon8', sz8, -1::BIGINT FROM rib
+            UNION ALL SELECT 'ribbon16', sz16, -1::BIGINT FROM rib
             UNION ALL SELECT 'cuckoo', (10 + 524288 * 4 * 2)::INTEGER,
                    (SELECT count(DISTINCT
                         least(i1, xor(i1, (fp * 1540483477) & 524287)) * 65536 + fp)

@@ -336,10 +336,27 @@ def build_filters_multi(
     The input is scanned exactly once regardless of how many filters are
     requested (vs. one scan per filter). Returns
     ``group_cols + (filter_type, filter)``.
+
+    A peeled spec may carry ``"num_shards": NS`` in its params: the
+    group's key set then splits by hash prefix into NS independently
+    built sub-filters assembled into one SHRD container (r10 — the same
+    container `build_filter(num_shards=...)` emits, now available in the
+    one-scan multi-build). This removes the single-task bottleneck of a
+    huge group's sequential peeled construction: the finish stage runs
+    one task per (group, kind, shard) instead of per (group, kind), so
+    a billion-key group builds in parallel across the cluster. Probe
+    dispatch is unchanged (magic-sniffed); the container size stays
+    SQL-replayable because the shard split is a pure function of the
+    hash prefix.
     """
     _RAW = b"HSHS"  # payload prefix: partition's raw distinct hashes
     group_cols = list(group_cols or [])
     by_name = {name: (kind, p) for name, kind, p in specs}
+    sharded = {
+        name: int(p["num_shards"])
+        for name, (kind, p) in by_name.items()
+        if kind in PEELED and p.get("num_shards")
+    }
     proj = df.select(
         *group_cols, F.col(hash_col).cast("long").alias("__h")
     ).where(F.col("__h").isNotNull())
@@ -347,6 +364,9 @@ def build_filters_multi(
     out_schema = StructType(
         gfields
         + [StructField("filter_type", StringType()), StructField(filter_col, BinaryType())]
+    )
+    mid_schema = StructType(
+        list(out_schema.fields) + [StructField("__shard", IntegerType())]
     )
 
     def _fold(state: dict, gkey, hs: np.ndarray) -> None:
@@ -418,13 +438,21 @@ def build_filters_multi(
             all_h = np.unique(np.concatenate(parts))
             for name, (kind, p) in by_name.items():
                 if kind in MERGEABLE:
-                    payload = _partial_blob(kind, p, merge_state[(gkey, name)])
+                    rows.append(
+                        (*gkey, name, _partial_blob(kind, p, merge_state[(gkey, name)]), -1)
+                    )
+                elif name in sharded:
+                    sh = _shard_of(all_h, sharded[name])
+                    for s in np.unique(sh):
+                        payload = _RAW + all_h[sh == s].astype("<u8").tobytes()
+                        rows.append((*gkey, name, payload, int(s)))
                 else:
-                    payload = _RAW + all_h.astype("<u8").tobytes()
-                rows.append((*gkey, name, payload))
-        yield pd.DataFrame(rows, columns=group_cols + ["filter_type", filter_col])
+                    rows.append((*gkey, name, _RAW + all_h.astype("<u8").tobytes(), -1))
+        yield pd.DataFrame(
+            rows, columns=group_cols + ["filter_type", filter_col, "__shard"]
+        )
 
-    partial_df = proj.mapInPandas(partials, schema=out_schema)
+    partial_df = proj.mapInPandas(partials, schema=mid_schema)
 
     def finish(pdf: pd.DataFrame) -> pd.DataFrame:
         name = pdf["filter_type"].iloc[0]
@@ -441,8 +469,26 @@ def build_filters_multi(
         out[filter_col] = [blob]
         return out
 
-    return partial_df.groupBy(*group_cols, "filter_type").applyInPandas(
-        finish, schema=out_schema
+    # one finish task per (group, kind, shard): sharded peeled kinds
+    # parallelize their sub-builds; everything else is shard -1
+    finished = partial_df.groupBy(*group_cols, "filter_type", "__shard").applyInPandas(
+        finish, schema=mid_schema
+    )
+    if not sharded:
+        return finished.drop("__shard")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        name = pdf["filter_type"].iloc[0]
+        out = pdf.iloc[[0]].copy().drop(columns="__shard")
+        if name in sharded:
+            by_shard = {
+                int(s): bytes(b) for s, b in zip(pdf["__shard"], pdf[filter_col])
+            }
+            out[filter_col] = [shard_pack(sharded[name], by_shard)]
+        return out
+
+    return finished.groupBy(*group_cols, "filter_type").applyInPandas(
+        assemble, schema=out_schema
     )
 
 

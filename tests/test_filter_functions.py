@@ -428,3 +428,46 @@ def test_filter_describe_diagnostics(spark, orders):
     row = filter_describe(qf).collect()[0]
     assert row["n_entries"] == n  # 24-bit fingerprints: no collisions at this n
     assert row["fill_ratio"] is None and row["est_fpp"] is None
+
+
+def test_multi_build_sharded_peeled_kind(spark, orders):
+    """r10: a peeled spec carrying num_shards in build_filters_multi
+    distributes the group's construction across (group, kind, shard)
+    finish tasks and assembles a SHRD container — membership stays
+    exact, the container equals shard_pack over per-shard kernel builds
+    byte-for-byte, and non-sharded specs in the same call are untouched."""
+    import numpy as np
+
+    from bitfilters_spark.core.ribbon import ribbon_build
+    from bitfilters_spark.functions import build_filters_multi, probe_filter
+    from bitfilters_spark.functions.filters import _shard_of, shard_pack
+
+    keyed = orders.select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        spark_hash64("o_orderkey").alias("h"),
+    )
+    specs = [("ribbon8", "ribbon8", {"num_shards": 4}), ("xor8", "xor8", {})]
+    rows = build_filters_multi(keyed, "h", specs, group_cols=["grp"]).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["filter_type"], {})[(r["grp"],)] = bytes(r["filter"])
+    assert by["ribbon8"][(0,)][:4] == b"SHRD"
+    assert by["xor8"][(0,)][:4] == b"XORF"  # non-sharded spec untouched
+    for name in ("ribbon8", "xor8"):
+        got = (
+            probe_filter(keyed, by[name], "h", on=["grp"])
+            .where(F.col("__contains"))
+            .count()
+        )
+        assert got == keyed.count(), f"{name}: false negative"
+    # container == shard_pack over per-shard kernel builds (exact split)
+    hs = np.array(
+        [r["h"] for r in keyed.where(F.col("grp") == 0).collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    hs = np.unique(hs)
+    sh = _shard_of(hs, 4)
+    want = shard_pack(
+        4, {int(s): ribbon_build(hs[sh == s], 8) for s in np.unique(sh)}
+    )
+    assert by["ribbon8"][(0,)] == want

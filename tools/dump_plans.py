@@ -19,12 +19,14 @@ NOTES = {
         "the row cut."
     ),
     "q_filter_members": (
-        "All six filter kinds build in ONE grouped multi-build job (single "
-        "MapInPandas pass folds per-(group, kind) partials, one merge stage), "
-        "collected once; all six probes ride one pass over the "
+        "All nine filter kinds (quotient/xor/fuse/bloom/cuckoo/ribbon, r10 "
+        "added both ribbon widths) build in ONE grouped multi-build job "
+        "(single MapInPandas pass folds per-(group, kind) partials, one "
+        "merge stage), collected once; all probes ride one pass over the "
         "localCheckpointed projection as map-side Arrow UDF columns, and one "
         "aggregation emits every count, unpivoted via stack. Raw rows never "
-        "shuffle for the builds."
+        "shuffle for the builds; the sizes legs reuse the same scan via "
+        "build_filters_multi."
     ),
     "q_pack_shards": (
         "Two-phase distributed prefix sum: range repartition + sort-within "
@@ -90,11 +92,16 @@ NOTES = {
         "map-side-combined hash aggregate."
     ),
     "q_bm25": (
-        "Every Exchange is hits-sized: the broadcast query-term semijoin "
-        "sits INSIDE the explode stage (non-matching tokens die map-side, "
-        "the corpus vocabulary never shuffles), doc lengths and corpus "
-        "stats come map-side from a projection-only scan, and the final "
-        "per-(query, doc) sum partial-aggregates before its Exchange."
+        "Two legs union'd. Scan leg: every Exchange is hits-sized — the "
+        "broadcast query-term semijoin sits INSIDE the explode stage "
+        "(non-matching tokens die map-side, the corpus vocabulary never "
+        "shuffles), the doc length rides the tf groupBy as a grouping key "
+        "(r10: norm-in-postings applied to the batch path — no corpus-sized "
+        "doc-length join), corpus stats come map-side from a "
+        "projection-only scan, and the final per-(query, doc) sum "
+        "partial-aggregates before its Exchange. Index leg: the bucketed "
+        "postings scan carries PushedFilters In(token, ...) — probe cost "
+        "is the query terms' postings, never the corpus."
     ),
     "q_crawl_frontier": (
         "One window over the host key — the same shuffle a fetcher fleet "
