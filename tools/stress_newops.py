@@ -207,9 +207,10 @@ def main(sf_dir: str) -> None:
         out["reservoir_s"] = round(time.time() - t0, 2)
 
         # r9: ribbon filter at the 10x orders table (~1.5M keys) — the
-        # SHARDED build path (the documented route past ~1M keys: plain
-        # bulk insertion is a sequential Python loop, ~28s at 1.5M;
-        # 32 hash-prefix shards build in parallel)
+        # SHARDED build path (the documented route past ~1M keys; r10's
+        # round-vectorized elimination + plane-window backsolve cut the
+        # per-shard kernel ~2.5x, so 32 hash-prefix shards build in
+        # parallel at ~0.3s each)
         from bitfilters_spark.functions import build_filter, probe_filter
         from bitfilters_spark.functions.hashing import spark_hash64
 
