@@ -1474,15 +1474,48 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_IX_CACHE: dict = {}
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed ANN at full probe (nprobe == n_centroids): exact recall,
     so the brute-force oracle applies while the query exercises the
-    cell-assignment + cell-routed-join scale path."""
+    cell-assignment + cell-routed-join scale path.
+
+    Two leg-tagged paths in one driver row (r10): src='scan' routes the
+    corpus in-session (``ivf_topk``); src='index' probes the PERSISTED
+    cell-bucketed index (operator #132, ``ann_query_index`` — candidate
+    cells pushed into the bucketed scan as an In-filter). Both share the
+    routing/scoring arithmetic bit-for-bit, so one brute-force oracle
+    covers both legs. Index built once per (process, sf_dir) — the
+    operator's design point is build-once/probe-many."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return SIM.ivf_topk(
-        emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16, nprobe=16
-    ).select("query_id", "neighbor_id", "rank")
+    from bitfilters_spark.operators.ann_index import (
+        ann_query_index,
+        build_ann_index,
+    )
+
+    cached = _ANN_IX_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+        import uuid
+
+        name = f"q_ann_ix_{uuid.uuid4().hex[:8]}"
+        C = build_ann_index(
+            emb, "vec_id", "embedding", name, n_centroids=16,
+            num_buckets=4, path=tempfile.mkdtemp(prefix="annix_"),
+        )
+        cached = _ANN_IX_CACHE[sf_dir] = (name, C)
+    name, C = cached
+    scan = SIM.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16,
+        nprobe=16, centroids=C,
+    ).select(F.lit("scan").alias("src"), "query_id", "neighbor_id", "rank")
+    via_index = ann_query_index(
+        spark, name, queries_df, "vec_id", "embedding", k=5, nprobe=16
+    ).select(F.lit("index").alias("src"), "query_id", "neighbor_id", "rank")
+    return scan.unionByName(via_index)
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2740,9 +2773,10 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(a.embedding, b.embedding) AS c
               FROM embeddings a, embeddings b
               WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
-            FROM p QUALIFY rank <= 5
+            SELECT legs.src, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY legs.src, query_id ORDER BY c DESC, neighbor_id) AS rank
+            FROM p CROSS JOIN (VALUES ('scan'), ('index')) legs(src)
+            QUALIFY rank <= 5
         """,
         "q_hash_split": """
             SELECT doc_id,

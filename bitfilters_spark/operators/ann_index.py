@@ -1,0 +1,271 @@
+"""Persisted IVF-routed ANN index (#132) — the embedding twin of the
+persisted BM25 index (`bm25_index.py`) and LSH index (`neardup_index.py`):
+``similarity.ivf_topk`` re-routes the WHOLE corpus through the coarse
+quantizer on every call, which is the right shape for one-shot jobs but
+wrong for the serve-many-query-batches pattern (ANN against a frozen
+training corpus: contamination probes, SemDeDup candidate lookups,
+nearest-neighbor audits). This module splits the cost:
+
+* :func:`build_ann_index` — ONE corpus pass k-means-trains (or reuses)
+  the coarse quantizer, routes every vector to its nearest centroid
+  cell, and persists a CELL-BUCKETED table ``<name>_cells``
+  (cell, id, vec — the vector stored L2-NORMALIZED in float64, so probe
+  scoring replays `ivf_topk`'s arithmetic bit-for-bit) plus the
+  ``<name>_centroids`` table (model-scale). Bucketing + in-bucket cell
+  sort mean a probe's candidate cells live in known buckets, in sorted
+  runs parquet min/max stats prune to. Builds land in STAGING tables and
+  swap on success (the `bm25_index` atomicity contract: a failed rebuild
+  leaves the previous index fully queryable).
+* :func:`append_to_ann_index` — fold NEW vectors in at cost ∝ the new
+  data: they route through the STORED centroids (no re-training — the
+  quantizer is frozen, the standard IVF maintenance trade: cell balance
+  can drift as the distribution does, rebuild to re-center) and append
+  into the bucketed layout. Geometry (bucket count + centroid count) is
+  stamped as table properties so a mismatched append fails loudly.
+* :func:`ann_query_index` — top-k for a query batch: queries collect
+  driver-side (small by contract, the `cosine_topk` convention), their
+  ``nprobe`` nearest cells become a LITERAL In-filter pushed into the
+  bucketed cells scan (non-candidate cells never leave parquet) plus a
+  broadcast (query, cell) probe list; scoring is per-partition numpy,
+  and the top-k window runs over candidates only. Probe cost ∝
+  corpus × nprobe / n_centroids, never the full corpus — and the
+  routing pass `ivf_topk` pays per call is already on disk.
+
+Composition law (pytest, tests/test_similarity.py): at full probe
+(``nprobe == n_centroids``) ``ann_query_index`` returns EXACTLY
+``ivf_topk`` (itself exact vs brute force at full probe) — the persisted
+normalized float64 vectors round-trip parquet losslessly and the scoring
+expression order is identical, so the equality is bit-exact. Appending
+half the corpus then probing equals a from-scratch rebuild over the
+union (same frozen centroids ⇒ same cells ⇒ same candidates).
+
+Single-writer contract (same as the LSH/BM25 indexes): appends are plain
+bucketed-table appends with no transaction log; appended ids are assumed
+NEW (re-appending an id duplicates its row and it can appear twice in a
+top-k).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sources.io import write_bucketed
+from .bm25_index import _check_name
+from .similarity import ivf_centroids
+
+_CELL_SCHEMA = StructType(
+    [
+        StructField("cell", LongType()),
+        StructField("id", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _route(df: DataFrame, id_col: str, vec_col: str, C: np.ndarray) -> DataFrame:
+    """(cell, id, vec) — vectors L2-normalized in float64 and assigned to
+    their nearest centroid; one mapInPandas pass, centroids broadcast.
+    EXACTLY `ivf_topk`'s assignment arithmetic, so persisted rows replay
+    the in-session operator bit-for-bit."""
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(C, dtype=np.float64))
+
+    def assign(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax((mat / norms) @ C_.T, axis=1)
+            yield pd.DataFrame(
+                {"cell": cells, "id": ids, "vec": list(mat / norms)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=_CELL_SCHEMA)
+
+
+def _stamp(spark: SparkSession, table: str, num_buckets: int, n_centroids: int):
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('bitfilters.num_buckets'='{num_buckets}', "
+        f"'bitfilters.n_centroids'='{n_centroids}')"
+    )
+
+
+def _stored_geometry(spark: SparkSession, name: str) -> dict:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_cells").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    return {
+        k: int(props[f"bitfilters.{k}"])
+        for k in ("num_buckets", "n_centroids")
+        if f"bitfilters.{k}" in props
+    }
+
+
+def build_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    n_centroids: int = 64,
+    num_buckets: int = 16,
+    path: str | None = None,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Build and persist the index; returns the trained centroid matrix
+    (also persisted as ``<name>_centroids``). ``centroids`` reuses a
+    pre-trained quantizer (`load_ivf_index` / a prior build) and skips
+    the k-means pass. ``path`` makes the tables EXTERNAL, same contract
+    as the BM25/LSH indexes."""
+    _check_name(name)
+    spark = df.sparkSession
+    C = np.asarray(
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, vec_col, n_centroids, seed=seed),
+        dtype=np.float64,
+    )
+    stage = f"{name}__stage"
+    for suffix in ("cells", "centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {stage}_{suffix}")
+    write_bucketed(
+        _route(df, id_col, vec_col, C),
+        f"{stage}_cells",
+        ["cell"],
+        num_buckets=num_buckets,
+        sort_cols=["cell"],
+        path=f"{path}/{name}_cells__stage" if path else None,
+    )
+    cw = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell long, vec array<double>",
+    ).write.mode("overwrite")
+    if path:
+        cw = cw.option("path", f"{path}/{name}_centroids__stage")
+    cw.saveAsTable(f"{stage}_centroids")
+    _stamp(spark, f"{stage}_cells", num_buckets, len(C))
+    # all staging writes succeeded — metadata-only swap
+    for suffix in ("cells", "centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        spark.sql(f"ALTER TABLE {stage}_{suffix} RENAME TO {name}_{suffix}")
+    return C
+
+
+def load_ann_centroids(spark: SparkSession, name: str) -> np.ndarray:
+    rows = sorted(
+        spark.table(f"{_check_name(name)}_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    return np.array([r["vec"] for r in rows], dtype=np.float64)
+
+
+def append_to_ann_index(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    num_buckets: int = 16,
+) -> None:
+    """Fold NEW vectors into the index at cost ∝ the new data: route
+    through the STORED centroids (the quantizer stays frozen — identical
+    cells to a rebuild with the same centroids, so append-then-probe ≡
+    rebuild-then-probe, tested), append into the bucketed layout."""
+    _check_name(name)
+    spark = new_df.sparkSession
+    geom = _stored_geometry(spark, name)
+    if geom.get("num_buckets") is not None and geom["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"ANN index '{name}' was built with num_buckets="
+            f"{geom['num_buckets']}, called with {num_buckets}; appended "
+            "rows would land in the wrong buckets."
+        )
+    C = load_ann_centroids(spark, name)
+    _route(new_df, id_col, vec_col, C).write.mode("append").format(
+        "parquet"
+    ).bucketBy(num_buckets, "cell").sortBy("cell").saveAsTable(f"{name}_cells")
+
+
+def ann_query_index(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 8,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id) — identical rows to ``ivf_topk`` on
+    the indexed corpus with the same centroids and nprobe. The candidate
+    cell list is BOTH a literal In-filter on the bucketed cells scan
+    (parquet prunes non-candidate cells) and a broadcast (query, cell)
+    probe join; the only wide op is the final per-query top-k window
+    over candidates."""
+    _check_name(name)
+    C = load_ann_centroids(spark, name)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qmat @ C.T), axis=1)[:, : min(nprobe, len(C))]
+    probe_pairs = [
+        (int(qids[i]), int(c)) for i in range(len(qids)) for c in order[i]
+    ]
+    cand_cells = sorted({c for _, c in probe_pairs})
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell long")
+    qbc = spark.sparkContext.broadcast(
+        {int(qids[i]): qmat[i] for i in range(len(qids))}
+    )
+    cells = spark.table(f"{name}_cells").where(F.col("cell").isin(cand_cells))
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("query_id") != F.col("id"))
+    )
+
+    sim_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        qm = qbc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            qv = np.array([qm[q] for q in pdf["query_id"]], dtype=np.float64)
+            sims = np.einsum("ij,ij->i", mat, qv)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["id"].to_numpy(dtype=np.int64),
+                    "sim": sims,
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema=sim_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -539,3 +539,86 @@ def test_pq_validation_errors(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty input"):
         train_pq(empty, m=1)
+
+
+def test_ann_index_probe_equals_ivf_topk(spark, tmp_path):
+    """Persisted IVF index (#132): probing the routed-cells table returns
+    EXACTLY ivf_topk with the same centroids/nprobe (normalized float64
+    vectors round-trip parquet losslessly, scoring order identical), and
+    at full probe that is exact brute-force recall. The cells scan must
+    carry the candidate-cell In-filter (PushedFilters)."""
+    import contextlib
+    import io
+
+    from bitfilters_spark.operators.ann_index import (
+        ann_query_index,
+        build_ann_index,
+    )
+    from bitfilters_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    C = build_ann_index(
+        emb, "vec_id", "embedding", "annix", n_centroids=16,
+        num_buckets=4, path=str(tmp_path / "annix"),
+    )
+    for nprobe in (16, 4):  # full probe (exact) and partial probe
+        via_index = ann_query_index(
+            spark, "annix", queries, "vec_id", "embedding", k=5, nprobe=nprobe
+        )
+        direct = ivf_topk(
+            emb, queries, "vec_id", "embedding", k=5, n_centroids=16,
+            nprobe=nprobe, centroids=C,
+        ).select("query_id", "rank", "neighbor_id")
+        a = sorted(map(tuple, via_index.collect()))
+        b = sorted(map(tuple, direct.collect()))
+        assert a == b and len(a) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann_query_index(
+            spark, "annix", queries, "vec_id", "embedding", k=5, nprobe=4
+        ).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "In(cell" in plan
+
+
+def test_ann_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance: building on half the vectors then
+    appending the other half (routed through the FROZEN stored centroids)
+    probes exactly like a from-scratch rebuild over the union with the
+    same centroids; a mismatched bucket count fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bitfilters_spark.operators.ann_index import (
+        ann_query_index,
+        append_to_ann_index,
+        build_ann_index,
+        load_ann_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 6)
+    C = build_ann_index(
+        old, "vec_id", "embedding", "annapp", n_centroids=8,
+        num_buckets=4, path=str(tmp_path / "app"),
+    )
+    append_to_ann_index(new, "vec_id", "embedding", "annapp", num_buckets=4)
+    build_ann_index(
+        emb, "vec_id", "embedding", "annfull", n_centroids=8,
+        num_buckets=4, path=str(tmp_path / "full"), centroids=C,
+    )
+    a = sorted(map(tuple, ann_query_index(
+        spark, "annapp", queries, "vec_id", "embedding", k=5, nprobe=8
+    ).collect()))
+    b = sorted(map(tuple, ann_query_index(
+        spark, "annfull", queries, "vec_id", "embedding", k=5, nprobe=8
+    ).collect()))
+    assert a == b and len(a) > 0
+    np.testing.assert_array_equal(
+        load_ann_centroids(spark, "annapp"), load_ann_centroids(spark, "annfull")
+    )
+    with _pytest.raises(ValueError, match="num_buckets"):
+        append_to_ann_index(new, "vec_id", "embedding", "annapp", num_buckets=8)
