@@ -163,6 +163,15 @@ def build_ann_index(
     return C
 
 
+def _refresh(spark: SparkSession, name: str) -> None:
+    """Metadata-only refresh (the `bm25_index._refresh` rationale):
+    appends from another session — streaming maintenance's foreachBatch
+    clone — are on disk, but this session may hold a stale cached file
+    listing for the tables."""
+    for suffix in ("cells", "centroids"):
+        spark.catalog.refreshTable(f"{name}_{suffix}")
+
+
 def load_ann_centroids(spark: SparkSession, name: str) -> np.ndarray:
     rows = sorted(
         spark.table(f"{_check_name(name)}_centroids").collect(),

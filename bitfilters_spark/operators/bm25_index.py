@@ -203,11 +203,23 @@ def append_to_bm25_index(
     stats.write.mode("append").format("parquet").saveAsTable(f"{name}_stats")
 
 
+def _refresh(spark: SparkSession, name: str, suffixes=_SUFFIXES) -> None:
+    """Drop this session's cached FileIndex snapshots for the index
+    tables: appends from ANOTHER session (a foreachBatch clone in
+    streaming maintenance, a second writer process) land on disk and in
+    the shared catalog, but a session that already read the table keeps
+    serving its cached file listing — refreshTable is metadata-only and
+    makes every probe see the latest appended files."""
+    for suffix in suffixes:
+        spark.catalog.refreshTable(f"{name}_{suffix}")
+
+
 def bm25_index_stats(spark: SparkSession, name: str) -> dict:
     """Live ``{"n_docs": float, "avgdl": float}`` from the additive stats
     partials (one row per build/append)."""
+    _refresh(spark, _check_name(name))
     row = (
-        spark.table(f"{_check_name(name)}_stats")
+        spark.table(f"{name}_stats")
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
         .collect()[0]
     )
@@ -227,7 +239,7 @@ def bm25_query_index(
     """(query_id, id, score) for every (query, doc) pair sharing a term —
     identical rows to ``bm25_scores`` on the indexed corpus."""
     _check_name(name)
-    st = bm25_index_stats(spark, name)
+    st = bm25_index_stats(spark, name)  # also refreshes the tables
     n_docs, avgdl = st["n_docs"], st["avgdl"]
     # collect the (query_id, token) pairs ONCE and derive BOTH the
     # literal In-filter term list and the broadcast join side from the

@@ -18,6 +18,12 @@ from .filter_join import streaming_filter_join
 from .neardup import streaming_neardup_dedup
 from .pipeline import make_prep_pipeline_fold, streaming_prep_pipeline
 from .frontier import streaming_frontier
+from .index_maintenance import (
+    ann_maintenance_fold,
+    bm25_maintenance_fold,
+    streaming_ann_index,
+    streaming_bm25_index,
+)
 from .sessions import streaming_sessionize
 from .sketches import (
     streaming_cms_counts,
@@ -46,6 +52,10 @@ __all__ = [
     "streaming_neardup_dedup",
     "streaming_quantiles",
     "streaming_frontier",
+    "ann_maintenance_fold",
+    "bm25_maintenance_fold",
+    "streaming_ann_index",
+    "streaming_bm25_index",
     "streaming_sessionize",
     "streaming_topk",
     "streaming_window_counts",

@@ -1892,3 +1892,129 @@ def test_streaming_frontier_dedupe_exactly_once_in_window(spark, tmp_path):
         assert not [r for r in rows if r[2] == "dropped"]
     finally:
         q.stop()
+
+
+def test_streaming_bm25_index_maintenance_exactly_once(spark, tmp_path):
+    """Streaming index maintenance (#133): a live stream folds new docs
+    into the persisted BM25 index per micro-batch (cost ∝ batch, corpus
+    never rescanned); after the stream drains, probing equals a batch
+    rebuild over everything. Batch-id markers make crash replays no-ops
+    (pinned by calling the fold twice with the same id)."""
+    from bitfilters_spark.operators.bm25_index import (
+        bm25_query_index,
+        build_bm25_index,
+    )
+    from bitfilters_spark.streaming import (
+        bm25_maintenance_fold,
+        streaming_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seed = docs.where(F.col("doc_id") < 100)
+    rest = docs.where(F.col("doc_id") >= 100)
+    build_bm25_index(
+        seed, "doc_id", "text", "sbm25", num_buckets=4,
+        path=str(tmp_path / "ix"),
+    )
+    src = str(tmp_path / "in")
+    rest.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_bm25_index(
+            stream.select("doc_id", "text"), "doc_id", "text", "sbm25",
+            str(tmp_path / "markers"), num_buckets=4,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    queries = docs.where(F.col("doc_id").isin(0, 5, 10)).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring_index("text", " ", 8).alias("query"),
+    )
+    build_bm25_index(
+        docs, "doc_id", "text", "sbm25_full", num_buckets=4,
+        path=str(tmp_path / "full"),
+    )
+    a = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in bm25_query_index(spark, "sbm25", queries).collect()
+    }
+    b = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in bm25_query_index(spark, "sbm25_full", queries).collect()
+    }
+    assert a == b and len(a) > 0
+    # crash-replay: re-applying an already-marked batch id is a no-op
+    fold = bm25_maintenance_fold(
+        "doc_id", "text", "sbm25", str(tmp_path / "m2"), num_buckets=4
+    )
+    extra = docs.where(F.col("doc_id") == 3).select("doc_id", "text")
+    fold(extra, 7)
+    before = spark.table("sbm25_postings").count()
+    fold(extra, 7)  # replayed batch: marker short-circuits
+    assert spark.table("sbm25_postings").count() == before
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """Streaming ANN maintenance (#134): micro-batches route through the
+    FROZEN stored centroids and append; after the drain, probes equal a
+    rebuild over the union with the same centroids; replays are no-ops."""
+    from bitfilters_spark.operators.ann_index import (
+        ann_query_index,
+        build_ann_index,
+    )
+    from bitfilters_spark.streaming import (
+        ann_maintenance_fold,
+        streaming_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    C = build_ann_index(
+        seed, "vec_id", "embedding", "sann", n_centroids=8, num_buckets=4,
+        path=str(tmp_path / "ix"),
+    )
+    src = str(tmp_path / "in")
+    rest.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_ann_index(
+            stream.select("vec_id", "embedding"), "vec_id", "embedding",
+            "sann", str(tmp_path / "markers"), num_buckets=4,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_ann_index(
+        emb, "vec_id", "embedding", "sann_full", n_centroids=8,
+        num_buckets=4, path=str(tmp_path / "full"), centroids=C,
+    )
+    queries = emb.where(F.col("vec_id") < 6)
+    a = sorted(map(tuple, ann_query_index(
+        spark, "sann", queries, "vec_id", "embedding", k=5, nprobe=8
+    ).collect()))
+    b = sorted(map(tuple, ann_query_index(
+        spark, "sann_full", queries, "vec_id", "embedding", k=5, nprobe=8
+    ).collect()))
+    assert a == b and len(a) > 0
+    fold = ann_maintenance_fold(
+        "vec_id", "embedding", "sann", str(tmp_path / "m2"), num_buckets=4
+    )
+    extra = emb.where(F.col("vec_id") == 2).select("vec_id", "embedding")
+    fold(extra, 3)
+    before = spark.table("sann_cells").count()
+    fold(extra, 3)
+    assert spark.table("sann_cells").count() == before
