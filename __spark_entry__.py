@@ -1801,6 +1801,28 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph host authority (operator #135, graph.pagerank): 3
+    power iterations over a deterministic 50-node link graph derived
+    from events (src = user_id % 50, dst = event_id % 50 — both engines
+    compute the identical edge set). Every contribution and rank is
+    quantized to multiples of 2^-30, which makes the per-node float
+    sums ORDER-INDEPENDENT (all addends multiples of 2^-30, partial
+    sums < 2^23 ⇒ IEEE addition exact), so the oracle replays the
+    unrolled iterations in SQL and matches without rounding tolerance —
+    an exact driver gate for an iterative float algorithm. The output
+    is the priority signal `url_frontier_schedule`/`streaming_frontier`
+    consume (composition pytest in tests/test_graph.py)."""
+    from bitfilters_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return pagerank(edges, "src", "dst", iters=3)
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep, composed from the verified pieces:
     quality gate (>= 30 tokens) → exact dedup (keep min doc_id per 5-token
@@ -1900,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_timeseries": q_timeseries,
         "q_crawl_frontier": q_crawl_frontier,
+        "q_pagerank": q_pagerank,
         "q_pipeline_e2e": q_pipeline_e2e,
     }
     # HARD INVARIANT (r8 lesson: five green queries silently fell past the
@@ -3021,6 +3044,10 @@ def oracle_sql() -> dict[str, str]:
                    (hash(user_id::VARCHAR) % 8)::BIGINT AS fetcher
             FROM events
         """,
+        # exact iterative-float oracle: every addend is a multiple of
+        # 2^-30 and partial sums stay < 2^23, so IEEE sums are
+        # order-independent — see graph.pagerank's docstring
+        "q_pagerank": _PAGERANK_ORACLE,
         "q_timeseries": """
             WITH l AS (
               SELECT event_id, user_id, ts,
@@ -3084,6 +3111,14 @@ def oracle_sql() -> dict[str, str]:
 # (quotient fingerprints = distinct low q+r=20 hash bits; KMV = k smallest
 # retained values), -1 elsewhere. xor/fuse sizes assume first-attempt peel
 # success — deterministic for given data, verified at the driver SF.
+from bitfilters_spark.operators.graph import pagerank_oracle_sql as _pr_sql
+
+_PAGERANK_ORACLE = _pr_sql(
+    "SELECT user_id % 50 AS src, event_id % 50 AS dst FROM events "
+    "WHERE user_id % 50 <> event_id % 50",
+    iters=3,
+)
+
 _FILTER_SIZES_ORACLE = """
             WITH base AS (
               SELECT count(DISTINCT hash(o_orderkey)) AS n,

@@ -1,0 +1,145 @@
+"""Link-graph authority scoring (#135): distributed PageRank over a host
+graph — the crawl-prioritization signal real pipelines feed the frontier
+(CommonCrawl ranks hosts by centrality; `web.url_frontier_schedule` and
+`streaming/frontier.py` take it as ``priority_col``). Power iteration in
+the classic per-node form ``rank' = (1-d) + d * Σ rank(src)/out_deg(src)``
+over in-links.
+
+Plan shape per iteration (everything host-scale, ≪ corpus-scale): ranks
+join out-degrees on the node key, edges join ranks on src (the edge list
+is the only table that can be large), one groupBy on dst sums the
+contributions, and a left join against the node set applies the damping
+base to sinks with no in-links. k iterations = k of those shuffles;
+``checkpoint_every`` cuts the lineage so long runs keep linear plans.
+Dangling nodes (no out-edges) contribute nothing — the classic simplified
+variant; ranks are then NOT normalized to sum 1, matching the
+``(1-d) + d·Σ`` formulation's fixed point.
+
+CROSS-ENGINE EXACTNESS (what makes the driver oracle possible for an
+iterative float algorithm): every per-edge contribution and every updated
+rank is QUANTIZED to a multiple of 2^-quantum_bits (floor after an exact
+power-of-two scale). IEEE doubles add EXACTLY — in any order — when all
+addends are multiples of 2^-q and every partial sum stays below
+2^(53-q), so with q = 30 the per-dst sums are bit-identical on Spark and
+DuckDB no matter how either engine orders the aggregation; the division
+rank/out_deg and the damping multiply are single correctly-rounded IEEE
+ops (identical on both engines), and floor/×2^q/÷2^q are exact. The
+driver row `q_pagerank` replays k unrolled iterations in SQL and
+hash-matches without rounding tolerances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantize(col, quantum: float):
+    # floor after an exact power-of-two scale: both engines floor the
+    # same correctly-rounded double, so quantized values agree bitwise
+    return F.floor(col * F.lit(quantum)) / F.lit(quantum)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    quantum_bits: int = 30,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations from rank = 1.0.
+
+    ``edges`` is a directed link list; duplicate edges are collapsed
+    (a page linking twice votes once — the standard convention, and what
+    keeps out-degree consistent with the distinct edge set). Sums stay
+    exact for graphs whose total rank mass is below
+    ``2^(53 - quantum_bits)`` (~8.4M unit-rank nodes at the default —
+    raise quantum_bits' ceiling consciously past that)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    quantum = float(1 << quantum_bits)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if iters > 1:
+        # the loop's invariants (distinct edges, node set, out-degrees)
+        # are referenced every iteration — materialize them ONCE so the
+        # edge list is scanned/deduped a single time instead of k times
+        # (at 100 TB the k-fold rescan is the dominant cost; statically
+        # this also keeps the plan's Exchange count linear in k, not
+        # k x the invariant subplans)
+        e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if iters > 1:
+        nodes = nodes.localCheckpoint()
+        deg = deg.localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    base = F.lit(1.0 - damping)
+    for i in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                _quantize(F.col("rank") / F.col("__deg"), quantum).alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                _quantize(
+                    base + F.lit(damping) * F.coalesce("__s", F.lit(0.0)),
+                    quantum,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = 3, damping: float = 0.85, quantum_bits: int = 30
+) -> str:
+    """The ANSI-SQL replay of :func:`pagerank` with the iterations
+    UNROLLED as chained CTEs (k is small by contract) — exactly the
+    arithmetic the Spark plan runs, so the comparison needs no rounding
+    tolerance. ``edges_sql`` must select columns (src, dst)."""
+    q = float(1 << quantum_bits)
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"s{i + 1} AS (SELECT e.dst AS node, "
+            f"sum(floor(r.rank / deg.d * {q}) / {q}) AS s "
+            f"FROM e JOIN r{i} r ON r.node = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"floor(({1.0 - d!r} + {d!r} * coalesce(s.s, 0.0)) * {q}) / {q}"
+            f" AS rank FROM nodes n LEFT JOIN s{i + 1} s ON s.node = n.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
