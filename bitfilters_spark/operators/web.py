@@ -14,8 +14,15 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def strip_html(col) -> Column:
@@ -445,3 +452,164 @@ def url_frontier_schedule(
             "fetcher", F.pmod(F.xxhash64("host"), F.lit(n_fetchers)).cast("long")
         )
     return out
+
+
+ROBOTS_RULE_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("allow", BooleanType()),
+        StructField("path_prefix", StringType()),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt payloads into a RULE TABLE
+    (host, allow, path_prefix, crawl_delay) — the missing front piece of
+    the crawl family (#136): frontier scheduling (#127/#129) decides WHEN
+    a host may be fetched; this decides WHAT may be fetched at all, and
+    its Crawl-delay feeds the frontier's politeness knobs.
+
+    The PREFIX-RULE subset of the Google/REP spec (RFC 9309) is
+    implemented: ``User-agent`` sections (rules for the requested agent
+    plus ``*`` fallback — the agent-specific group REPLACES ``*`` when
+    present, per spec), ``Allow``/``Disallow`` path prefixes, and
+    ``Crawl-delay``; comments and blank lines stripped; an empty
+    Disallow value (allow-everything idiom) is ignored. ``*``/``$``
+    wildcards inside paths are NOT interpreted (kept as literal prefix
+    text) — documented subset, matching what :func:`apply_robots`
+    evaluates. Parsing runs in one mapInPandas over (host, payload) rows
+    — robots files are small by protocol, so per-host Python is
+    metadata-scale; the OUTPUT rule table is host-scale and broadcasts
+    into the URL join."""
+
+    def parse(batches):
+        for pdf in batches:
+            hosts, allows, prefixes, delays = [], [], [], []
+            for host, txt in zip(pdf[host_col], pdf[robots_col]):
+                if txt is None:
+                    continue
+                groups: dict = {}
+                current: list = []
+                last_was_agent = False
+                for raw in str(txt).splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key = key.strip().lower()
+                    val = val.strip()
+                    if key == "user-agent":
+                        ag = val.lower()
+                        if last_was_agent:
+                            current.append(ag)
+                        else:
+                            current = [ag]
+                        for a in current:
+                            groups.setdefault(a, [])
+                        last_was_agent = True
+                        continue
+                    last_was_agent = False
+                    if key in ("allow", "disallow", "crawl-delay") and current:
+                        for a in current:
+                            groups[a].append((key, val))
+                rules = groups.get(agent.lower())
+                if rules is None:
+                    rules = groups.get("*", [])
+                delay = None
+                for key, val in rules:
+                    if key == "crawl-delay":
+                        try:
+                            delay = float(val)
+                        except ValueError:
+                            pass
+                        continue
+                    if key == "disallow" and val == "":
+                        continue  # explicit allow-everything idiom
+                    if not val:
+                        continue
+                    hosts.append(host)
+                    allows.append(key == "allow")
+                    prefixes.append(val)
+                    delays.append(None)
+                if delay is not None:
+                    # one delay row per host (path_prefix NULL) so the
+                    # frontier can join it without scanning rule rows
+                    hosts.append(host)
+                    allows.append(True)
+                    prefixes.append(None)
+                    delays.append(delay)
+                # a host with no agent rules emits nothing: fully open
+                # (apply_robots defaults unmatched URLs to allowed)
+            yield pd.DataFrame(
+                {
+                    "host": hosts,
+                    "allow": allows,
+                    "path_prefix": prefixes,
+                    "crawl_delay": delays,
+                }
+            )
+
+    return df.select(host_col, robots_col).mapInPandas(
+        parse, schema=ROBOTS_RULE_SCHEMA
+    )
+
+
+def apply_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """``urls`` plus ``robots_allowed`` (boolean) and ``matched_rule``
+    (the winning prefix, NULL when no rule matched) — RFC 9309
+    precedence: the LONGEST matching prefix wins, Allow beats Disallow
+    on equal length, and a URL matching no rule is allowed.
+
+    Plan: the rule table is host-scale → BROADCAST left join on host
+    (URLs never shuffle), prefix match + longest-match election in pure
+    JVM expressions via one (url)-keyed window over the matched rules —
+    candidate multiplicity is rules-per-host, single digits in practice.
+    The URL's PATH is everything from the first ``/`` after the scheme
+    and authority (query string included, per spec)."""
+    from pyspark.sql import Window
+
+    c = F.col(url_col)
+    path = F.concat(
+        F.lit("/"),
+        F.coalesce(
+            F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://[^/]+/(.*)$", 1),
+            F.lit(""),
+        ),
+    )
+    u = urls.withColumn("__path", path).withColumn(
+        "__uid", F.monotonically_increasing_id()
+    )
+    rule_rows = rules.where(F.col("path_prefix").isNotNull()).select(
+        F.col("host").alias("__rhost"), "allow", "path_prefix"
+    )
+    joined = u.join(
+        F.broadcast(rule_rows),
+        (F.col(host_col) == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    w = Window.partitionBy("__uid").orderBy(
+        F.length("path_prefix").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),  # Allow wins length ties
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("allow"), F.lit(True)).alias("robots_allowed"),
+            F.col("path_prefix").alias("matched_rule"),
+        )
+    )

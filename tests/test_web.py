@@ -440,3 +440,117 @@ def test_url_frontier_schedule_politeness_and_stability(spark):
 
     with pytest.raises(ValueError):
         url_frontier_schedule(df, "url", per_host_per_round=0)
+
+
+ROBOTS_A = """\
+# comments are stripped
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: otherbot
+Disallow: /
+"""
+
+ROBOTS_B = """\
+User-agent: mybot
+User-agent: friendbot
+Disallow: /only-mybot/
+User-agent: *
+Disallow: /everyone/
+"""
+
+
+def test_robots_rules_parse_and_precedence(spark):
+    """Robots exclusion (#136): RFC 9309 prefix subset — per-agent
+    groups ('*' fallback, stacked agents share a group), Allow/Disallow
+    prefixes, Crawl-delay as a separate NULL-prefix row, comments
+    stripped, empty Disallow ignored."""
+    from bitfilters_spark.operators.web import apply_robots, robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B), ("open.com", "")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    got = {
+        (r["host"], r["allow"], r["path_prefix"], r["crawl_delay"])
+        for r in rules.collect()
+    }
+    assert ("a.com", False, "/private/", None) in got
+    assert ("a.com", True, "/private/ok", None) in got
+    assert ("a.com", True, None, 2.5) in got  # crawl-delay row
+    assert ("b.com", False, "/everyone/", None) in got
+    # otherbot's and mybot's groups don't leak into the '*' view
+    assert not any(h == "b.com" and p == "/only-mybot/" for h, a, p, d in got)
+    assert not any(h == "a.com" and p == "/" for h, a, p, d in got)
+    assert not any(h == "open.com" for h, a, p, d in got)
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/private/secret", "a.com"),      # disallowed
+            ("http://a.com/private/ok/page", "a.com"),     # longer Allow wins
+            ("http://a.com/public/page", "a.com"),         # no rule -> allowed
+            ("http://b.com/everyone/x", "b.com"),          # disallowed
+            ("http://open.com/anything", "open.com"),      # no rules at all
+        ],
+        "url string, host string",
+    )
+    verdicts = {
+        r["url"]: (r["robots_allowed"], r["matched_rule"])
+        for r in apply_robots(urls, rules).collect()
+    }
+    assert verdicts["http://a.com/private/secret"] == (False, "/private/")
+    assert verdicts["http://a.com/private/ok/page"] == (True, "/private/ok")
+    assert verdicts["http://a.com/public/page"] == (True, None)
+    assert verdicts["http://b.com/everyone/x"] == (False, "/everyone/")
+    assert verdicts["http://open.com/anything"] == (True, None)
+
+
+def test_robots_agent_specific_group_replaces_star(spark):
+    """Requesting a named agent uses ITS group when present (replacing
+    '*', per spec), falling back to '*' on hosts without one."""
+    from bitfilters_spark.operators.web import robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["path_prefix"])
+        for r in robots_rules(robots, agent="mybot").collect()
+    }
+    assert ("b.com", "/only-mybot/") in rules       # mybot's own group
+    assert ("b.com", "/everyone/") not in rules     # '*' replaced
+    assert ("a.com", "/private/") in rules          # fallback to '*'
+
+
+def test_robots_composes_with_frontier(spark):
+    """The crawl front door end-to-end: robots gate -> frontier
+    scheduling over the survivors, crawl-delay joined host-wise."""
+    from bitfilters_spark.operators.web import (
+        apply_robots,
+        robots_rules,
+        url_frontier_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A)], "host string, robots_txt string"
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [(f"http://a.com/public/{i}", "a.com", float(i)) for i in range(6)]
+        + [("http://a.com/private/x", "a.com", 99.0)],
+        "url string, host string, score double",
+    )
+    gated = apply_robots(urls, rules).where(F.col("robots_allowed"))
+    sched = url_frontier_schedule(
+        gated, "url", host_col="host", priority_col="score",
+        per_host_per_round=2,
+    )
+    rows = sched.collect()
+    assert len(rows) == 6  # the disallowed URL never reaches the frontier
+    assert max(r["round"] for r in rows) == 2  # 6 urls / cap 2
+    delay = rules.where(F.col("crawl_delay").isNotNull()).collect()
+    assert [(r["host"], r["crawl_delay"]) for r in delay] == [("a.com", 2.5)]
