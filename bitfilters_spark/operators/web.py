@@ -613,3 +613,58 @@ def apply_robots(
             F.col("path_prefix").alias("matched_rule"),
         )
     )
+
+
+def sitemap_urls(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """URL discovery from sitemap payloads (#137) — the crawl family's
+    intake complement to the robots gate (#136): one sitemap XML blob →
+    (url, lastmod, is_sitemap) rows, where ``is_sitemap`` marks nested
+    sitemap-index entries (``<sitemap>`` blocks referencing further
+    sitemap files — feed those back through a fetch for recursive
+    expansion) and ``lastmod`` (string, NULL when absent) is the
+    recrawl-scheduling signal `snapshot diff`-style consumers use.
+
+    Entirely JVM-side: ``regexp_extract_all`` pulls the ``<url>``/
+    ``<sitemap>`` blocks, one explode per payload, and per-block
+    ``regexp_extract`` reads loc/lastmod — no XML library, no Python in
+    the row path (sitemaps are machine-generated; the loc/lastmod
+    pattern subset covers the protocol's required + common fields, and
+    entity-unescaping of the four XML escapes rides as expressions).
+    ``carry_cols`` pass through (e.g. the source host for a later
+    robots/frontier join)."""
+    c = F.col(xml_col)
+    out = (
+        df.select(*carry_cols, c.alias("__xml"))
+        .withColumn(
+            "__block",
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(regexp_replace(__xml, '[\\n\\r\\t]', ''), "
+                    "'<(?:url|sitemap)>.*?</(?:url|sitemap)>', 0)"
+                )
+            ),
+        )
+        .select(
+            *carry_cols,
+            F.regexp_extract("__block", r"<loc>\s*(.*?)\s*</loc>", 1).alias("__loc"),
+            F.regexp_extract("__block", r"<lastmod>\s*(.*?)\s*</lastmod>", 1).alias(
+                "__lm"
+            ),
+            F.col("__block").startswith("<sitemap>").alias("is_sitemap"),
+        )
+        .where(F.col("__loc") != "")
+    )
+    unescape = F.col("__loc")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")):
+        unescape = F.replace(unescape, F.lit(ent), F.lit(ch))
+    return out.select(
+        *carry_cols,
+        unescape.alias("url"),
+        F.when(F.col("__lm") != "", F.col("__lm")).alias("lastmod"),
+        "is_sitemap",
+    )

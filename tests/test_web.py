@@ -554,3 +554,61 @@ def test_robots_composes_with_frontier(spark):
     assert max(r["round"] for r in rows) == 2  # 6 urls / cap 2
     delay = rules.where(F.col("crawl_delay").isNotNull()).collect()
     assert [(r["host"], r["crawl_delay"]) for r in delay] == [("a.com", 2.5)]
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://a.com/page?x=1&amp;y=2</loc>
+    <lastmod>2024-01-05</lastmod>
+  </url>
+  <url><loc> http://a.com/other </loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://a.com/sitemap-news.xml</loc>
+    <lastmod>2024-02-01</lastmod></sitemap>
+</sitemapindex>"""
+
+
+def test_sitemap_urls_parse(spark):
+    """Sitemap intake (#137): url blocks and nested sitemap-index blocks
+    in one JVM-side pass — loc whitespace-trimmed and XML-unescaped,
+    lastmod NULL when absent, is_sitemap marks index entries."""
+    from bitfilters_spark.operators.web import sitemap_urls
+
+    df = spark.createDataFrame(
+        [("a.com", SITEMAP), ("a.com", SITEMAP_INDEX), ("b.com", "<urlset></urlset>")],
+        "host string, sitemap_xml string",
+    )
+    rows = {
+        (r["host"], r["url"], r["lastmod"], r["is_sitemap"])
+        for r in sitemap_urls(df, carry_cols=("host",)).collect()
+    }
+    assert ("a.com", "http://a.com/page?x=1&y=2", "2024-01-05", False) in rows
+    assert ("a.com", "http://a.com/other", None, False) in rows
+    assert ("a.com", "http://a.com/sitemap-news.xml", "2024-02-01", True) in rows
+    assert len(rows) == 3  # the empty urlset contributes nothing
+
+
+def test_sitemap_feeds_robots_and_frontier(spark):
+    """Full crawl front door: sitemap discovery -> robots gate ->
+    frontier scheduling, all composed."""
+    from bitfilters_spark.operators.web import (
+        apply_robots,
+        robots_rules,
+        sitemap_urls,
+        url_frontier_schedule,
+    )
+
+    sm = "<urlset>" + "".join(
+        f"<url><loc>http://a.com/public/{i}</loc></url>" for i in range(4)
+    ) + "<url><loc>http://a.com/private/x</loc></url></urlset>"
+    df = spark.createDataFrame([("a.com", sm)], "host string, sitemap_xml string")
+    urls = sitemap_urls(df, carry_cols=("host",)).where(~F.col("is_sitemap"))
+    rules = robots_rules(
+        spark.createDataFrame([("a.com", ROBOTS_A)], "host string, robots_txt string")
+    )
+    gated = apply_robots(urls, rules).where(F.col("robots_allowed"))
+    sched = url_frontier_schedule(gated, "url", host_col="host", per_host_per_round=2)
+    assert sched.count() == 4 and sched.agg(F.max("round")).collect()[0][0] == 1
