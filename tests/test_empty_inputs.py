@@ -540,3 +540,46 @@ def test_r9_audio_and_hf_degenerate_inputs(spark, tmp_path):
     p.write_text(json.dumps({"model": {"type": "BPE", "vocab": {}, "merges": []}}))
     m = load_hf_tokenizer_json(str(p), spark)
     assert m == {"merges": [], "vocab": {}}
+
+
+def test_r10_new_operators_degenerate_inputs(spark, tmp_path):
+    """Empty/degenerate inputs for the r10 operators: pagerank on an
+    empty edge list, robots with empty/None payloads, sitemap with no
+    blocks, ANN index build over an empty corpus slice probing empty."""
+    from bitfilters_spark.operators.graph import pagerank
+    from bitfilters_spark.operators.web import (
+        apply_robots,
+        robots_rules,
+        sitemap_urls,
+    )
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges, "src", "dst", iters=2).count() == 0
+
+    robots = spark.createDataFrame(
+        [("a.com", None), ("b.com", ""), ("c.com", "User-agent: *")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    assert rules.count() == 0  # no rules anywhere: all hosts open
+    urls = spark.createDataFrame(
+        [("http://a.com/x", "a.com")], "url string, host string"
+    )
+    verdict = apply_robots(urls, rules).collect()
+    assert len(verdict) == 1 and verdict[0]["robots_allowed"] is True
+
+    sm = spark.createDataFrame(
+        [("h", ""), ("h", None), ("h", "<urlset><url><loc></loc></url></urlset>")],
+        "host string, sitemap_xml string",
+    )
+    assert sitemap_urls(sm, carry_cols=("host",)).count() == 0
+
+    from bitfilters_spark.operators.classifier import train_langid_classifier
+
+    one_class = spark.createDataFrame(
+        [(0, "hello world", "en")], "doc_id long, text string, lang string"
+    )
+    m = train_langid_classifier(
+        one_class, "doc_id", "text", "lang", n_buckets=64, iters=1, lr=1.0
+    )
+    assert m["classes"] == ["en"]

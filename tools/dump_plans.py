@@ -135,6 +135,14 @@ NOTES = {
         "higher-order functions over the embedding column — single pruned "
         "scan, zero Exchanges, no Python in the plan."
     ),
+    "q_pagerank": (
+        "Power iteration with the loop invariants (distinct edges, node "
+        "set, out-degrees) localCheckpointed ONCE: each of the k "
+        "iterations is one dst-keyed partial-aggregated Exchange plus "
+        "node-keyed joins over checkpoint scans, so the static plan is "
+        "linear in k (6 Exchanges at k=3) and the edge list is scanned "
+        "once, not k times."
+    ),
     "q_pipeline_e2e": (
         "Five chained stages in one plan; the exact-dedup and near-dedup "
         "results are localCheckpoint leaves (branch-heavy chain would "
