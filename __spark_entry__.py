@@ -1810,17 +1810,100 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums ORDER-INDEPENDENT (all addends multiples of 2^-30, partial
     sums < 2^23 ⇒ IEEE addition exact), so the oracle replays the
     unrolled iterations in SQL and matches without rounding tolerance —
-    an exact driver gate for an iterative float algorithm. The output
-    is the priority signal `url_frontier_schedule`/`streaming_frontier`
-    consume (composition pytest in tests/test_graph.py)."""
+    an exact driver gate for an iterative float algorithm.
+
+    TWO legs (r11): leg='direct' ranks the edge list as-is; leg='html'
+    PLANTS one HTML page per edge in-query — the anchor cycling through
+    four href forms (absolute, protocol-relative, tracking-params +
+    &amp; entity, unquoted UPPERCASE host) plus per-page decoys (a
+    commented-out link to a host outside the id space, a fragment-only
+    link, a mailto:, and a relative self-link) — and recovers the edges
+    with `web.extract_links` (#138; normalize=False — the gate observes
+    HOSTS, which url_domain lowercases anyway, and halving the
+    expression tree halves the stage's one-time codegen cost;
+    normalize_url's path/query canonicalization is pytest-pinned in
+    tests/test_web.py). Both legs must produce identical ranks: the
+    oracle computes the ranks once from the direct edge set and expects
+    them under BOTH tags, so any extraction slip (a decoy surviving, an
+    entity or case mishandled, resolution off) lands a wrong node or a
+    missing edge and hash-mismatches. This is the
+    crawl loop's link-graph step under the zero-tolerance driver gate.
+    The output is the priority signal `url_frontier_schedule`/
+    `streaming_frontier` consume (composition pytests in
+    tests/test_graph.py and tests/test_extract_links.py)."""
     from bitfilters_spark.operators.graph import pagerank
+    from bitfilters_spark.operators.web import extract_links
 
     ev = load_table(spark, sf_dir, "events")
-    edges = ev.select(
-        (F.col("user_id") % 50).alias("src"),
-        (F.col("event_id") % 50).alias("dst"),
-    ).where(F.col("src") != F.col("dst"))
-    return pagerank(edges, "src", "dst", iters=3)
+    pairs = ev.select(
+        (F.col("user_id") % 50).cast("string").alias("s"),
+        (F.col("event_id") % 50).cast("string").alias("d"),
+        F.pmod(F.col("user_id") + F.col("event_id"), F.lit(4)).alias("form"),
+    ).where(F.col("s") != F.col("d"))
+    direct = pagerank(pairs.select("s", "d"), "s", "d", iters=3)
+
+    # the events parquet arrives as ONE scan partition at gate scale —
+    # spread the planted pages across the cluster before the regex-heavy
+    # extraction (the shuffled rows are 3 tiny columns; the HTML is
+    # built AFTER the exchange)
+    n_part = spark.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_part)
+
+    d = F.col("d")
+    anchor = (
+        F.when(
+            F.col("form") == 0,
+            F.concat(F.lit('<a href="http://h'), d, F.lit('.test/p.html">x</a>')),
+        )
+        .when(
+            F.col("form") == 1,
+            F.concat(F.lit("<a href='//h"), d, F.lit(".test/p.html'>x</a>")),
+        )
+        .when(
+            F.col("form") == 2,
+            F.concat(
+                F.lit('<a href="http://h'),
+                d,
+                F.lit('.test/p.html?utm_source=q&amp;id=1">x</a>'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<a href=HTTP://H"), d, F.lit(".TEST/p.html>x</a>"))
+        )
+    )
+    pages = pairs.select(
+        F.concat(F.lit("http://h"), F.col("s"), F.lit(".test/a/index.html")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit(
+                '<html><body><!-- <a href="http://h99999.test/dead">c</a> -->'
+                '<a href="#top">t</a><a href="mailto:a@b.test">m</a>'
+                '<a href="rel/self.html">s</a>'
+            ),
+            anchor,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    # localCheckpoint between extraction and the self-edge filter: a
+    # filter on the computed host columns would otherwise be pushed back
+    # through extract_links' staged projections with the full
+    # normalize/domain expression trees substituted into it (a ~20 MB
+    # task binary and a janino-overflowing stage). pagerank materializes
+    # its edge list anyway — this just moves the cut one step earlier.
+    links = extract_links(pages, "html", "url", normalize=False).select(
+        "src_host", "dst_host"
+    ).localCheckpoint()
+    mined = links.where(
+        F.col("src_host") != F.col("dst_host")  # drop the self-link decoy
+    ).select(
+        F.regexp_extract("src_host", r"^h(\d+)\.test$", 1).alias("s"),
+        F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
+    )
+    html_leg = pagerank(mined, "s", "d", iters=3)
+    return direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
+        html_leg.select(F.lit("html").alias("leg"), "node", "rank")
+    )
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3113,10 +3196,20 @@ def oracle_sql() -> dict[str, str]:
 # success — deterministic for given data, verified at the driver SF.
 from bitfilters_spark.operators.graph import pagerank_oracle_sql as _pr_sql
 
-_PAGERANK_ORACLE = _pr_sql(
-    "SELECT user_id % 50 AS src, event_id % 50 AS dst FROM events "
-    "WHERE user_id % 50 <> event_id % 50",
-    iters=3,
+# Both q_pagerank legs (direct edges / edges recovered from planted HTML
+# via extract_links) must equal the SAME rank vector — the oracle
+# computes it once and emits it under both tags, so the html leg's
+# extraction path is held to zero tolerance.
+_PAGERANK_ORACLE = (
+    "WITH pr AS ({inner}) "
+    "SELECT 'direct' AS leg, node, rank FROM pr "
+    "UNION ALL SELECT 'html' AS leg, node, rank FROM pr"
+).format(
+    inner=_pr_sql(
+        "SELECT user_id % 50 AS src, event_id % 50 AS dst FROM events "
+        "WHERE user_id % 50 <> event_id % 50",
+        iters=3,
+    )
 )
 
 _FILTER_SIZES_ORACLE = """
