@@ -459,9 +459,25 @@ ROBOTS_RULE_SCHEMA = StructType(
         StructField("host", StringType()),
         StructField("allow", BooleanType()),
         StructField("path_prefix", StringType()),
+        StructField("path_regex", StringType()),
         StructField("crawl_delay", DoubleType()),
     ]
 )
+
+
+def _robots_pattern_regex(pattern: str):
+    """RFC 9309 §2.2.3 match-pattern → anchored Java regex, or None for
+    a plain prefix (no ``*``, no terminal ``$``) — prefix rules keep the
+    cheaper ``startswith`` path in :func:`apply_robots`. ``*`` matches
+    any run of characters; a ``$`` in FINAL position anchors the end of
+    the URL path; everywhere else ``$`` is literal (the spec gives it
+    meaning only as the last character)."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(seg) for seg in body.split("*"))
+    return rx + "$" if anchored else rx
 
 
 def robots_rules(
@@ -479,19 +495,22 @@ def robots_rules(
     The PREFIX-RULE subset of the Google/REP spec (RFC 9309) is
     implemented: ``User-agent`` sections (rules for the requested agent
     plus ``*`` fallback — the agent-specific group REPLACES ``*`` when
-    present, per spec), ``Allow``/``Disallow`` path prefixes, and
+    present, per spec), ``Allow``/``Disallow`` path rules, and
     ``Crawl-delay``; comments and blank lines stripped; an empty
     Disallow value (allow-everything idiom) is ignored. ``*``/``$``
-    wildcards inside paths are NOT interpreted (kept as literal prefix
-    text) — documented subset, matching what :func:`apply_robots`
-    evaluates. Parsing runs in one mapInPandas over (host, payload) rows
+    match patterns (RFC 9309 §2.2.3 — ``Disallow: /*.php$``,
+    ``Disallow: /*?sessionid=``) are compiled to anchored Java regexes
+    at parse time (``path_regex``, NULL for plain prefixes, which keep
+    the cheaper startswith path); precedence in :func:`apply_robots`
+    stays length-of-rule-text per spec, wildcards counted as written.
+    Parsing runs in one mapInPandas over (host, payload) rows
     — robots files are small by protocol, so per-host Python is
     metadata-scale; the OUTPUT rule table is host-scale and broadcasts
     into the URL join."""
 
     def parse(batches):
         for pdf in batches:
-            hosts, allows, prefixes, delays = [], [], [], []
+            hosts, allows, prefixes, regexes, delays = [], [], [], [], []
             for host, txt in zip(pdf[host_col], pdf[robots_col]):
                 if txt is None:
                     continue
@@ -537,6 +556,7 @@ def robots_rules(
                     hosts.append(host)
                     allows.append(key == "allow")
                     prefixes.append(val)
+                    regexes.append(_robots_pattern_regex(val))
                     delays.append(None)
                 if delay is not None:
                     # one delay row per host (path_prefix NULL) so the
@@ -544,6 +564,7 @@ def robots_rules(
                     hosts.append(host)
                     allows.append(True)
                     prefixes.append(None)
+                    regexes.append(None)
                     delays.append(delay)
                 # a host with no agent rules emits nothing: fully open
                 # (apply_robots defaults unmatched URLs to allowed)
@@ -552,6 +573,7 @@ def robots_rules(
                     "host": hosts,
                     "allow": allows,
                     "path_prefix": prefixes,
+                    "path_regex": regexes,
                     "crawl_delay": delays,
                 }
             )
@@ -568,12 +590,17 @@ def apply_robots(
     host_col: str = "host",
 ) -> DataFrame:
     """``urls`` plus ``robots_allowed`` (boolean) and ``matched_rule``
-    (the winning prefix, NULL when no rule matched) — RFC 9309
-    precedence: the LONGEST matching prefix wins, Allow beats Disallow
-    on equal length, and a URL matching no rule is allowed.
+    (the winning rule's text, NULL when no rule matched) — RFC 9309
+    precedence: the LONGEST matching rule wins (rule text as written,
+    wildcards counted), Allow beats Disallow on equal length, and a URL
+    matching no rule is allowed. ``*``/``$`` match patterns evaluate
+    via their parse-time-compiled ``path_regex`` (JVM ``RLIKE`` with a
+    column-side pattern — the regex engine caches per distinct pattern,
+    and the pattern side is the tiny broadcast rule table); plain
+    prefixes keep the cheaper ``startswith``.
 
     Plan: the rule table is host-scale → BROADCAST left join on host
-    (URLs never shuffle), prefix match + longest-match election in pure
+    (URLs never shuffle), rule match + longest-match election in pure
     JVM expressions via one (url)-keyed window over the matched rules —
     candidate multiplicity is rules-per-host, single digits in practice.
     The URL's PATH is everything from the first ``/`` after the scheme
@@ -592,12 +619,15 @@ def apply_robots(
         "__uid", F.monotonically_increasing_id()
     )
     rule_rows = rules.where(F.col("path_prefix").isNotNull()).select(
-        F.col("host").alias("__rhost"), "allow", "path_prefix"
+        F.col("host").alias("__rhost"), "allow", "path_prefix", "path_regex"
     )
+    hit = F.when(
+        F.col("path_regex").isNotNull(),
+        F.regexp_like(F.col("__path"), F.col("path_regex")),
+    ).otherwise(F.col("__path").startswith(F.col("path_prefix")))
     joined = u.join(
         F.broadcast(rule_rows),
-        (F.col(host_col) == F.col("__rhost"))
-        & F.col("__path").startswith(F.col("path_prefix")),
+        (F.col(host_col) == F.col("__rhost")) & hit,
         "left",
     )
     w = Window.partitionBy("__uid").orderBy(

@@ -612,3 +612,78 @@ def test_sitemap_feeds_robots_and_frontier(spark):
     gated = apply_robots(urls, rules).where(F.col("robots_allowed"))
     sched = url_frontier_schedule(gated, "url", host_col="host", per_host_per_round=2)
     assert sched.count() == 4 and sched.agg(F.max("round")).collect()[0][0] == 1
+
+
+ROBOTS_WILD = """\
+User-agent: *
+Disallow: /*.php$
+Disallow: /*?sessionid=
+Disallow: /fish*tank/
+Allow: /files/*.php$
+Disallow: /lit$
+Disallow: /exact-literal
+Allow: /exact*
+"""
+
+
+def test_robots_wildcard_patterns(spark):
+    """RFC 9309 §2.2.3 '*'/'$' match patterns (r11 — upgrades #136 from
+    the literal-prefix subset that silently ALLOWED wildcard-disallowed
+    URLs): mid-pattern '*', terminal '$' anchor, and wildcard rules
+    competing with literals under length-of-rule-text precedence."""
+    from bitfilters_spark.operators.web import apply_robots, robots_rules
+
+    robots = spark.createDataFrame(
+        [("w.com", ROBOTS_WILD)], "host string, robots_txt string"
+    )
+    rules = robots_rules(robots)
+    # every wildcard rule carries a compiled regex; plain prefixes don't
+    rx = {r["path_prefix"]: r["path_regex"] for r in rules.collect()}
+    assert rx["/exact-literal"] is None
+    assert rx["/*.php$"] is not None and rx["/lit$"] is not None
+
+    urls = spark.createDataFrame(
+        [(f"http://w.com{p}", "w.com") for p in [
+            "/index.php",            # /*.php$ -> disallowed
+            "/index.php?x=1",        # .php not at END -> no $ match -> allowed
+            "/files/x.php",          # Allow /files/*.php$ (longer) beats Disallow /*.php$
+            "/page?sessionid=abc",   # mid-pattern wildcard-free suffix match
+            "/fish/deep/tank/",      # '*' spans multiple segments
+            "/fishtank/",            # '*' can match empty
+            "/lit",                  # '$' anchors: exact path only
+            "/literal",              # NOT /lit$ ... but /exact* doesn't match either -> allowed
+            "/exact-literal",        # Allow /exact* (7 chars) vs Disallow /exact-literal (14) -> longer literal wins
+            "/exact-thing",          # only /exact* matches -> allowed
+        ]],
+        "url string, host string",
+    )
+    verdicts = {
+        r["url"].replace("http://w.com", ""): (r["robots_allowed"], r["matched_rule"])
+        for r in apply_robots(urls, rules).collect()
+    }
+    assert verdicts["/index.php"] == (False, "/*.php$")
+    assert verdicts["/index.php?x=1"][0] is True
+    assert verdicts["/files/x.php"] == (True, "/files/*.php$")
+    assert verdicts["/page?sessionid=abc"] == (False, "/*?sessionid=")
+    assert verdicts["/fish/deep/tank/"] == (False, "/fish*tank/")
+    assert verdicts["/fishtank/"] == (False, "/fish*tank/")
+    assert verdicts["/lit"] == (False, "/lit$")
+    assert verdicts["/literal"][0] is True
+    assert verdicts["/exact-literal"] == (False, "/exact-literal")
+    assert verdicts["/exact-thing"] == (True, "/exact*")
+
+
+def test_robots_wildcard_regex_translation():
+    """Pattern→regex unit cases incl. regex metacharacters in rule text
+    and a non-terminal '$' staying literal."""
+    from bitfilters_spark.operators.web import _robots_pattern_regex
+
+    assert _robots_pattern_regex("/plain/prefix") is None
+    assert _robots_pattern_regex("/a.b") is None  # '.' alone isn't a pattern
+    assert _robots_pattern_regex("/*.php$") == r"^/.*\.php$"
+    assert _robots_pattern_regex("/x*y") == "^/x.*y"
+    assert _robots_pattern_regex("/end$") == "^/end$"
+    # '$' mid-pattern is literal text per spec (only FINAL '$' anchors)
+    assert _robots_pattern_regex("/a$b*") == r"^/a\$b.*"
+    # regex metacharacters in the rule are matched literally
+    assert _robots_pattern_regex("/p(1)+*") == r"^/p\(1\)\+.*"
