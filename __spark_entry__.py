@@ -1078,12 +1078,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = T.bm25_scores(docs, qset, "doc_id").select(
         F.lit("scan").alias("src"), "query_id", "doc_id", "score"
     )
-    name = _BM25_IX_CACHE.get(sf_dir)
-    if name is None:
+    probe = _BM25_IX_CACHE.get(sf_dir)
+    if probe is None:
         import tempfile
         import uuid
 
-        from bitfilters_spark.operators.bm25_index import build_bm25_index
+        from bitfilters_spark.operators.bm25_index import (
+            BM25Probe,
+            build_bm25_index,
+        )
 
         name = f"q_bm25_ix_{uuid.uuid4().hex[:8]}"
         build_bm25_index(
@@ -1094,10 +1097,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_buckets=8,
             path=tempfile.mkdtemp(prefix="bm25ix_"),
         )
-        _BM25_IX_CACHE[sf_dir] = name
-    from bitfilters_spark.operators.bm25_index import bm25_query_index
+        # session-cached probe handle (r11, operator #130): warm bench
+        # iterations skip the per-call 3-table refresh + stats job —
+        # exactly the handle's build-once/probe-many design point
+        probe = _BM25_IX_CACHE[sf_dir] = BM25Probe(spark, name)
 
-    via_index = bm25_query_index(spark, name, qset).select(
+    via_index = probe.query(qset).select(
         F.lit("index").alias("src"),
         "query_id",
         F.col("id").alias("doc_id"),
@@ -1491,10 +1496,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's design point is build-once/probe-many."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    from bitfilters_spark.operators.ann_index import (
-        ann_query_index,
-        build_ann_index,
-    )
+    from bitfilters_spark.operators.ann_index import AnnProbe, build_ann_index
 
     cached = _ANN_IX_CACHE.get(sf_dir)
     if cached is None:
@@ -1506,14 +1508,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "vec_id", "embedding", name, n_centroids=16,
             num_buckets=4, path=tempfile.mkdtemp(prefix="annix_"),
         )
-        cached = _ANN_IX_CACHE[sf_dir] = (name, C)
-    name, C = cached
+        # session-cached probe handle (r11): warm iterations skip the
+        # per-call catalog refresh + centroid-table collect
+        cached = _ANN_IX_CACHE[sf_dir] = (AnnProbe(spark, name), C)
+    probe, C = cached
     scan = SIM.ivf_topk(
         emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16,
         nprobe=16, centroids=C,
     ).select(F.lit("scan").alias("src"), "query_id", "neighbor_id", "rank")
-    via_index = ann_query_index(
-        spark, name, queries_df, "vec_id", "embedding", k=5, nprobe=16
+    via_index = probe.query(
+        queries_df, "vec_id", "embedding", k=5, nprobe=16
     ).select(F.lit("index").alias("src"), "query_id", "neighbor_id", "rank")
     return scan.unionByName(via_index)
 

@@ -60,7 +60,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.io import write_bucketed
-from .bm25_index import _check_name
+from .bm25_index import _check_name, _stage_path
 from .similarity import ivf_centroids
 
 _CELL_SCHEMA = StructType(
@@ -137,30 +137,87 @@ def build_ann_index(
         else ivf_centroids(df, vec_col, n_centroids, seed=seed),
         dtype=np.float64,
     )
+    _write_staged(spark, name, _route(df, id_col, vec_col, C), C, num_buckets, path)
+    return C
+
+
+def _write_staged(
+    spark: SparkSession,
+    name: str,
+    cells: DataFrame,
+    C: np.ndarray,
+    num_buckets: int,
+    path: str | None,
+) -> None:
+    """Stage-and-swap both index tables (external data lands in
+    per-rebuild ALTERNATING directories via `bm25_index._stage_path` —
+    a rebuild staging into the live table's own directory would destroy
+    the previous index mid-build). Shared by build and compact."""
     stage = f"{name}__stage"
     for suffix in ("cells", "centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {stage}_{suffix}")
     write_bucketed(
-        _route(df, id_col, vec_col, C),
+        cells,
         f"{stage}_cells",
         ["cell"],
         num_buckets=num_buckets,
         sort_cols=["cell"],
-        path=f"{path}/{name}_cells__stage" if path else None,
+        path=_stage_path(spark, f"{name}_cells", path, f"{name}_cells"),
     )
     cw = spark.createDataFrame(
         [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
         "cell long, vec array<double>",
     ).write.mode("overwrite")
     if path:
-        cw = cw.option("path", f"{path}/{name}_centroids__stage")
+        cw = cw.option(
+            "path",
+            _stage_path(spark, f"{name}_centroids", path, f"{name}_centroids"),
+        )
     cw.saveAsTable(f"{stage}_centroids")
     _stamp(spark, f"{stage}_cells", num_buckets, len(C))
     # all staging writes succeeded — metadata-only swap
     for suffix in ("cells", "centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
         spark.sql(f"ALTER TABLE {stage}_{suffix} RENAME TO {name}_{suffix}")
-    return C
+
+
+def compact_ann_index(
+    spark: SparkSession, name: str, path: str | None = None
+) -> dict:
+    """Rewrite the cells table into one file-set per bucket: every
+    ``append_to_ann_index`` call (and therefore every streaming
+    maintenance micro-batch) adds a file-set per bucket forever; probe
+    answers stay exact but probe PLANS degrade with file count. Rows,
+    centroids, and geometry are unchanged, so probes are bit-identical
+    before/after (per-row scoring — no order-sensitive float sums).
+    Same staging-swap atomicity as a build: a crash mid-compact leaves
+    the live index untouched. Returns postings file counts
+    ``{"files_before": n, "files_after": n}``."""
+    _check_name(name)
+    _refresh(spark, name)
+    geom = _stored_geometry(spark, name)
+    num_buckets = geom["num_buckets"]
+
+    def _nfiles():
+        return (
+            spark.table(f"{name}_cells")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    files_before = _nfiles()
+    C = load_ann_centroids(spark, name)
+    # one-bucket-per-task repartition => exactly one file per bucket;
+    # read the FILES so the bucketed read's advertised partitioning
+    # cannot elide the repartition (see compact_bm25_index)
+    from .bm25_index import _live_location
+
+    loc = _live_location(spark, f"{name}_cells")
+    cells_src = spark.read.parquet(loc) if loc else spark.table(f"{name}_cells")
+    cells = cells_src.repartition(num_buckets, F.col("cell"))
+    _write_staged(spark, name, cells, C, num_buckets, path)
+    return {"files_before": files_before, "files_after": _nfiles()}
 
 
 def _refresh(spark: SparkSession, name: str) -> None:
@@ -206,6 +263,114 @@ def append_to_ann_index(
     ).bucketBy(num_buckets, "cell").sortBy("cell").saveAsTable(f"{name}_cells")
 
 
+class AnnProbe:
+    """Session-cached probe handle (the :class:`bm25_index.BM25Probe`
+    pattern): ``ann_query_index`` re-reads the centroids table and
+    refreshes the catalog on EVERY call — right for occasional probes,
+    waste in a probe-per-batch loop. The handle pins the centroid matrix
+    at construction; appends route through frozen centroids anyway, so a
+    stale handle only misses rows appended after construction (call
+    :meth:`refresh` or build a new handle to see them)."""
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = _check_name(name)
+        self.refresh()
+
+    def refresh(self) -> "AnnProbe":
+        _refresh(self.spark, self.name)
+        self.C = load_ann_centroids(self.spark, self.name)
+        return self
+
+    def query(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 8,
+        max_queries: int = 100_000,
+    ) -> DataFrame:
+        """(query_id, rank, neighbor_id) — identical rows to ``ivf_topk``
+        on the indexed corpus with the same centroids and nprobe. The
+        candidate cell list is BOTH a literal In-filter on the bucketed
+        cells scan (parquet prunes non-candidate cells) and a broadcast
+        (query, cell) probe join; the only wide op is the final
+        per-query top-k window over candidates."""
+        spark, C = self.spark, self.C
+        # queries are driver-collected by contract (the cosine_topk
+        # convention); max_queries turns a corpus-sized "query" set into
+        # an error instead of a silent driver OOM
+        qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"ann_query_index collected more than max_queries="
+                f"{max_queries} query rows; batch the query set, or raise "
+                "max_queries consciously."
+            )
+        empty = spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long"
+        )
+        if not qrows:  # 0-row query batches must not crash (repo convention)
+            return empty
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+        qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(qmat @ C.T), axis=1)[:, : min(nprobe, len(C))]
+        probe_pairs = [
+            (int(qids[i]), int(c)) for i in range(len(qids)) for c in order[i]
+        ]
+        cand_cells = sorted({c for _, c in probe_pairs})
+        probes = spark.createDataFrame(probe_pairs, "query_id long, cell long")
+        qbc = spark.sparkContext.broadcast(
+            {int(qids[i]): qmat[i] for i in range(len(qids))}
+        )
+        cells = spark.table(f"{self.name}_cells").where(
+            F.col("cell").isin(cand_cells)
+        )
+        cand = (
+            F.broadcast(probes)
+            .join(cells, "cell")
+            .where(F.col("query_id") != F.col("id"))
+        )
+
+        sim_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            qm = qbc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["vec"]), dtype=np.float64)
+                qv = np.array([qm[q] for q in pdf["query_id"]], dtype=np.float64)
+                sims = np.einsum("ij,ij->i", mat, qv)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                        "neighbor_id": pdf["id"].to_numpy(dtype=np.int64),
+                        "sim": sims,
+                    }
+                )
+
+        scored = cand.mapInPandas(score, schema=sim_schema)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id")
+        )
+
+
 def ann_query_index(
     spark: SparkSession,
     name: str,
@@ -214,67 +379,80 @@ def ann_query_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 8,
+    max_queries: int = 100_000,
 ) -> DataFrame:
-    """(query_id, rank, neighbor_id) — identical rows to ``ivf_topk`` on
-    the indexed corpus with the same centroids and nprobe. The candidate
-    cell list is BOTH a literal In-filter on the bucketed cells scan
-    (parquet prunes non-candidate cells) and a broadcast (query, cell)
-    probe join; the only wide op is the final per-query top-k window
-    over candidates."""
-    _check_name(name)
-    C = load_ann_centroids(spark, name)
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(qmat @ C.T), axis=1)[:, : min(nprobe, len(C))]
-    probe_pairs = [
-        (int(qids[i]), int(c)) for i in range(len(qids)) for c in order[i]
-    ]
-    cand_cells = sorted({c for _, c in probe_pairs})
-    probes = spark.createDataFrame(probe_pairs, "query_id long, cell long")
-    qbc = spark.sparkContext.broadcast(
-        {int(qids[i]): qmat[i] for i in range(len(qids))}
-    )
-    cells = spark.table(f"{name}_cells").where(F.col("cell").isin(cand_cells))
-    cand = (
-        F.broadcast(probes)
-        .join(cells, "cell")
-        .where(F.col("query_id") != F.col("id"))
+    """One-shot form of :class:`AnnProbe` (fresh centroids read every
+    call — correct for occasional probes; loops should hold a handle)."""
+    return AnnProbe(spark, name).query(
+        queries, id_col, vec_col, k, nprobe, max_queries
     )
 
-    sim_schema = StructType(
+
+def ann_index_report(spark: SparkSession, name: str) -> DataFrame:
+    """Per-cell occupancy + assignment-quality report — the WHEN-to-
+    rebuild measurement the estimator family (#108/#112/#114) gives
+    every other approximate operator here. Appends route through FROZEN
+    centroids (`append_to_ann_index`): as the data distribution drifts,
+    cells fill unevenly and vectors sit farther from their centroid, so
+    probe recall at fixed nprobe decays. One cells-table pass returns
+    (cell, n_vecs, frac, mean_sim, min_sim): ``frac`` exposes occupancy
+    skew (a few giant cells ⇒ nprobe covers less of the corpus than
+    n_probed/n_centroids suggests), ``mean_sim`` is the mean cosine of
+    each vector to its own centroid — WATCH it across appends; a drop
+    vs the post-build reading means the frozen quantizer no longer fits
+    the data: rebuild to re-center."""
+    _check_name(name)
+    _refresh(spark, name)
+    C = load_ann_centroids(spark, name)
+    bc = spark.sparkContext.broadcast(C)
+
+    out_schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("sim", DoubleType()),
+            StructField("cell", LongType()),
+            StructField("n_vecs", LongType()),
+            StructField("sum_sim", DoubleType()),
+            StructField("min_sim", DoubleType()),
         ]
     )
 
-    def score(batches):
-        qm = qbc.value
+    def per_cell(batches):
+        C_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["vec"]), dtype=np.float64)
-            qv = np.array([qm[q] for q in pdf["query_id"]], dtype=np.float64)
-            sims = np.einsum("ij,ij->i", mat, qv)
+            sims = np.einsum("ij,ij->i", mat, C_[cells])
+            g = pd.DataFrame({"cell": cells, "sim": sims}).groupby("cell")["sim"]
+            agg = g.agg(["count", "sum", "min"]).reset_index()
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["id"].to_numpy(dtype=np.int64),
-                    "sim": sims,
+                    "cell": agg["cell"],
+                    "n_vecs": agg["count"].astype(np.int64),
+                    "sum_sim": agg["sum"],
+                    "min_sim": agg["min"],
                 }
             )
 
-    scored = cand.mapInPandas(score, schema=sim_schema)
+    partials = (
+        spark.table(f"{name}_cells")
+        .select("cell", "vec")
+        .mapInPandas(per_cell, schema=out_schema)  # partition-local partials
+        .groupBy("cell")
+        .agg(
+            F.sum("n_vecs").alias("n_vecs"),
+            F.sum("sum_sim").alias("sum_sim"),
+            F.min("min_sim").alias("min_sim"),
+        )
+    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
+    # cells are model-scale (n_centroids rows) — a global window is fine
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return partials.select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs") / total).alias("frac"),
+        (F.col("sum_sim") / F.col("n_vecs")).alias("mean_sim"),
+        "min_sim",
     )

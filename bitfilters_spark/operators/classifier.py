@@ -126,6 +126,11 @@ def train_text_classifier(
     init. The learning rate is per-mean-gradient (gradient is divided
     by n), so ``lr`` is scale-free in corpus size."""
     spark = df.sparkSession
+    # NULL labels would silently inflate n while contributing zero
+    # gradient — shrinking the effective learning rate with no signal
+    # that anything is wrong. Unlabeled rows are a caller bug: drop them
+    # HERE (from features too) so n counts exactly the gradient rows.
+    df = df.where(F.col(label_col).isNotNull())
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     )
@@ -342,6 +347,10 @@ def train_langid_classifier(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    # a NULL label would make sorted() raise TypeError (None vs str) and
+    # would inflate n with zero-gradient rows — drop unlabeled rows up
+    # front (the train_text_classifier convention)
+    df = df.where(F.col(label_col).isNotNull())
     classes = sorted(
         r[0] for r in df.select(F.col(label_col)).distinct().collect()
     )

@@ -823,6 +823,11 @@ def simhash_pairs_from_sigs(
     cluster scale the equi-join shuffles only (band, bv) keyed rows).
     Candidate output ∝ true pairs × n_bands + hash-collision noise
     (∝ n²·probes/2^width), NOT Θ(n²/values) as exact narrow bands give.
+
+    When ``n_rows`` is omitted, the broadcast size gate COUNTS ``sig`` —
+    one extra job that re-runs the signature lineage if it isn't cached.
+    Direct callers should either pass ``n_rows`` or cache ``sig`` first
+    (``simhash_near_pairs`` does both for you).
     """
     return (
         simhash_candidates(sig, id_col, max_hamming, n_rows=n_rows)

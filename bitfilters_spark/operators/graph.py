@@ -76,7 +76,25 @@ def pagerank(
         # edge list is scanned/deduped a single time instead of k times
         # (at 100 TB the k-fold rescan is the dominant cost; statically
         # this also keeps the plan's Exchange count linear in k, not
-        # k x the invariant subplans)
+        # k x the invariant subplans).
+        #
+        # Edge-side shuffle in the NON-broadcast regime (ranks too big
+        # to broadcast — the giant-graph case): each iteration joins
+        # edges⋈ranks and edges⋈deg on src. Pre-hash-partitioning the
+        # edges before this checkpoint does NOT help on this Spark line:
+        # under AQE, localCheckpoint returns a Scan ExistingRDD with
+        # UNKNOWN output partitioning (the AdaptiveSparkPlan's
+        # partitioning isn't propagated into LogicalRDD), so
+        # EnsureRequirements re-inserts the src Exchange regardless and
+        # a pre-repartition is purely a wasted extra shuffle (measured).
+        # What DOES bound the cost is exchange/stage REUSE: every
+        # iteration's edge Exchange is canonically identical, so AQE
+        # materializes ONE shuffle stage for the edge list and all k
+        # iterations read it — the executed plan carries a single
+        # ShuffleQueryStage over the edge scan at k=3 and k=6 alike
+        # (pinned by tests/test_graph.py::test_pagerank_edge_shuffle_
+        # reused_across_iterations). Net: edges shuffle once per run,
+        # not k times.
         e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))

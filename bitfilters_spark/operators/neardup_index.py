@@ -254,3 +254,70 @@ def dedup_against_index(
         spark, new_df, id_col, text_col, name, k, bands, shingle_n, threshold
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_df.join(hits, id_col, "left_anti")
+
+
+def compact_lsh_index(spark: SparkSession, name: str, path: str | None = None) -> dict:
+    """Rewrite both index tables into one file-set per bucket: every
+    `append_to_lsh_index` call (and every `streaming_neardup_dedup`
+    micro-batch fold) appends a file-set per bucket forever; probe
+    answers stay exact but probe plans degrade with file count. Rows and
+    geometry are unchanged — probe results are identical before/after
+    (joins + per-pair Jaccard, nothing order-sensitive). Staging-swap
+    atomicity (the `bm25_index` pattern, with per-rebuild ALTERNATING
+    external directories): a crash mid-compact leaves the live index
+    untouched and fully queryable. Returns bands-table file counts
+    ``{"files_before": n, "files_after": n}``."""
+    from .bm25_index import _check_name, _live_location, _stage_path
+
+    _check_name(name)
+    for suffix in ("bands", "shingles"):
+        spark.catalog.refreshTable(f"{name}_{suffix}")
+    geom = lsh_index_geometry(spark, name)
+    if "num_buckets" not in geom:
+        raise ValueError(
+            f"LSH index '{name}' carries no stored geometry; compaction "
+            "needs the bucket count to preserve the layout."
+        )
+    nb = geom["num_buckets"]
+
+    def _nfiles():
+        return (
+            spark.table(f"{name}_bands")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    files_before = _nfiles()
+    stage = f"{name}__stage"
+    for suffix in ("bands", "shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {stage}_{suffix}")
+    # one-bucket-per-task repartition => exactly one file per bucket;
+    # read the FILES so the bucketed read's advertised partitioning
+    # cannot elide the repartition (see compact_bm25_index)
+    def _src(table):
+        loc = _live_location(spark, table)
+        return spark.read.parquet(loc) if loc else spark.table(table)
+
+    write_bucketed(
+        _src(f"{name}_bands").repartition(nb, F.col("bh")),
+        f"{stage}_bands",
+        ["bh"],
+        num_buckets=nb,
+        path=_stage_path(spark, f"{name}_bands", path, "bands"),
+    )
+    write_bucketed(
+        _src(f"{name}_shingles").repartition(nb, F.col("id")),
+        f"{stage}_shingles",
+        ["id"],
+        num_buckets=nb,
+        path=_stage_path(spark, f"{name}_shingles", path, "shingles"),
+    )
+    # re-stamp whatever geometry keys the live index carried (pre-swap,
+    # so a crash between swap statements never leaves a stampless index)
+    props = ", ".join(f"'bitfilters.{g}'='{v}'" for g, v in geom.items())
+    spark.sql(f"ALTER TABLE {stage}_bands SET TBLPROPERTIES ({props})")
+    for suffix in ("bands", "shingles"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        spark.sql(f"ALTER TABLE {stage}_{suffix} RENAME TO {name}_{suffix}")
+    return {"files_before": files_before, "files_after": _nfiles()}

@@ -102,6 +102,7 @@ def streaming_frontier(
     watermark: str = "0 seconds",
     dedupe: bool = False,
     seen_cap: int = 100_000,
+    seen_ttl_ms: int = 86_400_000,
 ) -> DataFrame:
     """(host, url, priority, wave, status) — ``status`` is ``released``
     for URLs cleared to fetch this wave (``wave`` = 1, 2, ... per host),
@@ -116,6 +117,15 @@ def streaming_frontier(
     opts into released/pending re-submission suppression (see the module
     docstring for the exact at-least-once vs remembered-window
     exactly-once contracts).
+
+    Wave numbers are DENSE: the counter bumps only when URLs are
+    actually released, so ``wave k`` is the host's k-th release round
+    even when an invocation's incoming rows were all suppressed as
+    duplicates. With ``dedupe``, a fully-drained host's remaining state
+    (the seen-window) ages out ``seen_ttl_ms`` of event time past the
+    last activity — total state tracks active hosts, not hosts ever
+    seen; a URL re-submitted after the TTL is released again (the
+    remembered-window contract, now time- as well as size-bounded).
     """
     if per_wave <= 0:
         raise ValueError("per_wave must be positive")
@@ -164,12 +174,25 @@ def streaming_frontier(
             )
         else:
             pending, wave, seen = [], 0, []
+        ev_ms = 0  # also read on the timed-out drain path below
         if not state.hasTimedOut:
             incoming = []
             for pdf in pdfs:
                 incoming.extend(
                     zip(pdf["url"].tolist(), pdf["priority"].tolist())
                 )
+                if len(pdf):
+                    ev_ms = max(
+                        ev_ms, int(pdf["ts"].max().timestamp() * 1000)
+                    )
+        elif not pending:
+            # the idle (seen-window) timer fired on a fully-drained host:
+            # the state holds only the dedupe seen-set — age it out so
+            # total state size tracks ACTIVE hosts, not hosts ever seen
+            if state.exists:
+                state.remove()
+            return
+        if not state.hasTimedOut:
             if drop_dupes and incoming:
                 # suppress re-arrivals of released URLs (the remembered
                 # window) and of URLs already waiting in the backlog
@@ -189,14 +212,19 @@ def streaming_frontier(
             pending.extend(incoming)
         # highest priority first; URL tiebreak keeps waves deterministic
         pending.sort(key=lambda r: (-r[1], r[0]))
-        wave += 1
         released = pending[:cap]
         rest = pending[cap:]
         dropped = rest[backlog_cap:]
         rest = rest[:backlog_cap]
-        if drop_dupes and released:
-            seen.extend(_url_digest(u) for u, _ in released)
-            seen = seen[-seen_max:]  # newest-entries window
+        if released:
+            # wave bumps ONLY when URLs are actually released, so the
+            # persisted numbering stays dense — 'wave k = the host's
+            # k-th release round' even when an invocation's incoming
+            # rows were all suppressed as duplicates
+            wave += 1
+            if drop_dupes:
+                seen.extend(_url_digest(u) for u, _ in released)
+                seen = seen[-seen_max:]  # newest-entries window
         if rest or (drop_dupes and seen):
             blob = (
                 np.asarray(seen, dtype=np.int64).tobytes()
@@ -209,6 +237,16 @@ def streaming_frontier(
             if rest:
                 # drain on the next watermark advance (must be > watermark)
                 state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            else:
+                # seen-window only: a LONG idle timer ages the dedupe
+                # memory out instead of holding it forever. Base it on
+                # the batch's own max event time, not just the current
+                # watermark — the watermark lags one batch (and is 0
+                # before the first advance), which would put the timer
+                # in the past and expire the window immediately.
+                state.setTimeoutTimestamp(
+                    max(state.getCurrentWatermarkMs(), ev_ms) + seen_ttl_ms
+                )
         elif state.exists:
             state.remove()
         if released:

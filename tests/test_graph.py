@@ -104,3 +104,47 @@ def test_pagerank_guards(spark, edges):
     # iters=0: everyone at the initial rank
     got = {r["rank"] for r in pagerank(df, "src", "dst", iters=0).collect()}
     assert got == {1.0}
+
+
+def test_pagerank_edge_shuffle_reused_across_iterations(spark):
+    """100 TB posture (r10 verdict #4): in the non-broadcast regime the
+    per-iteration edge⋈ranks / edge⋈deg joins must NOT re-shuffle the
+    edge list k times. localCheckpoint + AQE loses partitioning info
+    (so pre-partitioning cannot satisfy the joins statically), but every
+    iteration's edge Exchange is canonically identical and AQE
+    materializes ONE shuffle stage reused by all k iterations — the
+    executed plan carries exactly one distinct ShuffleQueryStage id over
+    the edge ExistingRDD scan, independent of k."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.graph import pagerank
+
+    edges = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stage_ids = {}
+        for k in (3, 6):
+            df = pagerank(edges, "src", "dst", iters=k)
+            df.collect()  # materialize so the adaptive plan is final
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="simple")
+            plan = buf.getvalue()
+            ids = re.findall(
+                r"ShuffleQueryStage (\d+)[^\n]*\n[^\n]*Exchange hashpartitioning"
+                r"\(src#\d+L[^\n]*\n[^\n]*Scan ExistingRDD\[src#\d+L,dst#\d+L\]",
+                plan,
+            )
+            assert len(set(ids)) == 1, f"k={k}: edge shuffle stages {ids}"
+            stage_ids[k] = set(ids)
+        # one materialized edge shuffle at k=3 AND k=6 — not k of them
+        assert len(stage_ids[3]) == len(stage_ids[6]) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -2018,3 +2018,76 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     before = spark.table("sann_cells").count()
     fold(extra, 3)
     assert spark.table("sann_cells").count() == before
+
+
+def test_streaming_frontier_dense_waves_and_seen_ttl(spark, tmp_path):
+    """r11 contract tightening: (a) wave numbers are DENSE — an
+    invocation whose incoming rows were ALL suppressed as duplicates
+    does not burn a wave number, so wave k is the host's k-th actual
+    release round; (b) with dedupe, a fully-drained host's seen-window
+    ages out seen_ttl_ms past the last activity, after which a
+    re-submitted URL is released again (state tracks active hosts)."""
+    import datetime as dt
+
+    from bitfilters_spark.streaming import streaming_frontier
+
+    src = str(tmp_path / "dw_in")
+    ckpt = str(tmp_path / "dw_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, host string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    write([("http://a/x", "a", t(0))])
+    stream = spark.readStream.schema(
+        "url string, host string, ts timestamp"
+    ).parquet(src)
+    fr = streaming_frontier(
+        stream, "url", "host", ts_col="ts", per_wave=2, dedupe=True,
+        seen_ttl_ms=120_000,  # 2 minutes of event time
+    )
+    q = (
+        fr.writeStream.format("memory")
+        .queryName("dw_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: ONLY a duplicate — suppressed, must not burn a wave
+        write([("http://a/x", "a", t(1))])
+        q.processAllAvailable()
+        # batch 3: a genuinely new URL — must release as wave 2, not 3
+        # (t(2): must sit ABOVE the watermark, which is already t(1))
+        write([("http://a/y", "a", t(2))])
+        q.processAllAvailable()
+        rows = {
+            r["url"]: r["wave"]
+            for r in spark.sql(
+                "SELECT * FROM dw_sink WHERE status='released'"
+            ).collect()
+        }
+        assert rows == {"http://a/x": 1, "http://a/y": 2}
+        # advance the watermark far past the 2-minute TTL so the
+        # drained host's seen-window ages out...
+        write([("http://a/nudge", "a", t(10))])
+        q.processAllAvailable()
+        write([("http://b/advance", "b", t(30))])
+        q.processAllAvailable()
+        # ...then re-submit x: released AGAIN (the TTL removed the whole
+        # host state, wave numbering restarts with it)
+        write([("http://a/x", "a", t(31))])
+        q.processAllAvailable()
+        xs = [
+            (r["wave"])
+            for r in spark.sql(
+                "SELECT * FROM dw_sink WHERE status='released' "
+                "AND url='http://a/x' ORDER BY wave"
+            ).collect()
+        ]
+        assert len(xs) == 2 and xs[0] == 1  # aged out, so released twice
+    finally:
+        q.stop()
