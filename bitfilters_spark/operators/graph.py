@@ -30,6 +30,8 @@ hash-matches without rounding tolerances.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +50,8 @@ def pagerank(
     damping: float = 0.85,
     quantum_bits: int = 30,
     checkpoint_every: int = 5,
+    dangling: str = "ignore",
+    tol: float | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations from rank = 1.0.
 
@@ -56,11 +60,28 @@ def pagerank(
     keeps out-degree consistent with the distinct edge set). Sums stay
     exact for graphs whose total rank mass is below
     ``2^(53 - quantum_bits)`` (~8.4M unit-rank nodes at the default —
-    raise quantum_bits' ceiling consciously past that)."""
+    raise quantum_bits' ceiling consciously past that).
+
+    Documented VARIANTS (r11 — both off by default, pytest-verified
+    against a pure-Python replay rather than the SQL driver oracle,
+    which pins the default configuration only):
+
+    - ``dangling='redistribute'``: the classic normalized treatment —
+      each iteration the rank mass sitting on dangling nodes (no
+      out-edges) is shared uniformly: ``rank' = (1-d) + d*(Σ in-contrib
+      + dangling_mass/N)``, with the redistribution addend quantized
+      like every other term. Costs one model-scale collect per
+      iteration (the dangling-mass scalar crosses the driver).
+    - ``tol``: residual-based early stop — iterate until
+      ``Σ|rank_i - rank_{i-1}| <= tol`` or ``iters``, whichever first.
+      Costs one node-scale aggregation job per iteration; the classic
+      trade for not over-running a converged graph at 100 TB."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    if dangling not in ("ignore", "redistribute"):
+        raise ValueError("dangling must be 'ignore' or 'redistribute'")
     quantum = float(1 << quantum_bits)
     e = (
         edges.select(
@@ -105,6 +126,15 @@ def pagerank(
     if iters > 1:
         nodes = nodes.localCheckpoint()
         deg = deg.localCheckpoint()
+    dang = None
+    n_nodes = None
+    if dangling == "redistribute":
+        n_nodes = nodes.count()
+        dang = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        )
+        if iters > 1:
+            dang = dang.localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     base = F.lit(1.0 - damping)
     for i in range(iters):
@@ -117,16 +147,42 @@ def pagerank(
             )
         )
         sums = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
-        ranks = (
+        extra = F.lit(0.0)
+        if dang is not None and n_nodes:
+            dm = (
+                ranks.join(dang, "node").agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+            # same floor-quantization as every per-edge term, applied to
+            # the driver-side scalar with the identical IEEE ops
+            extra = F.lit(
+                math.floor(damping * dm / n_nodes * quantum) / quantum
+            )
+        new_ranks = (
             nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
                 _quantize(
-                    base + F.lit(damping) * F.coalesce("__s", F.lit(0.0)),
+                    base + F.lit(damping) * F.coalesce("__s", F.lit(0.0)) + extra,
                     quantum,
                 ).alias("rank"),
             )
         )
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint()
+            resid = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "__prev"), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+                .collect()[0][0]
+                or 0.0
+            )
+            ranks = new_ranks
+            if resid <= tol:
+                break
+        else:
+            ranks = new_ranks
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks

@@ -645,6 +645,35 @@ def apply_robots(
     )
 
 
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery from robots.txt — the sitemaps.org ``Sitemap:``
+    extension every major engine honors, and the missing hop between the
+    robots gate (#136) and sitemap intake (#137): robots.txt → sitemap
+    URL list → (fetch) → :func:`sitemap_urls` → frontier.
+
+    ``Sitemap:`` lines are GLOBAL (they sit outside user-agent groups,
+    per the protocol), so unlike :func:`robots_rules` no group state is
+    needed and this is one pure-JVM ``regexp_extract_all`` explode —
+    scan speed, no Python in the row path. Case-insensitive key,
+    whole-line comments ignored (a ``#`` line never matches the
+    line-start anchor), value read to the first whitespace. Output:
+    (host, sitemap_url)."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(robots_col),
+                F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+                F.lit(1),
+            )
+        ).alias("sitemap_url"),
+    )
+
+
 def sitemap_urls(
     df: DataFrame,
     xml_col: str = "sitemap_xml",
@@ -709,8 +738,12 @@ def extract_links(
 ) -> DataFrame:
     """HTML outlink extraction — the crawl loop's link-graph step
     (VERDICT r10 missing #1): one fetched page → (src_url, dst_url,
-    src_host, dst_host, nofollow) edge rows, the input `graph.pagerank`
-    (#135) ranks and `url_frontier_schedule` (#127) prioritizes. With
+    src_host, dst_host, anchor, nofollow) edge rows, the input
+    `graph.pagerank` (#135) ranks and `url_frontier_schedule` (#127)
+    prioritizes; ``anchor`` is the link's visible text run (entity-
+    decoded, truncated at the first nested tag — the strip_html trade),
+    the classic relevance/quality signal anchor-text corpora are built
+    from. With
     this, sitemap → robots → frontier → fetch → **links → pagerank →
     priority** is closed end-to-end (composition pytest in
     tests/test_extract_links.py).
@@ -780,7 +813,7 @@ def extract_links(
                     f"regexp_replace({html_col}, "
                     "'(?is)<(script|style)\\\\b[^>]*>.*?</\\\\1\\\\s*>', ' '), "
                     "'(?s)<!--.*?-->', ' '), '[\\\\n\\\\r\\\\t]', ' '), "
-                    "'(?i)<a\\\\s[^>]*>', 0)"
+                    "'(?i)<a\\\\s[^>]*>[^<]*', 0)"
                 )
             ).alias("__tag"),
         )
@@ -799,12 +832,21 @@ def extract_links(
     # strip the fragment everywhere (never part of the fetch identity)
     href = F.trim(F.regexp_replace(href, r"#.*$", ""))
 
+    # anchor text: the text run between the open tag and the next tag
+    # (nested markup inside the anchor truncates at its first '<' — the
+    # deterministic scan-speed subset, same trade as strip_html)
+    anchor = F.trim(F.regexp_extract(F.col("__tag"), r">([^<]*)$", 1))
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
+        anchor = F.replace(anchor, F.lit(ent), F.lit(ch))
+
     carry = list(carry_cols)
     step = tagged.select(
         *carry,
         "__src",
         "__base",
         href.alias("__href"),
+        anchor.alias("anchor"),
         F.col("__tag")
         .rlike(r"""(?i)\brel\s*=\s*["']?[^"'>]*\bnofollow\b""")
         .alias("nofollow"),
@@ -826,6 +868,7 @@ def extract_links(
         *carry,
         "__src",
         "__href",
+        "anchor",
         "nofollow",
         F.lower(F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)).alias(
             "__scheme"
@@ -850,7 +893,9 @@ def extract_links(
         .when(h.startswith("?"), F.concat(F.col("__bnf"), h))
         .otherwise(F.concat(base_dir, h))
     )
-    step = step.select(*carry, "__src", "nofollow", resolved.alias("__res"))
+    step = step.select(
+        *carry, "__src", "anchor", "nofollow", resolved.alias("__res")
+    )
     # dot-segment removal (RFC 3986 §5.2.4) on the path: ONE
     # higher-order `aggregate` runs the spec's segment-stack algorithm
     # ('.' skipped, '..' pops, anything else — empty segments included —
@@ -861,6 +906,7 @@ def extract_links(
     step = step.select(
         *carry,
         "__src",
+        "anchor",
         "nofollow",
         F.regexp_extract(
             "__res", r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
@@ -892,6 +938,7 @@ def extract_links(
         *carry,
         F.col("__src").alias("src_url"),
         F.concat("__head", clean_path, "__query").alias("dst_url"),
+        "anchor",
         "nofollow",
     )
     if normalize:
@@ -905,6 +952,7 @@ def extract_links(
             *carry,
             normalize_url(F.col("src_url")).alias("src_url"),
             normalize_url(F.col("dst_url")).alias("dst_url"),
+            "anchor",
             "nofollow",
         )
     return out.select(
@@ -913,5 +961,6 @@ def extract_links(
         "dst_url",
         url_domain(F.col("src_url"), registrable=False).alias("src_host"),
         url_domain(F.col("dst_url"), registrable=False).alias("dst_host"),
+        "anchor",
         "nofollow",
     )

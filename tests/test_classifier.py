@@ -348,3 +348,42 @@ def test_langid_empty_doc_gets_bias_prediction(spark):
     got = {r["doc_id"]: r["lang2"] for r in C.langid_score(
         df, "doc_id", "text", model, out_col="lang2").collect()}
     assert len(got) == 3 and got[2] in model["classes"]
+
+
+def test_null_labels_dropped_in_both_trainers(spark):
+    """r11 ADVICE fix: a NULL label must neither crash the multi-class
+    trainer (sorted() over None vs str) nor silently inflate n in the
+    binary trainer (shrinking the effective learning rate). Training on
+    a corpus with NULL-label rows equals training on the labeled subset
+    exactly."""
+    import numpy as np
+
+    rows = [
+        (0, "hello world text here", "en", 1.0),
+        (1, "hallo welt text hier", "de", 0.0),
+        (2, "more english words appear", "en", 1.0),
+        (3, "mehr deutsche worte hier", "de", 0.0),
+    ]
+    with_nulls = spark.createDataFrame(
+        rows + [(4, "unlabeled doc text", None, None)],
+        "doc_id long, text string, lang string, y double",
+    )
+    clean = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, y double"
+    )
+    m1 = C.train_langid_classifier(
+        with_nulls, "doc_id", "text", "lang", n_buckets=128, iters=2, lr=1.0
+    )
+    m2 = C.train_langid_classifier(
+        clean, "doc_id", "text", "lang", n_buckets=128, iters=2, lr=1.0
+    )
+    assert m1["classes"] == m2["classes"] == ["de", "en"]
+    assert np.array_equal(m1["weights"], m2["weights"])
+    b1 = C.train_text_classifier(
+        with_nulls, "doc_id", "text", "y", n_buckets=128, iters=2, lr=1.0
+    )
+    b2 = C.train_text_classifier(
+        clean, "doc_id", "text", "y", n_buckets=128, iters=2, lr=1.0
+    )
+    assert b1["losses"] == b2["losses"]
+    assert np.array_equal(b1["weights"], b2["weights"])

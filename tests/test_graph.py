@@ -148,3 +148,74 @@ def test_pagerank_edge_shuffle_reused_across_iterations(spark):
         assert len(stage_ids[3]) == len(stage_ids[6]) == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _reference_dangling(edges, iters, d=0.85, qbits=30):
+    """Pure-Python replay of the dangling='redistribute' arithmetic."""
+    import math
+
+    q = float(1 << qbits)
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        dm = sum(rank[n] for n in nodes if n not in deg)
+        extra = math.floor(d * dm / len(nodes) * q) / q
+        sums = {}
+        for s, t in e:
+            c = math.floor(rank[s] / deg[s] * q) / q
+            sums[t] = sums.get(t, 0.0) + c
+        rank = {
+            n: math.floor(((1.0 - d) + d * sums.get(n, 0.0) + extra) * q) / q
+            for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_dangling_redistribution_matches_reference(spark):
+    """dangling='redistribute' (r11 variant): dangling-node mass is
+    shared uniformly each iteration — exactly the pure-Python replay,
+    and the dangling nodes' mass visibly lifts everyone vs the default
+    (which lets it evaporate)."""
+    # 0->1->2, 3->2; nodes 1? has out-edge; 2 is DANGLING (no out-edges)
+    pairs = [(0, 1), (1, 2), (3, 2), (0, 3)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, "src", "dst", iters=4, dangling="redistribute"
+        ).collect()
+    }
+    want = _reference_dangling(pairs, iters=4)
+    assert got == want  # bit-exact
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", iters=4).collect()
+    }
+    assert all(got[n] >= plain[n] for n in got)
+    assert sum(got.values()) > sum(plain.values())
+
+
+def test_pagerank_tol_early_stop(spark):
+    """tol: a generous tolerance stops after the first iteration (ranks
+    equal the 1-iteration run); tol=0 runs all iterations (ranks equal
+    the full run) on a graph that hasn't converged."""
+    pairs = [(0, 1), (1, 0), (2, 0), (0, 2), (3, 0)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    one = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=1).collect()}
+    full = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=6).collect()}
+    lazy = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", iters=6, tol=1e9).collect()
+    }
+    strict = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", iters=6, tol=0.0).collect()
+    }
+    assert lazy == one
+    assert strict == full
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, "src", "dst", dangling="bogus")

@@ -687,3 +687,60 @@ def test_robots_wildcard_regex_translation():
     assert _robots_pattern_regex("/a$b*") == r"^/a\$b.*"
     # regex metacharacters in the rule are matched literally
     assert _robots_pattern_regex("/p(1)+*") == r"^/p\(1\)\+.*"
+
+
+def test_robots_sitemaps_discovery(spark):
+    """Sitemap: lines in robots.txt (r11 — the discovery hop between
+    the robots gate and sitemap intake): global per the protocol, case-
+    insensitive key, commented lines ignored, composes into
+    sitemap_urls."""
+    from bitfilters_spark.operators.web import robots_sitemaps, sitemap_urls
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Sitemap: http://a.com/sitemap.xml\n"
+        "sitemap: http://a.com/s2.xml\n"
+        "# Sitemap: http://a.com/commented.xml\n"
+        "  SITEMAP:   http://a.com/s3.xml   \n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", txt), ("b.com", "User-agent: *\n")],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.sitemap_url) for r in robots_sitemaps(robots).collect()}
+    assert got == {
+        ("a.com", "http://a.com/sitemap.xml"),
+        ("a.com", "http://a.com/s2.xml"),
+        ("a.com", "http://a.com/s3.xml"),
+    }
+    # composition: discovered sitemap (fetched) -> url intake, host carried
+    fetched = robots_sitemaps(robots).limit(1).select(
+        "host",
+        F.lit(
+            "<urlset><url><loc>http://a.com/page1</loc></url></urlset>"
+        ).alias("sitemap_xml"),
+    )
+    urls = sitemap_urls(fetched, carry_cols=("host",)).collect()
+    assert [(r.host, r.url) for r in urls] == [("a.com", "http://a.com/page1")]
+
+
+def test_extract_links_anchor_text(spark):
+    """anchor column (r11): visible text run after the open tag, entity-
+    decoded, truncated at nested markup; empty for image-only anchors."""
+    from bitfilters_spark.operators.web import extract_links
+
+    html = (
+        '<a href="/x">Read <b>more</b></a>'
+        '<a href="/y">Fish &amp; Chips</a>'
+        '<a href="/z"><img src="i.png"></a>'
+    )
+    df = spark.createDataFrame(
+        [("http://h.test/a/", html)], ["url", "html"]
+    )
+    got = {r.dst_url: r.anchor for r in extract_links(df, "html", "url").collect()}
+    assert got == {
+        "http://h.test/x": "Read",
+        "http://h.test/y": "Fish & Chips",
+        "http://h.test/z": "",
+    }
