@@ -4,6 +4,8 @@ operator from this engine, chained the way a production pipeline would.
 Synthesizes a "crawl" from the documents table (HTML wrapping + URLs with
 tracking noise + injected duplicates), then runs:
 
+  extract_links -> host PageRank -> frontier priority for the next
+  crawl round (the closed crawl loop, r11) ->
   strip_html + fix_mojibake -> normalize_url dedup -> blocklist +
   Gopher rule gates -> C4 page gates (brace/lorem — catches the
   injected code/boilerplate pages) -> TRAINED quality classifier gate
@@ -93,7 +95,11 @@ def main(sf_dir: str) -> None:
             F.concat(
                 F.lit("<html><head><script>x=1</script></head><body><p>"),
                 F.col("text"),
-                F.lit("</p></body></html>"),
+                F.lit('</p><a href="https://site'),
+                ((F.col("doc_id") + 1) % 37).cast("string"),
+                F.lit('.example.com/p/'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">next</a></body></html>'),
             ).alias("html"),
             F.concat(
                 F.lit("https://Site"),
@@ -139,6 +145,52 @@ def main(sf_dir: str) -> None:
             "crawl",
             crawl.unionByName(recrawl).unionByName(junk)
             .unionByName(codejunk).localCheckpoint(),
+        )
+
+        # r11: the crawl loop's link-graph step — outlinks mined from
+        # the fetched HTML itself feed host PageRank, which feeds the
+        # frontier's priority for the NEXT crawl round (sitemap/robots
+        # intake -> fetch -> extract_links -> pagerank -> frontier)
+        from bitfilters_spark.operators.graph import pagerank
+        from bitfilters_spark.operators.web import (
+            extract_links,
+            url_frontier_schedule,
+        )
+
+        links = stage(
+            "extract_links",
+            extract_links(crawl.select("url", "html"), "html", "url")
+            .select("src_host", "dst_host")
+            .localCheckpoint(),
+        )
+        hostrank = stage(
+            "host_pagerank",
+            pagerank(
+                links.where(F.col("src_host") != F.col("dst_host")).select(
+                    F.xxhash64("src_host").alias("s"),
+                    F.xxhash64("dst_host").alias("d"),
+                ),
+                "s",
+                "d",
+                iters=2,
+            ).localCheckpoint(),
+        )
+        next_round = stage(
+            "frontier_by_rank",
+            url_frontier_schedule(
+                crawl.select("url")
+                .withColumn("hnode", F.xxhash64(F.lower(F.regexp_extract("url", r"://([^/]+)/", 1))))
+                .join(
+                    hostrank.select(F.col("node").alias("hnode"), F.col("rank").alias("prio")),
+                    "hnode",
+                    "left",
+                )
+                .fillna(0.0, subset=["prio"]),
+                "url",
+                host_col="hnode",
+                priority_col="prio",
+                per_host_per_round=50,
+            ),
         )
 
         extracted = crawl.select(
