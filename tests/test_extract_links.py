@@ -211,3 +211,39 @@ def test_crawl_loop_composition(spark):
     )
     first = {r.host for r in sched.where(F.col("round") == 0).collect()}
     assert "h0.test" in first
+
+
+def test_extract_links_streaming(spark, tmp_path):
+    """extract_links is pure map-side expression work, so it applies
+    unchanged to a readStream of fetched pages — the live form of the
+    crawl loop (fetch stream -> edges -> frontier priority refresh)."""
+    src = str(tmp_path / "pages_in")
+    ckpt = str(tmp_path / "pages_ckpt")
+    spark.createDataFrame(
+        [
+            ("http://a.test/p1", '<a href="http://b.test/x">b</a>'),
+            ("http://b.test/p2", '<a href="/local">l</a>'),
+        ],
+        "url string, html string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("url string, html string").parquet(src)
+    edges = extract_links(stream, "html", "url")
+    q = (
+        edges.writeStream.format("memory")
+        .queryName("live_edges")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.src_host, r.dst_url)
+            for r in spark.sql("SELECT * FROM live_edges").collect()
+        }
+        assert got == {
+            ("a.test", "http://b.test/x"),
+            ("b.test", "http://b.test/local"),
+        }
+    finally:
+        q.stop()

@@ -236,6 +236,84 @@ def main(sf_dir: str) -> None:
         )
         out["ribbon_probe_s"] = round(time.time() - t0, 2)
         assert hits == okeys.count(), "ribbon false negative at stress"
+
+        # r11: extract_links over a 10x synthetic crawl (every stress doc
+        # wrapped in HTML with 3 outlinks: absolute cross-host, relative
+        # self, and a dead comment link) + host pagerank over the edges —
+        # the closed crawl loop at 50k pages / 100k live links
+        from bitfilters_spark.operators.graph import pagerank
+        from bitfilters_spark.operators.web import extract_links
+
+        pages = stress.select(
+            F.concat(
+                F.lit("http://h"), (F.col("doc_id") % 199).cast("string"),
+                F.lit(".test/p/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><body><!-- <a href="http://dead.test/x">d</a> -->'),
+                F.lit('<a href="http://h'),
+                ((F.col("doc_id") + 7) % 199).cast("string"),
+                F.lit('.test/p.html">x</a><a href="rel/'),
+                F.col("doc_id").cast("string"),
+                F.lit('.html">r</a><p>'),
+                F.substring("text", 1, 200),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        ).repartition(32)
+        t0 = time.time()
+        links = extract_links(pages, "html", "url").select(
+            "src_host", "dst_host"
+        ).localCheckpoint()
+        out["extract_links_rows"] = links.count()
+        out["extract_links_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pr = pagerank(
+            links.where(F.col("src_host") != F.col("dst_host")).select(
+                F.xxhash64("src_host").alias("s"), F.xxhash64("dst_host").alias("d")
+            ),
+            "s", "d", iters=3,
+        )
+        out["host_pagerank_nodes"] = pr.count()
+        out["host_pagerank_s"] = round(time.time() - t0, 2)
+
+        # r11: BM25 index lifecycle at stress — build on 80%, append 20%
+        # in two folds, compact; file count must collapse and the probe
+        # stays live throughout
+        from bitfilters_spark.operators.bm25_index import (
+            BM25Probe,
+            append_to_bm25_index,
+            build_bm25_index,
+            compact_bm25_index,
+        )
+
+        base80 = stress.where(F.col("doc_id") % 5 != 0)
+        t0 = time.time()
+        build_bm25_index(
+            base80, "doc_id", "text", "stress_bm25", num_buckets=16,
+            path=f"{tmp}/bm25",
+        )
+        out["bm25_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        for m in (0, 5):
+            append_to_bm25_index(
+                stress.where(F.col("doc_id") % 10 == m), "doc_id", "text",
+                "stress_bm25", num_buckets=16,
+            )
+        out["bm25_append_s"] = round(time.time() - t0, 2)
+        qset = stress.limit(3).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring_index("text", " ", 6).alias("query"),
+        ).localCheckpoint()
+        probe_h = BM25Probe(spark, "stress_bm25")
+        pre = probe_h.query(qset).count()
+        t0 = time.time()
+        comp = compact_bm25_index(spark, "stress_bm25", path=f"{tmp}/bm25")
+        out["bm25_compact_s"] = round(time.time() - t0, 2)
+        out["bm25_files_before"] = comp["files_before"]
+        out["bm25_files_after"] = comp["files_after"]
+        post = BM25Probe(spark, "stress_bm25").query(qset).count()
+        assert pre == post, "compaction changed probe results"
+        out["bm25_probe_rows"] = post
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
