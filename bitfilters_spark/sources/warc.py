@@ -1,0 +1,223 @@
+"""WARC crawl-archive ingest (#139) — the standard container every real
+crawl corpus ships in (Common Crawl, Internet Archive; ISO 28500). The
+engine's crawl loop starts from fetched pages; this is where fetched
+pages actually COME FROM at 100 TB: directories of ``.warc`` /
+``.warc.gz`` archives, each holding thousands of length-prefixed
+records.
+
+Spark-first shape: archives load through the built-in ``binaryFile``
+source (one row per archive — Catalyst handles listing, partitioning
+and pushdown on path/size), and record splitting runs in ONE
+``mapInPandas`` pass per archive. Per-archive imperative Python is the
+honest granularity here — a WARC file is a sequential container whose
+records are found by walking Content-Length offsets, so the
+parallelism that matters is ACROSS archives (a Common Crawl segment is
+~56k files; 1000 executors chew the listing), never within one. Payload
+bytes stay map-side: no shuffle touches them, and downstream column
+pruning drops ``payload`` for metadata-only queries before it ever
+crosses a stage boundary.
+
+Failure posture (the `sources.ingest` dead-letter convention): a
+malformed record ends parsing of THAT archive's remainder — offsets are
+chained, so resynchronizing would guess — and emits one row with
+``parse_error`` set (reason + byte offset) and the raw remainder as
+payload for quarantine/replay; every prior good record is kept. Good
+rows carry ``parse_error`` NULL.
+
+gzip: Common Crawl archives are per-record gzip MEMBERS concatenated
+into one ``.warc.gz`` — detected by magic bytes and inflated member by
+member (zlib, stdlib); plain ``.warc`` bytes pass through.
+
+Composition (pytest, tests/test_warc.py): ``read_warc`` →
+:func:`warc_pages` → ``web.extract_links`` → ``graph.pagerank`` →
+frontier — the crawl loop now starts from the wire format.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("record_offset", LongType()),
+        StructField("record_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Inflate a concatenation of gzip members (the Common Crawl layout:
+    one member per record) into one plain byte stream."""
+    out = []
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=47)  # 47 = auto gzip/zlib header
+        out.append(d.decompress(raw[pos:]))
+        consumed = len(raw) - pos - len(d.unused_data)
+        if consumed <= 0:  # no forward progress: corrupt tail
+            raise zlib.error(f"gzip member at offset {pos} did not advance")
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_one(buf: bytes, source: str):
+    """Yield WARC_SCHEMA tuples for one archive's plain bytes."""
+    n = len(buf)
+    pos = 0
+    while pos < n:
+        # skip inter-record CRLFs (spec: two CRLF after each block)
+        while pos < n and buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        if not buf.startswith(b"WARC/", pos):
+            yield (source, start, None, None, None, None, None, None, None,
+                   bytes(buf[pos:]), f"expected WARC/ header at offset {start}")
+            return
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            yield (source, start, None, None, None, None, None, None, None,
+                   bytes(buf[pos:]), f"unterminated header at offset {start}")
+            return
+        headers = {}
+        for line in buf[pos:hdr_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            yield (source, start, None, None, None, None, None, None, None,
+                   bytes(buf[pos:]),
+                   f"missing/invalid Content-Length at offset {start}")
+            return
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            yield (source, start, None, None, None, None, None, None, None,
+                   bytes(buf[pos:]),
+                   f"truncated record at offset {start} (need {clen} bytes)")
+            return
+        block = buf[body_start : body_start + clen]
+        rtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
+        ctype = headers.get(b"content-type", b"").decode("ascii", "replace")
+        uri = headers.get(b"warc-target-uri")
+        date = headers.get(b"warc-date")
+        status = None
+        http_ct = None
+        payload = block
+        # an application/http block carries HTTP headers + body: split
+        # them so downstream gets the entity body and typed status/mime
+        if ctype.lower().startswith("application/http"):
+            sep = block.find(b"\r\n\r\n")
+            if sep >= 0:
+                http_head = block[:sep].split(b"\r\n")
+                payload = block[sep + 4 :]
+                first = http_head[0].split(b" ")
+                if len(first) >= 2 and first[0].startswith(b"HTTP/"):
+                    try:
+                        status = int(first[1])
+                    except ValueError:
+                        status = None
+                for line in http_head[1:]:
+                    k, s2, v = line.partition(b":")
+                    if s2 and k.strip().lower() == b"content-type":
+                        http_ct = v.strip().decode("ascii", "replace")
+                        break
+        yield (
+            source,
+            start,
+            rtype,
+            uri.decode("utf-8", "replace") if uri is not None else None,
+            date.decode("ascii", "replace") if date is not None else None,
+            ctype,
+            clen,
+            status,
+            http_ct,
+            bytes(payload),
+            None,
+        )
+        pos = body_start + clen
+
+
+def parse_warc_records(
+    df: DataFrame, content_col: str = "content", path_col: str = "path"
+) -> DataFrame:
+    """(source_file, record_offset, record_type, target_uri, warc_date,
+    content_type, content_length, http_status, http_content_type,
+    payload, parse_error) — one row per WARC record, from one
+    mapInPandas pass over (path, archive-bytes) rows. gzip archives
+    (magic-detected) inflate member-by-member first."""
+
+    def split(batches):
+        for pdf in batches:
+            rows = []
+            for path, raw in zip(pdf[path_col], pdf[content_col]):
+                raw = bytes(raw)
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gunzip_members(raw)
+                    except zlib.error as exc:
+                        rows.append(
+                            (path, 0, None, None, None, None, None, None,
+                             None, raw, f"gzip: {exc}")
+                        )
+                        continue
+                rows.extend(_parse_one(raw, path))
+            yield pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
+
+    return df.select(path_col, content_col).mapInPandas(
+        split, schema=WARC_SCHEMA
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Records of every ``.warc``/``.warc.gz`` under ``path`` — the
+    ``binaryFile`` source does the listing/partitioning (one task per
+    archive), :func:`parse_warc_records` does the splitting."""
+    return parse_warc_records(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+
+
+def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
+    """(url, html) fetched pages from a record stream: response records
+    with a 2xx status, entity body read as UTF-8 bytes via a binary→
+    string CAST — unlike ``decode(...,'UTF-8')``, the cast never throws
+    on malformed sequences (one latin-1 page in a crawl must not kill
+    the job; real charset repair is `fix_mojibake`'s job downstream) —
+    the exact input shape ``web.extract_links``/``strip_html`` consume."""
+    return (
+        records.where(
+            (F.col("record_type") == "response")
+            & F.col("http_status").between(min_status, max_status)
+            & F.col("parse_error").isNull()
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("payload").cast("string").alias("html"),
+        )
+    )

@@ -1,0 +1,172 @@
+"""WARC crawl-archive ingest (#139, sources/warc.py): record splitting
+(plain + member-gzip), HTTP response payload extraction, dead-letter
+rows for malformed tails, and the wire-format crawl-loop composition
+read_warc → warc_pages → extract_links."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.sources.warc import (
+    WARC_SCHEMA,
+    parse_warc_records,
+    read_warc,
+    warc_pages,
+)
+
+
+def _record(rtype, uri, body: bytes, ctype="application/http; msgtype=response"):
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def _http_response(html: bytes, status=200, mime=b"text/html; charset=utf-8"):
+    return (
+        b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
+        b"Content-Type: " + mime + b"\r\n"
+        b"Server: test\r\n\r\n" + html
+    )
+
+
+def _archive():
+    info = _record("warcinfo", None, b"software: test\r\n", ctype="application/warc-fields")
+    page1 = _record(
+        "response",
+        "http://h1.test/index.html",
+        _http_response(b'<a href="http://h2.test/x">next</a>'),
+    )
+    req = _record(
+        "request",
+        "http://h1.test/index.html",
+        b"GET /index.html HTTP/1.1\r\nHost: h1.test\r\n\r\n",
+        ctype="application/http; msgtype=request",
+    )
+    page2 = _record(
+        "response",
+        "http://h2.test/a/b.html",
+        _http_response(b'<a href="../up.html">u</a>', status=200),
+    )
+    gone = _record(
+        "response",
+        "http://h2.test/gone",
+        _http_response(b"not here", status=404),
+    )
+    return info + page1 + req + page2 + gone
+
+
+def _df(spark, blobs):
+    return spark.createDataFrame(
+        [(f"file:/arc{i}.warc", b) for i, b in enumerate(blobs)],
+        "path string, content binary",
+    )
+
+
+def test_plain_archive_records(spark):
+    recs = parse_warc_records(_df(spark, [_archive()])).collect()
+    assert [r.record_type for r in recs] == [
+        "warcinfo", "response", "request", "response", "response"
+    ]
+    assert all(r.parse_error is None for r in recs)
+    by_uri = {r.target_uri: r for r in recs if r.record_type == "response"}
+    p1 = by_uri["http://h1.test/index.html"]
+    assert p1.http_status == 200
+    assert p1.http_content_type == "text/html; charset=utf-8"
+    assert bytes(p1.payload) == b'<a href="http://h2.test/x">next</a>'
+    assert by_uri["http://h2.test/gone"].http_status == 404
+    # the warcinfo block is NOT http: raw payload, no status
+    info = recs[0]
+    assert info.http_status is None
+    assert bytes(info.payload) == b"software: test\r\n"
+    # offsets are increasing and start at 0
+    offs = [r.record_offset for r in recs]
+    assert offs[0] == 0 and offs == sorted(offs)
+
+
+def test_gzip_member_archive(spark):
+    """Common Crawl layout: one gzip member per record, concatenated."""
+    members = b"".join(
+        gzip.compress(part)
+        for part in [
+            _record("warcinfo", None, b"x", ctype="application/warc-fields"),
+            _record(
+                "response", "http://g.test/p", _http_response(b"<p>gz</p>")
+            ),
+        ]
+    )
+    recs = parse_warc_records(_df(spark, [members])).collect()
+    assert [r.record_type for r in recs] == ["warcinfo", "response"]
+    assert bytes(recs[1].payload) == b"<p>gz</p>"
+    assert all(r.parse_error is None for r in recs)
+
+
+def test_malformed_tail_dead_letter(spark):
+    """A corrupt record keeps every prior good record and emits ONE
+    parse_error row with the raw remainder for quarantine."""
+    good = _record("response", "http://ok.test/", _http_response(b"fine"))
+    bad = good + b"GARBAGE-NOT-A-HEADER" + b"\x00" * 10
+    recs = parse_warc_records(_df(spark, [bad])).collect()
+    assert len(recs) == 2
+    assert recs[0].parse_error is None and recs[0].http_status == 200
+    assert recs[1].parse_error is not None
+    assert b"GARBAGE" in bytes(recs[1].payload)
+    # truncated Content-Length is also a dead-letter, not a crash
+    trunc = _record("response", "http://t.test/", _http_response(b"fine"))
+    trunc = trunc[: len(trunc) - 12]  # cut into the body
+    recs2 = parse_warc_records(_df(spark, [trunc])).collect()
+    assert len(recs2) == 1 and "truncated" in recs2[0].parse_error
+
+
+def test_read_warc_and_crawl_loop_composition(spark, tmp_path):
+    """The wire-format front door: .warc.gz files on disk → binaryFile →
+    records → warc_pages → extract_links. 404s and non-response records
+    never become pages; the outlink edge comes out resolved."""
+    from bitfilters_spark.operators.web import extract_links
+
+    (tmp_path / "seg").mkdir()
+    (tmp_path / "seg" / "a.warc").write_bytes(_archive())
+    (tmp_path / "seg" / "b.warc.gz").write_bytes(
+        gzip.compress(
+            _record(
+                "response",
+                "http://h3.test/",
+                _http_response(b'<a href="/deep">d</a>'),
+            )
+        )
+    )
+    (tmp_path / "seg" / "ignore.txt").write_bytes(b"not an archive")
+    recs = read_warc(spark, str(tmp_path / "seg"))
+    pages = warc_pages(recs)
+    got = {r.url for r in pages.collect()}
+    assert got == {
+        "http://h1.test/index.html",
+        "http://h2.test/a/b.html",
+        "http://h3.test/",
+    }
+    edges = extract_links(pages, "html", "url")
+    dsts = {r.dst_url for r in edges.collect()}
+    assert dsts == {
+        "http://h2.test/x",
+        "http://h2.test/up.html",
+        "http://h3.test/deep",
+    }
+
+
+def test_empty_and_non_utf8(spark):
+    empty = spark.createDataFrame([], "path string, content binary")
+    assert parse_warc_records(empty).count() == 0
+    assert parse_warc_records(empty).schema == WARC_SCHEMA
+    # latin-1 bytes in a page body must not kill the decode
+    page = _record(
+        "response", "http://l.test/", _http_response(b"caf\xe9 <a href='/x'>x</a>")
+    )
+    pages = warc_pages(parse_warc_records(_df(spark, [page])))
+    [row] = pages.collect()
+    assert "<a href='/x'>x</a>" in row.html
