@@ -645,6 +645,48 @@ def apply_robots(
     )
 
 
+def robots_meta(col) -> Column:
+    """Per-page robots DIRECTIVES from ``<meta name="robots">`` tags —
+    the in-page complement of the site-wide robots.txt gate (#136):
+    robots.txt says what may be FETCHED, the meta tag says what a
+    fetched page may be used for. Returns a struct
+    ``(noindex boolean, nofollow boolean)``; a training-data pipeline
+    drops ``noindex`` pages before indexing/retention and a crawler
+    skips link extraction on ``nofollow`` pages.
+
+    Pure JVM expressions: all robots meta tags are collected
+    (``regexp_extract_all``) and a directive holds if ANY tag asserts it
+    (the conservative union — the standard engine behavior for
+    conflicting tags); ``none`` implies both per the de-facto spec.
+    Attribute order and quoting are free (name before or after content,
+    single/double/no quotes); matching is token-wise, so a content value
+    of "noindexing" does NOT trigger."""
+    c = F.col(col) if isinstance(col, str) else col
+    tags = F.regexp_extract_all(
+        c,
+        F.lit(r"""(?is)<meta\b[^>]*\bname\s*=\s*["']?robots\b[^>]*>"""),
+        F.lit(0),
+    )
+
+    def _content(t):
+        cd = F.regexp_extract(t, r"""(?i)\bcontent\s*=\s*"([^"]*)\"""", 1)
+        cs = F.regexp_extract(t, r"""(?i)\bcontent\s*=\s*'([^']*)'""", 1)
+        cu = F.regexp_extract(t, r"""(?i)\bcontent\s*=\s*([^\s"'<>][^\s>]*)""", 1)
+        return F.when(cd != "", cd).when(cs != "", cs).otherwise(cu)
+
+    def _has(word):
+        return F.exists(
+            tags,
+            lambda t: _content(t).rlike(
+                rf"(?i)(^|[\s,])({word}|none)([\s,]|$)"
+            ),
+        )
+
+    return F.struct(
+        _has("noindex").alias("noindex"), _has("nofollow").alias("nofollow")
+    )
+
+
 def robots_sitemaps(
     df: DataFrame,
     host_col: str = "host",

@@ -744,3 +744,36 @@ def test_extract_links_anchor_text(spark):
         "http://h.test/y": "Fish & Chips",
         "http://h.test/z": "",
     }
+
+
+def test_robots_meta_directives(spark):
+    """robots_meta (r11): <meta name=robots> parsing — attribute order,
+    quoting styles, token-wise matching, 'none' implies both, multi-tag
+    union, absent tag means indexable."""
+    from bitfilters_spark.operators.web import robots_meta
+
+    cases = [
+        (0, '<meta name="robots" content="noindex, nofollow">', True, True),
+        (1, "<meta name='robots' content='NOINDEX'>", True, False),
+        (2, '<meta content="nofollow" name="robots">', False, True),
+        (3, "<meta name=robots content=none>", True, True),
+        (4, '<meta name="robots" content="index, follow">', False, False),
+        (5, "<p>no meta at all</p>", False, False),
+        # token-wise: 'noindexing' is NOT a directive
+        (6, '<meta name="robots" content="noindexing">', False, False),
+        # union across tags
+        (7, '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">', True, True),
+        # a description meta must not match
+        (8, '<meta name="description" content="noindex nofollow">',
+         False, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, *_ in cases], "i int, html string"
+    )
+    got = {
+        r.i: (r.rm.noindex, r.rm.nofollow)
+        for r in df.select("i", robots_meta("html").alias("rm")).collect()
+    }
+    for i, _, noindex, nofollow in cases:
+        assert got[i] == (noindex, nofollow), f"case {i}"
