@@ -221,3 +221,60 @@ def warc_pages(records: DataFrame, min_status: int = 200, max_status: int = 299)
             F.col("payload").cast("string").alias("html"),
         )
     )
+
+
+def surt_key(col) -> "F.Column":
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL —
+    ``com,example)/path?q`` — the canonical CDX sort key: reversing the
+    host labels puts every page of a registrable domain (and every
+    subdomain of it) into ONE contiguous key range, so a range scan
+    answers "everything under example.com". Pure JVM expressions
+    (parse_url + split/reverse/array_join); scheme/port/fragment drop,
+    host lowercases, NULL for unparseable URLs."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    rest = F.when(
+        query.isNull() | (query == ""), path
+    ).otherwise(F.concat(path, F.lit("?"), query))
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(rev, F.lit(")"), rest)
+    )
+
+
+def warc_cdx(records: DataFrame) -> DataFrame:
+    """(surt, warc_date, url, source_file, record_offset, http_status,
+    mime) — the CDX-style capture index of a record stream: everything a
+    random-access reader needs to seek one record out of a 100 TB
+    archive set without scanning it. Response records only; rows with a
+    NULL surt (unparseable URI) are kept with surt NULL so nothing is
+    silently lost — filter or quarantine by policy."""
+    return records.where(
+        (F.col("record_type") == "response") & F.col("parse_error").isNull()
+    ).select(
+        surt_key("target_uri").alias("surt"),
+        "warc_date",
+        F.col("target_uri").alias("url"),
+        "source_file",
+        "record_offset",
+        "http_status",
+        F.col("http_content_type").alias("mime"),
+    )
+
+
+def write_cdx(records: DataFrame, path: str, num_files: int = 32) -> None:
+    """Materialize the capture index GLOBALLY SORTED by (surt,
+    warc_date): ``repartitionByRange`` gives non-overlapping sorted key
+    ranges across ``num_files`` files and the in-file sort finishes the
+    order — a reader binary-searches file ranges by parquet min/max
+    stats, then rows within the file; one shuffle total, index-scale
+    (metadata columns only, payloads never move)."""
+    (
+        warc_cdx(records)
+        .repartitionByRange(num_files, F.col("surt"), F.col("warc_date"))
+        .sortWithinPartitions("surt", "warc_date")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

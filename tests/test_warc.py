@@ -170,3 +170,56 @@ def test_empty_and_non_utf8(spark):
     pages = warc_pages(parse_warc_records(_df(spark, [page])))
     [row] = pages.collect()
     assert "<a href='/x'>x</a>" in row.html
+
+
+def test_surt_and_cdx_index(spark, tmp_path):
+    """SURT keys put a domain's pages in one contiguous range; write_cdx
+    materializes a globally-sorted capture index (non-overlapping file
+    ranges + in-file order) that covers exactly the good response
+    records."""
+    from bitfilters_spark.sources.warc import surt_key, warc_cdx, write_cdx
+
+    urls = spark.createDataFrame(
+        [
+            ("http://www.Example.com/a/b?q=1",),
+            ("https://sub.example.com/x",),
+            ("http://other.test/",),
+            ("not a url",),
+        ],
+        ["u"],
+    )
+    got = [r.s for r in urls.select(surt_key("u").alias("s")).collect()]
+    assert got[0] == "com,example,www)/a/b?q=1"
+    assert got[1] == "com,example,sub)/x"
+    assert got[2] == "test,other)/"
+    assert got[3] is None
+    # domain-range law: every example.com capture sorts together
+    assert got[1].startswith("com,example,") and got[0].startswith("com,example,")
+
+    recs = parse_warc_records(_df(spark, [_archive()]))
+    cdx = warc_cdx(recs).collect()
+    assert {r.url for r in cdx} == {
+        "http://h1.test/index.html",
+        "http://h2.test/a/b.html",
+        "http://h2.test/gone",  # 404 stays in the INDEX (it was captured)
+    }
+    assert all(r.record_offset is not None and r.source_file for r in cdx)
+
+    out = str(tmp_path / "cdx")
+    write_cdx(recs, out, num_files=2)
+    back = spark.read.parquet(out).collect()
+    surts = [r.surt for r in back]
+    assert len(back) == 3
+    # global order is recoverable by (file min/max, in-file order):
+    # within each input file rows are sorted
+    import collections
+
+    by_file = collections.defaultdict(list)
+    for r in spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "surt"
+    ).collect():
+        by_file[r.f].append(r.surt)
+    # rows were written sortWithinPartitions, but parquet read order per
+    # file equals write order, so each file's list is sorted
+    for f, ss in by_file.items():
+        assert ss == sorted(ss)
