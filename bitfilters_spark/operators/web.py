@@ -393,6 +393,68 @@ def moji_repair_sql(expr: str) -> str:
     return out
 
 
+def url_template(col) -> Column:
+    """Structural template of a URL — variable parts collapse to typed
+    placeholders (digit runs → ``{N}``, ≥8-char hex runs → ``{H}``,
+    ≥16-char base64-ish runs → ``{T}``, every query VALUE → ``{V}``) so
+    the infinitely-many URLs a crawler trap generates
+    (``/calendar/2024/01/03``, ``?sessionid=ab12…``, ``/page/1..10^9``)
+    all map to ONE template string. Pure JVM regexp chain, scan speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_replace(c, r"#.*$", "")
+    # query values first (before digit/hex collapse eats the delimiters)
+    t = F.regexp_replace(t, r"(?<=[?&])([^=&#]+)=[^&#]*", "$1={V}")
+    t = F.regexp_replace(t, r"[0-9a-fA-F]{8,}", "{H}")
+    # one path segment's worth of token characters (URL-safe base64) —
+    # '/' deliberately excluded or the rule would swallow whole paths
+    t = F.regexp_replace(t, r"[A-Za-z0-9_-]{16,}", "{T}")
+    return F.regexp_replace(t, r"[0-9]+", "{N}")
+
+
+def detect_url_traps(
+    df: DataFrame,
+    url_col: str,
+    max_urls_per_template: int = 1000,
+    host_col: str | None = None,
+) -> DataFrame:
+    """Crawler-trap detection over a frontier or link table: collapse
+    every URL to its :func:`url_template` and flag templates whose
+    DISTINCT-URL population explodes past ``max_urls_per_template`` —
+    calendars, session-id mirrors, faceted-search grids, infinite
+    pagination. Real frontiers die on these (the trap emits unbounded
+    novel URLs, so per-URL dedup never saves you; the TEMPLATE is the
+    stable identity).
+
+    Returns (template [, host], n_urls, example_url, is_trap) — one row
+    per template, host-scoped when ``host_col`` is given (the same
+    template on two hosts is two decisions). Anti-join the frontier
+    against ``is_trap`` templates before scheduling.
+
+    Plan: one map-side template projection + one groupBy on (template
+    [, host]) with map-side-combined count + min(url) as the example —
+    a single shuffle of template-keyed rows, output ∝ distinct
+    templates (tiny next to the URL count)."""
+    keys = ([F.col(host_col)] if host_col else []) + [
+        url_template(url_col).alias("template")
+    ]
+    grouped = (
+        df.select(*keys, F.col(url_col).alias("__u"))
+        .groupBy(*[k if isinstance(k, str) else k for k in
+                   (["template"] + ([host_col] if host_col else []))])
+        .agg(
+            F.countDistinct("__u").alias("n_urls"),
+            F.min("__u").alias("example_url"),
+        )
+    )
+    return grouped.select(
+        "template",
+        *([host_col] if host_col else []),
+        "n_urls",
+        "example_url",
+        (F.col("n_urls") > max_urls_per_template).alias("is_trap"),
+    )
+
+
 def url_frontier_schedule(
     df,
     url_col: str,

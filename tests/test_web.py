@@ -777,3 +777,45 @@ def test_robots_meta_directives(spark):
     }
     for i, _, noindex, nofollow in cases:
         assert got[i] == (noindex, nofollow), f"case {i}"
+
+
+def test_url_template_and_trap_detection(spark):
+    """Crawler-trap defense (r11): calendar/session/pagination URLs all
+    collapse to one template; templates past the population threshold
+    flag as traps, legitimate small templates don't."""
+    from bitfilters_spark.operators.web import detect_url_traps, url_template
+
+    cases = spark.createDataFrame(
+        [
+            ("http://a.test/calendar/2024/01/03",),
+            ("http://a.test/p?sessionid=ab12cd34ef56&x=1",),
+            ("http://a.test/t/dGhpc2lzYXRva2VuX2xvbmc1/view",),
+        ],
+        ["u"],
+    )
+    got = [r.t for r in cases.select(url_template("u").alias("t")).collect()]
+    assert got[0] == "http://a.test/calendar/{N}/{N}/{N}"
+    assert got[1] == "http://a.test/p?sessionid={V}&x={V}"
+    assert got[2] == "http://a.test/t/{T}/view"
+
+    # a trap host emits 50 calendar URLs; a real host has 3 articles
+    rows = [(f"http://trap.test/cal/2024/{m:02d}/{d:02d}", "trap.test")
+            for m in range(1, 6) for d in range(1, 11)]
+    rows += [(f"http://ok.test/article/{i}", "ok.test") for i in range(3)]
+    df = spark.createDataFrame(rows, ["url", "host"])
+    rep = {
+        (r.template, r.host): (r.n_urls, r.is_trap)
+        for r in detect_url_traps(
+            df, "url", max_urls_per_template=10, host_col="host"
+        ).collect()
+    }
+    assert rep[("http://trap.test/cal/{N}/{N}/{N}", "trap.test")] == (50, True)
+    assert rep[("http://ok.test/article/{N}", "ok.test")] == (3, False)
+    # anti-join semantics: gating the frontier drops exactly the trap
+    traps = detect_url_traps(
+        df, "url", max_urls_per_template=10, host_col="host"
+    ).where("is_trap").select("template", "host")
+    gated = df.withColumn("template", url_template("url")).join(
+        traps, ["template", "host"], "left_anti"
+    )
+    assert gated.count() == 3
