@@ -223,3 +223,44 @@ def test_surt_and_cdx_index(spark, tmp_path):
     # file equals write order, so each file's list is sorted
     for f, ss in by_file.items():
         assert ss == sorted(ss)
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Archives landing in a directory stream straight through the same
+    splitter (binaryFile is a streaming source; parse_warc_records is
+    map-side) — the live form of the wire-format front door."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.warc").write_bytes(_archive())
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(src)
+    )
+    pages = warc_pages(parse_warc_records(stream))
+    q = (
+        pages.writeStream.format("memory")
+        .queryName("warc_live")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (tmp_path / "in" / "b.warc").write_bytes(
+            _record("response", "http://late.test/", _http_response(b"<p>l</p>"))
+        )
+        q.processAllAvailable()
+        got = {r.url for r in spark.sql("SELECT * FROM warc_live").collect()}
+        assert got == {
+            "http://h1.test/index.html",
+            "http://h2.test/a/b.html",
+            "http://late.test/",
+        }
+    finally:
+        q.stop()
