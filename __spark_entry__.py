@@ -1787,8 +1787,15 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle a fetcher fleet partitions by. The `fetcher` leg pins the
     stable host->worker assignment with the DuckDB-parity hash (the
     operator's default is JVM xxhash64; parity here makes the leg
-    oracle-exact: pmod of a two's-complement i64 ≡ u64 % 8)."""
+    oracle-exact: pmod of a two's-complement i64 ≡ u64 % 8).
+
+    The `surt` column (r11, operator #139's key function) runs
+    `warc.surt_key` over a planted per-row URL with an UPPERCASED
+    multi-label host — parse, lowercase, label reversal, and path+query
+    reassembly are all replayed literally by the oracle, so any slip in
+    the SURT transform hash-mismatches."""
     from bitfilters_spark.operators.web import url_frontier_schedule
+    from bitfilters_spark.sources.warc import surt_key
 
     ev = load_table(spark, sf_dir, "events")
     fr = ev.select(
@@ -1797,11 +1804,19 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = url_frontier_schedule(
         fr, "event_id", host_col="h", priority_col="value", per_host_per_round=3
     )
+    planted = F.concat(
+        F.lit("http://H"),
+        F.col("host"),
+        F.lit(".Sub.Example.COM/p/"),
+        F.col("event_id").cast("string"),
+        F.lit("?q=1"),
+    )
     return out.select(
         "event_id",
         "host",
         "round",
         F.pmod(duckdb_hash(ORACLE_VERSION, "host"), F.lit(8)).cast("long").alias("fetcher"),
+        surt_key(planted).alias("surt"),
     )
 
 
@@ -3128,7 +3143,9 @@ def oracle_sql() -> dict[str, str]:
                    ((row_number() OVER (
                        PARTITION BY user_id ORDER BY value DESC, event_id
                      ) - 1) // 3)::BIGINT AS round,
-                   (hash(user_id::VARCHAR) % 8)::BIGINT AS fetcher
+                   (hash(user_id::VARCHAR) % 8)::BIGINT AS fetcher,
+                   'com,example,sub,h' || user_id::VARCHAR || ')/p/'
+                     || event_id::VARCHAR || '?q=1' AS surt
             FROM events
         """,
         # exact iterative-float oracle: every addend is a multiple of
