@@ -278,3 +278,24 @@ def write_cdx(records: DataFrame, path: str, num_files: int = 32) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def latest_captures(cdx: DataFrame) -> DataFrame:
+    """One row per URL — the NEWEST capture (max ``warc_date``, archive
+    position as the deterministic tiebreak) — the recrawl-dedup cut a
+    training pipeline takes before text extraction: a page captured 40
+    times contributes one document, and `snapshot_diff`-style consumers
+    get exactly the freshest body. One window over the surt key — the
+    same partitioning the sorted CDX layout already has."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt").orderBy(
+        F.col("warc_date").desc(),
+        F.col("source_file").desc(),
+        F.col("record_offset").desc(),
+    )
+    return (
+        cdx.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )

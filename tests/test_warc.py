@@ -264,3 +264,25 @@ def test_streaming_warc_ingest(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_latest_captures(spark):
+    """Recrawl dedup over the capture index: max warc_date per surt,
+    offset tiebreak on equal dates."""
+    from bitfilters_spark.sources.warc import latest_captures
+
+    cdx = spark.createDataFrame(
+        [
+            ("com,a)/p", "2024-01-01T00:00:00Z", "http://a.com/p", "f1", 0, 200, "text/html"),
+            ("com,a)/p", "2024-03-01T00:00:00Z", "http://a.com/p", "f2", 10, 200, "text/html"),
+            ("com,a)/p", "2024-03-01T00:00:00Z", "http://a.com/p", "f2", 5, 200, "text/html"),
+            ("com,b)/q", "2024-02-01T00:00:00Z", "http://b.com/q", "f1", 7, 404, "text/html"),
+        ],
+        "surt string, warc_date string, url string, source_file string, "
+        "record_offset long, http_status int, mime string",
+    )
+    got = {r.surt: (r.warc_date, r.record_offset) for r in latest_captures(cdx).collect()}
+    assert got == {
+        "com,a)/p": ("2024-03-01T00:00:00Z", 10),
+        "com,b)/q": ("2024-02-01T00:00:00Z", 7),
+    }
