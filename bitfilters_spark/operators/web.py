@@ -707,6 +707,40 @@ def apply_robots(
     )
 
 
+def schedule_fetch_times(
+    sched: DataFrame,
+    rules: DataFrame,
+    default_delay_s: float = 1.0,
+    host_col: str = "host",
+) -> DataFrame:
+    """Turn the frontier's WAVE contract into wall-clock guidance:
+    ``not_before_s = round × crawl_delay(host)`` — the earliest offset
+    (seconds from crawl start) at which a URL's wave may fetch without
+    violating the host's robots ``Crawl-delay`` (#136 parses it into
+    NULL-prefix rule rows; hosts without one get ``default_delay_s``).
+    Input is `url_frontier_schedule`'s output (or anything with a round
+    column); the delay table is host-scale and broadcasts — URLs never
+    shuffle. Fetchers sort their partition by ``not_before_s`` and
+    sleep the gaps; the wave ordering is preserved because
+    ``not_before_s`` is monotone in ``round`` per host."""
+    delays = (
+        rules.where(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("__delay"))
+        .withColumnRenamed("host", "__dhost")
+    )
+    out = sched.join(
+        F.broadcast(delays), F.col(host_col) == F.col("__dhost"), "left"
+    )
+    return out.select(
+        *sched.columns,
+        (
+            F.col("round")
+            * F.coalesce(F.col("__delay"), F.lit(float(default_delay_s)))
+        ).alias("not_before_s"),
+    )
+
+
 def robots_meta(col) -> Column:
     """Per-page robots DIRECTIVES from ``<meta name="robots">`` tags —
     the in-page complement of the site-wide robots.txt gate (#136):

@@ -819,3 +819,31 @@ def test_url_template_and_trap_detection(spark):
         traps, ["template", "host"], "left_anti"
     )
     assert gated.count() == 3
+
+
+def test_schedule_fetch_times(spark):
+    """Wave → wall-clock pacing: hosts with a robots Crawl-delay pace at
+    round × delay, hosts without at the default; ordering per host is
+    monotone in round."""
+    from bitfilters_spark.operators.web import (
+        robots_rules,
+        schedule_fetch_times,
+        url_frontier_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [("slow.test", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [(f"http://{h}/u{i}", h) for h in ("slow.test", "fast.test")
+         for i in range(4)],
+        "url string, host string",
+    )
+    sched = url_frontier_schedule(urls, "url", host_col="host",
+                                  per_host_per_round=2)
+    paced = schedule_fetch_times(sched, rules, default_delay_s=1.0)
+    got = {(r.host, r.round): r.not_before_s for r in paced.collect()}
+    assert got[("slow.test", 0)] == 0.0 and got[("slow.test", 1)] == 5.0
+    assert got[("fast.test", 0)] == 0.0 and got[("fast.test", 1)] == 1.0
