@@ -299,3 +299,33 @@ def latest_captures(cdx: DataFrame) -> DataFrame:
         .where(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def cdx_lookup(
+    spark: SparkSession, path: str, url_or_domain: str
+) -> DataFrame:
+    """Range lookup on a :func:`write_cdx` index: all captures of one
+    URL, or of EVERYTHING under a domain (pass ``example.com`` or any
+    URL — a domain becomes the SURT prefix ``com,example``, which is
+    exactly why the index is SURT-sorted). The prefix turns into a
+    ``surt >= p AND surt < p+MAXCHAR`` range predicate that parquet
+    min/max stats push to the file level: on the range-sorted layout a
+    reader opens only the covering files, never the 100 TB index —
+    the read-side payoff of :func:`write_cdx`'s one sort."""
+    probe = url_or_domain
+    if "://" not in probe:
+        # bare domain: reverse the labels ourselves (no URL to parse)
+        prefix = ",".join(reversed(probe.lower().strip("/").split(".")))
+    else:
+        row = (
+            spark.range(1)
+            .select(surt_key(F.lit(probe).cast("string")).alias("s"))
+            .collect()[0]
+        )
+        if row["s"] is None:
+            raise ValueError(f"cannot derive a SURT key from {url_or_domain!r}")
+        prefix = row["s"]
+    hi = prefix + "￿"
+    return spark.read.parquet(path).where(
+        (F.col("surt") >= prefix) & (F.col("surt") < hi)
+    )

@@ -286,3 +286,41 @@ def test_latest_captures(spark):
         "com,a)/p": ("2024-03-01T00:00:00Z", 10),
         "com,b)/q": ("2024-02-01T00:00:00Z", 7),
     }
+
+
+def test_cdx_lookup_prefix_range(spark, tmp_path):
+    """Read side of the sorted index: a domain lookup returns exactly
+    that domain's captures (subdomains included), a full-URL lookup
+    exactly that URL's, and the range predicate reaches the parquet scan
+    as pushed filters (file-level pruning on the sorted layout)."""
+    import contextlib
+    import io as _io
+
+    from bitfilters_spark.sources.warc import cdx_lookup, write_cdx
+
+    blobs = []
+    for host, n in (("a.test", 3), ("sub.a.test", 2), ("b.test", 4)):
+        for i in range(n):
+            blobs.append(
+                _record(
+                    "response",
+                    f"http://{host}/p/{i}",
+                    _http_response(b"<p>x</p>"),
+                )
+            )
+    recs = parse_warc_records(_df(spark, [b"".join(blobs)]))
+    out = str(tmp_path / "cdx")
+    write_cdx(recs, out, num_files=4)
+
+    dom = cdx_lookup(spark, out, "a.test")
+    assert {r.url for r in dom.collect()} == {
+        f"http://a.test/p/{i}" for i in range(3)
+    } | {f"http://sub.a.test/p/{i}" for i in range(2)}
+    one = cdx_lookup(spark, out, "http://b.test/p/2")
+    assert [r.url for r in one.collect()] == ["http://b.test/p/2"]
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dom.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(surt" in plan
