@@ -1,0 +1,256 @@
+"""Kneser–Ney bigram language model for perplexity-based quality
+filtering — the CCNet recipe (Wenzek et al. 2020): train an in-domain LM,
+score every crawled document's perplexity, and split the corpus into
+head/middle/tail buckets by per-language perplexity percentiles. The
+existing `text.train_ngram_lm` (#77) is a plain interpolated bigram model;
+this module implements the smoothing production pipelines actually use
+(KenLM's default): interpolated Kneser–Ney with an absolute discount
+estimated from count-of-counts, where the backoff weight for a word is its
+CONTINUATION probability (how many distinct contexts it follows) rather
+than its raw frequency — the classic "San Francisco" correction.
+
+Model math (bigram KN, Chen & Goodman 1999 eq. 4.26):
+
+    P(w | u) = max(c(u,w) − D, 0) / c(u)
+             + D · N1+(u·) / c(u) · P_cont(w)
+    P_cont(w) = N1+(·w) / N1+(··)
+    D         = n1 / (n1 + 2·n2)            (count-of-count estimate)
+
+where c(u) is u's CONTEXT count (Σ_w c(u,w)), N1+(u·) the distinct
+continuation types after u, N1+(·w) the distinct predecessor types before
+w, N1+(··) the distinct bigram-type total, and n1/n2 the number of bigram
+types seen exactly once/twice. For a context u where every continuation is
+in-model, Σ_w P(w|u) = 1 exactly (the discount mass D·N1+(u·) is returned
+through P_cont, which itself sums to 1) — pinned by a pytest.
+
+Spark shape: training is two hash aggregations over the exploded bigram
+stream (token and bigram counts), plus context/continuation statistics
+derived from the BIGRAM TYPE table (metadata-scale: one row per distinct
+bigram, not per occurrence) — every derived table caps at ``vocab_size``
+rows by count via TakeOrderedAndProject (per-partition top-k, no global
+sort), so the model broadcasts at score time regardless of corpus size.
+Scoring is `text.lm_score`'s plan: explode bigrams → two broadcast joins
+(context stats on the previous token, bigram count + continuation stats on
+the current) → one per-doc groupBy; pure `F.*` arithmetic, no Python in
+the row path. Hashes are the shared JVM ``xxhash64`` expressions of
+`text.tokens`, so train and score cannot disagree on tokenization.
+
+Capping semantics: context/continuation statistics are computed EXACTLY
+(before the cap), then the per-token and per-bigram tables keep the
+``vocab_size`` most frequent rows — a capped-away gram scores as unseen
+(backoff / floor) but never corrupts the surviving rows' statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["train_kn_lm", "kn_score", "perplexity_buckets"]
+
+
+def _bigram_structs(hs):
+    """(hp, hc, hb) structs for adjacent pairs of a hashed-token array."""
+    return F.zip_with(
+        F.slice(hs, 1, F.greatest(F.size(hs) - 1, F.lit(0))),
+        F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a.alias("hp"), b.alias("hc"), F.xxhash64(a, b).alias("hb")
+        ),
+    )
+
+
+def train_kn_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1 << 16,
+    discount: float | None = None,
+) -> dict:
+    """Train an interpolated Kneser–Ney bigram LM.
+
+    Returns ``{"ctx": DataFrame(h, c_ctx, n_succ), "cont":
+    DataFrame(h, n_pred), "bi": DataFrame(hb, cb), "n_bigram_types": int,
+    "n_tokens": int, "discount": float}`` — all three tables capped at
+    ``vocab_size`` rows by count so they broadcast at score time; the
+    scalar statistics and the count-of-count discount estimate are exact
+    (computed before any cap). ``discount`` overrides the n1/(n1+2·n2)
+    estimate (KenLM's ``--discount_fallback`` analogue for tiny corpora
+    where n1 or n2 is 0)."""
+    seq = df.select(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
+    )
+    # one row per distinct bigram TYPE (hp, hc, cb) — every KN statistic
+    # below derives from this table, occurrences never re-scanned
+    bi_types = (
+        seq.select(F.explode(_bigram_structs(F.col("hs"))).alias("g"))
+        .groupBy("g.hp", "g.hc")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    ).localCheckpoint(eager=False)
+
+    # exact scalar stats + count-of-counts in ONE pass over the type table
+    stats = bi_types.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cb").alias("n_bigrams"),
+        F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    n_types = int(stats["n_types"] or 0)
+    n_bigrams = int(stats["n_bigrams"] or 0)
+    if discount is None:
+        n1, n2 = int(stats["n1"] or 0), int(stats["n2"] or 0)
+        # degenerate count-of-counts (tiny corpus, or n2 == 0 driving the
+        # estimate to exactly 1.0 — discounting away ALL observed mass):
+        # KenLM fails the build; we fall back to the textbook 0.75
+        discount = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
+        if discount >= 1.0:
+            discount = 0.75
+    if not (0.0 <= discount < 1.0):
+        raise ValueError(f"discount must be in [0, 1), got {discount}")
+
+    # context stats: c(u) = sum of u's bigram counts, N1+(u·) = its
+    # distinct-continuation count (= row count: bi_types is one row/type)
+    ctx = (
+        bi_types.groupBy(F.col("hp").alias("h"))
+        .agg(F.sum("cb").alias("c_ctx"), F.count(F.lit(1)).alias("n_succ"))
+        .orderBy(F.col("c_ctx").desc(), "h")
+        .limit(vocab_size)
+    )
+    # unigram occurrence counts: the cap ORDER for the continuation table
+    # (a token's scoring impact ∝ how often probes hit it = its frequency,
+    # NOT its n_pred — predecessor-type counts tie at 1 across whole
+    # corpora and would evict frequent tokens arbitrarily) and the source
+    # of n_tokens, one aggregation for both
+    uni = (
+        seq.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    ).localCheckpoint(eager=False)
+    # continuation stats: N1+(·w) = distinct predecessors of w
+    cont = (
+        bi_types.groupBy(F.col("hc").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_pred"))
+        .join(uni, "h", "left")
+        .orderBy(F.col("c_tok").desc(), "h")
+        .limit(vocab_size)
+        .select("h", "n_pred")
+    )
+    bi = (
+        bi_types.select(F.xxhash64("hp", "hc").alias("hb"), "cb")
+        .orderBy(F.col("cb").desc(), "hb")
+        .limit(vocab_size)
+    )
+    n_tokens = int(uni.agg(F.sum("c_tok")).collect()[0][0] or 0)
+    return {
+        "ctx": ctx,
+        "cont": cont,
+        "bi": bi,
+        "n_bigram_types": n_types,
+        "n_bigrams": n_bigrams,
+        "n_tokens": n_tokens,
+        "discount": float(discount),
+    }
+
+
+def kn_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+) -> DataFrame:
+    """(id, n_scored, avg_logp, ppl) — per-document mean Kneser–Ney
+    log-probability over bigrams and its perplexity ``exp(-avg_logp)``
+    (lower ppl = more in-distribution; CCNet keeps the low-ppl head).
+
+    Unseen handling: a bigram whose CONTEXT is in-model but whose
+    continuation is unseen gets exactly the backoff mass
+    ``D·N1+(u·)/c(u) · P_cont(w)``; an unseen context backs off fully to
+    ``P_cont(w)``; both are floored at ``1/(10·n_tokens)`` so fully-OOV
+    text scores harshly but finitely (the `text.lm_score` convention).
+    Documents with < 2 tokens have no bigrams and are not emitted — same
+    contract as `text.lm_score`.
+
+    Plan: explode bigrams → three BROADCAST joins against the capped
+    model tables → one per-doc groupBy. No corpus-sized shuffle."""
+    d = float(lm["discount"])
+    n_types = max(float(lm["n_bigram_types"]), 1.0)
+    floor = 1.0 / (10.0 * max(float(lm["n_tokens"]), 1.0))
+    seq = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+    )
+    grams = seq.select(
+        id_col, F.explode(_bigram_structs(F.col("hs"))).alias("g")
+    ).select(id_col, "g.hp", "g.hc", "g.hb")
+    ctx = lm["ctx"].select(
+        F.col("h").alias("hp"), "c_ctx", "n_succ"
+    )
+    cont = lm["cont"].select(F.col("h").alias("hc"), "n_pred")
+    joined = (
+        grams.join(F.broadcast(ctx), "hp", "left")
+        .join(F.broadcast(cont), "hc", "left")
+        .join(F.broadcast(lm["bi"]), "hb", "left")
+    )
+    p_cont = F.coalesce(F.col("n_pred"), F.lit(0)).cast("double") / F.lit(n_types)
+    c_ctx = F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double")
+    seen_ctx = F.col("c_ctx").isNotNull()
+    p_kn = (
+        F.greatest(F.coalesce(F.col("cb"), F.lit(0)).cast("double") - F.lit(d), F.lit(0.0))
+        / F.greatest(c_ctx, F.lit(1.0))
+        + F.lit(d)
+        * F.coalesce(F.col("n_succ"), F.lit(0)).cast("double")
+        / F.greatest(c_ctx, F.lit(1.0))
+        * p_cont
+    )
+    scored = joined.withColumn(
+        "p", F.greatest(F.when(seen_ctx, p_kn).otherwise(p_cont), F.lit(floor))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.log("p")).alias("avg_logp"),
+        F.exp(-F.avg(F.log("p"))).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    by: str | None = None,
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Tag each scored document ``head`` / ``middle`` / ``tail`` by its
+    perplexity's position within its group (CCNet §3.3: per-LANGUAGE
+    percentile thresholds — pass ``by="lang"``; ``by=None`` buckets the
+    whole corpus against one pair of thresholds).
+
+    Scale shape: thresholds come from ONE ``percentile_approx``
+    aggregation (map-side partials; group-scale result collected and
+    re-joined by broadcast) — the corpus-sized frame is never window-
+    sorted. Adds ``bucket`` plus the thresholds used (``ppl_head``,
+    ``ppl_middle``) so downstream filters are self-describing. Rows with
+    NULL perplexity keep bucket NULL."""
+    lo, hi = float(cuts[0]), float(cuts[1])
+    if not (0.0 < lo <= hi < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo <= hi < 1, got {cuts}")
+    keys = [by] if by else []
+    thr = scored.groupBy(*keys).agg(
+        F.percentile_approx(ppl_col, [lo, hi], accuracy).alias("_thr")
+    ).select(
+        *keys,
+        F.col("_thr")[0].alias("ppl_head"),
+        F.col("_thr")[1].alias("ppl_middle"),
+    )
+    if by:
+        tagged = scored.join(F.broadcast(thr), by, "left")
+    else:
+        # literal 1-row broadcast (the sampling.py scalar-join pattern)
+        tagged = scored.crossJoin(F.broadcast(thr))
+    return tagged.withColumn(
+        "bucket",
+        F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col(ppl_col) <= F.col("ppl_head"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("ppl_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
