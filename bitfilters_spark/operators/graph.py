@@ -217,3 +217,100 @@ def pagerank_oracle_sql(
             f" AS rank FROM nodes n LEFT JOIN s{i + 1} s ON s.node = n.node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 8,
+    norm: str = "l1",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, hub, authority) — Kleinberg's HITS over a directed link
+    list, the complementary crawl-prioritization signal to
+    :func:`pagerank`: authorities are pages many good hubs point AT
+    (fetch first), hubs are pages that point at many good authorities
+    (re-crawl for link discovery — directory/index pages).
+
+    Power iteration from hub = 1: each round ``auth(w) = Σ_{(u,w)} hub(u)``
+    then ``hub(u) = Σ_{(u,w)} auth(w)``, each vector normalized by
+    ``norm`` ('l1' sum, 'l2' Euclidean, or 'max') so the iteration
+    converges to the principal eigenvector direction instead of blowing
+    up. Duplicate edges collapse (a page linking twice votes once — the
+    :func:`pagerank` convention).
+
+    Plan shape per iteration: two node-keyed broadcast-or-shuffle joins
+    against the edge list + two groupBys (dst then src) — everything
+    node-scale except the edge list, which is deduped/materialized ONCE
+    (localCheckpoint) and whose canonically-identical per-iteration
+    Exchanges AQE reuses, exactly the :func:`pagerank` posture. The
+    normalization scalar rides a literal 1-row broadcast crossJoin (the
+    repo's scalar-join pattern) — no per-iteration driver collect.
+    Unlike pagerank's quantized arithmetic, the normalizing DIVISION
+    makes bit-exact SQL replay impractical; the contract is pytest
+    equivalence to a dense numpy reference (1e-9), the #77/#99 pattern.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if norm not in ("l1", "l2", "max"):
+        raise ValueError("norm must be 'l1', 'l2', or 'max'")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if iters > 1:
+        e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if iters > 1:
+        nodes = nodes.localCheckpoint()
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        if norm == "l1":
+            z = df.agg(F.sum(F.abs(F.col(col))).alias("__z"))
+        elif norm == "l2":
+            z = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__z"))
+        else:
+            z = df.agg(F.max(F.abs(F.col(col))).alias("__z"))
+        return df.crossJoin(F.broadcast(z)).select(
+            "node",
+            (F.col(col) / F.greatest(F.col("__z"), F.lit(1e-300))).alias(col),
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(0.0).alias("authority"))
+    for i in range(iters):
+        raw_a = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auths = _normalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        raw_h = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = _normalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hubs = hubs.localCheckpoint()
+            auths = auths.localCheckpoint()
+    return hubs.join(auths, "node")

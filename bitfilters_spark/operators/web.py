@@ -1102,3 +1102,80 @@ def extract_links(
         "anchor",
         "nofollow",
     )
+
+
+def anchor_text_corpus(
+    edges: DataFrame,
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+    src_host_col: str = "src_host",
+    nofollow_col: str | None = "nofollow",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-target anchor-text aggregation over `extract_links` edges —
+    the classic retrieval/quality signal (anchor text describes the
+    TARGET better than the target describes itself; search engines have
+    indexed it since McBryan 1994): one row per dst URL with
+    ``(dst_url, n_links, n_ref_hosts, anchors, anchor_text)`` where
+    ``anchors`` is the top-``top_k`` distinct anchor strings by link
+    count (ties by anchor, deterministic) as (anchor, n) structs and
+    ``anchor_text`` their space-joined concatenation — feed it to
+    `build_bm25_index` as a document surrogate, or to the quality
+    classifier as off-page evidence.
+
+    ``nofollow`` edges are excluded when the column is present (the
+    publisher explicitly withheld the endorsement); pass
+    ``nofollow_col=None`` to keep them. Empty/NULL anchors (image
+    links, bare URLs) count toward ``n_links``/``n_ref_hosts`` but
+    contribute no anchor text.
+
+    Scale shape: the edge list first collapses to distinct
+    (dst, anchor) counts in ONE map-side-combined aggregation (the
+    per-dst host count rides the same shuffle as a distinct-count), so
+    the window that ranks anchors runs over the REDUCED pair table,
+    never raw edges, and `collect_list` only ever sees <= top_k
+    pre-filtered rows per dst — a mega-popular URL with millions of
+    in-links costs one combiner-friendly shuffle, not an unbounded
+    per-key buffer."""
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    e = edges
+    if nofollow_col is not None and nofollow_col in edges.columns:
+        e = e.where(~F.coalesce(F.col(nofollow_col), F.lit(False)))
+    base = e.groupBy(F.col(dst_col).alias("dst_url")).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(F.col(src_host_col)).alias("n_ref_hosts"),
+    )
+    pairs = (
+        e.where(
+            F.col(anchor_col).isNotNull() & (F.trim(F.col(anchor_col)) != "")
+        )
+        .groupBy(
+            F.col(dst_col).alias("dst_url"),
+            F.trim(F.col(anchor_col)).alias("anchor"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("dst_url").orderBy(F.col("n").desc(), "anchor")
+    top = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= top_k)
+        .groupBy("dst_url")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__rk", "anchor", "n"))
+            ).alias("__a")
+        )
+        .select(
+            "dst_url",
+            F.transform(
+                F.col("__a"), lambda s: s.dropFields("__rk")
+            ).alias("anchors"),
+            F.array_join(
+                F.transform(F.col("__a"), lambda s: s["anchor"]), " "
+            ).alias("anchor_text"),
+        )
+    )
+    return base.join(top, "dst_url", "left")

@@ -219,3 +219,102 @@ def test_pagerank_tol_early_stop(spark):
     assert strict == full
     with pytest.raises(ValueError, match="dangling"):
         pagerank(df, "src", "dst", dangling="bogus")
+
+
+# ------------------------------------------------------------------ HITS ---
+
+
+def _hits_reference(pairs, iters, norm):
+    """Dense numpy HITS replay — same update/normalization order."""
+    import numpy as np
+
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in set(pairs):
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+
+    def z(v):
+        if norm == "l1":
+            n = np.abs(v).sum()
+        elif norm == "l2":
+            n = np.sqrt((v * v).sum())
+        else:
+            n = np.abs(v).max()
+        return v / max(n, 1e-300)
+
+    for _ in range(iters):
+        a = z(A.T @ h)
+        h = z(A @ a)
+    return {n: (h[idx[n]], a[idx[n]]) for n in nodes}
+
+
+@pytest.mark.parametrize("norm", ["l1", "l2", "max"])
+def test_hits_matches_numpy_reference(spark, norm):
+    from bitfilters_spark.operators.graph import hits
+
+    pairs = [
+        (0, 1), (0, 2), (0, 3),       # 0 is a hub
+        (4, 1), (4, 2),               # 4 a weaker hub
+        (1, 5), (2, 5), (3, 5),       # 5 pointed at by authorities' targets
+        (5, 0), (0, 1),               # duplicate edge collapses
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, "src", "dst", iters=6, norm=norm).collect()
+    }
+    want = _hits_reference(pairs, 6, norm)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n][0] == pytest.approx(want[n][0], abs=1e-9), ("hub", n)
+        assert got[n][1] == pytest.approx(want[n][1], abs=1e-9), ("auth", n)
+    # structural sanity: 0 out-hubs 4; 1/2 out-authority 3
+    assert got[0][0] > got[4][0]
+    assert got[1][1] > got[3][1]
+
+
+def test_hits_guards_and_degenerate(spark):
+    from bitfilters_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="norm"):
+        hits(df, "src", "dst", norm="bogus")
+    with pytest.raises(ValueError, match="iters"):
+        hits(df, "src", "dst", iters=-1)
+    # empty edges: empty result, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty, "src", "dst", iters=2).count() == 0
+    # iters=0 returns the init vectors over the node set
+    rows = {r["node"]: r for r in hits(df, "src", "dst", iters=0).collect()}
+    assert rows[0]["hub"] == 1.0 and rows[0]["authority"] == 0.0
+    # NULL endpoints dropped
+    withnull = spark.createDataFrame(
+        [(0, 1), (None, 2), (3, None)], "src long, dst long"
+    )
+    assert set(
+        r["node"] for r in hits(withnull, "src", "dst", iters=1).collect()
+    ) == {0, 1}
+
+
+def test_hits_feeds_frontier_priority(spark):
+    """Composition: authority scores rank the frontier exactly like
+    pagerank does — the crawl loop can take either signal."""
+    from bitfilters_spark.operators.graph import hits
+    from bitfilters_spark.operators.web import url_frontier_schedule
+
+    pairs = [(1, 10), (2, 10), (3, 10), (1, 20)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    auth = hits(edges, "src", "dst", iters=4).select(
+        F.concat(F.lit("http://h"), F.col("node")).alias("url"),
+        F.lit("hostA").alias("host"),
+        F.col("authority").alias("priority"),
+    )
+    sched = url_frontier_schedule(
+        auth, url_col="url", host_col="host", priority_col="priority",
+        per_host_per_round=1,
+    ).collect()
+    first = [r for r in sched if r["round"] == 0]
+    assert len(first) == 1 and first[0]["url"] == "http://h10"

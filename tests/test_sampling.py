@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from bitfilters_spark.operators.sampling import hash_sample, hash_split, split_edges
@@ -495,3 +496,141 @@ def test_allocate_token_budget_semantics(spark):
     all_kept = {r["domain"]: r["keep_frac"] for r in
                 allocate_token_budget(df, "domain", "tokens", 10_000).collect()}
     assert all(f == 1.0 for d, f in all_kept.items() if d != "zero")
+
+
+# --------------------------------------------- weighted budget allocation ---
+
+
+def _waterfill_reference(caps, ws, budget):
+    """Brute-force bisection water-filler: lambda s.t.
+    sum(min(cap, w*lambda)) == budget."""
+    total = sum(caps)
+    if budget >= total:
+        return list(caps)
+    lo, hi = 0.0, max(c / w for c, w in zip(caps, ws)) + 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        s = sum(min(c, w * mid) for c, w in zip(caps, ws))
+        if s < budget:
+            lo = mid
+        else:
+            hi = mid
+    lam = (lo + hi) / 2
+    return [min(c, w * lam) for c, w in zip(caps, ws)]
+
+
+def test_allocate_weighted_budget_matches_brute_force(spark):
+    import random
+
+    from bitfilters_spark.operators.sampling import allocate_weighted_budget
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randint(1, 12)
+        caps = [rng.randint(1, 500) * 1.0 for _ in range(n)]
+        ws = [rng.uniform(0.1, 10.0) for _ in range(n)]
+        B = rng.uniform(0, sum(caps) * 1.2)
+        df = spark.createDataFrame(
+            [(f"k{i}", caps[i], ws[i]) for i in range(n)],
+            "key string, cap double, w double",
+        )
+        out = {
+            r["key"]: r["alloc"]
+            for r in allocate_weighted_budget(
+                df, "key", "cap", "w", B, n_partitions=3
+            ).collect()
+        }
+        want = _waterfill_reference(caps, ws, B)
+        for i in range(n):
+            assert out[f"k{i}"] == pytest.approx(want[i], abs=1e-6), (trial, i)
+        assert sum(out.values()) == pytest.approx(min(B, sum(caps)), abs=1e-6)
+
+
+def test_allocate_weighted_budget_semantics(spark):
+    from bitfilters_spark.operators.sampling import allocate_weighted_budget
+
+    rows = [
+        ("big", 100.0, 1.0),
+        ("small", 2.0, 1.0),
+        ("dead", 50.0, 0.0),   # zero weight: no budget
+        ("empty", 0.0, 5.0),   # zero capacity
+    ]
+    df = spark.createDataFrame(rows, "key string, cap double, w double")
+    got = {
+        r["key"]: r
+        for r in allocate_weighted_budget(df, "key", "cap", "w", 12.0).collect()
+    }
+    # equal weights: small saturates at 2, big gets the remaining 10
+    assert got["small"]["alloc"] == pytest.approx(2.0, abs=1e-9)
+    assert got["big"]["alloc"] == pytest.approx(10.0, abs=1e-9)
+    assert got["dead"]["alloc"] == 0.0 and got["dead"]["fill_frac"] == 0.0
+    assert got["empty"]["alloc"] == 0.0
+    # budget clears total capacity: every live key fully filled
+    full = {
+        r["key"]: r
+        for r in allocate_weighted_budget(df, "key", "cap", "w", 1e6).collect()
+    }
+    assert full["big"]["alloc"] == 100.0 and full["big"]["fill_frac"] == 1.0
+    assert full["dead"]["alloc"] == 0.0
+    # duplicate keys aggregate additively before allocation
+    dup = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0)], "key string, cap double, w double"
+    )
+    agg = allocate_weighted_budget(dup, "key", "cap", "w", 100.0).collect()
+    assert len(agg) == 1 and agg[0]["capacity"] == 3.0 and agg[0]["weight"] == 2.0
+    with pytest.raises(ValueError, match="budget"):
+        allocate_weighted_budget(df, "key", "cap", "w", -1)
+
+
+def test_allocate_weighted_budget_reduces_to_token_budget(spark):
+    """w == 1 for every key must reproduce allocate_token_budget's caps
+    (the #124 special case)."""
+    from bitfilters_spark.operators.sampling import (
+        allocate_token_budget,
+        allocate_weighted_budget,
+    )
+
+    rows = [("a", 10), ("b", 100), ("c", 1000), ("d", 7)]
+    df = spark.createDataFrame(rows, "domain string, tokens long")
+    B = 300
+    base = {
+        r["domain"]: r["cap"]
+        for r in allocate_token_budget(df, "domain", "tokens", B).collect()
+    }
+    wdf = df.select("domain", "tokens", F.lit(1.0).alias("w"))
+    got = {
+        r["key"]: r["alloc"]
+        for r in allocate_weighted_budget(
+            wdf, "domain", "tokens", "w", float(B)
+        ).collect()
+    }
+    for k in base:
+        assert got[k] == pytest.approx(base[k], abs=1e-9), k
+
+
+def test_allocate_weighted_budget_from_pagerank(spark):
+    """Composition: host authority (pagerank) weights the fetch budget
+    across hosts' frontier queues."""
+    from bitfilters_spark.operators.graph import pagerank
+    from bitfilters_spark.operators.sampling import allocate_weighted_budget
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (10, 20)], "src long, dst long"
+    )
+    ranks = pagerank(edges, "src", "dst", iters=2)
+    frontier = spark.createDataFrame(
+        [(10, 50.0), (20, 50.0), (1, 50.0)], "node long, n_urls double"
+    )
+    hosts = frontier.join(ranks, "node")
+    out = {
+        r["key"]: r["alloc"]
+        for r in allocate_weighted_budget(
+            hosts, "node", "n_urls", "rank", 60.0
+        ).collect()
+    }
+    # equal queue sizes: allocation order follows authority order
+    ranks2 = {r["node"]: r["rank"] for r in ranks.collect()}
+    order_by_rank = sorted([10, 20, 1], key=lambda n: -ranks2[n])
+    order_by_alloc = sorted([10, 20, 1], key=lambda n: -out[n])
+    assert order_by_rank == order_by_alloc
+    assert min(out.values()) > 0

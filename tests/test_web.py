@@ -847,3 +847,74 @@ def test_schedule_fetch_times(spark):
     got = {(r.host, r.round): r.not_before_s for r in paced.collect()}
     assert got[("slow.test", 0)] == 0.0 and got[("slow.test", 1)] == 5.0
     assert got[("fast.test", 0)] == 0.0 and got[("fast.test", 1)] == 1.0
+
+
+# ------------------------------------------------------ anchor-text corpus ---
+
+
+def test_anchor_text_corpus_topk_counts_hosts(spark):
+    from bitfilters_spark.operators.web import anchor_text_corpus
+
+    rows = [
+        # (dst_url, anchor, src_host, nofollow)
+        ("http://t/a", "Download", "h1", False),
+        ("http://t/a", "Download", "h2", False),
+        ("http://t/a", "download page", "h1", False),
+        ("http://t/a", "click", "h3", False),
+        ("http://t/a", None, "h4", False),          # bare link: counted, no text
+        ("http://t/a", "  ", "h4", False),          # whitespace anchor
+        ("http://t/b", "spam", "h9", True),         # nofollow: excluded
+        ("http://t/b", "real", "h1", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "dst_url string, anchor string, src_host string, nofollow boolean"
+    )
+    got = {
+        r["dst_url"]: r
+        for r in anchor_text_corpus(df, top_k=2).collect()
+    }
+    a = got["http://t/a"]
+    assert a["n_links"] == 6 and a["n_ref_hosts"] == 4
+    # top-2 by count: Download (2), then tie at 1 broken by anchor text
+    assert [x["anchor"] for x in a["anchors"]] == ["Download", "click"]
+    assert [x["n"] for x in a["anchors"]] == [2, 1]
+    assert a["anchor_text"] == "Download click"
+    b = got["http://t/b"]
+    assert b["n_links"] == 1 and [x["anchor"] for x in b["anchors"]] == ["real"]
+
+
+def test_anchor_text_corpus_keep_nofollow_and_empty(spark):
+    from bitfilters_spark.operators.web import anchor_text_corpus
+
+    df = spark.createDataFrame(
+        [("http://t/b", "spam", "h9", True)],
+        "dst_url string, anchor string, src_host string, nofollow boolean",
+    )
+    kept = anchor_text_corpus(df, nofollow_col=None).collect()[0]
+    assert kept["anchor_text"] == "spam"
+    empty = spark.createDataFrame(
+        [], "dst_url string, anchor string, src_host string, nofollow boolean"
+    )
+    assert anchor_text_corpus(empty).count() == 0
+    with pytest.raises(ValueError, match="top_k"):
+        anchor_text_corpus(df, top_k=0)
+
+
+def test_anchor_text_corpus_from_extract_links(spark):
+    """Composition: fetched pages → extract_links → anchor corpus; the
+    aggregated anchor text describes the TARGET page."""
+    from bitfilters_spark.operators.web import anchor_text_corpus, extract_links
+
+    pages = [
+        ("http://a.com/", '<a href="http://t.com/x">Great Tool</a>'),
+        ("http://b.com/", '<a href="http://t.com/x">great tool docs</a>'),
+        ("http://c.com/", '<a rel="nofollow" href="http://t.com/x">ad</a>'),
+    ]
+    edges = extract_links(
+        spark.createDataFrame(pages, "url string, html string")
+    )
+    got = anchor_text_corpus(edges).collect()
+    row = {r["dst_url"]: r for r in got}["http://t.com/x"]
+    assert row["n_links"] == 2 and row["n_ref_hosts"] == 2
+    assert "Great Tool" in row["anchor_text"]
+    assert "ad" not in row["anchor_text"]
