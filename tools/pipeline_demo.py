@@ -251,6 +251,29 @@ def main(sf_dir: str) -> None:
             classifier_filter(gated, "doc_id", "text", clf, 0.45).localCheckpoint(),
         )
 
+        # r11: CCNet perplexity gate — Kneser-Ney LM trained on the
+        # clean reference corpus scores every surviving crawl page;
+        # the high-perplexity tail bucket (least reference-like third)
+        # is dropped, the head/middle kept
+        from bitfilters_spark.operators.lm import (
+            kn_score,
+            perplexity_buckets,
+            train_kn_lm,
+        )
+
+        knlm = train_kn_lm(docs, "text", vocab_size=1 << 16)
+        kept_ids = (
+            perplexity_buckets(
+                kn_score(gated, "doc_id", "text", knlm), "ppl"
+            )
+            .where(F.col("bucket") != "tail")
+            .select("doc_id")
+        )
+        gated = stage(
+            "perplexity_gate",
+            gated.join(kept_ids, "doc_id").localCheckpoint(),
+        )
+
         exact = stage(
             "exact_dedup",
             dedup_exact(

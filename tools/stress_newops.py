@@ -314,6 +314,59 @@ def main(sf_dir: str) -> None:
         post = BM25Probe(spark, "stress_bm25").query(qset).count()
         assert pre == post, "compaction changed probe results"
         out["bm25_probe_rows"] = post
+
+        # r11 tail: KN LM train+score+bucket over the full 50k stress
+        # corpus, HITS + anchor corpus + weighted fetch budgets over the
+        # stress link graph — the quality/authority signals at 10x
+        from bitfilters_spark.operators.graph import hits
+        from bitfilters_spark.operators.lm import (
+            kn_score,
+            perplexity_buckets,
+            train_kn_lm,
+        )
+        from bitfilters_spark.operators.sampling import allocate_weighted_budget
+        from bitfilters_spark.operators.web import anchor_text_corpus
+
+        t0 = time.time()
+        knlm = train_kn_lm(stress, "text", vocab_size=1 << 16)
+        out["kn_train_s"] = round(time.time() - t0, 2)
+        out["kn_bigram_types"] = knlm["n_bigram_types"]
+        t0 = time.time()
+        scored = kn_score(stress, "doc_id", "text", knlm).localCheckpoint()
+        out["kn_scored"] = scored.count()
+        out["kn_score_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["kn_head_docs"] = (
+            perplexity_buckets(scored, "ppl")
+            .where(F.col("bucket") == "head")
+            .count()
+        )
+        out["kn_bucket_s"] = round(time.time() - t0, 2)
+
+        edges_h = links.select(
+            F.xxhash64("src_host").alias("s"), F.xxhash64("dst_host").alias("d")
+        ).where(F.col("s") != F.col("d"))
+        t0 = time.time()
+        hubs = hits(edges_h, "s", "d", iters=4).localCheckpoint()
+        out["hits_nodes"] = hubs.count()
+        out["hits_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        full_links = extract_links(pages, "html", "url").localCheckpoint()
+        corpus = anchor_text_corpus(full_links).localCheckpoint()
+        out["anchor_corpus_rows"] = corpus.count()
+        out["anchor_corpus_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        host_queues = full_links.groupBy(
+            F.xxhash64("dst_host").alias("node")
+        ).agg(F.countDistinct("dst_url").alias("n_urls"))
+        alloc = allocate_weighted_budget(
+            host_queues.join(
+                hubs.select("node", F.col("authority").alias("w")), "node"
+            ),
+            "node", "n_urls", "w", budget=10000.0,
+        )
+        out["budget_hosts"] = alloc.count()
+        out["budget_alloc_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
