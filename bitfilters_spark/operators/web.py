@@ -1179,3 +1179,125 @@ def anchor_text_corpus(
         )
     )
     return base.join(top, "dst_url", "left")
+
+
+def resolve_reference(base, ref) -> Column:
+    """RFC 3986 §5 reference resolution as ONE column expression:
+    ``ref`` (absolute, protocol-relative ``//h/p``, root-relative
+    ``/p``, query-only ``?q``, empty, or relative ``p``) resolved
+    against ``base``, with exact §5.2.4 dot-segment removal (the
+    `extract_links` segment-stack ``aggregate``) and the fragment
+    stripped. The standalone form of the resolver `extract_links`
+    inlines — use it where references arrive OUTSIDE an href explode
+    (HTTP ``Location`` headers, sitemap cross-references); pure JVM,
+    no UDF."""
+    base = base if isinstance(base, Column) else F.col(base)
+    ref = ref if isinstance(ref, Column) else F.col(ref)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    origin = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    bnf = F.regexp_extract(base, r"^([^?#]*)", 1)
+    base_dir = F.when(
+        bnf.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$"),
+        F.concat(bnf, F.lit("/")),
+    ).otherwise(F.regexp_replace(bnf, r"[^/]*$", ""))
+    h = F.trim(F.regexp_replace(ref, r"#.*$", ""))
+    resolved = (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("?"), F.concat(bnf, h))
+        .when(h == "", bnf)
+        .otherwise(F.concat(base_dir, h))
+    )
+    head = F.regexp_extract(resolved, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    path = F.regexp_extract(
+        resolved, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(resolved, r"(\?.*)$", 1)
+    path_t = F.when(
+        path.rlike(r"/\.\.?$"), F.concat(path, F.lit("/"))
+    ).otherwise(path)
+    segs = F.split(path_t, "/")
+    stack = F.aggregate(
+        F.slice(segs, F.lit(2), F.size(segs) - 1),
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.slice(acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))),
+            )
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    clean_path = F.when(path == "", F.lit("")).otherwise(
+        F.concat(F.lit("/"), F.array_join(stack, "/"))
+    )
+    return F.concat(head, clean_path, query)
+
+
+def resolve_redirect_chains(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Collapse redirect chains to their final target: (src_url,
+    final_url, hops, unresolved) with ``a -> b -> c`` yielding
+    ``(a, c, 2, false)``. The canonicalization step between
+    `sources.warc.warc_redirects` and everything keyed on URL identity
+    — dedup, the CDX index, frontier seen-sets — so ``http://m.ex/p``
+    and its 301 target count as ONE document.
+
+    ``hops`` counts edges followed; resolution stops at ``max_hops``
+    (redirect chains past ~4 hops are crawler traps by convention —
+    browsers give up at 20, crawlers much earlier) and rows whose final
+    URL STILL has an outgoing redirect are flagged ``unresolved=true``
+    (loops land here too: a -> b -> a bounces until the hop budget and
+    stays flagged). Duplicate sources (recrawled redirects) collapse
+    deterministically to the lexicographically-least target.
+
+    Scale: the mapping is redirect-scale (≪ corpus); each hop is one
+    URL-keyed equi-join, ``max_hops`` constant, lineage cut per hop."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    m = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(
+            F.col("s").isNotNull()
+            & F.col("d").isNotNull()
+            & (F.col("s") != F.col("d"))
+        )
+        .groupBy("s")
+        .agg(F.min("d").alias("d"))
+        .localCheckpoint()
+    )
+    res = m.select(
+        F.col("s").alias("src_url"),
+        F.col("d").alias("final_url"),
+        F.lit(1).alias("hops"),
+    )
+    step = m.select(F.col("s").alias("final_url"), F.col("d").alias("__next"))
+    for _ in range(max_hops - 1):
+        res = (
+            res.join(step, "final_url", "left")
+            .select(
+                "src_url",
+                F.coalesce("__next", F.col("final_url")).alias("final_url"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("__next").isNotNull(), 1).otherwise(0)
+                ).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    return res.join(
+        step.select("final_url", F.lit(True).alias("__more")),
+        "final_url",
+        "left",
+    ).select(
+        "src_url",
+        "final_url",
+        "hops",
+        F.coalesce("__more", F.lit(False)).alias("unresolved"),
+    )

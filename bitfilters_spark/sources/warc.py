@@ -60,6 +60,7 @@ WARC_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("http_status", IntegerType()),
         StructField("http_content_type", StringType()),
+        StructField("http_location", StringType()),
         StructField("payload", BinaryType()),
         StructField("parse_error", StringType()),
     ]
@@ -93,12 +94,12 @@ def _parse_one(buf: bytes, source: str):
             return
         start = pos
         if not buf.startswith(b"WARC/", pos):
-            yield (source, start, None, None, None, None, None, None, None,
+            yield (source, start, None, None, None, None, None, None, None, None,
                    bytes(buf[pos:]), f"expected WARC/ header at offset {start}")
             return
         hdr_end = buf.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
-            yield (source, start, None, None, None, None, None, None, None,
+            yield (source, start, None, None, None, None, None, None, None, None,
                    bytes(buf[pos:]), f"unterminated header at offset {start}")
             return
         headers = {}
@@ -109,13 +110,13 @@ def _parse_one(buf: bytes, source: str):
         try:
             clen = int(headers.get(b"content-length", b""))
         except ValueError:
-            yield (source, start, None, None, None, None, None, None, None,
+            yield (source, start, None, None, None, None, None, None, None, None,
                    bytes(buf[pos:]),
                    f"missing/invalid Content-Length at offset {start}")
             return
         body_start = hdr_end + 4
         if body_start + clen > n:
-            yield (source, start, None, None, None, None, None, None, None,
+            yield (source, start, None, None, None, None, None, None, None, None,
                    bytes(buf[pos:]),
                    f"truncated record at offset {start} (need {clen} bytes)")
             return
@@ -126,6 +127,7 @@ def _parse_one(buf: bytes, source: str):
         date = headers.get(b"warc-date")
         status = None
         http_ct = None
+        http_loc = None
         payload = block
         # an application/http block carries HTTP headers + body: split
         # them so downstream gets the entity body and typed status/mime
@@ -142,9 +144,13 @@ def _parse_one(buf: bytes, source: str):
                         status = None
                 for line in http_head[1:]:
                     k, s2, v = line.partition(b":")
-                    if s2 and k.strip().lower() == b"content-type":
+                    if not s2:
+                        continue
+                    key = k.strip().lower()
+                    if key == b"content-type" and http_ct is None:
                         http_ct = v.strip().decode("ascii", "replace")
-                        break
+                    elif key == b"location" and http_loc is None:
+                        http_loc = v.strip().decode("utf-8", "replace")
         yield (
             source,
             start,
@@ -155,6 +161,7 @@ def _parse_one(buf: bytes, source: str):
             clen,
             status,
             http_ct,
+            http_loc,
             bytes(payload),
             None,
         )
@@ -166,7 +173,7 @@ def parse_warc_records(
 ) -> DataFrame:
     """(source_file, record_offset, record_type, target_uri, warc_date,
     content_type, content_length, http_status, http_content_type,
-    payload, parse_error) — one row per WARC record, from one
+    http_location, payload, parse_error) — one row per WARC record, from one
     mapInPandas pass over (path, archive-bytes) rows. gzip archives
     (magic-detected) inflate member-by-member first."""
 
@@ -181,7 +188,7 @@ def parse_warc_records(
                     except zlib.error as exc:
                         rows.append(
                             (path, 0, None, None, None, None, None, None,
-                             None, raw, f"gzip: {exc}")
+                             None, None, raw, f"gzip: {exc}")
                         )
                         continue
                 rows.extend(_parse_one(raw, path))
@@ -328,4 +335,39 @@ def cdx_lookup(
     hi = prefix + "￿"
     return spark.read.parquet(path).where(
         (F.col("surt") >= prefix) & (F.col("surt") < hi)
+    )
+
+
+def warc_redirects(records: DataFrame, normalize: bool = True) -> DataFrame:
+    """Redirect edges out of a parsed archive: every 3xx response with a
+    ``Location`` header becomes ``(src_url, dst_url, http_status,
+    warc_date)``, the Location resolved against the capture URL per
+    RFC 3986 (redirect Locations are allowed to be relative —
+    `web.resolve_reference` handles every form) and both endpoints
+    normalized like `web.extract_links` edges so redirect identity
+    matches link/dedup/CDX identity. Feed the result to
+    `web.resolve_redirect_chains` to collapse chains, then rewrite
+    URL-keyed tables onto the canonical target — the step that makes a
+    301-moved site count as ONE site instead of two.
+
+    Pure column expressions over the already-parsed record table — the
+    payload column is never touched (3xx bodies are boilerplate)."""
+    from ..operators.web import normalize_url, resolve_reference
+
+    r = records.where(
+        (F.col("record_type") == "response")
+        & F.col("parse_error").isNull()
+        & F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+        & (F.trim(F.col("http_location")) != "")
+    )
+    src = F.col("target_uri")
+    dst = resolve_reference(src, F.col("http_location"))
+    if normalize:
+        src, dst = normalize_url(src), normalize_url(dst)
+    return r.select(
+        src.alias("src_url"),
+        dst.alias("dst_url"),
+        "http_status",
+        "warc_date",
     )

@@ -324,3 +324,126 @@ def test_cdx_lookup_prefix_range(spark, tmp_path):
         dom.explain(mode="formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(surt" in plan
+
+
+# ------------------------------------------------------- redirect edges ---
+
+
+def _http_redirect(location: bytes, status=301):
+    return (
+        b"HTTP/1.1 " + str(status).encode() + b" Moved\r\n"
+        b"Location: " + location + b"\r\n"
+        b"Content-Type: text/html\r\n\r\n"
+        b"<html>moved</html>"
+    )
+
+
+def test_warc_redirects_resolution_and_normalization(spark, tmp_path):
+    from bitfilters_spark.sources.warc import read_warc, warc_redirects
+
+    archive = b"".join(
+        [
+            _record("response", "http://old.test/a", _http_redirect(b"http://new.test/a")),
+            _record("response", "http://old.test/b", _http_redirect(b"/moved/b", 302)),
+            _record("response", "http://old.test/dir/c", _http_redirect(b"../up/./c#frag", 307)),
+            _record("response", "http://old.test/keep", _http_response(b"<p>ok</p>")),  # 200: no edge
+            _record("response", "http://old.test/nohdr", b"HTTP/1.1 301 Moved\r\nServer: t\r\n\r\nx"),  # 3xx w/o Location
+        ]
+    )
+    f = tmp_path / "r.warc"
+    f.write_bytes(archive)
+    recs = read_warc(spark, str(f))
+    got = {
+        r["src_url"]: (r["dst_url"], r["http_status"])
+        for r in warc_redirects(recs).collect()
+    }
+    assert got["http://old.test/a"] == ("http://new.test/a", 301)
+    assert got["http://old.test/b"] == ("http://old.test/moved/b", 302)
+    # ../up/./c resolves against /dir/, fragment stripped
+    assert got["http://old.test/dir/c"] == ("http://old.test/up/c", 307)
+    assert "http://old.test/keep" not in got
+    assert "http://old.test/nohdr" not in got
+
+
+def test_resolve_redirect_chains(spark):
+    from bitfilters_spark.operators.web import resolve_redirect_chains
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain
+            ("x", "y"),                           # single hop
+            ("p", "q"), ("q", "p"),               # loop
+            ("s", "s"),                           # self-redirect: dropped
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {
+        r["src_url"]: r
+        for r in resolve_redirect_chains(edges, max_hops=4).collect()
+    }
+    assert (got["a"]["final_url"], got["a"]["hops"], got["a"]["unresolved"]) == ("d", 3, False)
+    assert (got["b"]["final_url"], got["b"]["hops"]) == ("d", 2)
+    assert (got["x"]["final_url"], got["x"]["hops"], got["x"]["unresolved"]) == ("y", 1, False)
+    # the loop bounces until the hop budget and stays flagged
+    assert got["p"]["unresolved"] and got["q"]["unresolved"]
+    assert got["p"]["hops"] == 4
+    assert "s" not in got
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirect_chains(edges, max_hops=0)
+
+
+def test_resolve_reference_matrix(spark):
+    from bitfilters_spark.operators.web import resolve_reference
+
+    base = "http://h.test/a/b/page.html?old=1"
+    cases = [
+        ("https://x.test/p", "https://x.test/p"),
+        ("//cdn.test/lib.js", "http://cdn.test/lib.js"),
+        ("/root.html", "http://h.test/root.html"),
+        ("?q=2", "http://h.test/a/b/page.html?q=2"),
+        ("", "http://h.test/a/b/page.html"),
+        ("sib.html", "http://h.test/a/b/sib.html"),
+        ("../up.html", "http://h.test/a/up.html"),
+        ("../../../clamp.html", "http://h.test/clamp.html"),
+        ("./same.html#frag", "http://h.test/a/b/same.html"),
+    ]
+    df = spark.createDataFrame(
+        [(base, ref, want) for ref, want in cases],
+        "base string, ref string, want string",
+    )
+    rows = df.select(
+        "ref", "want", resolve_reference("base", "ref").alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["ref"]
+
+
+def test_redirects_canonicalize_captures(spark, tmp_path):
+    """Composition: redirect chains rewrite capture identity — the
+    moved page and its target dedup to one URL."""
+    from bitfilters_spark.operators.web import resolve_redirect_chains
+    from bitfilters_spark.sources.warc import read_warc, warc_redirects
+
+    archive = b"".join(
+        [
+            _record("response", "http://m.test/p", _http_redirect(b"http://w.test/p")),
+            _record("response", "http://w.test/p", _http_response(b"<p>canonical</p>")),
+        ]
+    )
+    f = tmp_path / "c.warc"
+    f.write_bytes(archive)
+    recs = read_warc(spark, str(f))
+    chains = resolve_redirect_chains(warc_redirects(recs))
+    canon = (
+        recs.where(F.col("target_uri").isNotNull())
+        .join(
+            chains.select(
+                F.col("src_url").alias("target_uri"), "final_url"
+            ),
+            "target_uri",
+            "left",
+        )
+        .select(F.coalesce("final_url", "target_uri").alias("canonical"))
+        .distinct()
+    )
+    assert [r["canonical"] for r in canon.collect()] == ["http://w.test/p"]
