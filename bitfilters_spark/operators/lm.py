@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["train_kn_lm", "kn_score", "perplexity_buckets"]
+__all__ = ["train_kn_lm", "kn_model_from_type_tables", "kn_score", "perplexity_buckets"]
 
 
 def _bigram_structs(hs):
@@ -88,7 +88,26 @@ def train_kn_lm(
         .groupBy("g.hp", "g.hc")
         .agg(F.count(F.lit(1)).alias("cb"))
     ).localCheckpoint(eager=False)
+    uni = (
+        seq.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    ).localCheckpoint(eager=False)
+    return kn_model_from_type_tables(bi_types, uni, vocab_size, discount)
 
+
+def kn_model_from_type_tables(
+    bi_types: DataFrame,
+    uni: DataFrame,
+    vocab_size: int = 1 << 16,
+    discount: float | None = None,
+) -> dict:
+    """Derive the KN model from its two sufficient-statistic tables:
+    ``bi_types`` (hp, hc, cb) — one row per distinct bigram — and
+    ``uni`` (h, c_tok) token occurrence counts. Shared by
+    :func:`train_kn_lm` and `streaming/lm.streaming_kn_model` (both are
+    ADDITIVE tables, which is what lets the LM stream), so the two
+    paths cannot diverge arithmetically."""
     # exact scalar stats + count-of-counts in ONE pass over the type table
     stats = bi_types.agg(
         F.count(F.lit(1)).alias("n_types"),
@@ -117,17 +136,10 @@ def train_kn_lm(
         .orderBy(F.col("c_ctx").desc(), "h")
         .limit(vocab_size)
     )
-    # unigram occurrence counts: the cap ORDER for the continuation table
-    # (a token's scoring impact ∝ how often probes hit it = its frequency,
-    # NOT its n_pred — predecessor-type counts tie at 1 across whole
-    # corpora and would evict frequent tokens arbitrarily) and the source
-    # of n_tokens, one aggregation for both
-    uni = (
-        seq.select(F.explode("hs").alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c_tok"))
-    ).localCheckpoint(eager=False)
-    # continuation stats: N1+(·w) = distinct predecessors of w
+    # continuation stats: N1+(·w) = distinct predecessors of w, cap
+    # ORDER by token frequency from uni (a token's scoring impact ∝ how
+    # often probes hit it — predecessor-type counts tie at 1 across
+    # whole corpora and would evict frequent tokens arbitrarily)
     cont = (
         bi_types.groupBy(F.col("hc").alias("h"))
         .agg(F.count(F.lit(1)).alias("n_pred"))

@@ -24,6 +24,12 @@ from .index_maintenance import (
     streaming_ann_index,
     streaming_bm25_index,
 )
+from .lm import (
+    compact_kn_state,
+    kn_stats_fold,
+    streaming_kn_model,
+    streaming_kn_stats,
+)
 from .sessions import streaming_sessionize
 from .sketches import (
     streaming_cms_counts,

@@ -81,6 +81,37 @@ def write_bytes(path: str, data: bytes, spark: SparkSession | None = None) -> No
         raise IOError(f"rename {tmp} -> {jpath} failed")
 
 
+def delete(path: str, spark: SparkSession | None = None) -> None:
+    """Recursive delete; missing paths are a no-op."""
+    _, fs, jpath = _jvm_fs(path, spark)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
+    """Directory/file rename (atomic on HDFS/local; best-effort copy
+    semantics on object stores, same caveat as every staging swap)."""
+    jvm, fs, jsrc = _jvm_fs(src, spark)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def count_files(path: str, spark: SparkSession | None = None) -> int:
+    """Number of data files under ``path`` (recursive, hidden files and
+    _SUCCESS markers excluded); 0 if it doesn't exist."""
+    _, fs, jpath = _jvm_fs(path, spark)
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
 def list_names(path: str, spark: SparkSession | None = None) -> list[str]:
     """Child entry basenames of a directory ([] if it doesn't exist)."""
     _, fs, jpath = _jvm_fs(path, spark)

@@ -2091,3 +2091,82 @@ def test_streaming_frontier_dense_waves_and_seen_ttl(spark, tmp_path):
         assert len(xs) == 2 and xs[0] == 1  # aged out, so released twice
     finally:
         q.stop()
+
+
+def test_streaming_kn_stats_match_batch_train(spark, tmp_path):
+    """Streamed KN sufficient statistics over 3 micro-batches == 
+    train_kn_lm on the union: identical scalars/discount, and kn_score
+    over the streamed model matches the batch model to 1e-12. Replaying
+    an applied batch id is a no-op; compaction collapses the partial
+    file-sets and leaves the model identical."""
+    from bitfilters_spark.operators.lm import kn_score, train_kn_lm
+    from bitfilters_spark.streaming.lm import (
+        compact_kn_state,
+        kn_stats_fold,
+        streaming_kn_model,
+        streaming_kn_stats,
+    )
+    from bitfilters_spark.streaming import state_io
+
+    rows = [
+        (i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 3}")
+        for i in range(60)
+    ]
+    src = str(tmp_path / "kn_in")
+    ckpt = str(tmp_path / "kn_ck")
+    state = str(tmp_path / "kn_state")
+    markers = str(tmp_path / "kn_markers")
+    for chunk in (rows[:20], rows[20:40]):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_kn_stats(stream, "text", state, markers).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[40:], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(rows, "doc_id long, text string")
+    live = streaming_kn_model(spark, state, vocab_size=1 << 20)
+    batch = train_kn_lm(union, "text", vocab_size=1 << 20)
+    for k in ("n_bigram_types", "n_bigrams", "n_tokens", "discount"):
+        assert live[k] == batch[k], k
+
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox 3 jumps"), (2, "zebra unseen context")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", live).collect()}
+    b = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", batch).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+    # replaying an applied batch id changes nothing
+    n_bi_before = spark.read.parquet(f"{state}/bigrams").count()
+    applied = sorted(
+        int(n.split("-")[1]) for n in state_io.list_names(markers, spark)
+    )
+    kn_stats_fold("text", state, markers)(
+        spark.createDataFrame(rows[40:], "doc_id long, text string"),
+        applied[-1],
+    )
+    assert spark.read.parquet(f"{state}/bigrams").count() == n_bi_before
+
+    # compaction: fewer files, identical model
+    stats = compact_kn_state(spark, state)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 2  # one file per table
+    live2 = streaming_kn_model(spark, state, vocab_size=1 << 20)
+    for k in ("n_bigram_types", "n_bigrams", "n_tokens", "discount"):
+        assert live2[k] == batch[k], k
+    a2 = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", live2).collect()}
+    for k in a2:
+        assert a2[k] == pytest.approx(b[k], abs=1e-12)
+
+    # empty state: None
+    assert streaming_kn_model(spark, str(tmp_path / "nope")) is None
