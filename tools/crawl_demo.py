@@ -7,7 +7,9 @@ file disallowing a subtree with a wildcard rule), then runs:
 
   read_warc (binaryFile → record split) → write_cdx + latest_captures
   (recrawl dedup) → warc_pages → robots_meta page gate → extract_links
-  (anchor text + nofollow) → host pagerank → robots.txt gate (RFC 9309
+  (anchor text + nofollow) → host pagerank → redirect canonicalization
+  (warc_redirects → resolve_redirect_chains: discovered legacy URLs
+  collapse onto their 301 targets) → robots.txt gate (RFC 9309
   wildcards) → url_template trap filter → url_frontier_schedule with
   pagerank priority — the NEXT crawl round's fetch list.
 
@@ -48,6 +50,15 @@ def _page(uri: str, html: str, date: str) -> bytes:
     return _record("response", uri, body, "application/http; msgtype=response", date)
 
 
+def _redirect(uri: str, location: str, date: str) -> bytes:
+    body = (
+        b"HTTP/1.1 301 Moved Permanently\r\nLocation: "
+        + location.encode()
+        + b"\r\nContent-Type: text/html\r\n\r\n<html>moved</html>"
+    )
+    return _record("response", uri, body, "application/http; msgtype=response", date)
+
+
 def main(sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -56,8 +67,10 @@ def main(sf_dir: str) -> None:
         apply_robots,
         detect_url_traps,
         extract_links,
+        resolve_redirect_chains,
         robots_meta,
         robots_rules,
+        url_domain,
         url_frontier_schedule,
         url_template,
     )
@@ -68,6 +81,7 @@ def main(sf_dir: str) -> None:
         read_warc,
         warc_cdx,
         warc_pages,
+        warc_redirects,
         write_cdx,
     )
 
@@ -106,12 +120,29 @@ def main(sf_dir: str) -> None:
                 if doc_id % 40 == 7
                 else ""
             )
+            legacy = (
+                f'<a href="http://{host}/old/{doc_id}">legacy</a>'
+                if doc_id % 25 == 3
+                else ""
+            )
             html = (
                 f"<html><head>{meta}</head><body>"
                 f'<a href="{nxt}">next</a><a href="/local/{doc_id}">me</a>'
-                f"<p>{text}</p></body></html>"
+                f"{legacy}<p>{text}</p></body></html>"
             )
             buf.append(_page(uri, html, "2024-01-01T00:00:00Z"))
+            if doc_id % 25 == 3:
+                # the legacy URL 301s (relative Location) to the page,
+                # and a second hop chains through it
+                buf.append(_redirect(
+                    f"http://{host}/old/{doc_id}", f"/p/{doc_id}",
+                    "2024-01-01T00:00:00Z",
+                ))
+                buf.append(_redirect(
+                    f"http://{host}/old2/{doc_id}",
+                    f"http://{host}/old/{doc_id}",
+                    "2024-01-01T00:00:00Z",
+                ))
             if doc_id % 10 == 0:  # later re-crawl of 10% of pages
                 buf.append(_page(uri, html, "2024-02-01T00:00:00Z"))
             if len(buf) >= per_arc:
@@ -185,6 +216,22 @@ def main(sf_dir: str) -> None:
             F.col("dst_url").alias("url"),
             F.col("dst_host").alias("host"),
         ).distinct()
+        # redirect canonicalization: discovered legacy URLs collapse
+        # onto their 301 chains' final targets before any gating, so a
+        # moved page is one frontier row, not two
+        chains = resolve_redirect_chains(warc_redirects(records))
+        stages["redirect_chains"] = {"rows": chains.count()}
+        frontier = stage(
+            "redirect_canonical",
+            frontier.join(
+                chains.select(F.col("src_url").alias("url"), "final_url"),
+                "url",
+                "left",
+            )
+            .select(F.coalesce("final_url", "url").alias("url"))
+            .distinct()
+            .withColumn("host", url_domain(F.col("url"), registrable=False)),
+        )
         allowed = stage(
             "robots_gate",
             apply_robots(frontier, rules).where(F.col("robots_allowed")),
