@@ -1793,8 +1793,38 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     `warc.surt_key` over a planted per-row URL with an UPPERCASED
     multi-label host — parse, lowercase, label reversal, and path+query
     reassembly are all replayed literally by the oracle, so any slip in
-    the SURT transform hash-mismatches."""
-    from bitfilters_spark.operators.web import url_frontier_schedule
+    the SURT transform hash-mismatches.
+
+    Three more r11 columns, each running its REAL operator in-query on
+    planted event-derived inputs with a hash-exact SQL replay:
+
+    - `canon`/`canon_hops` (#144 `resolve_redirect_chains`): a redirect
+      mapping u<id> -> u<id-1> for every id % 4 != 0 builds 3-hop
+      chains ending at the id % 4 == 0 base; each row's planted URL
+      collapses onto its chain's final target. The oracle unrolls the
+      max_hops-1 join rounds as CTEs — hop counting, the no-mapping
+      identity case, and the final target are all string/int exact.
+    - `anc_links`/`anc_hosts`/`anc_text` (#142 `anchor_text_corpus`):
+      planted edges (211 dst buckets, 5 anchors, 17 source hosts,
+      nofollow every 13th) aggregate to per-target top-2 anchors by
+      count (ties by anchor) + distinct referring hosts; joined back by
+      the row's dst bucket. The oracle replays the nofollow filter,
+      both aggregations, and the rank-ordered string_agg.
+    - `budget_alloc` (#143 `allocate_weighted_budget`): per-host URL
+      counts as capacity, (user_id % 7 + 1) as weight, budget = half
+      the total URL count — the water-filling level λ is REPLAYED in
+      SQL via ordered window prefix sums. Every input is an
+      integer-valued double, so prefix sums are exact in ANY order,
+      each λ candidate is one correctly-rounded division, and
+      min(cap, w·λ) matches bit-for-bit with no tolerance — the
+      pagerank trick (exact-addend arithmetic) applied to a sort-based
+      closed form instead of quantization."""
+    from bitfilters_spark.operators.sampling import allocate_weighted_budget
+    from bitfilters_spark.operators.web import (
+        anchor_text_corpus,
+        resolve_redirect_chains,
+        url_frontier_schedule,
+    )
     from bitfilters_spark.sources.warc import surt_key
 
     ev = load_table(spark, sf_dir, "events")
@@ -1811,12 +1841,88 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string"),
         F.lit("?q=1"),
     )
-    return out.select(
+    out = out.select(
         "event_id",
         "host",
         "round",
         F.pmod(duckdb_hash(ORACLE_VERSION, "host"), F.lit(8)).cast("long").alias("fetcher"),
         surt_key(planted).alias("surt"),
+    )
+
+    # ---- #144 redirect-chain collapse over a planted 3-hop mapping
+    mapping = ev.where(F.col("event_id") % 4 != 0).select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("src_url"),
+        F.concat(F.lit("u"), (F.col("event_id") - 1).cast("string")).alias(
+            "dst_url"
+        ),
+    )
+    # materialize=False: the mapping is gate-scale and consumed once —
+    # per-hop checkpoint jobs would cost more than the re-derived lineage
+    chains = resolve_redirect_chains(mapping, max_hops=4, materialize=False)
+    out = (
+        out.join(
+            chains.select(
+                F.regexp_replace("src_url", "^u", "")
+                .cast("long")
+                .alias("event_id"),
+                F.col("final_url").alias("__canon"),
+                F.col("hops").cast("long").alias("__hops"),
+            ),
+            "event_id",
+            "left",
+        )
+        .withColumn(
+            "canon",
+            F.coalesce(
+                "__canon", F.concat(F.lit("u"), F.col("event_id").cast("string"))
+            ),
+        )
+        .withColumn("canon_hops", F.coalesce("__hops", F.lit(0)).cast("long"))
+        .drop("__canon", "__hops")
+    )
+
+    # ---- #142 anchor-text corpus over planted edges, joined by bucket
+    edges = ev.select(
+        F.concat(F.lit("t"), (F.col("event_id") % 211).cast("string")).alias(
+            "dst_url"
+        ),
+        F.concat(F.lit("a"), (F.col("user_id") % 5).cast("string")).alias(
+            "anchor"
+        ),
+        F.concat(F.lit("h"), (F.col("user_id") % 17).cast("string")).alias(
+            "src_host"
+        ),
+        (F.col("event_id") % 13 == 0).alias("nofollow"),
+    )
+    corpus = anchor_text_corpus(edges, top_k=2)
+    out = (
+        out.withColumn("__b", F.col("event_id") % 211)
+        .join(
+            corpus.select(
+                F.regexp_replace("dst_url", "^t", "").cast("long").alias("__b"),
+                F.col("n_links").alias("anc_links"),
+                F.col("n_ref_hosts").alias("anc_hosts"),
+                F.col("anchor_text").alias("anc_text"),
+            ),
+            "__b",
+            "left",
+        )
+        .drop("__b")
+    )
+
+    # ---- #143 authority-weighted fetch budgets, joined by host
+    hosts = ev.groupBy(F.col("user_id").cast("string").alias("hh")).agg(
+        F.count(F.lit(1)).cast("double").alias("cap"),
+        F.min(F.pmod("user_id", F.lit(7)) + 1).cast("double").alias("w"),
+    )
+    budget = float(ev.count() // 2)
+    alloc = allocate_weighted_budget(hosts, "hh", "cap", "w", budget)
+    return out.join(
+        alloc.select(
+            F.col("key").alias("host"), F.col("alloc").alias("budget_alloc")
+        ),
+        "host",
+        "left",
     )
 
 
@@ -3138,15 +3244,94 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM clean
         """,
+        # canon/anc_*/budget_alloc legs: redirect chains unrolled as
+        # max_hops-1 join rounds; anchor top-k via rank-ordered
+        # string_agg; the water-filling level replayed with ordered
+        # window prefix sums — every budget input is an integer-valued
+        # double, so the sums are exact in any order and each lambda
+        # candidate is one correctly-rounded division (no tolerance)
         "q_crawl_frontier": """
-            SELECT event_id, user_id::VARCHAR AS host,
-                   ((row_number() OVER (
-                       PARTITION BY user_id ORDER BY value DESC, event_id
-                     ) - 1) // 3)::BIGINT AS round,
-                   (hash(user_id::VARCHAR) % 8)::BIGINT AS fetcher,
-                   'com,example,sub,h' || user_id::VARCHAR || ')/p/'
-                     || event_id::VARCHAR || '?q=1' AS surt
-            FROM events
+            WITH base AS (
+              SELECT event_id, user_id::VARCHAR AS host, value,
+                     ((row_number() OVER (
+                         PARTITION BY user_id ORDER BY value DESC, event_id
+                       ) - 1) // 3)::BIGINT AS round,
+                     (hash(user_id::VARCHAR) % 8)::BIGINT AS fetcher,
+                     'com,example,sub,h' || user_id::VARCHAR || ')/p/'
+                       || event_id::VARCHAR || '?q=1' AS surt
+              FROM events),
+            m AS (
+              SELECT 'u' || event_id::VARCHAR AS s,
+                     'u' || (event_id - 1)::VARCHAR AS d
+              FROM events WHERE event_id % 4 <> 0),
+            r1 AS (
+              SELECT m.s AS src, coalesce(m2.d, m.d) AS f,
+                     1 + CASE WHEN m2.d IS NULL THEN 0 ELSE 1 END AS hops
+              FROM m LEFT JOIN m m2 ON m2.s = m.d),
+            r2 AS (
+              SELECT r1.src, coalesce(m3.d, r1.f) AS f,
+                     r1.hops + CASE WHEN m3.d IS NULL THEN 0 ELSE 1 END AS hops
+              FROM r1 LEFT JOIN m m3 ON m3.s = r1.f),
+            r3 AS (
+              SELECT r2.src, coalesce(m4.d, r2.f) AS f,
+                     r2.hops + CASE WHEN m4.d IS NULL THEN 0 ELSE 1 END AS hops
+              FROM r2 LEFT JOIN m m4 ON m4.s = r2.f),
+            e AS (
+              SELECT 't' || (event_id % 211)::VARCHAR AS dst,
+                     'a' || (user_id % 5)::VARCHAR AS anchor,
+                     'h' || (user_id % 17)::VARCHAR AS sh
+              FROM events WHERE event_id % 13 <> 0),
+            abase AS (
+              SELECT dst, count(*)::BIGINT AS anc_links,
+                     count(DISTINCT sh)::BIGINT AS anc_hosts
+              FROM e GROUP BY dst),
+            ark AS (
+              SELECT dst, anchor, row_number() OVER (
+                       PARTITION BY dst ORDER BY count(*) DESC, anchor
+                     ) AS rk
+              FROM e GROUP BY dst, anchor),
+            atop AS (
+              SELECT dst, string_agg(anchor, ' ' ORDER BY rk) AS anc_text
+              FROM ark WHERE rk <= 2 GROUP BY dst),
+            hosts AS (
+              SELECT user_id::VARCHAR AS hh, count(*)::DOUBLE AS cap,
+                     ((min(user_id) % 7) + 1)::DOUBLE AS w
+              FROM events GROUP BY user_id),
+            tot AS (
+              SELECT sum(cap) AS c, sum(w) AS wt, count(*)::BIGINT AS n,
+                     floor((SELECT count(*) FROM events) / 2.0) AS b
+              FROM hosts),
+            srt AS (
+              SELECT hh, cap, w, cap / w AS r,
+                     sum(cap) OVER (ORDER BY cap / w, hh
+                       ROWS UNBOUNDED PRECEDING) AS p,
+                     sum(w) OVER (ORDER BY cap / w, hh
+                       ROWS UNBOUNDED PRECEDING) AS q,
+                     row_number() OVER (ORDER BY cap / w, hh) AS i
+              FROM hosts),
+            lam AS (
+              SELECT greatest(
+                       tot.b / tot.wt,
+                       coalesce(max(CASE WHEN srt.i < tot.n
+                                          AND (tot.b - srt.p) / (tot.wt - srt.q)
+                                              >= srt.r
+                                    THEN (tot.b - srt.p) / (tot.wt - srt.q)
+                                    END), tot.b / tot.wt)
+                     ) AS l
+              FROM srt, tot GROUP BY tot.b, tot.wt),
+            alloc AS (
+              SELECT hh, least(cap, w * lam.l) AS budget_alloc
+              FROM srt, lam)
+            SELECT b.event_id, b.host, b.round, b.fetcher, b.surt,
+                   coalesce(r3.f, 'u' || b.event_id::VARCHAR) AS canon,
+                   coalesce(r3.hops, 0)::BIGINT AS canon_hops,
+                   ab.anc_links, ab.anc_hosts, at.anc_text,
+                   al.budget_alloc
+            FROM base b
+            LEFT JOIN r3 ON r3.src = 'u' || b.event_id::VARCHAR
+            LEFT JOIN abase ab ON ab.dst = 't' || (b.event_id % 211)::VARCHAR
+            LEFT JOIN atop at ON at.dst = 't' || (b.event_id % 211)::VARCHAR
+            LEFT JOIN alloc al ON al.hh = b.host
         """,
         # exact iterative-float oracle: every addend is a multiple of
         # 2^-30 and partial sums stay < 2^23, so IEEE sums are

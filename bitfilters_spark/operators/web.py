@@ -1241,6 +1241,7 @@ def resolve_redirect_chains(
     src_col: str = "src_url",
     dst_col: str = "dst_url",
     max_hops: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Collapse redirect chains to their final target: (src_url,
     final_url, hops, unresolved) with ``a -> b -> c`` yielding
@@ -1258,7 +1259,10 @@ def resolve_redirect_chains(
     deterministically to the lexicographically-least target.
 
     Scale: the mapping is redirect-scale (≪ corpus); each hop is one
-    URL-keyed equi-join, ``max_hops`` constant, lineage cut per hop."""
+    URL-keyed equi-join, ``max_hops`` constant, lineage cut per hop
+    (``materialize=False`` skips the per-hop localCheckpoint — right
+    for small mappings consumed once, where the materialization jobs
+    cost more than the re-derived lineage)."""
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     m = (
@@ -1270,8 +1274,9 @@ def resolve_redirect_chains(
         )
         .groupBy("s")
         .agg(F.min("d").alias("d"))
-        .localCheckpoint()
     )
+    if materialize:
+        m = m.localCheckpoint()
     res = m.select(
         F.col("s").alias("src_url"),
         F.col("d").alias("final_url"),
@@ -1289,8 +1294,9 @@ def resolve_redirect_chains(
                     + F.when(F.col("__next").isNotNull(), 1).otherwise(0)
                 ).alias("hops"),
             )
-            .localCheckpoint()
         )
+        if materialize:
+            res = res.localCheckpoint()
     return res.join(
         step.select("final_url", F.lit(True).alias("__more")),
         "final_url",
