@@ -48,7 +48,15 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["train_kn_lm", "kn_model_from_type_tables", "kn_score", "perplexity_buckets"]
+__all__ = [
+    "train_kn_lm",
+    "kn_model_from_type_tables",
+    "kn_score",
+    "train_kn3_lm",
+    "kn3_model_from_type_tables",
+    "kn3_score",
+    "perplexity_buckets",
+]
 
 
 def _bigram_structs(hs):
@@ -265,4 +273,229 @@ def perplexity_buckets(
         .when(F.col(ppl_col) <= F.col("ppl_head"), F.lit("head"))
         .when(F.col(ppl_col) <= F.col("ppl_middle"), F.lit("middle"))
         .otherwise(F.lit("tail")),
+    )
+
+
+def _trigram_structs(hs):
+    """(hu, hv, hw) structs for adjacent triples of a hashed-token
+    array."""
+    n = F.size(hs)
+    return F.zip_with(
+        F.slice(hs, 1, F.greatest(n - 2, F.lit(0))),
+        F.zip_with(
+            F.slice(hs, 2, F.greatest(n - 2, F.lit(0))),
+            F.slice(hs, 3, F.greatest(n - 2, F.lit(0))),
+            lambda b, c: F.struct(b.alias("hv"), c.alias("hw")),
+        ),
+        lambda a, vc: F.struct(
+            a.alias("hu"), vc["hv"].alias("hv"), vc["hw"].alias("hw")
+        ),
+    )
+
+
+def train_kn3_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1 << 16,
+    discount3: float | None = None,
+    discount2: float | None = None,
+) -> dict:
+    """Interpolated Kneser–Ney TRIGRAM LM — the KenLM order-3 shape,
+    one recursion deeper than :func:`train_kn_lm`:
+
+        P3(w|u,v) = max(c(uvw)−D3, 0)/c(uv·)
+                  + D3·N1+(uv·)/c(uv·) · P2(w|v)
+        P2(w|v)   = max(N1+(·vw)−D2, 0)/N1+(·v·)
+                  + D2·N2+(v·)/N1+(·v·) · P1(w)          (continuation form)
+        P1(w)     = N1+(·w)/N1+(··)                      (over bigram types)
+
+    with D3 from the trigram count-of-counts and D2 from the
+    count-of-counts of the ADJUSTED counts N1+(·vw) (Chen & Goodman's
+    modified counts at the middle order). Unseen (u,v) contexts back
+    off to P2; a v never seen mid-trigram backs off to P1. For a fully
+    in-model context, Σ_w P3(w|u,v) = 1 exactly (each order returns its
+    discount mass through the next one down) — pytest-pinned like the
+    bigram law.
+
+    Every statistic derives from TWO type tables — trigram types
+    (hu, hv, hw, c) and the #140 bigram/unigram tables — all additive,
+    so the streaming fold pattern applies unchanged. Derived tables cap
+    at ``vocab_size`` rows by their own counts (the same
+    exact-stats-then-cap semantics as the bigram model). Scoring is
+    five broadcast joins + one per-doc groupBy; no corpus shuffle."""
+    seq = df.select(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
+    )
+    tri_types = (
+        seq.select(F.explode(_trigram_structs(F.col("hs"))).alias("g"))
+        .groupBy(
+            F.col("g.hu").alias("hu"),
+            F.col("g.hv").alias("hv"),
+            F.col("g.hw").alias("hw"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+    bi_types = (
+        seq.select(F.explode(_bigram_structs(F.col("hs"))).alias("g"))
+        .groupBy(F.col("g.hp").alias("hp"), F.col("g.hc").alias("hc"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    ).localCheckpoint(eager=False)
+    uni = (
+        seq.select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+    ).localCheckpoint(eager=False)
+    return kn3_model_from_type_tables(
+        tri_types, bi_types, uni, vocab_size, discount3, discount2
+    )
+
+
+def _estimate_discount(stats_row, n1_key: str, n2_key: str) -> float:
+    n1 = int(stats_row[n1_key] or 0)
+    n2 = int(stats_row[n2_key] or 0)
+    d = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
+    return 0.75 if d >= 1.0 else d
+
+
+def kn3_model_from_type_tables(
+    tri_types: DataFrame,
+    bi_types: DataFrame,
+    uni: DataFrame,
+    vocab_size: int = 1 << 16,
+    discount3: float | None = None,
+    discount2: float | None = None,
+) -> dict:
+    """Derive the trigram-KN model from its additive type tables —
+    shared (like :func:`kn_model_from_type_tables`) so a streamed fold
+    and the batch trainer cannot diverge."""
+    # trigram count-of-counts -> D3; continuation count-of-counts -> D2
+    cont3_full = tri_types.groupBy("hv", "hw").agg(
+        F.count(F.lit(1)).alias("n_pred3")
+    ).localCheckpoint(eager=False)
+    s3 = tri_types.agg(
+        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    s2 = cont3_full.agg(
+        F.sum((F.col("n_pred3") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("n_pred3") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    d3 = _estimate_discount(s3, "n1", "n2") if discount3 is None else discount3
+    d2 = _estimate_discount(s2, "n1", "n2") if discount2 is None else discount2
+    for name, d in (("discount3", d3), ("discount2", d2)):
+        if not (0.0 <= d < 1.0):
+            raise ValueError(f"{name} must be in [0, 1), got {d}")
+
+    tri = (
+        tri_types.select(F.xxhash64("hu", "hv", "hw").alias("h3"), "c")
+        .orderBy(F.col("c").desc(), "h3")
+        .limit(vocab_size)
+    )
+    ctx3 = (
+        tri_types.groupBy(F.xxhash64("hu", "hv").alias("h2"))
+        .agg(F.sum("c").alias("c_ctx3"), F.count(F.lit(1)).alias("n_succ3"))
+        .orderBy(F.col("c_ctx3").desc(), "h2")
+        .limit(vocab_size)
+    )
+    cont3 = (
+        cont3_full.select(F.xxhash64("hv", "hw").alias("hvw"), "n_pred3")
+        .orderBy(F.col("n_pred3").desc(), "hvw")
+        .limit(vocab_size)
+    )
+    mid = (
+        cont3_full.groupBy(F.col("hv").alias("h"))
+        .agg(
+            F.sum("n_pred3").alias("n_mid"),
+            F.count(F.lit(1)).alias("n_ctypes"),
+        )
+        .orderBy(F.col("n_mid").desc(), "h")
+        .limit(vocab_size)
+    )
+    # lowest order: the bigram model's continuation distribution
+    base = kn_model_from_type_tables(bi_types, uni, vocab_size)
+    return {
+        "tri": tri,
+        "ctx3": ctx3,
+        "cont3": cont3,
+        "mid": mid,
+        "cont": base["cont"],
+        "n_bigram_types": base["n_bigram_types"],
+        "n_tokens": base["n_tokens"],
+        "discount3": float(d3),
+        "discount2": float(d2),
+    }
+
+
+def kn3_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+) -> DataFrame:
+    """(id, n_scored, avg_logp, ppl) over TRIGRAMS under a
+    :func:`train_kn3_lm` model — same contract as :func:`kn_score`
+    (floor ``1/(10·n_tokens)``, docs with < 3 tokens not emitted), one
+    order deeper. Plan: explode trigrams → five broadcast joins → one
+    per-doc groupBy."""
+    d3 = float(lm["discount3"])
+    d2 = float(lm["discount2"])
+    n_bi = max(float(lm["n_bigram_types"]), 1.0)
+    floor = 1.0 / (10.0 * max(float(lm["n_tokens"]), 1.0))
+    seq = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+    )
+    grams = seq.select(
+        id_col, F.explode(_trigram_structs(F.col("hs"))).alias("g")
+    ).select(
+        id_col,
+        F.xxhash64("g.hu", "g.hv", "g.hw").alias("h3"),
+        F.xxhash64("g.hu", "g.hv").alias("h2"),
+        F.xxhash64("g.hv", "g.hw").alias("hvw"),
+        F.col("g.hv").alias("hv"),
+        F.col("g.hw").alias("hw"),
+    )
+    joined = (
+        grams.join(F.broadcast(lm["tri"]), "h3", "left")
+        .join(F.broadcast(lm["ctx3"]), "h2", "left")
+        .join(F.broadcast(lm["cont3"]), "hvw", "left")
+        .join(
+            F.broadcast(
+                lm["mid"].select(F.col("h").alias("hv"), "n_mid", "n_ctypes")
+            ),
+            "hv",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lm["cont"].select(F.col("h").alias("hw"), "n_pred")
+            ),
+            "hw",
+            "left",
+        )
+    )
+    p1 = F.coalesce(F.col("n_pred"), F.lit(0)).cast("double") / F.lit(n_bi)
+    n_mid = F.coalesce(F.col("n_mid"), F.lit(0)).cast("double")
+    p2_kn = (
+        F.greatest(
+            F.coalesce(F.col("n_pred3"), F.lit(0)).cast("double") - F.lit(d2),
+            F.lit(0.0),
+        )
+        + F.lit(d2) * F.coalesce(F.col("n_ctypes"), F.lit(0)).cast("double") * p1
+    ) / F.greatest(n_mid, F.lit(1.0))
+    p2 = F.when(F.col("n_mid").isNotNull(), p2_kn).otherwise(p1)
+    c_ctx3 = F.coalesce(F.col("c_ctx3"), F.lit(0)).cast("double")
+    p3_kn = (
+        F.greatest(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double") - F.lit(d3),
+            F.lit(0.0),
+        )
+        + F.lit(d3) * F.coalesce(F.col("n_succ3"), F.lit(0)).cast("double") * p2
+    ) / F.greatest(c_ctx3, F.lit(1.0))
+    p3 = F.when(F.col("c_ctx3").isNotNull(), p3_kn).otherwise(p2)
+    scored = joined.withColumn("p", F.greatest(p3, F.lit(floor)))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.log("p")).alias("avg_logp"),
+        F.exp(-F.avg(F.log("p"))).alias("ppl"),
     )

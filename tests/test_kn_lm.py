@@ -273,3 +273,148 @@ def test_kn_end_to_end_bucketing(spark):
     # ORDER the buckets encode instead of a specific tail label
     assert got[1] == "head"
     assert got[3] != "head"
+
+
+# ---------------------------------------------------------- trigram KN ---
+
+
+def _kn3_reference(train_texts, probe_tokens, d3=None, d2=None):
+    """Pure-Python interpolated trigram KN with continuation-form
+    middle order — mirrors operators/lm.kn3_score exactly."""
+    from collections import Counter, defaultdict
+
+    tri = Counter()
+    bi = Counter()
+    n_tokens = 0
+    for t in train_texts:
+        toks = t.split()
+        n_tokens += len(toks)
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] += 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+    c_ctx3 = Counter()
+    succ3 = defaultdict(set)
+    pred3 = Counter()  # N1+(.vw) = distinct u before (v, w)
+    for (u, v, w), c in tri.items():
+        c_ctx3[(u, v)] += c
+        succ3[(u, v)].add(w)
+        pred3[(v, w)] += 1
+    n_mid = Counter()
+    n_ctypes = Counter()
+    for (v, w), n in pred3.items():
+        n_mid[v] += n
+        n_ctypes[v] += 1
+    pred1 = defaultdict(set)
+    for (a, b) in bi:
+        pred1[b].add(a)
+    n_bi = max(len(bi), 1)
+
+    def est(counter):
+        n1 = sum(1 for c in counter.values() if c == 1)
+        n2 = sum(1 for c in counter.values() if c == 2)
+        d = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75
+        return 0.75 if d >= 1.0 else d
+
+    if d3 is None:
+        d3 = est(tri)
+    if d2 is None:
+        d2 = est(pred3)
+    floor = 1.0 / (10.0 * max(n_tokens, 1))
+
+    def p1(w):
+        return len(pred1.get(w, ())) / n_bi
+
+    def p2(v, w):
+        if v not in n_mid:
+            return p1(w)
+        return (
+            max(pred3.get((v, w), 0) - d2, 0.0) + d2 * n_ctypes[v] * p1(w)
+        ) / n_mid[v]
+
+    def p3(u, v, w):
+        if (u, v) not in c_ctx3:
+            return p2(v, w)
+        return (
+            max(tri.get((u, v, w), 0) - d3, 0.0)
+            + d3 * len(succ3[(u, v)]) * p2(v, w)
+        ) / c_ctx3[(u, v)]
+
+    logs = [
+        math.log(max(p3(u, v, w), floor))
+        for u, v, w in zip(probe_tokens, probe_tokens[1:], probe_tokens[2:])
+    ]
+    return sum(logs) / len(logs)
+
+
+def test_kn3_score_matches_python_reference(spark):
+    from bitfilters_spark.operators.lm import kn3_score, train_kn3_lm
+
+    lm = train_kn3_lm(_train_df(spark), "text", vocab_size=1 << 20)
+    probes = [
+        (10, "the cat sat on the mat"),          # seen trigrams
+        (11, "the cat sat on the log"),          # seen ctx, mixed continuation
+        (12, "the zebra sat on quagga mats"),    # unseen contexts mid-probe
+        (13, "zebra quagga wombat axolotl"),     # fully OOV
+        (14, "san francisco is in california"),  # in-domain
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in kn3_score(
+            spark.createDataFrame(probes, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            lm,
+        ).collect()
+    }
+    for doc_id, text in probes:
+        want = _kn3_reference(TRAIN, text.split())
+        assert got[doc_id]["avg_logp"] == pytest.approx(want, abs=1e-12), text
+        assert got[doc_id]["n_scored"] == len(text.split()) - 2
+
+
+def test_kn3_probabilities_sum_to_one(spark):
+    """Σ_w P3(w|u,v) = 1 for a fully in-model context — the discount
+    mass of each order is returned through the one below it."""
+    texts = ["b a b c a c b a b c c a", "c b a b b c a a b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from bitfilters_spark.operators.lm import kn3_score, train_kn3_lm
+
+    lm = train_kn3_lm(df, "text", vocab_size=1 << 20)
+    vocab = sorted({w for t in texts for w in t.split()})
+    for u, v in [("b", "a"), ("a", "b"), ("c", "a")]:
+        probes = [(i, f"{u} {v} {w}") for i, w in enumerate(vocab)]
+        rows = kn3_score(
+            spark.createDataFrame(probes, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            lm,
+        ).collect()
+        total = sum(math.exp(r["avg_logp"]) for r in rows)
+        assert total == pytest.approx(1.0, abs=1e-12), (u, v)
+
+
+def test_kn3_short_docs_and_order_separation(spark):
+    """Docs with < 3 tokens emit nothing; the trigram model separates
+    in-domain word ORDER that the bigram model scores identically."""
+    from bitfilters_spark.operators.lm import (
+        kn3_score,
+        train_kn3_lm,
+    )
+
+    lm = train_kn3_lm(_train_df(spark), "text", vocab_size=1 << 20)
+    probe = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "the cat sat")],
+        "doc_id long, text string",
+    )
+    rows = kn3_score(probe, "doc_id", "text", lm).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    # "the cat sat" is a seen trigram; "cat the sat" is not — the
+    # trigram model must prefer the attested order
+    order = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cat the sat")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ppl"] for r in kn3_score(order, "doc_id", "text", lm).collect()}
+    assert got[1] < got[2]
