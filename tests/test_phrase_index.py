@@ -1,0 +1,156 @@
+"""Positional phrase index (operators/phrase_index.py): exact-phrase
+search over a persisted positional postings table, the brute-force scan
+twin, their equivalence, append maintenance, and the decontamination
+composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.phrase_index import (
+    append_to_phrase_index,
+    build_phrase_index,
+    phrase_contains,
+    phrase_search,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown fox is quick the quick brown cat"),
+    (3, "the the the repeated the the"),
+    (4, "completely unrelated tokens here"),
+    (5, "brown fox"),
+]
+PHRASES = [
+    (10, "quick brown fox"),
+    (11, "the quick"),
+    (12, "the the"),          # repeated token phrase
+    (13, "brown fox"),
+    (14, "lazy dog jumps"),   # tokens present, order absent
+    (15, "zebra"),            # absent token
+    (16, ""),                 # empty phrase: dropped
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _phrases(spark):
+    return spark.createDataFrame(PHRASES, "phrase_id long, phrase string")
+
+
+def _expected():
+    """Plain-Python rolling scan."""
+    out = {}
+    for pid, ph in PHRASES:
+        q = ph.split()
+        if not q:
+            continue
+        for did, text in DOCS:
+            ts = text.split()
+            starts = [
+                i
+                for i in range(len(ts) - len(q) + 1)
+                if ts[i : i + len(q)] == q
+            ]
+            if starts:
+                out[(pid, did)] = (len(starts), starts[0])
+    return out
+
+
+def test_phrase_search_matches_python_scan(spark, tmp_path):
+    build_phrase_index(
+        _docs(spark), "doc_id", "text", "ph_t1", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    got = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_t1", _phrases(spark)).collect()
+    }
+    assert got == _expected()
+    # notably: repeated-token phrase matches doc 3 with overlapping hits
+    assert got[(12, 3)][0] >= 2
+    # and order-absent phrases match nothing
+    assert all(pid != 14 for pid, _ in got)
+
+
+def test_phrase_contains_equivalence(spark, tmp_path):
+    """Index probe ≡ the index-free scan on the same corpus."""
+    build_phrase_index(
+        _docs(spark), "doc_id", "text", "ph_t2", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    a = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_t2", _phrases(spark)).collect()
+    }
+    b = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_contains(
+            _docs(spark), "doc_id", "text", _phrases(spark)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_phrase_index_append_and_guards(spark, tmp_path):
+    half1 = _docs(spark).where("doc_id <= 2")
+    half2 = _docs(spark).where("doc_id > 2")
+    build_phrase_index(
+        half1, "doc_id", "text", "ph_t3", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    append_to_phrase_index(half2, "doc_id", "text", "ph_t3", num_buckets=4)
+    got = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_t3", _phrases(spark)).collect()
+    }
+    assert got == _expected()
+    with pytest.raises(ValueError, match="num_buckets"):
+        append_to_phrase_index(half2, "doc_id", "text", "ph_t3", num_buckets=8)
+    with pytest.raises(ValueError, match="identifier"):
+        build_phrase_index(half1, "doc_id", "text", "bad-name;drop")
+    with pytest.raises(ValueError, match="max_queries"):
+        phrase_search(spark, "ph_t3", _phrases(spark), max_queries=2)
+    # empty phrase set: typed empty result
+    empty = spark.createDataFrame([], "phrase_id long, phrase string")
+    assert phrase_search(spark, "ph_t3", empty).count() == 0
+
+
+def test_phrase_search_pushes_terms_into_scan(spark, tmp_path):
+    """The probe's postings scan carries an In(token, ...) pushed filter
+    — non-query tokens never leave parquet (the bm25_query_index
+    plan contract)."""
+    build_phrase_index(
+        _docs(spark), "doc_id", "text", "ph_t4", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    plan = phrase_search(
+        spark, "ph_t4",
+        spark.createDataFrame([(1, "quick brown")], "phrase_id long, phrase string"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "quick" in plan
+
+
+def test_phrase_decontamination_composition(spark, tmp_path):
+    """The use case: index the training corpus once, probe every eval
+    sentence, drop the contaminated docs."""
+    train = spark.createDataFrame(
+        [
+            (1, "some clean page about weather patterns"),
+            (2, "the capital of france is paris said the exam"),
+            (3, "more clean text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    build_phrase_index(
+        train, "doc_id", "text", "ph_t5", num_buckets=2,
+        path=str(tmp_path / "idx"),
+    )
+    evals = spark.createDataFrame(
+        [(100, "the capital of france is paris")],
+        "phrase_id long, phrase string",
+    )
+    dirty = phrase_search(spark, "ph_t5", evals).select("id").distinct()
+    kept = train.join(dirty, train["doc_id"] == dirty["id"], "left_anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
