@@ -39,6 +39,7 @@ from .text import tokens
 __all__ = [
     "build_phrase_index",
     "append_to_phrase_index",
+    "compact_phrase_index",
     "phrase_search",
     "phrase_contains",
 ]
@@ -251,3 +252,52 @@ def phrase_contains(
         F.size("starts").cast("long").alias("n_matches"),
         F.array_min("starts").alias("first_pos"),
     )
+
+
+def compact_phrase_index(
+    spark: SparkSession, name: str, path: str | None = None
+) -> dict:
+    """Rewrite the postings into one file-set per bucket (the
+    `compact_bm25_index` contract: appends/streaming folds add a
+    file-set each — probe answers stay exact but plans degrade with
+    file count). Staging-swap atomic; probe results identical
+    before/after. Returns {"files_before": n, "files_after": n}."""
+    _check_name(name)
+    spark.catalog.refreshTable(f"{name}_postings")
+    num_buckets = _geom(spark, name)
+    if num_buckets is None:
+        raise ValueError(f"phrase index '{name}' has no stored geometry")
+
+    def _nfiles():
+        return (
+            spark.table(f"{name}_postings")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    files_before = _nfiles()
+    # read the FILES, not the table: the bucketed read advertises its
+    # HashPartitioning and the optimizer would elide the repartition
+    # that guarantees one-file-per-bucket (the compact_bm25_index note)
+    loc = _live_location(spark, f"{name}_postings")
+    src = spark.read.parquet(loc) if loc else spark.table(f"{name}_postings")
+    postings = src.repartition(num_buckets, F.col("token"))
+    stage = f"{name}__stage_postings"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    write_bucketed(
+        postings,
+        stage,
+        ["token"],
+        num_buckets=num_buckets,
+        sort_cols=["token"],
+        path=_stage_path(spark, f"{name}_postings", path, "postings"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_postings")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {name}_postings")
+    spark.sql(
+        f"ALTER TABLE {name}_postings SET TBLPROPERTIES "
+        f"('bitfilters.num_buckets'='{num_buckets}')"
+    )
+    spark.catalog.refreshTable(f"{name}_postings")
+    return {"files_before": files_before, "files_after": _nfiles()}

@@ -21,8 +21,10 @@ from .frontier import streaming_frontier
 from .index_maintenance import (
     ann_maintenance_fold,
     bm25_maintenance_fold,
+    phrase_maintenance_fold,
     streaming_ann_index,
     streaming_bm25_index,
+    streaming_phrase_index,
 )
 from .lm import (
     compact_kn_state,

@@ -126,3 +126,43 @@ def streaming_ann_index(
     return stream.writeStream.foreachBatch(
         ann_maintenance_fold(id_col, vec_col, name, marker_path, num_buckets)
     ).outputMode("append")
+
+
+def phrase_maintenance_fold(
+    id_col: str,
+    text_col: str,
+    name: str,
+    marker_path: str,
+    num_buckets: int = 32,
+):
+    """foreachBatch function: append the batch's NEW documents'
+    positional postings to the phrase index, exactly once per batch."""
+    from ..operators.phrase_index import append_to_phrase_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _applied(marker_path, batch_id, spark):
+            return
+        if batch_df.isEmpty():
+            _mark(marker_path, batch_id, spark)
+            return
+        append_to_phrase_index(batch_df, id_col, text_col, name, num_buckets)
+        _mark(marker_path, batch_id, spark)
+
+    return fold
+
+
+def streaming_phrase_index(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str,
+    marker_path: str,
+    num_buckets: int = 32,
+):
+    """foreachBatch writer keeping a built phrase index current — the
+    #133/#134 contract (index must exist; batch ids assumed NEW;
+    `compact_phrase_index` collapses the accumulated file-sets)."""
+    return stream.writeStream.foreachBatch(
+        phrase_maintenance_fold(id_col, text_col, name, marker_path, num_buckets)
+    ).outputMode("append")

@@ -154,3 +154,37 @@ def test_phrase_decontamination_composition(spark, tmp_path):
     dirty = phrase_search(spark, "ph_t5", evals).select("id").distinct()
     kept = train.join(dirty, train["doc_id"] == dirty["id"], "left_anti")
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_phrase_index_compact_and_streaming_maintenance(spark, tmp_path):
+    """Streaming folds accumulate a file-set per batch; compaction
+    collapses them to one per bucket with probe results identical.
+    Replayed batch ids no-op (the #133 marker contract)."""
+    from bitfilters_spark.operators.phrase_index import compact_phrase_index
+    from bitfilters_spark.streaming.index_maintenance import (
+        phrase_maintenance_fold,
+    )
+
+    seed = _docs(spark).where("doc_id = 1")
+    build_phrase_index(
+        seed, "doc_id", "text", "ph_t6", num_buckets=2,
+        path=str(tmp_path / "idx"),
+    )
+    markers = str(tmp_path / "markers")
+    fold = phrase_maintenance_fold("doc_id", "text", "ph_t6", markers, 2)
+    fold(_docs(spark).where("doc_id in (2, 3)"), 0)
+    fold(_docs(spark).where("doc_id in (4, 5)"), 1)
+    # replay: no double postings
+    fold(_docs(spark).where("doc_id in (4, 5)"), 1)
+    pre = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_t6", _phrases(spark)).collect()
+    }
+    assert pre == _expected()
+    stats = compact_phrase_index(spark, "ph_t6", path=str(tmp_path / "idx"))
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    post = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_t6", _phrases(spark)).collect()
+    }
+    assert post == pre
