@@ -357,3 +357,93 @@ def materialize_sequences(
         )
         out = out.withColumn(token_col, F.concat(F.col(token_col), pad))
     return out.select("seq", token_col, "n_docs", "n_tokens")
+
+
+def materialize_masked_sequences(
+    assignment: DataFrame,
+    encoded: DataFrame,
+    id_col: str,
+    token_col: str = "token_ids",
+    spans_col: str = "spans",
+    eos_id: int | None = None,
+    pad_to: int | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """:func:`materialize_sequences` with LOSS-MASK propagation — the
+    packing step for SFT data (`chat.assistant_token_spans`): each
+    document carries per-doc token spans marking the positions a
+    trainer keeps loss on; packing shifts every span by the document's
+    ``offset`` inside its sequence, and the output row carries both the
+    packed ``token_ids`` and an aligned 0/1 ``loss_mask`` (padding and
+    ``eos_id`` separators are 0 — the separator is template, not
+    assistant output; a chatml span already covers its own merged
+    ``<|im_end|>``, see operators/chat.py).
+
+    Same single-shuffle plan as :func:`materialize_sequences` (spans
+    ride the one join + per-seq regroup); the mask expands from the
+    shifted spans with one JVM ``transform(sequence(...))`` per row —
+    O(capacity · n_spans) comparisons, both small by construction."""
+    toks = encoded.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).alias("__t"),
+        F.coalesce(
+            F.col(spans_col),
+            F.array().cast("array<struct<start:int,end:int>>"),
+        ).alias("__s"),
+    )
+    if eos_id is not None:
+        toks = toks.withColumn(
+            "__t", F.concat("__t", F.array(F.lit(int(eos_id)).cast("long")))
+        )
+    joined = assignment.select(
+        F.col(id_col).alias("id"), "seq", "offset"
+    ).join(toks, "id")
+    shifted = F.transform(
+        F.col("__s"),
+        lambda sp: F.struct(
+            (sp["start"] + F.col("offset")).cast("long").alias("start"),
+            (sp["end"] + F.col("offset")).cast("long").alias("end"),
+        ),
+    )
+    out = (
+        joined.withColumn("__sh", shifted)
+        .groupBy("seq")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("offset"), F.col("__t")))
+                    ),
+                    lambda s: s["__t"],
+                )
+            ).alias(token_col),
+            F.array_sort(F.flatten(F.collect_list("__sh"))).alias("__spans"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size(token_col))
+    )
+    if pad_to is not None:
+        pad = F.array_repeat(
+            F.lit(int(pad_id)).cast("long"),
+            F.greatest(F.lit(pad_to) - F.col("n_tokens"), F.lit(0)),
+        )
+        out = out.withColumn(token_col, F.concat(F.col(token_col), pad))
+    mask = F.transform(
+        F.sequence(F.lit(0), F.size(token_col) - 1),
+        lambda i: F.when(
+            F.exists(
+                F.col("__spans"),
+                lambda sp: (i >= sp["start"]) & (i < sp["end"]),
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return out.select(
+        "seq",
+        token_col,
+        mask.alias("loss_mask"),
+        "n_docs",
+        "n_tokens",
+    )

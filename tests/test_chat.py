@@ -139,3 +139,63 @@ def test_chat_to_packing_composition(spark):
         n_tokens = len(r["text"].split())
         for s in r["spans"]:
             assert s["end"] <= n_tokens
+
+
+def test_masked_packing_composition(spark):
+    """chat -> spans -> pack_sequences -> materialize_masked_sequences:
+    the packed loss_mask selects exactly the assistant tokens of every
+    packed conversation, across document boundaries."""
+    from bitfilters_spark.operators.chat import chat_tokens
+    from bitfilters_spark.operators.packing import (
+        materialize_masked_sequences,
+        pack_sequences,
+    )
+
+    convs = spark.createDataFrame(
+        [c for c in CONVS if c[1]], SCHEMA
+    )  # non-empty conversations
+    rendered = assistant_token_spans(render_chat(convs))
+    encoded = rendered.select(
+        "conv_id",
+        "messages",
+        F.transform(chat_tokens("text"), lambda t: F.xxhash64(t)).alias(
+            "token_ids"
+        ),
+        "spans",
+    )
+    # weight budgets the +1 eos separator per doc
+    weighted = encoded.withColumn(
+        "w", F.size("token_ids") + 1
+    ).coalesce(1)  # one partition: deterministic packing for the assert
+    assignment = pack_sequences(weighted, "conv_id", "w", capacity=64)
+    packed = materialize_masked_sequences(
+        assignment, encoded, "conv_id", eos_id=-1, pad_to=64, pad_id=0
+    )
+    rows = packed.collect()
+    assert sum(r["n_docs"] for r in rows) == 4
+    # reference: recompute each conversation's masked tokens in Python
+    want_masked = []
+    for r in rendered.collect():
+        toks = r["text"].split()
+        for s in r["spans"]:
+            want_masked.extend(toks[s["start"] : s["end"]])
+    # gather masked token ids from the packed rows
+    got_ids = []
+    for r in rows:
+        assert len(r["loss_mask"]) == len(r["token_ids"]) == 64
+        for tid, m in zip(r["token_ids"], r["loss_mask"]):
+            if m:
+                got_ids.append(tid)
+    # hash the expected tokens the same way
+    want_ids = [
+        r["h"]
+        for r in spark.createDataFrame([(t,) for t in want_masked], "t string")
+        .select(F.xxhash64("t").alias("h"))
+        .collect()
+    ]
+    assert sorted(got_ids) == sorted(want_ids)
+    # eos separators and padding are never masked
+    for r in rows:
+        for tid, m in zip(r["token_ids"], r["loss_mask"]):
+            if tid in (-1, 0):
+                assert m == 0

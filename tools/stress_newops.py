@@ -367,6 +367,61 @@ def main(sf_dir: str) -> None:
         )
         out["budget_hosts"] = alloc.count()
         out["budget_alloc_s"] = round(time.time() - t0, 2)
+
+        # r11 tail 2: trigram KN at 10x, phrase-index lifecycle at 10x,
+        # chat render/spans over conversations fabricated from the
+        # stress corpus
+        from bitfilters_spark.operators.chat import (
+            assistant_token_spans,
+            render_chat,
+        )
+        from bitfilters_spark.operators.lm import kn3_score, train_kn3_lm
+        from bitfilters_spark.operators.phrase_index import (
+            build_phrase_index,
+            phrase_search,
+        )
+
+        t0 = time.time()
+        kn3 = train_kn3_lm(stress, "text", vocab_size=1 << 16)
+        out["kn3_train_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["kn3_scored"] = kn3_score(stress, "doc_id", "text", kn3).count()
+        out["kn3_score_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        build_phrase_index(
+            stress, "doc_id", "text", "stress_phrase", num_buckets=16,
+            path=f"{tmp}/phrase",
+        )
+        out["phrase_build_s"] = round(time.time() - t0, 2)
+        ph = stress.limit(50).select(
+            F.col("doc_id").alias("phrase_id"),
+            F.substring_index("text", " ", 5).alias("phrase"),
+        ).localCheckpoint()
+        t0 = time.time()
+        out["phrase_hits"] = phrase_search(spark, "stress_phrase", ph).count()
+        out["phrase_probe_s"] = round(time.time() - t0, 2)
+
+        convs = stress.select(
+            F.col("doc_id").alias("conv_id"),
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.substring_index("text", " ", 10).alias("content"),
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.substring_index("text", " ", 40).alias("content"),
+                ),
+            ).alias("messages"),
+        )
+        t0 = time.time()
+        out["chat_spans"] = (
+            assistant_token_spans(render_chat(convs))
+            .select(F.explode("spans"))
+            .count()
+        )
+        out["chat_render_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
