@@ -456,3 +456,41 @@ def ann_index_report(spark: SparkSession, name: str) -> DataFrame:
         (F.col("sum_sim") / F.col("n_vecs")).alias("mean_sim"),
         "min_sim",
     )
+
+
+def recenter_ann_index(
+    spark: SparkSession,
+    name: str,
+    n_centroids: int | None = None,
+    num_buckets: int | None = None,
+    path: str | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Re-train the quantizer FROM the index's own stored vectors and
+    rebuild in place — the maintenance action `ann_index_report`'s
+    drift numbers call for (appends route through frozen centroids;
+    occupancy skews as the distribution drifts). Geometry defaults to
+    the stored values; the rebuild inherits `build_ann_index`'s
+    staging-swap atomicity, so probes stay live on the old index until
+    the swap and a failed re-center leaves it untouched. Returns the
+    new centroid matrix. Cost: one k-means sample pass + one full
+    re-route of the stored vectors — the documented trade vs appends
+    (∝ new data) that this call amortizes."""
+    _check_name(name)
+    spark.catalog.refreshTable(f"{name}_cells")
+    geom = _stored_geometry(spark, name)
+    vecs = spark.table(f"{name}_cells").select("id", "vec")
+    # localCheckpoint: the rebuild DROPS the table these rows come from
+    # mid-plan; materialize first so the swap can't pull the scan's
+    # files out from under the write
+    vecs = vecs.localCheckpoint()
+    return build_ann_index(
+        vecs,
+        "id",
+        "vec",
+        name,
+        n_centroids=int(n_centroids or geom["n_centroids"]),
+        num_buckets=int(num_buckets or geom["num_buckets"]),
+        path=path,
+        seed=seed,
+    )

@@ -55,6 +55,8 @@ __all__ = [
     "train_kn3_lm",
     "kn3_model_from_type_tables",
     "kn3_score",
+    "save_kn_lm",
+    "load_kn_lm",
     "perplexity_buckets",
 ]
 
@@ -499,3 +501,44 @@ def kn3_score(
         F.avg(F.log("p")).alias("avg_logp"),
         F.exp(-F.avg(F.log("p"))).alias("ppl"),
     )
+
+
+_KN_TABLES = ("ctx", "cont", "bi")
+_KN3_TABLES = ("tri", "ctx3", "cont3", "mid", "cont")
+
+
+def save_kn_lm(spark, lm: dict, path: str) -> None:
+    """Persist a :func:`train_kn_lm` or :func:`train_kn3_lm` model:
+    each (capped, broadcast-sized) model table as parquet under
+    ``path/<table>``, the scalars as one metadata row — the
+    `save_classifier` persisted-artifact contract: train once, score
+    every crawl from any session."""
+    tables = _KN3_TABLES if "tri" in lm else _KN_TABLES
+    for t in tables:
+        lm[t].write.mode("overwrite").parquet(f"{path}/{t}")
+    scalars = {
+        k: v
+        for k, v in lm.items()
+        if isinstance(v, (int, float)) and not isinstance(v, bool)
+    }
+    spark.createDataFrame(
+        [tuple(scalars.values())],
+        ", ".join(
+            f"{k} {'double' if isinstance(v, float) else 'long'}"
+            for k, v in scalars.items()
+        ),
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_kn_lm(spark, path: str) -> dict:
+    """Load a persisted model; returns the exact `train_kn_lm` /
+    `train_kn3_lm` dict shape (the order is self-describing from the
+    stored tables)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    is_tri = "discount3" in meta
+    out: dict = {}
+    for t in _KN3_TABLES if is_tri else _KN_TABLES:
+        out[t] = spark.read.parquet(f"{path}/{t}")
+    for k, v in meta.items():
+        out[k] = float(v) if k.startswith("discount") else int(v)
+    return out

@@ -418,3 +418,36 @@ def test_kn3_short_docs_and_order_separation(spark):
     )
     got = {r["doc_id"]: r["ppl"] for r in kn3_score(order, "doc_id", "text", lm).collect()}
     assert got[1] < got[2]
+
+
+def test_kn_save_load_roundtrip(spark, tmp_path):
+    """Persisted models score identically to the in-session ones, for
+    both orders (the save_classifier train-once contract)."""
+    from bitfilters_spark.operators.lm import (
+        kn3_score,
+        load_kn_lm,
+        save_kn_lm,
+        train_kn3_lm,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zebra quagga wombat fog")],
+        "doc_id long, text string",
+    )
+    lm2 = train_kn_lm(_train_df(spark), "text", vocab_size=1 << 20)
+    save_kn_lm(spark, lm2, str(tmp_path / "kn2"))
+    back2 = load_kn_lm(spark, str(tmp_path / "kn2"))
+    a = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", lm2).collect()}
+    b = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", back2).collect()}
+    assert a == b
+    for k in ("n_bigram_types", "n_tokens", "discount"):
+        assert back2[k] == lm2[k]
+
+    lm3 = train_kn3_lm(_train_df(spark), "text", vocab_size=1 << 20)
+    save_kn_lm(spark, lm3, str(tmp_path / "kn3"))
+    back3 = load_kn_lm(spark, str(tmp_path / "kn3"))
+    a3 = {r["doc_id"]: r["avg_logp"] for r in kn3_score(probe, "doc_id", "text", lm3).collect()}
+    b3 = {r["doc_id"]: r["avg_logp"] for r in kn3_score(probe, "doc_id", "text", back3).collect()}
+    assert a3 == b3
+    assert back3["discount3"] == lm3["discount3"]
+    assert back3["discount2"] == lm3["discount2"]

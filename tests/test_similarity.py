@@ -622,3 +622,50 @@ def test_ann_index_append_equals_rebuild(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="num_buckets"):
         append_to_ann_index(new, "vec_id", "embedding", "annapp", num_buckets=8)
+
+
+def test_ann_index_recenter(spark, tmp_path):
+    """recenter_ann_index re-trains the quantizer from the index's own
+    vectors: full-probe answers are UNCHANGED (exact regardless of
+    centroids), the index holds the same id set, geometry carries over,
+    and the probe stays consistent with ivf_topk under the NEW
+    centroids at partial probe."""
+    from bitfilters_spark.operators.ann_index import (
+        ann_query_index,
+        build_ann_index,
+        recenter_ann_index,
+    )
+    from bitfilters_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    build_ann_index(
+        emb, "vec_id", "embedding", "annrc", n_centroids=16,
+        num_buckets=4, path=str(tmp_path / "annrc"),
+    )
+    before_full = sorted(
+        map(tuple, ann_query_index(
+            spark, "annrc", queries, "vec_id", "embedding", k=5, nprobe=16
+        ).collect())
+    )
+    n_before = spark.table("annrc_cells").count()
+    C2 = recenter_ann_index(
+        spark, "annrc", seed=7, path=str(tmp_path / "annrc")
+    )
+    assert C2.shape[0] == 16
+    assert spark.table("annrc_cells").count() == n_before
+    after_full = sorted(
+        map(tuple, ann_query_index(
+            spark, "annrc", queries, "vec_id", "embedding", k=5, nprobe=16
+        ).collect())
+    )
+    assert after_full == before_full  # full probe is centroid-invariant
+    # partial probe matches ivf_topk under the NEW quantizer
+    via = sorted(map(tuple, ann_query_index(
+        spark, "annrc", queries, "vec_id", "embedding", k=5, nprobe=4
+    ).collect()))
+    direct = sorted(map(tuple, ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16,
+        nprobe=4, centroids=C2,
+    ).select("query_id", "rank", "neighbor_id").collect()))
+    assert via == direct and len(via) > 0
