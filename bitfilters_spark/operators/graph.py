@@ -243,8 +243,12 @@ def hits(
     Plan shape per iteration: two node-keyed broadcast-or-shuffle joins
     against the edge list + two groupBys (dst then src) — everything
     node-scale except the edge list, which is deduped/materialized ONCE
-    (localCheckpoint) and whose canonically-identical per-iteration
-    Exchanges AQE reuses, exactly the :func:`pagerank` posture. The
+    (localCheckpoint; iterations re-read its cached blocks — unlike
+    :func:`pagerank`, the per-iteration lineage cuts below split the
+    run into separate jobs, so AQE stage reuse does not span them and
+    each iteration pays its own edge-join Exchange over the cached
+    scan; the honest trade for keeping Catalyst's per-action re-derivation
+    linear, see `checkpoint_every`). The
     normalization scalar rides a literal 1-row broadcast crossJoin (the
     repo's scalar-join pattern) — no per-iteration driver collect.
     Unlike pagerank, each half-iteration nests an aggregation UNDER a
