@@ -583,3 +583,69 @@ def test_r10_new_operators_degenerate_inputs(spark, tmp_path):
         one_class, "doc_id", "text", "lang", n_buckets=64, iters=1, lr=1.0
     )
     assert m["classes"] == ["en"]
+
+
+def test_r11_tail_operators_empty_inputs(spark, tmp_path):
+    """Degenerate-input hardening for the late-r11 operators: empty
+    corpora/phrase sets/edge lists/host tables must yield empty typed
+    results or usable degenerate models, never crash."""
+    from bitfilters_spark.operators.chat import (
+        assistant_token_spans,
+        chat_stats,
+        dedup_conversations,
+        render_chat,
+    )
+    from bitfilters_spark.operators.graph import hits
+    from bitfilters_spark.operators.lm import kn3_score, train_kn3_lm
+    from bitfilters_spark.operators.phrase_index import (
+        build_phrase_index,
+        phrase_contains,
+        phrase_search,
+    )
+    from bitfilters_spark.operators.sampling import allocate_weighted_budget
+    from bitfilters_spark.operators.web import (
+        anchor_text_corpus,
+        resolve_redirect_chains,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    # trigram KN on an empty corpus: floor-only model, scorable
+    lm3 = train_kn3_lm(empty_docs, "text")
+    probe = spark.createDataFrame(
+        [(1, "three token probe")], "doc_id long, text string"
+    )
+    assert kn3_score(probe, "doc_id", "text", lm3).count() == 1
+
+    # phrase index over an empty corpus: builds, probes to nothing
+    build_phrase_index(
+        empty_docs, "doc_id", "text", "ph_empty", num_buckets=2,
+        path=str(tmp_path / "phe"),
+    )
+    ph = spark.createDataFrame([(1, "any phrase")], "phrase_id long, phrase string")
+    assert phrase_search(spark, "ph_empty", ph).count() == 0
+    assert phrase_contains(empty_docs, "doc_id", "text", ph).count() == 0
+
+    # redirect chains / anchor corpus / budgets on empty edge tables
+    empty_edges = spark.createDataFrame(
+        [], "src_url string, dst_url string, anchor string, "
+        "src_host string, nofollow boolean"
+    )
+    assert resolve_redirect_chains(empty_edges).count() == 0
+    assert anchor_text_corpus(empty_edges).count() == 0
+    empty_hosts = spark.createDataFrame([], "key string, cap double, w double")
+    assert allocate_weighted_budget(empty_hosts, "key", "cap", "w", 10.0).count() == 0
+
+    # hits over an empty graph
+    assert hits(
+        spark.createDataFrame([], "src long, dst long"), "src", "dst", iters=1
+    ).count() == 0
+
+    # chat family over empty / degenerate conversations
+    empty_convs = spark.createDataFrame(
+        [], "conv_id long, messages array<struct<role string, content string>>"
+    )
+    assert render_chat(empty_convs).count() == 0
+    assert assistant_token_spans(render_chat(empty_convs)).count() == 0
+    assert chat_stats(empty_convs).count() == 0
+    assert dedup_conversations(empty_convs, "conv_id").count() == 0
