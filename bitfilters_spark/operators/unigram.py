@@ -1,0 +1,350 @@
+"""Unigram-LM tokenizer (Kudo 2018, the SentencePiece default) — the
+OTHER production tokenizer algorithm next to BPE (`operators/bpe.py`):
+instead of greedy merge rules, a vocabulary of pieces with
+log-probabilities, trained by EM and applied by Viterbi segmentation
+(each word splits into the maximum-likelihood piece sequence).
+
+This is the hard-EM (Viterbi-EM) variant most re-implementations ship:
+the E-step counts pieces along each word's BEST segmentation instead of
+forward-backward expected counts — documented deviation from
+SentencePiece's soft EM; the vocabulary shrinks geometrically
+(``shrink_factor`` per round, lowest-count pieces dropped, single
+characters always kept for coverage) until ``vocab_size`` survives.
+
+100 TB decomposition (the `train_bpe` shape): the corpus collapses ONCE
+into a word-TYPE count table (one hash aggregation — Zipf makes the type
+table tiny relative to the corpus, and a ``top_words`` cap bounds it
+hard); seeding explodes substrings of the TYPE table (JVM expressions,
+weight = word count, TakeOrdered top-``seed_size``); each EM round
+broadcasts the piece table into ONE ``mapInPandas`` pass over word types
+(Viterbi per type, counts × word frequency) and collects piece-scale
+count rows — the driver only ever holds the vocabulary, never corpus
+text. Encoding tokenizes distinct word TYPES once and joins the mapping
+back (corpus rows never enter Python).
+
+Verification: the distributed trainer is pinned EQUAL (same pieces, same
+log-probs to 1e-9) to a sequential pure-Python run of the same
+algorithm; Viterbi optimality is checked independently against
+brute-force enumeration of ALL segmentations on short words; coverage
+and round-trip laws (pieces concatenate back to the word) hold for every
+word.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_frequencies
+
+__all__ = [
+    "viterbi_segment",
+    "train_unigram",
+    "train_unigram_local",
+    "unigram_encode",
+    "unigram_token_counts",
+    "save_unigram",
+    "load_unigram",
+]
+
+
+def viterbi_segment(word: str, logp: dict, max_piece_len: int) -> list:
+    """Maximum-likelihood segmentation of ``word`` under piece log-probs
+    (ties: fewer pieces, then lexicographically smaller piece at the
+    earliest difference — fully deterministic). Returns [] when the word
+    cannot be covered (impossible once single chars are in the vocab)."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back: list = [None] * (n + 1)
+    nseg = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or best[j] == NEG:
+                continue
+            cand = best[j] + lp
+            take = False
+            if cand > best[i]:
+                take = True
+            elif cand == best[i] and back[i] is not None:
+                # tie: fewer pieces, then smaller piece string
+                if nseg[j] + 1 < nseg[i]:
+                    take = True
+                elif nseg[j] + 1 == nseg[i] and piece < word[back[i]:i]:
+                    take = True
+            if take:
+                best[i] = cand
+                back[i] = j
+                nseg[i] = nseg[j] + 1
+    if best[n] == NEG:
+        return []
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _seed_counts_local(wc: list, max_piece_len: int) -> dict:
+    counts: dict = {}
+    for w, c in wc:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                s = w[i:j]
+                counts[s] = counts.get(s, 0) + c
+    return counts
+
+
+def _select_seed(counts: dict, wc: list, seed_size: int) -> dict:
+    """Top-``seed_size`` substrings by (count desc, piece asc), single
+    characters ALWAYS kept (coverage); log-probs from relative counts."""
+    chars = {w[i] for w, _ in wc for i in range(len(w))}
+    multi = sorted(
+        ((c, p) for p, c in counts.items() if len(p) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )[: max(seed_size - len(chars), 0)]
+    keep = {p: counts[p] for p in chars}
+    keep.update({p: c for c, p in multi})
+    total = float(sum(keep.values())) or 1.0
+    return {p: math.log(c / total) for p, c in keep.items()}
+
+
+def _em_update(piece_counts: dict, wc_chars: set, prev: dict) -> dict:
+    """M-step: re-estimate log-probs from Viterbi counts; unused
+    non-char pieces drop, unused single chars keep a floor count of 1
+    (coverage must never be lost)."""
+    counts = dict(piece_counts)
+    for ch in wc_chars:
+        counts.setdefault(ch, 0)
+        if counts[ch] == 0:
+            counts[ch] = 1
+    counts = {p: c for p, c in counts.items() if c > 0}
+    total = float(sum(counts.values())) or 1.0
+    return {p: math.log(c / total) for p in sorted(counts) for c in [counts[p]]}
+
+
+def _shrink(logp: dict, counts: dict, wc_chars: set, target: int, factor: float) -> dict:
+    keep_n = max(int(len(logp) * factor), target)
+    multi = sorted(
+        ((counts.get(p, 0), p) for p in logp if len(p) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )
+    budget = max(keep_n - len(wc_chars), 0)
+    kept = {p for _, p in multi[:budget]} | wc_chars
+    return {p: lp for p, lp in logp.items() if p in kept}
+
+
+def train_unigram_local(
+    wc: list,
+    vocab_size: int = 8000,
+    seed_size: int = 100_000,
+    max_piece_len: int = 8,
+    em_rounds: int = 2,
+    shrink_factor: float = 0.75,
+) -> dict:
+    """Sequential reference trainer over (word, count) pairs — the exact
+    algorithm `train_unigram` distributes; the equality of the two is a
+    pytest law. Returns {"pieces": {piece: logp}, "max_piece_len": n}."""
+    wc_chars = {w[i] for w, _ in wc for i in range(len(w))}
+    logp = _select_seed(_seed_counts_local(wc, max_piece_len), wc, seed_size)
+    while True:
+        counts: dict = {}
+        for _ in range(em_rounds):
+            counts = {}
+            for w, c in wc:
+                for piece in viterbi_segment(w, logp, max_piece_len):
+                    counts[piece] = counts.get(piece, 0) + c
+            logp = _em_update(counts, wc_chars, logp)
+        if len(logp) <= vocab_size:
+            break
+        logp = _shrink(logp, counts, wc_chars, vocab_size, shrink_factor)
+    return {"pieces": logp, "max_piece_len": max_piece_len}
+
+
+def _substring_counts(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, count) over all substrings up to max_piece_len of the
+    word-TYPE table, weighted by word frequency — pure JVM explode."""
+    w = F.col("word")
+    n = F.length(w)
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)
+                ),
+                lambda l: F.substring(w, i.cast("int"), l.cast("int")),
+            ),
+        )
+    )
+    return (
+        words.select(F.explode(subs).alias("piece"), F.col("n"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("c"))
+    )
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 8000,
+    seed_size: int = 100_000,
+    max_piece_len: int = 8,
+    em_rounds: int = 2,
+    shrink_factor: float = 0.75,
+    top_words: int | None = 200_000,
+) -> dict:
+    """Distributed unigram-LM tokenizer training (see module docstring
+    for the decomposition). ≡ :func:`train_unigram_local` on the same
+    word table — pytest-pinned."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = word_frequencies(df, text_col, top_words).localCheckpoint()
+    # seed: distributed substring counts, top-K by (count desc, piece);
+    # only piece-scale rows ever cross the driver, never the word table
+    sub = _substring_counts(words, max_piece_len).localCheckpoint(eager=False)
+    char_counts = {
+        r["piece"]: int(r["c"])
+        for r in sub.where(F.length("piece") == 1).collect()
+    }
+    n_multi = max(seed_size - len(char_counts), 0)
+    multi = (
+        sub.where(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(n_multi)
+        .collect()
+    )
+    keep = dict(char_counts)
+    keep.update({r["piece"]: r["c"] for r in multi})
+    total = float(sum(keep.values())) or 1.0
+    logp = {p: math.log(c / total) for p, c in keep.items()}
+    wc_chars = set(char_counts)
+
+    def em_counts(model: dict) -> dict:
+        b = spark.sparkContext.broadcast(model)
+
+        def seg(batches):
+            for pdf in batches:
+                agg: dict = {}
+                for w, c in zip(pdf["word"], pdf["n"]):
+                    for piece in viterbi_segment(
+                        w, b.value, max_piece_len
+                    ):
+                        agg[piece] = agg.get(piece, 0) + int(c)
+                yield pd.DataFrame(
+                    {"piece": list(agg), "c": list(agg.values())}
+                )
+
+        rows = (
+            words.mapInPandas(seg, schema="piece string, c long")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        b.unpersist()
+        return {r["piece"]: int(r["c"]) for r in rows}
+
+    while True:
+        counts: dict = {}
+        for _ in range(em_rounds):
+            counts = em_counts(logp)
+            logp = _em_update(counts, wc_chars, logp)
+        if len(logp) <= vocab_size:
+            break
+        logp = _shrink(logp, counts, wc_chars, vocab_size, shrink_factor)
+    return {"pieces": logp, "max_piece_len": max_piece_len}
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """(id, pieces array<string>) — each document's words Viterbi-
+    segmented under the model, in order. Word TYPES tokenize once in a
+    broadcast-model mapInPandas pass; the (word → pieces) mapping joins
+    back onto the exploded corpus and one per-doc regroup restores
+    order — corpus text never enters Python."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    mpl = int(model["max_piece_len"])
+    types = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    b = spark.sparkContext.broadcast(model["pieces"])
+
+    def seg(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                segs = viterbi_segment(w, b.value, mpl)
+                # a word with characters the model never saw cannot be
+                # covered: emit the UNK sentinel (the SentencePiece
+                # convention) rather than silently dropping the word
+                out.append(segs if segs else ["<unk>"])
+            yield pd.DataFrame({"word": pdf["word"], "__p": out})
+
+    mapping = types.mapInPandas(seg, schema="word string, __p array<string>")
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("__pos", "word"),
+    )
+    return (
+        exploded.join(mapping, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__p")))
+                    ),
+                    lambda s: s["__p"],
+                )
+            ).alias(out_col)
+        )
+    )
+
+
+def unigram_token_counts(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """(id, n_pieces) — the packing/budget weight under a unigram
+    tokenizer (`bpe_token_counts`' twin)."""
+    enc = unigram_encode(df, id_col, text_col, model)
+    return enc.select(id_col, F.size("pieces").alias("n_pieces"))
+
+
+def save_unigram(spark, model: dict, path: str) -> None:
+    """Persist as parquet (piece, logp) + a metadata row — the
+    `save_bpe` artifact contract."""
+    rows = sorted(model["pieces"].items())
+    spark.createDataFrame(rows, "piece string, logp double").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/pieces")
+    spark.createDataFrame(
+        [(int(model["max_piece_len"]),)], "max_piece_len long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_unigram(spark, path: str) -> dict:
+    pieces = {
+        r["piece"]: float(r["logp"])
+        for r in spark.read.parquet(f"{path}/pieces").collect()
+    }
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return {"pieces": pieces, "max_piece_len": int(meta["max_piece_len"])}

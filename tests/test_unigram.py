@@ -1,0 +1,137 @@
+"""Unigram-LM tokenizer (operators/unigram.py): distributed ≡ sequential
+trainer, Viterbi optimality vs brute force, coverage/round-trip laws,
+encode/count/persistence."""
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.unigram import (
+    load_unigram,
+    save_unigram,
+    train_unigram,
+    train_unigram_local,
+    unigram_encode,
+    unigram_token_counts,
+    viterbi_segment,
+)
+
+TEXTS = [
+    "internationalization is the internal nation of the national",
+    "nationalization internal international nation nations",
+    "the cat sat on the national mat",
+    "internationalization internationalization nation",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_distributed_trainer_equals_local(spark):
+    """The whole training pipeline — seed selection, EM counts, M-step,
+    shrink rounds — produces the SAME vocabulary and the same log-probs
+    as the sequential reference over the same word table."""
+    from bitfilters_spark.operators.bpe import word_frequencies
+
+    wc = [
+        (r["word"], int(r["n"]))
+        for r in word_frequencies(_df(spark), "text", None).collect()
+    ]
+    local = train_unigram_local(
+        wc, vocab_size=30, seed_size=200, max_piece_len=6, em_rounds=2
+    )
+    dist = train_unigram(
+        _df(spark), "text", vocab_size=30, seed_size=200,
+        max_piece_len=6, em_rounds=2,
+    )
+    assert set(dist["pieces"]) == set(local["pieces"])
+    for p, lp in local["pieces"].items():
+        assert dist["pieces"][p] == pytest.approx(lp, abs=1e-9), p
+
+
+def test_viterbi_optimal_vs_bruteforce():
+    """On short words, the DP's segmentation log-prob equals the max
+    over ALL enumerated segmentations — an independent check of the
+    kernel both trainers share."""
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.05), "aba": math.log(0.15), "bab": math.log(0.05),
+    }
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            idx = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            segs = [word[idx[k] : idx[k + 1]] for k in range(len(idx) - 1)]
+            if all(s in logp for s in segs):
+                score = sum(logp[s] for s in segs)
+                if best is None or score > best:
+                    best = score
+        return best
+
+    for word in ("ab", "aba", "abab", "ababa", "bababa", "aabb", "a"):
+        segs = viterbi_segment(word, logp, 3)
+        if brute(word) is None:
+            assert segs == []
+        else:
+            assert segs, word
+            assert sum(logp[s] for s in segs) == pytest.approx(
+                brute(word), abs=1e-12
+            ), word
+            assert "".join(segs) == word
+
+
+def test_roundtrip_and_frequent_words_become_pieces(spark):
+    model = train_unigram(
+        _df(spark), "text", vocab_size=40, seed_size=400, max_piece_len=8
+    )
+    enc = unigram_encode(_df(spark), "doc_id", "text", model).collect()
+    texts = {i: t for i, t in enumerate(TEXTS)}
+    for r in enc:
+        # round-trip law: pieces concatenate back to the document's words
+        assert "".join(r["pieces"]) == texts[r["doc_id"]].replace(" ", "")
+    # 'nation' recurs inside many words: it must survive as a piece
+    assert any(p == "nation" for p in model["pieces"])
+    # token counts = encode sizes
+    counts = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_token_counts(_df(spark), "doc_id", "text", model).collect()
+    }
+    for r in enc:
+        assert counts[r["doc_id"]] == len(r["pieces"])
+
+
+def test_unseen_characters_fall_back_to_unk(spark):
+    model = train_unigram(_df(spark), "text", vocab_size=40, seed_size=200)
+    probe = spark.createDataFrame(
+        [(1, "nation 象形字 cat")], "doc_id long, text string"
+    )
+    [row] = unigram_encode(probe, "doc_id", "text", model).collect()
+    assert "<unk>" in row["pieces"]
+    joined = "".join(row["pieces"])
+    assert joined.startswith("nation") and joined.endswith("cat")
+
+
+def test_unigram_save_load_roundtrip(spark, tmp_path):
+    model = train_unigram(_df(spark), "text", vocab_size=40, seed_size=200)
+    save_unigram(spark, model, str(tmp_path / "uni"))
+    back = load_unigram(spark, str(tmp_path / "uni"))
+    assert back["pieces"] == pytest.approx(model["pieces"])
+    assert back["max_piece_len"] == model["max_piece_len"]
+    a = unigram_encode(_df(spark), "doc_id", "text", model).collect()
+    b = unigram_encode(_df(spark), "doc_id", "text", back).collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["pieces"])) for r in a))) == \
+        sorted(map(tuple, ((r["doc_id"], tuple(r["pieces"])) for r in b)))
+
+
+def test_unigram_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    model = train_unigram(empty, "text", vocab_size=10, seed_size=10)
+    assert model["pieces"] == {}
+    assert unigram_encode(empty, "doc_id", "text", model).count() == 0
