@@ -422,6 +422,24 @@ def main(sf_dir: str) -> None:
             .count()
         )
         out["chat_render_s"] = round(time.time() - t0, 2)
+
+        from bitfilters_spark.operators.unigram import (
+            train_unigram,
+            unigram_token_counts,
+        )
+
+        t0 = time.time()
+        uni_m = train_unigram(
+            stress, "text", vocab_size=4000, seed_size=40000,
+            max_piece_len=8, em_rounds=2,
+        )
+        out["unigram_vocab"] = len(uni_m["pieces"])
+        out["unigram_train_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["unigram_encoded"] = unigram_token_counts(
+            stress, "doc_id", "text", uni_m
+        ).count()
+        out["unigram_encode_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
