@@ -1913,7 +1913,9 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- #143 authority-weighted fetch budgets, joined by host
     hosts = ev.groupBy(F.col("user_id").cast("string").alias("hh")).agg(
         F.count(F.lit(1)).cast("double").alias("cap"),
-        F.min(F.pmod("user_id", F.lit(7)) + 1).cast("double").alias("w"),
+        # % (not pmod): matches the oracle's sign semantics for any
+        # future negative ids — the adjacent anchor leg already uses %
+        F.min(F.col("user_id") % 7 + 1).cast("double").alias("w"),
     )
     budget = float(ev.count() // 2)
     alloc = allocate_weighted_budget(hosts, "hh", "cap", "w", budget)

@@ -59,33 +59,42 @@ def _ws_count(c: Column) -> Column:
 
 
 def _seg_text(m: Column, template: str) -> Column:
+    # role coalesced to '': a NULL role must not NULL the whole concat
+    # (array_join would then silently SKIP the segment while the span
+    # counter still advanced — every later span would misalign)
+    role = F.coalesce(m["role"], F.lit(""))
     if template == "chatml":
         return F.concat(
-            F.lit("<|im_start|>"), m["role"], F.lit("\n"),
+            F.lit("<|im_start|>"), role, F.lit("\n"),
             F.coalesce(m["content"], F.lit("")), F.lit("<|im_end|>\n"),
         )
     return F.concat(
-        m["role"], F.lit(": "), F.coalesce(m["content"], F.lit("")), F.lit("\n")
+        role, F.lit(": "), F.coalesce(m["content"], F.lit("")), F.lit("\n")
     )
 
 
 def _seg_tokens(m: Column, template: str) -> Column:
     """Whitespace-token count of one rendered segment, merge-exact (see
-    module docstring)."""
+    module docstring). The header is counted by the SAME concat-and-
+    split rule as the content — a role containing whitespace (or NULL)
+    renders as more (or fewer) tokens than one, and assuming 1 would
+    shift every later span."""
+    role = F.coalesce(m["role"], F.lit(""))
     if template == "chatml":
         return (
-            F.lit(1)
+            _ws_count(F.concat(F.lit("<|im_start|>"), role))
             + _ws_count(
                 F.concat(
                     F.coalesce(m["content"], F.lit("")), F.lit("<|im_end|>")
                 )
             )
         ).cast("int")
-    # plain: "role: content\n" — "role:" is one token, content tokens
-    # never merge with it (the ": " separator) nor with the newline
-    return (F.lit(1) + _ws_count(F.coalesce(m["content"], F.lit("")))).cast(
-        "int"
-    )
+    # plain: "role: content\n" — content tokens never merge with the
+    # header (the ": " separator) nor with the newline
+    return (
+        _ws_count(F.concat(role, F.lit(":")))
+        + _ws_count(F.coalesce(m["content"], F.lit("")))
+    ).cast("int")
 
 
 def render_chat(
@@ -129,9 +138,14 @@ def assistant_token_spans(
     )
 
     def step(acc, m):
+        role_c = F.coalesce(m["role"], F.lit(""))
+        if template == "chatml":
+            head_t = _ws_count(F.concat(F.lit("<|im_start|>"), role_c))
+        else:
+            head_t = _ws_count(F.concat(role_c, F.lit(":")))
         seg_t = _seg_tokens(m, template)
         span = F.struct(
-            (acc["cum"] + 1).cast("int").alias("start"),
+            (acc["cum"] + head_t).cast("int").alias("start"),
             (acc["cum"] + seg_t).cast("int").alias("end"),
         )
         return F.struct(

@@ -428,17 +428,24 @@ def materialize_masked_sequences(
             F.greatest(F.lit(pad_to) - F.col("n_tokens"), F.lit(0)),
         )
         out = out.withColumn(token_col, F.concat(F.col(token_col), pad))
-    mask = F.transform(
-        F.sequence(F.lit(0), F.size(token_col) - 1),
-        lambda i: F.when(
-            F.exists(
-                F.col("__spans"),
-                lambda sp: (i >= sp["start"]) & (i < sp["end"]),
-            ),
-            F.lit(1),
+    # guard the empty row: sequence(0, -1) DESCENDS (yielding [0, -1] —
+    # a 2-element mask against 0 tokens); an empty sequence gets an
+    # empty mask instead
+    mask = F.when(
+        F.size(token_col) == 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(token_col) - 1),
+            lambda i: F.when(
+                F.exists(
+                    F.col("__spans"),
+                    lambda sp: (i >= sp["start"]) & (i < sp["end"]),
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
         )
-        .otherwise(F.lit(0))
-        .cast("int"),
     )
     return out.select(
         "seq",

@@ -132,9 +132,13 @@ def phrase_search(
 ) -> DataFrame:
     """(phrase_id, id, n_matches, first_pos) — every indexed document
     containing each phrase as an EXACT consecutive token sequence, with
-    the match count and the first start position. Empty/one-token
-    phrases match wherever their single token occurs; fully empty
-    phrases are dropped.
+    the match count and the first start position. One-token phrases
+    match wherever their token occurs; empty/whitespace-only phrases
+    are DROPPED (tokens('') is [''] under the corpus single-space
+    split, which would otherwise probe the empty-string token that
+    multi-space documents legitimately index). Positions index the
+    single-space split — runs of spaces are significant, identically on
+    the index and scan sides.
 
     The phrase set is query-scale by contract: it is collected ONCE to
     the driver (fail-fast over ``max_queries``, the `bm25_query_index`
@@ -143,7 +147,8 @@ def phrase_search(
     _check_name(name)
     spark.catalog.refreshTable(f"{name}_postings")
     qrows = (
-        phrases.select(
+        phrases.where(F.trim(F.col(phrase_col)) != "")
+        .select(
             F.col(id_col).alias("phrase_id"),
             F.posexplode(tokens(phrase_col)).alias("off", "token"),
         )
@@ -155,8 +160,11 @@ def phrase_search(
             f"over max_queries={max_queries}; batch the probe"
         )
     if not qrows:
+        # empty result typed from the ACTUAL index id column, not a
+        # hardcoded long (indexes over string ids must union cleanly)
+        id_t = spark.table(f"{name}_postings").schema["id"].dataType.simpleString()
         return spark.createDataFrame(
-            [], "phrase_id long, id long, n_matches long, first_pos int"
+            [], f"phrase_id long, id {id_t}, n_matches long, first_pos int"
         )
     terms = sorted({r["token"] for r in qrows})
     n_terms = {}
@@ -224,7 +232,7 @@ def phrase_contains(
     toks = corpus.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("ts")
     )
-    q = phrases.select(
+    q = phrases.where(F.trim(F.col(phrase_col)) != "").select(
         F.col(phrase_id_col).alias("phrase_id"),
         tokens(phrase_col).alias("qs"),
     ).where(F.size("qs") > 0)

@@ -164,7 +164,13 @@ def train_unigram_local(
             logp = _em_update(counts, wc_chars, logp)
         if len(logp) <= vocab_size:
             break
-        logp = _shrink(logp, counts, wc_chars, vocab_size, shrink_factor)
+        shrunk = _shrink(logp, counts, wc_chars, vocab_size, shrink_factor)
+        if len(shrunk) >= len(logp):
+            # single characters are never dropped (coverage), so a
+            # vocab_size below the distinct-character count cannot be
+            # reached — stop at the char floor instead of looping forever
+            break
+        logp = shrunk
     return {"pieces": logp, "max_piece_len": max_piece_len}
 
 
@@ -259,7 +265,11 @@ def train_unigram(
             logp = _em_update(counts, wc_chars, logp)
         if len(logp) <= vocab_size:
             break
-        logp = _shrink(logp, counts, wc_chars, vocab_size, shrink_factor)
+        shrunk = _shrink(logp, counts, wc_chars, vocab_size, shrink_factor)
+        if len(shrunk) >= len(logp):
+            # char floor reached (see train_unigram_local) — never loop
+            break
+        logp = shrunk
     return {"pieces": logp, "max_piece_len": max_piece_len}
 
 

@@ -1206,7 +1206,10 @@ def resolve_reference(base, ref) -> Column:
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(origin, h))
         .when(h.startswith("?"), F.concat(bnf, h))
-        .when(h == "", bnf)
+        # empty / fragment-only reference: RFC 3986 §5.2.2 keeps the
+        # base's QUERY too (only the fragment is replaced) — returning
+        # bnf here dropped '?q=1' and split one URL identity into two
+        .when(h == "", F.regexp_extract(base, r"^([^#]*)", 1))
         .otherwise(F.concat(base_dir, h))
     )
     head = F.regexp_extract(resolved, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)

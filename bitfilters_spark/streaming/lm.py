@@ -77,6 +77,7 @@ def kn_stats_fold(text_col: str, state_path: str, marker_path: str):
         if batch_df.isEmpty():
             _mark(marker_path, batch_id, spark)
             return
+        _heal(spark, state_path)
         bi, uni = _batch_tables(batch_df, text_col)
         bi.write.mode("append").parquet(f"{state_path}/bigrams")
         uni.write.mode("append").parquet(f"{state_path}/unigrams")
@@ -101,9 +102,22 @@ def streaming_kn_stats(
     )
 
 
+def _heal(spark: SparkSession, state_path: str) -> None:
+    """Self-heal a compact interrupted between its two renames: if the
+    live directory is missing but its ``__old`` sibling exists, the old
+    state is still complete — rename it back before anything reads or
+    appends (an append against a missing live dir would otherwise
+    recreate it with only new batches, silently orphaning history)."""
+    for name in ("bigrams", "unigrams"):
+        live, old = f"{state_path}/{name}", f"{state_path}/{name}__old"
+        if not state_io.exists(live, spark) and state_io.exists(old, spark):
+            state_io.rename(old, live, spark)
+
+
 def _folded_tables(
     spark: SparkSession, state_path: str
 ) -> tuple[DataFrame, DataFrame] | None:
+    _heal(spark, state_path)
     try:
         bi_raw = spark.read.parquet(f"{state_path}/bigrams")
         uni_raw = spark.read.parquet(f"{state_path}/unigrams")
@@ -138,11 +152,16 @@ def streaming_kn_model(
 
 def compact_kn_state(spark: SparkSession, state_path: str) -> dict:
     """Rewrite the accumulated per-batch partial file-sets as ONE
-    aggregated file-set per table (staging + atomic-ish swap via rename:
-    a crash mid-compact leaves either the old partials or the new
-    aggregate readable, never a mix). Model-identical before/after —
-    the counts are additive, summing partials early changes nothing.
-    Returns {"files_before": int, "files_after": int}."""
+    aggregated file-set per table. Crash-safe swap: the aggregate is
+    staged, the live directory is renamed ASIDE (``__old``), the stage
+    renamed in, and only then the old state deleted — a crash between
+    the two renames leaves the live name briefly missing but the
+    complete old state intact under ``__old``, and every reader/writer
+    self-heals it back (:func:`_heal`); the old delete-then-rename
+    order had a window where a crash orphaned ALL accumulated history.
+    Model-identical before/after — the counts are additive, summing
+    partials early changes nothing. Returns {"files_before": int,
+    "files_after": int}."""
     tables = _folded_tables(spark, state_path)
     if tables is None:
         return {"files_before": 0, "files_after": 0}
@@ -154,10 +173,14 @@ def compact_kn_state(spark: SparkSession, state_path: str) -> dict:
     bi_m = bi.localCheckpoint()
     uni_m = uni.localCheckpoint()
     for name, df in (("bigrams", bi_m), ("unigrams", uni_m)):
-        stage = f"{state_path}/{name}__stage"
+        live = f"{state_path}/{name}"
+        stage, old = f"{live}__stage", f"{live}__old"
+        state_io.delete(stage, spark)
+        state_io.delete(old, spark)
         df.coalesce(1).write.mode("overwrite").parquet(stage)
-        state_io.delete(f"{state_path}/{name}", spark)
-        state_io.rename(stage, f"{state_path}/{name}", spark)
+        state_io.rename(live, old, spark)
+        state_io.rename(stage, live, spark)
+        state_io.delete(old, spark)
     after = state_io.count_files(f"{state_path}/bigrams", spark) + (
         state_io.count_files(f"{state_path}/unigrams", spark)
     )

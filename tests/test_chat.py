@@ -199,3 +199,34 @@ def test_masked_packing_composition(spark):
         for tid, m in zip(r["token_ids"], r["loss_mask"]):
             if tid in (-1, 0):
                 assert m == 0
+
+
+def test_spans_survive_null_and_whitespace_roles(spark):
+    """A NULL role must not silently drop the rendered segment while the
+    span counter advances past it, and a role containing whitespace must
+    count as its real token width — both would misalign every later
+    span (code-review finding)."""
+    rows = [
+        (1, [
+            (None, "sys note"),
+            ("assistant helper", "multi role turn"),
+            ("user", "q"),
+            ("assistant", "final answer"),
+        ]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    for template in ("chatml", "plain"):
+        r = assistant_token_spans(
+            render_chat(df, template=template), template=template,
+        ).collect()[0]
+        toks = r["text"].split()
+        # only the exact role 'assistant' matches; its span must slice
+        # to its own content despite the weird earlier segments
+        assert len(r["spans"]) == 1
+        s = r["spans"][0]
+        want = (
+            ("final answer<|im_end|>").split()
+            if template == "chatml"
+            else "final answer".split()
+        )
+        assert toks[s["start"]:s["end"]] == want, template

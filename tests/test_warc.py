@@ -401,7 +401,9 @@ def test_resolve_reference_matrix(spark):
         ("//cdn.test/lib.js", "http://cdn.test/lib.js"),
         ("/root.html", "http://h.test/root.html"),
         ("?q=2", "http://h.test/a/b/page.html?q=2"),
-        ("", "http://h.test/a/b/page.html"),
+        # empty / fragment-only refs keep the base QUERY (RFC 3986 §5.2.2)
+        ("", "http://h.test/a/b/page.html?old=1"),
+        ("#only-frag", "http://h.test/a/b/page.html?old=1"),
         ("sib.html", "http://h.test/a/b/sib.html"),
         ("../up.html", "http://h.test/a/up.html"),
         ("../../../clamp.html", "http://h.test/clamp.html"),

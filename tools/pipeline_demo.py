@@ -262,16 +262,18 @@ def main(sf_dir: str) -> None:
         )
 
         knlm = train_kn_lm(docs, "text", vocab_size=1 << 16)
-        kept_ids = (
-            perplexity_buckets(
-                kn_score(gated, "doc_id", "text", knlm), "ppl"
-            )
-            .where(F.col("bucket") != "tail")
-            .select("doc_id")
-        )
+        buckets = perplexity_buckets(
+            kn_score(gated, "doc_id", "text", knlm), "ppl"
+        ).select("doc_id", "bucket")
+        # LEFT join: docs with < 2 tokens have no bigrams, hence no
+        # score row — length is not a perplexity verdict, so they pass
+        # (code-review finding: an inner join silently dropped them)
         gated = stage(
             "perplexity_gate",
-            gated.join(kept_ids, "doc_id").localCheckpoint(),
+            gated.join(buckets, "doc_id", "left")
+            .where(F.col("bucket").isNull() | (F.col("bucket") != "tail"))
+            .drop("bucket")
+            .localCheckpoint(),
         )
 
         exact = stage(
