@@ -230,3 +230,40 @@ def test_spans_survive_null_and_whitespace_roles(spark):
             else "final answer".split()
         )
         assert toks[s["start"]:s["end"]] == want, template
+
+
+def test_masked_and_unmasked_materialize_agree(spark):
+    """materialize_masked_sequences must stay token-for-token identical
+    to materialize_sequences (same regroup, eos, padding) — the masked
+    twin duplicates the plan, so the agreement is pinned (code-review
+    finding #10)."""
+    from bitfilters_spark.operators.packing import (
+        materialize_masked_sequences,
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, [10, 11, 12], [(0, 2)]),
+            (2, [20], []),
+            (3, [30, 31, 32, 33, 34], [(1, 3)]),
+        ],
+        "doc_id long, token_ids array<long>, "
+        "spans array<struct<start:int,end:int>>",
+    )
+    weighted = docs.withColumn("w", F.size("token_ids") + 1).coalesce(1)
+    assignment = pack_sequences(weighted, "doc_id", "w", capacity=8)
+    plain = {
+        r["seq"]: (list(r["token_ids"]), r["n_docs"], r["n_tokens"])
+        for r in materialize_sequences(
+            assignment, docs, "doc_id", eos_id=-1, pad_to=8
+        ).collect()
+    }
+    masked = {
+        r["seq"]: (list(r["token_ids"]), r["n_docs"], r["n_tokens"])
+        for r in materialize_masked_sequences(
+            assignment, docs, "doc_id", eos_id=-1, pad_to=8
+        ).collect()
+    }
+    assert plain == masked

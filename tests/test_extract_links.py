@@ -247,3 +247,43 @@ def test_extract_links_streaming(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_resolver_parity_extract_links_vs_resolve_reference(spark):
+    """extract_links' inline resolver (staged for codegen limits) and
+    web.resolve_reference are two copies of the same RFC 3986 algebra —
+    any future divergence would split link-edge identity from
+    redirect-edge identity. Pin them equal over the resolution matrix
+    (code-review finding #9: the duplication is deliberate, the parity
+    must be tested)."""
+    from bitfilters_spark.operators.web import extract_links, resolve_reference
+
+    base = "http://h.test/a/b/page.html?x=1"
+    refs = [
+        "https://x.test/p",
+        "//cdn.test/lib.js",
+        "/root.html",
+        "?q=2",
+        "sib.html",
+        "../up.html",
+        "../../../clamp.html",
+        "./same.html",
+        "deep/./x/../y.html",
+    ]
+    pages = spark.createDataFrame(
+        [(base, "".join(f'<a href="{r}">a</a>' for r in refs))],
+        "url string, html string",
+    )
+    via_links = [
+        r["dst_url"]
+        for r in extract_links(pages, "html", "url", normalize=False)
+        .orderBy("dst_url")
+        .collect()
+    ]
+    via_resolver = sorted(
+        r["got"]
+        for r in spark.createDataFrame([(base, x) for x in refs], "b string, r string")
+        .select(resolve_reference("b", "r").alias("got"))
+        .collect()
+    )
+    assert via_links == via_resolver
