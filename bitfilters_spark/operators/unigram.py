@@ -4,12 +4,14 @@ instead of greedy merge rules, a vocabulary of pieces with
 log-probabilities, trained by EM and applied by Viterbi segmentation
 (each word splits into the maximum-likelihood piece sequence).
 
-This is the hard-EM (Viterbi-EM) variant most re-implementations ship:
-the E-step counts pieces along each word's BEST segmentation instead of
-forward-backward expected counts — documented deviation from
-SentencePiece's soft EM; the vocabulary shrinks geometrically
-(``shrink_factor`` per round, lowest-count pieces dropped, single
-characters always kept for coverage) until ``vocab_size`` survives.
+Both E-steps are available (``em=``): ``"hard"`` (Viterbi-EM — counts
+along each word's BEST segmentation; the variant most re-implementations
+ship, and the default here for its determinism) and ``"soft"``
+(forward–backward EXPECTED counts over all segmentations —
+SentencePiece's actual E-step, `expected_piece_counts`). The vocabulary
+shrinks geometrically (``shrink_factor`` per round, lowest-count pieces
+dropped, single characters always kept for coverage) until
+``vocab_size`` survives — or the single-character floor is reached.
 
 100 TB decomposition (the `train_bpe` shape): the corpus collapses ONCE
 into a word-TYPE count table (one hash aggregation — Zipf makes the type
@@ -41,6 +43,7 @@ from .bpe import word_frequencies
 
 __all__ = [
     "viterbi_segment",
+    "expected_piece_counts",
     "train_unigram",
     "train_unigram_local",
     "unigram_encode",
@@ -117,9 +120,9 @@ def _select_seed(counts: dict, wc: list, seed_size: int) -> dict:
 
 
 def _em_update(piece_counts: dict, wc_chars: set, prev: dict) -> dict:
-    """M-step: re-estimate log-probs from Viterbi counts; unused
-    non-char pieces drop, unused single chars keep a floor count of 1
-    (coverage must never be lost)."""
+    """M-step: re-estimate log-probs from the E-step counts (Viterbi
+    or expected); unused non-char pieces drop, unused single chars keep
+    a floor count of 1 (coverage must never be lost)."""
     counts = dict(piece_counts)
     for ch in wc_chars:
         counts.setdefault(ch, 0)
@@ -148,10 +151,13 @@ def train_unigram_local(
     max_piece_len: int = 8,
     em_rounds: int = 2,
     shrink_factor: float = 0.75,
+    em: str = "hard",
 ) -> dict:
     """Sequential reference trainer over (word, count) pairs — the exact
     algorithm `train_unigram` distributes; the equality of the two is a
     pytest law. Returns {"pieces": {piece: logp}, "max_piece_len": n}."""
+    if em not in ("hard", "soft"):
+        raise ValueError("em must be 'hard' or 'soft'")
     wc_chars = {w[i] for w, _ in wc for i in range(len(w))}
     logp = _select_seed(_seed_counts_local(wc, max_piece_len), wc, seed_size)
     while True:
@@ -159,8 +165,14 @@ def train_unigram_local(
         for _ in range(em_rounds):
             counts = {}
             for w, c in wc:
-                for piece in viterbi_segment(w, logp, max_piece_len):
-                    counts[piece] = counts.get(piece, 0) + c
+                if em == "hard":
+                    for piece in viterbi_segment(w, logp, max_piece_len):
+                        counts[piece] = counts.get(piece, 0) + c
+                else:
+                    for piece, ec in expected_piece_counts(
+                        w, logp, max_piece_len
+                    ).items():
+                        counts[piece] = counts.get(piece, 0.0) + ec * c
             logp = _em_update(counts, wc_chars, logp)
         if len(logp) <= vocab_size:
             break
@@ -206,12 +218,15 @@ def train_unigram(
     em_rounds: int = 2,
     shrink_factor: float = 0.75,
     top_words: int | None = 200_000,
+    em: str = "hard",
 ) -> dict:
     """Distributed unigram-LM tokenizer training (see module docstring
     for the decomposition). ≡ :func:`train_unigram_local` on the same
     word table — pytest-pinned."""
     import pandas as pd
 
+    if em not in ("hard", "soft"):
+        raise ValueError("em must be 'hard' or 'soft'")
     spark = df.sparkSession
     words = word_frequencies(df, text_col, top_words).localCheckpoint()
     # seed: distributed substring counts, top-K by (count desc, piece);
@@ -241,22 +256,28 @@ def train_unigram(
             for pdf in batches:
                 agg: dict = {}
                 for w, c in zip(pdf["word"], pdf["n"]):
-                    for piece in viterbi_segment(
-                        w, b.value, max_piece_len
-                    ):
-                        agg[piece] = agg.get(piece, 0) + int(c)
+                    if em == "hard":
+                        for piece in viterbi_segment(
+                            w, b.value, max_piece_len
+                        ):
+                            agg[piece] = agg.get(piece, 0.0) + float(c)
+                    else:
+                        for piece, ec in expected_piece_counts(
+                            w, b.value, max_piece_len
+                        ).items():
+                            agg[piece] = agg.get(piece, 0.0) + ec * float(c)
                 yield pd.DataFrame(
                     {"piece": list(agg), "c": list(agg.values())}
                 )
 
         rows = (
-            words.mapInPandas(seg, schema="piece string, c long")
+            words.mapInPandas(seg, schema="piece string, c double")
             .groupBy("piece")
             .agg(F.sum("c").alias("c"))
             .collect()
         )
         b.unpersist()
-        return {r["piece"]: int(r["c"]) for r in rows}
+        return {r["piece"]: float(r["c"]) for r in rows}
 
     while True:
         counts: dict = {}
@@ -358,3 +379,57 @@ def load_unigram(spark, path: str) -> dict:
     }
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     return {"pieces": pieces, "max_piece_len": int(meta["max_piece_len"])}
+
+
+def expected_piece_counts(word: str, logp: dict, max_piece_len: int) -> dict:
+    """Soft-EM E-step kernel: forward–backward over the word's
+    segmentation lattice → expected count of every piece under the
+    posterior over ALL segmentations (Kudo 2018's actual E-step; the
+    Viterbi kernel counts only the best path). Log-space with
+    logsumexp — no underflow on long words. Returns {} when the word
+    cannot be covered."""
+    n = len(word)
+    NEG = float("-inf")
+
+    def lse(xs):
+        m = max(xs)
+        if m == NEG:
+            return NEG
+        return m + math.log(sum(math.exp(x - m) for x in xs))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        terms = []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alpha[j] != NEG:
+                terms.append(alpha[j] + lp)
+        if terms:
+            alpha[i] = lse(terms)
+    if alpha[n] == NEG:
+        return {}
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        terms = []
+        for j in range(i + 1, min(i + max_piece_len, n) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None and beta[j] != NEG:
+                terms.append(lp + beta[j])
+        if terms:
+            beta[i] = lse(terms)
+    z = alpha[n]
+    counts: dict = {}
+    for j in range(n):
+        if alpha[j] == NEG:
+            continue
+        for i in range(j + 1, min(j + max_piece_len, n) + 1):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or beta[i] == NEG:
+                continue
+            counts[piece] = counts.get(piece, 0.0) + math.exp(
+                alpha[j] + lp + beta[i] - z
+            )
+    return counts

@@ -135,3 +135,72 @@ def test_unigram_empty_corpus(spark):
     model = train_unigram(empty, "text", vocab_size=10, seed_size=10)
     assert model["pieces"] == {}
     assert unigram_encode(empty, "doc_id", "text", model).count() == 0
+
+
+def test_expected_counts_match_bruteforce_posterior():
+    """Soft-EM kernel: forward-backward expected piece counts equal the
+    brute-force posterior average over ALL segmentations, to 1e-12."""
+    from bitfilters_spark.operators.unigram import expected_piece_counts
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.05), "aba": math.log(0.15),
+    }
+
+    def brute(word):
+        from collections import Counter
+
+        segs = []
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+            idx = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            pieces = [word[idx[k] : idx[k + 1]] for k in range(len(idx) - 1)]
+            if all(p in logp for p in pieces):
+                segs.append((math.exp(sum(logp[p] for p in pieces)), pieces))
+        z = sum(p for p, _ in segs)
+        want: dict = Counter()
+        for p, pieces in segs:
+            for piece in pieces:
+                want[piece] += p / z
+        return dict(want)
+
+    for word in ("ab", "aba", "abab", "ababa", "aabba"):
+        got = expected_piece_counts(word, logp, 3)
+        want = brute(word)
+        assert set(got) == set(want), word
+        for piece in want:
+            assert got[piece] == pytest.approx(want[piece], abs=1e-12), (
+                word, piece,
+            )
+
+
+def test_soft_em_distributed_equals_local(spark):
+    from bitfilters_spark.operators.bpe import word_frequencies
+
+    wc = [
+        (r["word"], int(r["n"]))
+        for r in word_frequencies(_df(spark), "text", None).collect()
+    ]
+    local = train_unigram_local(
+        wc, vocab_size=30, seed_size=200, max_piece_len=6, em_rounds=2,
+        em="soft",
+    )
+    dist = train_unigram(
+        _df(spark), "text", vocab_size=30, seed_size=200,
+        max_piece_len=6, em_rounds=2, em="soft",
+    )
+    assert set(dist["pieces"]) == set(local["pieces"])
+    for p, lp in local["pieces"].items():
+        assert dist["pieces"][p] == pytest.approx(lp, abs=1e-9), p
+    with pytest.raises(ValueError, match="em"):
+        train_unigram(_df(spark), "text", em="bogus")
+
+
+def test_vocab_below_char_floor_terminates(spark):
+    """vocab_size below the distinct-character count must stop at the
+    char floor, not loop forever (code-review finding #1)."""
+    model = train_unigram(
+        _df(spark), "text", vocab_size=3, seed_size=50, em_rounds=1,
+    )
+    chars = {c for t in TEXTS for c in t.replace(" ", "")}
+    assert set(model["pieces"]) == chars  # exactly the floor
