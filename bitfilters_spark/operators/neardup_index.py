@@ -304,14 +304,14 @@ def compact_lsh_index(spark: SparkSession, name: str, path: str | None = None) -
         f"{stage}_bands",
         ["bh"],
         num_buckets=nb,
-        path=_stage_path(spark, f"{name}_bands", path, "bands"),
+        path=_stage_path(spark, f"{name}_bands", path, f"{name}_bands"),
     )
     write_bucketed(
         _src(f"{name}_shingles").repartition(nb, F.col("id")),
         f"{stage}_shingles",
         ["id"],
         num_buckets=nb,
-        path=_stage_path(spark, f"{name}_shingles", path, "shingles"),
+        path=_stage_path(spark, f"{name}_shingles", path, f"{name}_shingles"),
     )
     # re-stamp whatever geometry keys the live index carried (pre-swap,
     # so a crash between swap statements never leaves a stampless index)

@@ -88,7 +88,7 @@ def build_phrase_index(
         ["token"],
         num_buckets=num_buckets,
         sort_cols=["token"],
-        path=_stage_path(spark, f"{name}_postings", path, "postings"),
+        path=_stage_path(spark, f"{name}_postings", path, f"{name}_postings"),
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}_postings")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {name}_postings")
@@ -146,25 +146,31 @@ def phrase_search(
     term rows from the same result."""
     _check_name(name)
     spark.catalog.refreshTable(f"{name}_postings")
+    # the caller's phrase_id type is preserved end-to-end (matching the
+    # documented same-output contract of `phrase_contains`)
+    pid_t = phrases.schema[id_col].dataType.simpleString()
     qrows = (
         phrases.where(F.trim(F.col(phrase_col)) != "")
         .select(
             F.col(id_col).alias("phrase_id"),
             F.posexplode(tokens(phrase_col)).alias("off", "token"),
         )
+        # limit BEFORE collect so the guard fires before the driver
+        # materializes an unbounded set (the bm25_query_index pattern)
+        .limit(max_queries + 1)
         .collect()
     )
     if len(qrows) > max_queries:
         raise ValueError(
-            f"phrase_search collected {len(qrows)} (phrase, term) rows, "
-            f"over max_queries={max_queries}; batch the probe"
+            f"phrase_search collected over max_queries={max_queries} "
+            f"(phrase, term) rows; batch the probe"
         )
     if not qrows:
         # empty result typed from the ACTUAL index id column, not a
         # hardcoded long (indexes over string ids must union cleanly)
         id_t = spark.table(f"{name}_postings").schema["id"].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"phrase_id long, id {id_t}, n_matches long, first_pos int"
+            [], f"phrase_id {pid_t}, id {id_t}, n_matches long, first_pos int"
         )
     terms = sorted({r["token"] for r in qrows})
     n_terms = {}
@@ -174,7 +180,7 @@ def phrase_search(
         )
     qdf = spark.createDataFrame(
         [(r["phrase_id"], r["off"], r["token"]) for r in qrows],
-        "phrase_id long, off int, token string",
+        f"phrase_id {pid_t}, off int, token string",
     )
     post = spark.table(f"{name}_postings").where(F.col("token").isin(terms))
     hits = post.join(F.broadcast(qdf), "token").select(
@@ -184,7 +190,7 @@ def phrase_search(
         F.transform("positions", lambda p: p - F.col("off")).alias("shifted"),
     )
     ndf = spark.createDataFrame(
-        list(n_terms.items()), "phrase_id long, n_terms int"
+        list(n_terms.items()), f"phrase_id {pid_t}, n_terms int"
     )
     per_doc = (
         hits.groupBy("phrase_id", "id")
@@ -299,7 +305,7 @@ def compact_phrase_index(
         ["token"],
         num_buckets=num_buckets,
         sort_cols=["token"],
-        path=_stage_path(spark, f"{name}_postings", path, "postings"),
+        path=_stage_path(spark, f"{name}_postings", path, f"{name}_postings"),
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}_postings")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {name}_postings")

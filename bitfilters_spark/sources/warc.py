@@ -110,6 +110,11 @@ def _parse_one(buf: bytes, source: str):
         try:
             clen = int(headers.get(b"content-length", b""))
         except ValueError:
+            clen = -1
+        if clen < 0:
+            # a negative Content-Length (e.g. b"-5" parses fine under int())
+            # would walk `pos = body_start + clen` BACKWARDS onto this very
+            # record's start and re-yield it forever — dead-letter and stop.
             yield (source, start, None, None, None, None, None, None, None, None,
                    bytes(buf[pos:]),
                    f"missing/invalid Content-Length at offset {start}")
@@ -321,21 +326,29 @@ def cdx_lookup(
     the read-side payoff of :func:`write_cdx`'s one sort."""
     probe = url_or_domain
     if "://" not in probe:
-        # bare domain: reverse the labels ourselves (no URL to parse)
+        # bare domain: reverse the labels ourselves (no URL to parse).
+        # The naked label prefix must be CLOSED before widening — an open
+        # range [com,example, com,example<MAX>) also swallows sibling
+        # domains like com,exampleshop)/… — so match only the domain
+        # itself (prefix + ')') and its subdomains (prefix + ',').
         prefix = ",".join(reversed(probe.lower().strip("/").split(".")))
-    else:
-        row = (
-            spark.range(1)
-            .select(surt_key(F.lit(probe).cast("string")).alias("s"))
-            .collect()[0]
+        lo_self, hi_self = prefix + ")", prefix + ")" + "￿"
+        lo_sub, hi_sub = prefix + ",", prefix + "," + "￿"
+        return spark.read.parquet(path).where(
+            ((F.col("surt") >= lo_self) & (F.col("surt") < hi_self))
+            | ((F.col("surt") >= lo_sub) & (F.col("surt") < hi_sub))
         )
-        if row["s"] is None:
-            raise ValueError(f"cannot derive a SURT key from {url_or_domain!r}")
-        prefix = row["s"]
-    hi = prefix + "￿"
-    return spark.read.parquet(path).where(
-        (F.col("surt") >= prefix) & (F.col("surt") < hi)
+    row = (
+        spark.range(1)
+        .select(surt_key(F.lit(probe).cast("string")).alias("s"))
+        .collect()[0]
     )
+    if row["s"] is None:
+        raise ValueError(f"cannot derive a SURT key from {url_or_domain!r}")
+    # a full URL names ONE capture identity: its complete SURT key
+    # (host))/path?query) — exact equality, else a probe for /path would
+    # also return /pathological… from the open prefix range.
+    return spark.read.parquet(path).where(F.col("surt") == row["s"])
 
 
 def warc_redirects(records: DataFrame, normalize: bool = True) -> DataFrame:

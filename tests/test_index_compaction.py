@@ -234,3 +234,50 @@ def test_ann_index_report(spark, tmp_path):
     assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-9
     for r in rows:
         assert -1.0 - 1e-9 <= r["min_sim"] <= r["mean_sim"] <= 1.0 + 1e-9
+
+
+def test_compact_two_lsh_indexes_one_external_path(spark, tmp_path):
+    """Staging-namespace regression (r11 verdict finding 3, LSH site):
+    compacting two LSH indexes that share one external path= must not
+    alternate over shared `bands__stage_a/b` dirs — each index keeps its
+    own namespaced staging pair, so compacting B never clobbers A's
+    live files."""
+    from bitfilters_spark.operators.neardup_index import (
+        build_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+    )
+
+    docs = _docs(spark).limit(80).cache()
+    shared = str(tmp_path / "sharedlsh")
+    build_lsh_index(
+        docs, "doc_id", "text", "lshco_a", k=16, bands=4, num_buckets=4,
+        path=shared,
+    )
+    build_lsh_index(
+        docs, "doc_id", "text", "lshco_b", k=16, bands=4, num_buckets=4,
+        path=shared,
+    )
+    probe = docs.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+
+    def _probe(name):
+        return sorted(
+            map(
+                tuple,
+                probe_lsh_index(
+                    spark, probe, "doc_id", "text", name,
+                    k=16, bands=4, threshold=0.5,
+                ).collect(),
+            )
+        )
+
+    before_a = _probe("lshco_a")
+    assert len(before_a) > 0
+    # compact B twice (occupies both of its staging dirs), then A once
+    compact_lsh_index(spark, "lshco_b", path=shared)
+    compact_lsh_index(spark, "lshco_b", path=shared)
+    compact_lsh_index(spark, "lshco_a", path=shared)
+    assert _probe("lshco_a") == before_a
+    assert _probe("lshco_b") == before_a  # same corpus, same answers

@@ -188,3 +188,71 @@ def test_phrase_index_compact_and_streaming_maintenance(spark, tmp_path):
         for r in phrase_search(spark, "ph_t6", _phrases(spark)).collect()
     }
     assert post == pre
+
+
+def test_two_indexes_one_external_path_coexist(spark, tmp_path):
+    """Staging-namespace regression (r11 verdict finding 3): two phrase
+    indexes built at the SAME external path= must not alternate over a
+    shared `postings__stage_a/b` pair — the second build would
+    mode-overwrite the first index's LIVE files. With name-prefixed
+    staging bases both stay probe-correct."""
+    shared = str(tmp_path / "shared")
+    build_phrase_index(
+        _docs(spark), "doc_id", "text", "ph_co_a", num_buckets=4, path=shared
+    )
+    # second index over a DIFFERENT corpus at the same path
+    other = spark.createDataFrame(
+        [(100, "zebra stripes zebra")], "doc_id long, text string"
+    )
+    build_phrase_index(
+        other, "doc_id", "text", "ph_co_b", num_buckets=4, path=shared
+    )
+    # index A still answers from its own (un-clobbered) postings
+    got = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_co_a", _phrases(spark)).collect()
+    }
+    assert got == _expected()
+    # index B answers its own corpus
+    z = phrase_search(
+        spark, "ph_co_b",
+        spark.createDataFrame([(1, "zebra")], "phrase_id long, phrase string"),
+    ).collect()
+    assert [(r["id"], r["n_matches"]) for r in z] == [(100, 2)]
+    # and rebuilds of A keep alternating inside A's own namespace
+    build_phrase_index(
+        _docs(spark), "doc_id", "text", "ph_co_a", num_buckets=4, path=shared
+    )
+    got2 = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_co_a", _phrases(spark)).collect()
+    }
+    assert got2 == _expected()
+
+
+def test_phrase_search_string_phrase_ids(spark, tmp_path):
+    """phrase_search must preserve the caller's phrase_id type (ADVICE
+    r11): string ids flow through identically to phrase_contains."""
+    build_phrase_index(
+        _docs(spark), "doc_id", "text", "ph_sid", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    sphrases = spark.createDataFrame(
+        [("alpha", "quick brown fox"), ("beta", "the the")],
+        "phrase_id string, phrase string",
+    )
+    a = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(spark, "ph_sid", sphrases).collect()
+    }
+    b = {
+        (r["phrase_id"], r["id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_contains(
+            _docs(spark), "doc_id", "text", sphrases
+        ).collect()
+    }
+    assert a == b and a
+    # empty phrase set keeps the string type too
+    empty = spark.createDataFrame([], "phrase_id string, phrase string")
+    res = phrase_search(spark, "ph_sid", empty)
+    assert dict(res.dtypes)["phrase_id"] == "string"

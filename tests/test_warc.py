@@ -124,6 +124,68 @@ def test_malformed_tail_dead_letter(spark):
     assert len(recs2) == 1 and "truncated" in recs2[0].parse_error
 
 
+def test_negative_content_length_dead_letter(spark):
+    """Adversarial `Content-Length: -N` must dead-letter and STOP, in
+    bounded time — int(b'-N') parses fine and `pos = body_start + clen`
+    with clen = -(header_len+4) lands exactly back on the record's own
+    start, so the unguarded generator re-yields the same record forever
+    (r11 verdict finding 1)."""
+    body = _http_response(b"x")
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://evil.test/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+    )
+    # craft clen = -(len(head-with-clen-line) + 4): pos lands back on start
+    for probe in range(-1, -400, -1):
+        full_head = head + f"Content-Length: {probe}\r\n\r\n".encode()
+        if probe == -len(full_head):
+            evil = full_head + body + b"\r\n\r\n"
+            break
+    else:  # fall back: any negative length still must terminate
+        evil = head + b"Content-Length: -7\r\n\r\n" + body + b"\r\n\r\n"
+    good = _record("response", "http://ok.test/", _http_response(b"fine"))
+    recs = parse_warc_records(_df(spark, [good + evil])).collect()
+    assert len(recs) == 2
+    assert recs[0].parse_error is None
+    assert "Content-Length" in recs[1].parse_error
+
+
+def test_cdx_lookup_surt_boundaries(spark, tmp_path):
+    """SURT range boundaries (r11 verdict finding 2): a domain lookup for
+    example.com must NOT return exampleshop.com (sibling label sharing
+    the byte prefix), and a full-URL probe for /path must NOT return
+    /pathological…"""
+    from bitfilters_spark.sources.warc import cdx_lookup, write_cdx
+
+    blobs = []
+    for host, paths in (
+        ("example.com", ["/path", "/pathological/long", "/other"]),
+        ("exampleshop.com", ["/p"]),
+        ("sub.example.com", ["/s"]),
+    ):
+        for p in paths:
+            blobs.append(
+                _record("response", f"http://{host}{p}", _http_response(b"x"))
+            )
+    recs = parse_warc_records(_df(spark, [b"".join(blobs)]))
+    out = str(tmp_path / "cdx")
+    write_cdx(recs, out, num_files=2)
+
+    dom = {r.url for r in cdx_lookup(spark, out, "example.com").collect()}
+    assert dom == {
+        "http://example.com/path",
+        "http://example.com/pathological/long",
+        "http://example.com/other",
+        "http://sub.example.com/s",
+    }  # exampleshop.com excluded
+
+    one = [r.url for r in cdx_lookup(spark, out, "http://example.com/path").collect()]
+    assert one == ["http://example.com/path"]  # /pathological excluded
+
+
 def test_read_warc_and_crawl_loop_composition(spark, tmp_path):
     """The wire-format front door: .warc.gz files on disk → binaryFile →
     records → warc_pages → extract_links. 404s and non-response records
