@@ -228,10 +228,16 @@ def dedup_conversations(
         if normalize
         else F.coalesce(m["content"], F.lit(""))
     )
+    # role is coalesced like content: a NULL role would NULL the whole
+    # element and array_join SKIPS null elements, collapsing two
+    # distinct conversations onto one key (the exact hazard _seg_text's
+    # own coalesce defends against)
     key = F.array_join(
         F.transform(
             F.col(messages_col),
-            lambda m: F.concat(m["role"], F.lit("\x1f"), content(m)),
+            lambda m: F.concat(
+                F.coalesce(m["role"], F.lit("")), F.lit("\x1f"), content(m)
+            ),
         ),
         "\x1e",
     )

@@ -399,30 +399,61 @@ def kn3_model_from_type_tables(
         .orderBy(F.col("c_ctx3").desc(), "h2")
         .limit(vocab_size)
     )
+    # cont3 caps ORDER by how often the (v,w) bigram OCCURS (cb from
+    # bi_types), not by n_pred3 — predecessor-type counts tie at 1
+    # across whole corpora and would evict frequent, scoring-hot
+    # contexts hash-arbitrarily (the exact failure the bigram model's
+    # cont table documents and avoids, kn_model_from_type_tables)
     cont3 = (
-        cont3_full.select(F.xxhash64("hv", "hw").alias("hvw"), "n_pred3")
-        .orderBy(F.col("n_pred3").desc(), "hvw")
+        cont3_full.join(
+            bi_types.select(
+                F.col("hp").alias("hv"), F.col("hc").alias("hw"), "cb"
+            ),
+            ["hv", "hw"],
+            "left",
+        )
+        .select(F.xxhash64("hv", "hw").alias("hvw"), "n_pred3", "cb")
+        .orderBy(F.col("cb").desc(), "hvw")
         .limit(vocab_size)
+        .select("hvw", "n_pred3")
     )
+    # mid caps ORDER by the middle token's corpus frequency (uni.c_tok),
+    # for the same reason: scoring impact ∝ how often probes hit v
     mid = (
         cont3_full.groupBy(F.col("hv").alias("h"))
         .agg(
             F.sum("n_pred3").alias("n_mid"),
             F.count(F.lit(1)).alias("n_ctypes"),
         )
-        .orderBy(F.col("n_mid").desc(), "h")
+        .join(uni, "h", "left")
+        .orderBy(F.col("c_tok").desc(), "h")
         .limit(vocab_size)
+        .select("h", "n_mid", "n_ctypes")
     )
-    # lowest order: the bigram model's continuation distribution
-    base = kn_model_from_type_tables(bi_types, uni, vocab_size)
+    # lowest order: the bigram continuation distribution, derived
+    # DIRECTLY — running kn_model_from_type_tables here would also
+    # compute the bigram ctx/bi tables and the n1/n2 discount stats
+    # only to throw them away (one wasted full-stats job per train)
+    cont = (
+        bi_types.groupBy(F.col("hc").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_pred"))
+        .join(uni, "h", "left")
+        .orderBy(F.col("c_tok").desc(), "h")
+        .limit(vocab_size)
+        .select("h", "n_pred")
+    )
+    n_bigram_types = int(
+        bi_types.agg(F.count(F.lit(1))).collect()[0][0] or 0
+    )
+    n_tokens = int(uni.agg(F.sum("c_tok")).collect()[0][0] or 0)
     return {
         "tri": tri,
         "ctx3": ctx3,
         "cont3": cont3,
         "mid": mid,
-        "cont": base["cont"],
-        "n_bigram_types": base["n_bigram_types"],
-        "n_tokens": base["n_tokens"],
+        "cont": cont,
+        "n_bigram_types": n_bigram_types,
+        "n_tokens": n_tokens,
         "discount3": float(d3),
         "discount2": float(d2),
     }

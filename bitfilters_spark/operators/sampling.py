@@ -142,7 +142,13 @@ def reservoir_sample(
     elif native:
         h = F.xxhash64(F.col(id_col), F.lit(seed))
     else:
-        h = duckdb_hash("v1.0.0", (F.col(id_col) + F.lit(seed)).cast("long"))
+        # rank in UNSIGNED hash order (the cap_per_group convention): the
+        # i64 column carries a u64 value that an external engine (DuckDB
+        # UBIGINT) sorts unsigned — XOR the sign bit so the claimed
+        # cross-engine reproducibility holds without a signed-cast caveat
+        h = duckdb_hash(
+            "v1.0.0", (F.col(id_col) + F.lit(seed)).cast("long")
+        ).bitwiseXOR(F.lit(-(1 << 63)))
     order = [h.asc(), F.col(id_col).asc()]
     out = df
     if salt > 1:

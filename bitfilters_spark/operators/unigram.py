@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .bpe import word_frequencies
+from .text import tokens
 
 __all__ = [
     "viterbi_segment",
@@ -310,8 +311,12 @@ def unigram_encode(
 
     spark = df.sparkSession
     mpl = int(model["max_piece_len"])
+    # the SAME single-space split the trainer reduces the corpus with
+    # (word_frequencies -> text.tokens) — a \s+ split here would produce
+    # word types training never counted on tab/newline text, Viterbi-
+    # segmenting in-corpus words against the wrong distribution
     types = (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        df.select(F.explode(tokens(text_col)).alias("word"))
         .where(F.col("word") != "")
         .distinct()
     )
@@ -332,7 +337,7 @@ def unigram_encode(
     exploded = df.select(
         F.col(id_col),
         F.posexplode(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+            F.filter(tokens(text_col), lambda t: t != "")
         ).alias("__pos", "word"),
     )
     return (

@@ -856,8 +856,10 @@ def sitemap_urls(
         .where(F.col("__loc") != "")
     )
     unescape = F.col("__loc")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&apos;", "'")):
+    # &amp; decoded LAST (the strip_html convention): double-escaped
+    # text like "&amp;lt;" must render "&lt;", not double-decode to "<"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")):
         unescape = F.replace(unescape, F.lit(ent), F.lit(ch))
     return out.select(
         *carry_cols,
@@ -963,9 +965,18 @@ def extract_links(
     # flat select OOMed the codegen StringBuilder); staged projections
     # with non-cheap expressions used >1x stay un-collapsed, keeping
     # codegen linear. Still one map-side stage at runtime.
-    href = _href_of(F.col("__tag"))
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
+    # attribute scans read ONLY the open tag (the run before the first
+    # '>'): the captured __tag carries the anchor's trailing text, and
+    # visible text like "set rel=nofollow on links" must not flip the
+    # nofollow flag, nor may an href-less anchor whose TEXT contains
+    # "href=..." fabricate an edge
+    open_tag = F.regexp_extract(F.col("__tag"), r"^([^>]*)", 1)
+    href = _href_of(open_tag)
+    # &amp; decoded LAST (the strip_html convention, web.py:43): a
+    # double-escaped href piece "&amp;lt;" means the literal "&lt;"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                    ("&amp;", "&")):
         href = F.replace(href, F.lit(ent), F.lit(ch))
     # strip the fragment everywhere (never part of the fetch identity)
     href = F.trim(F.regexp_replace(href, r"#.*$", ""))
@@ -974,8 +985,9 @@ def extract_links(
     # (nested markup inside the anchor truncates at its first '<' — the
     # deterministic scan-speed subset, same trade as strip_html)
     anchor = F.trim(F.regexp_extract(F.col("__tag"), r">([^<]*)$", 1))
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'")):
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+                    ("&amp;", "&")):
         anchor = F.replace(anchor, F.lit(ent), F.lit(ch))
 
     carry = list(carry_cols)
@@ -985,7 +997,7 @@ def extract_links(
         "__base",
         href.alias("__href"),
         anchor.alias("anchor"),
-        F.col("__tag")
+        open_tag
         .rlike(r"""(?i)\brel\s*=\s*["']?[^"'>]*\bnofollow\b""")
         .alias("nofollow"),
     )

@@ -118,11 +118,17 @@ def _folded_tables(
     spark: SparkSession, state_path: str
 ) -> tuple[DataFrame, DataFrame] | None:
     _heal(spark, state_path)
-    try:
-        bi_raw = spark.read.parquet(f"{state_path}/bigrams")
-        uni_raw = spark.read.parquet(f"{state_path}/unigrams")
-    except Exception:
+    # missing state means "no model yet"; any OTHER read failure
+    # (permissions, corrupt files) must propagate, not masquerade as an
+    # empty stream (ADVICE r11 — a blanket except here silently hid
+    # transient errors)
+    if not (
+        state_io.exists(f"{state_path}/bigrams", spark)
+        and state_io.exists(f"{state_path}/unigrams", spark)
+    ):
         return None
+    bi_raw = spark.read.parquet(f"{state_path}/bigrams")
+    uni_raw = spark.read.parquet(f"{state_path}/unigrams")
     bi = bi_raw.groupBy("hp", "hc").agg(F.sum("cb").alias("cb"))
     uni = uni_raw.groupBy("h").agg(F.sum("c_tok").alias("c_tok"))
     return bi, uni

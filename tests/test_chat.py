@@ -267,3 +267,24 @@ def test_masked_and_unmasked_materialize_agree(spark):
         ).collect()
     }
     assert plain == masked
+
+
+def test_dedup_conversations_null_role_distinct(spark):
+    """NULL-role key regression (ADVICE r11): a null-role message must
+    not vanish from the dedup key (array_join skips null elements), so
+    a conversation containing one stays DISTINCT from the same
+    conversation without it."""
+    rows = [
+        (1, [("user", "hello"), (None, "hello"), ("assistant", "hi")]),
+        (2, [("user", "hello"), ("assistant", "hi")]),
+        (3, [(None, "x")]),
+        (4, [("", "x")]),  # empty-string role: same key as null role is
+                           # acceptable, but both must differ from NO row
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kept = sorted(
+        r["conv_id"] for r in dedup_conversations(df, "conv_id").collect()
+    )
+    # 1 and 2 both survive (the null-role message distinguishes them);
+    # 3/4 collapse onto one key (role coalesced to ""), min-id wins
+    assert kept == [1, 2, 3]

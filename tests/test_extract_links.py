@@ -287,3 +287,42 @@ def test_resolver_parity_extract_links_vs_resolve_reference(spark):
         .collect()
     )
     assert via_links == via_resolver
+
+
+def test_double_escaped_href_and_amp_last(spark):
+    """Entity order regression (r11 verdict finding 5): &amp; decodes
+    LAST so a double-escaped href piece `&amp;lt;` becomes the literal
+    `&lt;`, never double-decoding to `<`; ordinary `&amp;` in query
+    strings still decodes."""
+    df = spark.createDataFrame(
+        [
+            ("http://h.test/",
+             '<a href="/q?a=1&amp;b=2">q</a>'
+             '<a href="/esc?x=&amp;lt;tag&amp;gt;">e</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {r["dst_url"] for r in extract_links(df, normalize=False).collect()}
+    assert "http://h.test/q?a=1&b=2" in got
+    assert "http://h.test/esc?x=&lt;tag&gt;" in got
+    assert not any("<tag>" in u for u in got)
+
+
+def test_attribute_scan_ignores_anchor_text(spark):
+    """Attribute-scan regression (r11 verdict finding 8): rel=nofollow
+    in the VISIBLE text must not flip the flag, and an href-less anchor
+    whose text contains `href=...` must not fabricate an edge."""
+    df = spark.createDataFrame(
+        [
+            ("http://h.test/",
+             '<a href="/x">set rel=nofollow on links</a>'
+             '<a name="n">see href=http://fake.test/ here</a>'
+             '<a href="/real" rel="nofollow">real nofollow</a>'),
+        ],
+        "url string, html string",
+    )
+    rows = extract_links(df, normalize=False).collect()
+    by_dst = {r["dst_url"]: r for r in rows}
+    assert by_dst["http://h.test/x"]["nofollow"] is False
+    assert by_dst["http://h.test/real"]["nofollow"] is True
+    assert "http://fake.test/" not in by_dst

@@ -451,3 +451,32 @@ def test_kn_save_load_roundtrip(spark, tmp_path):
     assert a3 == b3
     assert back3["discount3"] == lm3["discount3"]
     assert back3["discount2"] == lm3["discount2"]
+
+
+def test_kn3_cap_keeps_frequent_contexts_exact(spark):
+    """Trigram cap regression (r11 verdict finding 6): cont3/mid must
+    cap by OCCURRENCE frequency, not by n_pred3 (which ties at 1
+    corpus-wide) — a capped model scores an all-frequent probe
+    identically to the uncapped model even when the corpus is mostly
+    singleton trigram types that would win a hash-arbitrary eviction."""
+    from bitfilters_spark.operators.lm import kn3_score, train_kn3_lm
+
+    # 'x y z' dominates by OCCURRENCE; 30 singleton trigram types (all
+    # n_pred3 = 1, same as the frequent one would tie at under the old
+    # ordering) provide eviction bait
+    bait = " ".join(f"r{i} s{i} t{i}" for i in range(30))
+    texts = ["x y z " * 40, "x y z x y z", bait]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = train_kn3_lm(df, "text", vocab_size=1 << 20)
+    capped = train_kn3_lm(df, "text", vocab_size=8)
+    probe = spark.createDataFrame(
+        [(1, "x y z x y")], "doc_id long, text string"
+    )
+    a = kn3_score(probe, "doc_id", "text", full).collect()[0]["avg_logp"]
+    b = kn3_score(probe, "doc_id", "text", capped).collect()[0]["avg_logp"]
+    assert a == pytest.approx(b, abs=1e-12)
+    # exact scalars are cap-independent
+    assert capped["n_bigram_types"] == full["n_bigram_types"]
+    assert capped["n_tokens"] == full["n_tokens"]

@@ -634,3 +634,35 @@ def test_allocate_weighted_budget_from_pagerank(spark):
     order_by_alloc = sorted([10, 20, 1], key=lambda n: -out[n])
     assert order_by_rank == order_by_alloc
     assert min(out.values()) > 0
+
+
+def test_reservoir_duckdb_parity_unsigned_order(spark):
+    """native=False cross-engine reproducibility (ADVICE r11): the
+    DuckDB-parity hash is a u64 carried in an i64 column, and DuckDB
+    (UBIGINT) sorts it UNSIGNED — the Spark rank order must agree with
+    a live DuckDB replay without any signed-cast caveat."""
+    import duckdb
+
+    from bitfilters_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, "g") for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        r["rs_rank"]: r["id"]
+        for r in reservoir_sample(
+            df, "key", 5, "id", seed=3, native=False
+        ).collect()
+    }
+    want = {
+        rank: i
+        for rank, (i,) in enumerate(
+            duckdb.connect()
+            .execute(
+                "select i from (select unnest(range(64)) i) "
+                "order by hash(cast(i + 3 as bigint)), i limit 5"
+            )
+            .fetchall(),
+            start=1,
+        )
+    }
+    assert got == want

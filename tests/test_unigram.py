@@ -204,3 +204,43 @@ def test_vocab_below_char_floor_terminates(spark):
     )
     chars = {c for t in TEXTS for c in t.replace(" ", "")}
     assert set(model["pieces"]) == chars  # exactly the floor
+
+
+def test_train_encode_tokenization_parity_on_whitespace(spark):
+    """Trainer and encoder must share ONE tokenization (r11 verdict
+    finding 4): the corpus convention is the single-space split
+    (text.tokens), so a tab/newline inside a document yields the SAME
+    word types on both sides — encode is exactly viterbi_segment over
+    the trainer's word types, and the round-trip law holds under the
+    single-space split."""
+    texts = [
+        "alpha\nbeta gamma",          # newline INSIDE a word type
+        "alpha\nbeta alpha\nbeta",
+        "tab\tsep tab\tsep gamma",
+        "plain words plain",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    model = train_unigram(df, "text", vocab_size=60, seed_size=400,
+                          max_piece_len=8, em_rounds=1)
+    mpl = int(model["max_piece_len"])
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(df, "doc_id", "text", model).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]  # single-space split
+        expect = []
+        for w in words:
+            segs = viterbi_segment(w, model["pieces"], mpl)
+            assert segs, f"in-corpus word type {w!r} must be covered"
+            assert "".join(segs) == w
+            expect.extend(segs)
+        assert enc[i] == expect
+    # and the count twin agrees
+    counts = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_token_counts(df, "doc_id", "text", model).collect()
+    }
+    assert counts == {i: len(enc[i]) for i in enc}
