@@ -382,9 +382,12 @@ def load_hf_tokenizer_json(path: str, spark=None) -> dict:
     BOTH public merge encodings: the classic ``"a b"`` strings and the
     ``["a", "b"]`` pairs newer ``tokenizers`` releases write. Added
     tokens (``added_tokens``) are folded into the vocab at their
-    declared ids so budget/encode passes see the full id space; only
-    ``model.type == "BPE"`` is supported (WordPiece/Unigram have
-    different inference rules and would silently miscount).
+    declared ids so budget/encode passes see the full id space.
+    ``model.type`` may be ``"BPE"`` (returns the merges/vocab dict
+    below) or ``"Unigram"`` (returns the `operators.unigram` model dict
+    — pieces + log-probs + max_piece_len, tagged ``type: "unigram"`` —
+    ready for `unigram_encode`/`unigram_token_counts`); WordPiece has
+    different inference rules and is rejected.
 
     The returned dict is exactly what :func:`load_bpe_text` produces —
     ``{"merges": [(a, b), ...], "vocab": {piece: id}}`` — so an imported
@@ -407,8 +410,27 @@ def load_hf_tokenizer_json(path: str, spark=None) -> dict:
     doc = _json.loads(raw.decode("utf-8"))
     model = doc.get("model") or {}
     mtype = model.get("type", "BPE")
+    if mtype == "Unigram":
+        # the tokenizers-library Unigram shape: vocab is a list of
+        # [piece, logprob] pairs (+ optional unk_id). Maps directly onto
+        # the #149 model dict — feed to unigram_encode /
+        # unigram_token_counts / save_unigram unchanged. SentencePiece-
+        # trained vocabs carry the ▁ word-start marker; this engine's
+        # single-space words carry none (the Ġ caveat below, same trade).
+        pieces = {str(p): float(lp) for p, lp in (model.get("vocab") or [])}
+        for tok in doc.get("added_tokens", []) or []:
+            pieces.setdefault(str(tok["content"]), 0.0)
+        if not pieces:
+            raise ValueError(f"tokenizer.json Unigram model at {path} has no vocab")
+        return {
+            "type": "unigram",
+            "pieces": pieces,
+            "max_piece_len": max(len(p) for p in pieces),
+        }
     if mtype != "BPE":
-        raise ValueError(f"tokenizer.json model.type={mtype!r}; only BPE is supported")
+        raise ValueError(
+            f"tokenizer.json model.type={mtype!r}; only BPE and Unigram are supported"
+        )
     merges = []
     for m in model.get("merges", []):
         if isinstance(m, str):

@@ -51,6 +51,8 @@ __all__ = [
     "unigram_token_counts",
     "save_unigram",
     "load_unigram",
+    "save_unigram_text",
+    "load_unigram_text",
 ]
 
 
@@ -384,6 +386,72 @@ def load_unigram(spark, path: str) -> dict:
     }
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     return {"pieces": pieces, "max_piece_len": int(meta["max_piece_len"])}
+
+
+def save_unigram_text(model: dict, path: str, spark=None) -> None:
+    """Write the model in the PUBLIC interchange layout (the
+    `save_bpe_text` contract for the Unigram family): a SentencePiece-
+    style ``unigram.vocab`` — one ``piece<TAB>logprob`` line, scores in
+    full ``repr`` precision so a round-trip is bit-identical — plus a
+    HuggingFace ``tokenizer.json`` whose ``model`` block is the
+    ``tokenizers`` library's Unigram shape (``type: "Unigram"``,
+    ``vocab: [[piece, logprob], ...]``), so trained models load into
+    standard tooling AND back through :func:`bpe.load_hf_tokenizer_json`.
+    Lines order by score descending then piece (deterministic; the
+    id order HF assigns on import). Pieces never contain whitespace
+    (words are single-space split upstream), so the line format is
+    unambiguous. Conventions note: SentencePiece-trained vocabularies
+    mark word starts with ``▁`` (U+2581); models trained HERE carry no
+    marker — same caveat as the BPE ``Ġ`` note on import, check
+    `tokenizer_fertility_report` before committing a cross-convention
+    import to a budget pass. Goes through the scheme-agnostic Hadoop FS
+    layer like every persisted artifact."""
+    import json as _json
+
+    from ..streaming import state_io
+
+    rows = sorted(model["pieces"].items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab_txt = "".join(f"{p}\t{logp!r}\n" for p, logp in rows)
+    state_io.write_bytes(
+        state_io.join(path, "unigram.vocab"), vocab_txt.encode("utf-8"), spark
+    )
+    doc = {
+        "version": "1.0",
+        "model": {
+            "type": "Unigram",
+            "unk_id": None,
+            "vocab": [[p, logp] for p, logp in rows],
+        },
+    }
+    state_io.write_bytes(
+        state_io.join(path, "tokenizer.json"),
+        _json.dumps(doc, ensure_ascii=False).encode("utf-8"),
+        spark,
+    )
+
+
+def load_unigram_text(path: str, spark=None) -> dict:
+    """Load a ``unigram.vocab`` piece/log-prob file (ours or a
+    SentencePiece export) back into the engine's model dict —
+    ``max_piece_len`` is recomputed from the pieces themselves, so the
+    file is fully self-describing."""
+    from ..streaming import state_io
+
+    raw = state_io.read_bytes(state_io.join(path, "unigram.vocab"), spark)
+    if raw is None:
+        raise FileNotFoundError(f"no unigram.vocab under {path}")
+    pieces = {}
+    for line in raw.decode("utf-8").splitlines():
+        if not line:
+            continue
+        piece, _, score = line.partition("\t")
+        pieces[piece] = float(score)
+    if not pieces:
+        raise ValueError(f"empty unigram.vocab under {path}")
+    return {
+        "pieces": pieces,
+        "max_piece_len": max(len(p) for p in pieces),
+    }
 
 
 def expected_piece_counts(word: str, logp: dict, max_piece_len: int) -> dict:

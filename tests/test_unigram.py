@@ -244,3 +244,87 @@ def test_train_encode_tokenization_parity_on_whitespace(spark):
         for r in unigram_token_counts(df, "doc_id", "text", model).collect()
     }
     assert counts == {i: len(enc[i]) for i in enc}
+
+
+def test_hf_unigram_import_drives_encode_and_packing(spark, tmp_path):
+    """Interchange (r11 verdict directive 2): a HuggingFace
+    tokenizer.json with model.type == "Unigram" imports into the #149
+    model dict and drives unigram_encode -> unigram_token_counts ->
+    pack_shards unchanged."""
+    import json
+
+    from bitfilters_spark.operators.bpe import load_hf_tokenizer_json
+    from bitfilters_spark.operators.packing import pack_shards
+
+    doc = {
+        "version": "1.0",
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [
+                ["<unk>", -10.0],
+                ["hello", -1.0], ["world", -1.2], ["hell", -3.0],
+                ["o", -4.0], ["h", -5.0], ["e", -5.0], ["l", -5.0],
+                ["w", -5.0], ["r", -5.0], ["d", -5.0],
+            ],
+        },
+    }
+    p = str(tmp_path / "tokenizer.json")
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    model = load_hf_tokenizer_json(p, spark)
+    assert model["type"] == "unigram"
+    assert model["max_piece_len"] == 5
+    assert model["pieces"]["hello"] == -1.0
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello hello"), (3, "held")],
+        "doc_id long, text string",
+    )
+    enc = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(df, "doc_id", "text", model).collect()
+    }
+    assert enc[1] == ["hello", "world"]
+    assert enc[2] == ["hello", "hello"]
+    assert enc[3] == ["h", "e", "l", "d"]  # char fallback, no <unk>
+    counts = unigram_token_counts(df, "doc_id", "text", model)
+    packed = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(counts, "doc_id", "n_pieces", 4).collect()
+    }
+    # weights 2,2,4 in id order -> prefix 0,2,4 -> shards 0,0,1
+    assert packed == {1: 0, 2: 0, 3: 1}
+
+
+def test_unigram_text_export_reimports_identically(spark, tmp_path):
+    """A trained model exported via save_unigram_text re-imports
+    bit-identically through BOTH public paths: the SentencePiece-style
+    unigram.vocab (load_unigram_text) and the HF tokenizer.json
+    (load_hf_tokenizer_json)."""
+    from bitfilters_spark.operators.bpe import load_hf_tokenizer_json
+    from bitfilters_spark.operators.unigram import (
+        load_unigram_text,
+        save_unigram_text,
+    )
+
+    model = train_unigram(_df(spark), "text", vocab_size=40, seed_size=200)
+    out = str(tmp_path / "export")
+    save_unigram_text(model, out, spark)
+
+    via_vocab = load_unigram_text(out, spark)
+    assert via_vocab["pieces"] == model["pieces"]
+
+    via_hf = load_hf_tokenizer_json(f"{out}/tokenizer.json", spark)
+    assert via_hf["pieces"] == model["pieces"]
+    # max_piece_len is recomputed from pieces on both paths; encoding is
+    # invariant as long as it covers the longest piece
+    enc_a = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(_df(spark), "doc_id", "text", model).collect()
+    }
+    enc_b = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(_df(spark), "doc_id", "text", via_hf).collect()
+    }
+    assert enc_a == enc_b
