@@ -823,6 +823,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled up per doc — `n_chunks` and `chunk_token_sum` (which must equal
     n_tokens + (n_chunks-1)*overlap except for the short-tail rule, so the
     start/stride/slice arithmetic is fully pinned by the oracle)."""
+    from bitfilters_spark.operators.chat import (
+        assistant_token_spans,
+        chat_tokens,
+        render_chat,
+    )
     from bitfilters_spark.operators.text import chunk_documents
 
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
@@ -835,12 +840,48 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("chunk_token_sum"),
         )
     )
-    return docs.select(
+    # chat_* legs (r12, operator #148 under the driver gate): every doc
+    # becomes a planted 3-message conversation (system / user=first 60
+    # chars / assistant=rest); the rendered ChatML STRING, its \s+
+    # token count, and the assistant loss-mask span ride as columns —
+    # all deterministic strings/integers the oracle replays with the
+    # documented merge-exact arithmetic (chat.py module docstring)
+    conv = docs.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_ish_token_count("text").alias("n_bpeish"),
-    ).join(chunks, "doc_id")
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit("You are helpful.").alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.substring("text", 1, 60).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.expr("substring(text, 61)").alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    chat = assistant_token_spans(
+        render_chat(conv, "messages", out_col="chat_render"), "messages"
+    ).select(
+        "doc_id",
+        "chat_render",
+        F.size(chat_tokens("chat_render")).cast("long").alias("chat_n"),
+        F.element_at("spans", 1)["start"].cast("long").alias("chat_span_start"),
+        F.element_at("spans", 1)["end"].cast("long").alias("chat_span_end"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            T.token_count("text").alias("n_tokens"),
+            T.bpe_ish_token_count("text").alias("n_bpeish"),
+        )
+        .join(chunks, "doc_id")
+        .join(chat, "doc_id")
+    )
 
 
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,12 +959,34 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Since r6 this runs `langid_table` — the codegen scale path
     (exploded InSet counts, one (id, 4-int) shuffle) — which is
     label-identical to the `langid()` expression form; the equivalence
-    is pinned separately in tests/test_text.py."""
+    is pinned separately in tests/test_text.py.
+
+    `kn_*` legs (r12, operators #140/#150): the CCNet-style KN
+    perplexity signal under the driver gate — a bigram KN LM trains on
+    the held-out slice (doc_id % 17 == 0, the decontamination split)
+    and scores EVERY document via `kn_score_quantized`: each bigram's
+    log-prob quantized to 2^-20 multiples as an INTEGER, so the per-doc
+    sum is order-independent and the oracle replays the whole pipeline
+    (type tables → count-of-counts discount → backoff arithmetic in the
+    IDENTICAL IEEE op order → ln inside the 2^-20 grid, ~2^30 coarser
+    than libm's ulp spread) with ZERO tolerance. Thematically this IS
+    CCNet: langid + LM-quality in one row."""
+    from bitfilters_spark.operators.lm import kn_score_quantized, train_kn_lm
+
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
-    return T.langid_table(docs, "doc_id", "text", out_col="lang_pred").select(
+    base = T.langid_table(docs, "doc_id", "text", out_col="lang_pred").select(
         "doc_id", "sw_en", "sw_de", "lang_pred"
     )
+    lm = train_kn_lm(
+        docs.where(F.col("doc_id") % 17 == 0).select("text"), "text"
+    )
+    kn = kn_score_quantized(docs, "doc_id", "text", lm, scale_bits=20).select(
+        "doc_id",
+        F.col("n_scored").alias("kn_n"),
+        F.col("qlogp_sum").alias("kn_qlogp"),
+    )
+    return base.join(kn, "doc_id", "left")
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1958,7 +2021,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output is the priority signal `url_frontier_schedule`/
     `streaming_frontier` consume (composition pytests in
     tests/test_graph.py and tests/test_extract_links.py)."""
-    from bitfilters_spark.operators.graph import pagerank
+    from bitfilters_spark.operators.graph import hits_exact, pagerank
     from bitfilters_spark.operators.web import extract_links
 
     ev = load_table(spark, sf_dir, "events")
@@ -1967,7 +2030,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 50).cast("string").alias("d"),
         F.pmod(F.col("user_id") + F.col("event_id"), F.lit(4)).alias("form"),
     ).where(F.col("s") != F.col("d"))
-    direct = pagerank(pairs.select("s", "d"), "s", "d", iters=3)
+    # dedup + materialize the 50-node edge list ONCE — pagerank and the
+    # r12 hits_quantized leg both start from this ~2.4k-row checkpoint
+    # instead of each re-scanning events and re-shuffling the distinct
+    eck = pairs.select("s", "d").distinct().localCheckpoint()
+    direct = pagerank(eck, "s", "d", iters=3)
 
     # the events parquet arrives as ONE scan partition at gate scale —
     # spread the planted pages across the cluster before the regex-heavy
@@ -2028,8 +2095,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
     )
     html_leg = pagerank(mined, "s", "d", iters=3)
-    return direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
+    # hub/authority columns (r12, operator #141 under the driver gate):
+    # hits_quantized over the SAME direct edge set — the pagerank 2^-30
+    # trick extended through the l1-normalizing division, so the oracle
+    # (graph.hits_oracle_sql) replays every iteration exactly
+    # hits_exact: the HITS update is linear, so per-iteration l1
+    # normalization commutes out and the iteration runs in pure BIGINT
+    # sums (pagerank-shaped plan, no normalizer subtree) with ONE final
+    # division — the cheapest zero-tolerance form of the signal
+    # (hits_quantized, the normalized-quantized twin, is pytest-pinned
+    # against DuckDB separately in tests/test_graph.py)
+    ht = hits_exact(eck, "s", "d", iters=3)
+    out = direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
         html_leg.select(F.lit("html").alias("leg"), "node", "rank")
+    )
+    return out.join(F.broadcast(ht), "node", "left").select(
+        "leg", "node", "rank", "hub", "authority"
     )
 
 
@@ -2689,13 +2770,44 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(
                          0, len(string_split(text, ' ')) - 1, 48)) AS s
                 FROM documents)
-              GROUP BY doc_id)
+              GROUP BY doc_id),
+            chat AS (
+              -- chat_* legs: replay render_chat (ChatML) + the merge-
+              -- exact span arithmetic on the planted 3-message
+              -- conversation. wc(x) = non-empty \s+ tokens.
+              SELECT doc_id,
+                     '<|im_start|>system' || chr(10) || 'You are helpful.'
+                       || '<|im_end|>' || chr(10)
+                       || '<|im_start|>user' || chr(10) || u_content
+                       || '<|im_end|>' || chr(10)
+                       || '<|im_start|>assistant' || chr(10) || a_content
+                       || '<|im_end|>' || chr(10) AS chat_render,
+                     -- cum tokens before assistant segment: two segments,
+                     -- each 1 header token + wc(content || '<|im_end|>')
+                     (1 + len(list_filter(regexp_split_to_array(
+                          'You are helpful.' || '<|im_end|>', '\s+'),
+                          t -> t <> ''))
+                      + 1 + len(list_filter(regexp_split_to_array(
+                          u_content || '<|im_end|>', '\s+'), t -> t <> '')))
+                       AS cum2,
+                     len(list_filter(regexp_split_to_array(
+                          a_content || '<|im_end|>', '\s+'), t -> t <> ''))
+                       AS a_wc
+              FROM (SELECT doc_id, substring(text, 1, 60) AS u_content,
+                           substring(text, 61) AS a_content
+                    FROM documents))
             SELECT d.doc_id, length(d.text) AS n_chars,
                    len(string_split(d.text, ' ')) AS n_tokens,
                    len(regexp_extract_all(
                      d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
-                   c.n_chunks, c.chunk_token_sum
+                   c.n_chunks, c.chunk_token_sum,
+                   ch.chat_render,
+                   len(list_filter(regexp_split_to_array(ch.chat_render, '\s+'),
+                       t -> t <> '')) AS chat_n,
+                   (ch.cum2 + 1) AS chat_span_start,
+                   (ch.cum2 + 1 + ch.a_wc) AS chat_span_end
             FROM documents d JOIN chunks c ON d.doc_id = c.doc_id
+            JOIN chat ch ON d.doc_id = ch.doc_id
         """,
         "q_pack_shards": """
             WITH w AS (
@@ -2798,8 +2910,71 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                      {_sw_sql("en")} AS sw_en, {_sw_sql("de")} AS sw_de,
                      {_sw_sql("fr")} AS sw_fr, {_sw_sql("es")} AS sw_es
-              FROM documents)
-            SELECT doc_id, sw_en, sw_de, {_LANGID_CASE} AS lang_pred FROM s
+              FROM documents),
+            -- kn_* legs: replay train_kn_lm + kn_score_quantized on the
+            -- doc_id % 17 = 0 training slice, string keys instead of
+            -- xxhash64 (injective on this vocab), same IEEE op order
+            tr AS (
+              SELECT string_split(text, ' ') AS ts
+              FROM documents WHERE doc_id % 17 = 0),
+            tr_bi AS (
+              SELECT ts[i] AS w1, ts[i+1] AS w2, count(*) AS cb
+              FROM tr, LATERAL (SELECT unnest(range(1, len(ts))) AS i) g
+              GROUP BY 1, 2),
+            consts AS (
+              SELECT
+                (SELECT count(*) FROM tr_bi) AS n_types_i,
+                (SELECT count(*) FILTER (WHERE cb = 1) FROM tr_bi) AS n1,
+                (SELECT count(*) FILTER (WHERE cb = 2) FROM tr_bi) AS n2,
+                (SELECT count(*) FROM (SELECT unnest(ts) FROM tr)) AS n_tok_i),
+            c2 AS (
+              SELECT
+                CASE WHEN (n1 + 2 * n2) > 0 THEN
+                  CASE WHEN CAST(n1 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+                            >= 1.0
+                       THEN 0.75
+                       ELSE CAST(n1 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+                  END
+                ELSE 0.75 END AS d,
+                greatest(CAST(n_types_i AS DOUBLE), 1.0) AS n_types,
+                1.0 / (10.0 * greatest(CAST(n_tok_i AS DOUBLE), 1.0)) AS fl
+              FROM consts),
+            ctx AS (
+              SELECT w1, sum(cb) AS c_ctx, count(*) AS n_succ
+              FROM tr_bi GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS n_pred FROM tr_bi GROUP BY w2),
+            docs_bi AS (
+              SELECT d.doc_id, d.ts[i] AS w1, d.ts[i + 1] AS w2
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(d.ts))) AS i) g),
+            p AS (
+              SELECT db.doc_id,
+                greatest(
+                  CASE WHEN ctx.c_ctx IS NOT NULL THEN
+                    greatest(CAST(coalesce(tb.cb, 0) AS DOUBLE) - c2.d, 0.0)
+                      / greatest(CAST(coalesce(ctx.c_ctx, 0) AS DOUBLE), 1.0)
+                    + c2.d * CAST(coalesce(ctx.n_succ, 0) AS DOUBLE)
+                      / greatest(CAST(coalesce(ctx.c_ctx, 0) AS DOUBLE), 1.0)
+                      * (CAST(coalesce(cont.n_pred, 0) AS DOUBLE) / c2.n_types)
+                  ELSE CAST(coalesce(cont.n_pred, 0) AS DOUBLE) / c2.n_types
+                  END,
+                  c2.fl) AS pr
+              FROM docs_bi db
+              LEFT JOIN ctx ON db.w1 = ctx.w1
+              LEFT JOIN cont ON db.w2 = cont.w2
+              LEFT JOIN tr_bi tb ON db.w1 = tb.w1 AND db.w2 = tb.w2
+              CROSS JOIN c2),
+            kn AS (
+              SELECT doc_id, count(*) AS kn_n,
+                     CAST(sum(CAST(floor(ln(pr) * 1048576.0) AS BIGINT))
+                          AS BIGINT) AS kn_qlogp
+              FROM p GROUP BY doc_id)
+            SELECT s.doc_id, s.sw_en, s.sw_de, {_LANGID_CASE} AS lang_pred,
+                   kn.kn_n, kn.kn_qlogp
+            FROM s LEFT JOIN kn ON s.doc_id = kn.doc_id
         """,
         "q_doc_fingerprint": (
             "SELECT doc_id, "
@@ -3402,22 +3577,30 @@ def oracle_sql() -> dict[str, str]:
 # (quotient fingerprints = distinct low q+r=20 hash bits; KMV = k smallest
 # retained values), -1 elsewhere. xor/fuse sizes assume first-attempt peel
 # success — deterministic for given data, verified at the driver SF.
+from bitfilters_spark.operators.graph import hits_exact_oracle_sql as _hits_sql
 from bitfilters_spark.operators.graph import pagerank_oracle_sql as _pr_sql
+
+_PAGERANK_EDGE_SQL = (
+    "SELECT user_id % 50 AS src, event_id % 50 AS dst FROM events "
+    "WHERE user_id % 50 <> event_id % 50"
+)
 
 # Both q_pagerank legs (direct edges / edges recovered from planted HTML
 # via extract_links) must equal the SAME rank vector — the oracle
 # computes it once and emits it under both tags, so the html leg's
-# extraction path is held to zero tolerance.
+# extraction path is held to zero tolerance. The r12 hub/authority
+# columns replay hits_quantized (graph.hits_oracle_sql) over the same
+# edge set, also exactly.
 _PAGERANK_ORACLE = (
-    "WITH pr AS ({inner}) "
-    "SELECT 'direct' AS leg, node, rank FROM pr "
-    "UNION ALL SELECT 'html' AS leg, node, rank FROM pr"
+    "WITH pr AS ({inner}), ht AS ({hits}) "
+    "SELECT 'direct' AS leg, pr.node, pr.rank, ht.hub, ht.authority "
+    "FROM pr LEFT JOIN ht ON ht.node = pr.node "
+    "UNION ALL "
+    "SELECT 'html' AS leg, pr.node, pr.rank, ht.hub, ht.authority "
+    "FROM pr LEFT JOIN ht ON ht.node = pr.node"
 ).format(
-    inner=_pr_sql(
-        "SELECT user_id % 50 AS src, event_id % 50 AS dst FROM events "
-        "WHERE user_id % 50 <> event_id % 50",
-        iters=3,
-    )
+    inner=_pr_sql(_PAGERANK_EDGE_SQL, iters=3),
+    hits=_hits_sql(_PAGERANK_EDGE_SQL, iters=3),
 )
 
 _FILTER_SIZES_ORACLE = """

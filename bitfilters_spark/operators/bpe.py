@@ -170,7 +170,17 @@ def train_bpe(
     merge products, ids dense from 0 in deterministic order.  See module
     docstring for the 100 TB decomposition."""
     rows = word_frequencies(df, text_col, top_words).collect()  # bounded top-K
-    wc = [(r["word"], r["n"]) for r in rows]
+    return bpe_model_from_word_counts(
+        [(r["word"], r["n"]) for r in rows], num_merges, min_pair_count
+    )
+
+
+def bpe_model_from_word_counts(
+    wc: list, num_merges: int = 1000, min_pair_count: int = 2
+) -> dict:
+    """Derive the BPE model from an already-reduced (word, count) list —
+    shared by :func:`train_bpe` and `streaming.tokenizer`'s folded-state
+    path, so batch and streamed models cannot diverge."""
     merges = learn_bpe_merges(wc, num_merges, min_pair_count)
 
     base = set()

@@ -325,3 +325,268 @@ def hits(
             hubs = hubs.localCheckpoint()
             auths = auths.localCheckpoint()
     return hubs.join(auths, "node")
+
+
+def hits_quantized(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+    quantum_bits: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, hub, authority) — :func:`hits` (l1 norm) with every sum
+    addend AND every normalized quotient quantized to multiples of
+    ``2^-quantum_bits`` — the :func:`pagerank` trick extended through
+    the normalizing division: the l1 normalizer is itself an exact sum
+    of quantized values, the division is ONE correctly-rounded IEEE op
+    (bit-identical across engines replaying the same expression), and
+    re-quantizing the quotient makes the NEXT iteration's sums exact
+    again. :func:`hits_oracle_sql` replays the whole iteration in ANSI
+    SQL with ZERO tolerance — the driver-gateable form of the signal
+    whose un-quantized twin is pytest-pinned to numpy (1e-9). Exact
+    while node counts stay below ``2^(53 - quantum_bits)``; ranking
+    differs from :func:`hits` by at most the quantization grid per
+    iteration."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    quantum = float(1 << quantum_bits)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    # LAZY checkpoints throughout (vs hits()'s eager ones): each cut
+    # truncates the LOGICAL plan immediately — without it the
+    # normalizer's crossJoin references its input subtree twice, so the
+    # static plan doubles per half-iteration (~4^iters nodes, measured
+    # 326 static Exchanges at iters=2 in the driver audit) — while the
+    # RDD only materializes when the one final action pulls it, so no
+    # per-iteration job overhead is paid (eager cuts measured 4.1 s vs
+    # 1.35 s warm on the 50-node gate graph)
+    if iters > 1:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if iters > 1:
+        nodes = nodes.localCheckpoint(eager=False)
+
+    def _qnormalize(df: DataFrame, col: str) -> DataFrame:
+        z = df.agg(F.sum(F.abs(F.col(col))).alias("__z"))
+        return df.crossJoin(F.broadcast(z)).select(
+            "node",
+            (
+                F.floor(
+                    F.col(col)
+                    / F.greatest(F.col("__z"), F.lit(1e-300))
+                    * F.lit(quantum)
+                )
+                / F.lit(quantum)
+            ).alias(col),
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(0.0).alias("authority"))
+    for i in range(iters):
+        raw_a = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auths = _qnormalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        raw_h = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = _qnormalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return hubs.join(auths, "node")
+
+
+def hits_oracle_sql(
+    edges_sql: str, iters: int = 3, quantum_bits: int = 30
+) -> str:
+    """The ANSI-SQL replay of :func:`hits_quantized` with the
+    iterations unrolled as chained CTEs (the `pagerank_oracle_sql`
+    shape) — exactly the arithmetic the Spark plan runs, so the
+    comparison needs no rounding tolerance. ``edges_sql`` must select
+    columns (src, dst)."""
+    q = float(1 << quantum_bits)
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"ra{i + 1} AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM nodes n"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS v FROM e"
+            f" JOIN h{i} h ON h.node = e.src GROUP BY 1) s ON s.node = n.node)"
+        )
+        parts.append(
+            f"za{i + 1} AS (SELECT sum(abs(v)) AS z FROM ra{i + 1})"
+        )
+        parts.append(
+            f"a{i + 1} AS (SELECT node,"
+            f" floor(v / greatest(z, 1e-300) * {q!r}) / {q!r} AS authority"
+            f" FROM ra{i + 1}, za{i + 1})"
+        )
+        parts.append(
+            f"rh{i + 1} AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM nodes n"
+            f" LEFT JOIN (SELECT e.src AS node, sum(a.authority) AS v FROM e"
+            f" JOIN a{i + 1} a ON a.node = e.dst GROUP BY 1) s ON s.node = n.node)"
+        )
+        parts.append(
+            f"zh{i + 1} AS (SELECT sum(abs(v)) AS z FROM rh{i + 1})"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT node,"
+            f" floor(v / greatest(z, 1e-300) * {q!r}) / {q!r} AS hub"
+            f" FROM rh{i + 1}, zh{i + 1})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, h.hub, a.authority FROM h{iters} h"
+        + f" JOIN a{iters} a ON a.node = h.node"
+    )
+
+
+def hits_exact(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 3,
+) -> DataFrame:
+    """(node, hub, authority) — the EXACT value :func:`hits` (l1 norm)
+    approximates in floats: because the HITS update is LINEAR, the
+    per-iteration l1 normalization commutes out as a scalar factor, so
+    the iteration runs UNNORMALIZED in pure 64-bit INTEGER arithmetic
+    (hub starts at 1; every update is a sum of longs — no rounding
+    anywhere) and ONE final l1 division per vector lands the same
+    direction per-iteration normalization would. That makes the result
+    (a) bit-replayable in ANSI SQL with zero tolerance
+    (:func:`hits_exact_oracle_sql` — integer CTE sums + one division,
+    unlike the float twins' crossJoin-per-normalize plans) and (b)
+    CHEAP: the plan is pagerank-shaped — one join + one groupBy per
+    half-iteration, linear lineage, no normalizer subtree doubling.
+
+    Bound: magnitudes grow like (edge count)^iters; Spark's ANSI mode
+    raises on long overflow rather than corrupting, so keep
+    ``iters * log2(|E|) < 63`` (iters=3 is safe beyond 2M edges).
+    Scale posture: node-keyed shuffles only; the edge list materializes
+    once (lazy checkpoint) like :func:`pagerank`."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if iters > 1:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    for _ in range(iters):
+        auths = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auths = nodes.join(auths, "node", "left").select(
+            "node",
+            F.coalesce("authority", F.lit(0).cast("long")).alias("authority"),
+        )
+        hubs = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = nodes.join(hubs, "node", "left").select(
+            "node", F.coalesce("hub", F.lit(0).cast("long")).alias("hub")
+        )
+    # one lazy barrier before the final normalize: the two aggregate
+    # scalars and the output select would otherwise each re-inline the
+    # whole iteration chain (4x the static plan for one division)
+    joined = hubs.join(auths, "node").localCheckpoint(eager=False)
+    zs = joined.agg(
+        F.sum("hub").alias("__zh"), F.sum("authority").alias("__za")
+    )
+    return joined.crossJoin(F.broadcast(zs)).select(
+        "node",
+        (
+            F.col("hub").cast("double")
+            / F.greatest(F.col("__zh").cast("double"), F.lit(1.0))
+        ).alias("hub"),
+        (
+            F.col("authority").cast("double")
+            / F.greatest(F.col("__za").cast("double"), F.lit(1.0))
+        ).alias("authority"),
+    )
+
+
+def hits_exact_oracle_sql(
+    edges_sql: str, iters: int = 3
+) -> str:
+    """The ANSI-SQL replay of :func:`hits_exact`: unrolled integer CTE
+    sums (every intermediate a BIGINT — nothing to round) and the one
+    final l1 division. ``edges_sql`` must select columns (src, dst)."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i + 1} AS (SELECT n.node,"
+            f" CAST(coalesce(s.v, 0) AS BIGINT) AS authority FROM nodes n"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS v FROM e"
+            f" JOIN h{i} h ON h.node = e.src GROUP BY 1) s ON s.node = n.node)"
+        )
+        parts.append(
+            f"h{i + 1} AS (SELECT n.node,"
+            f" CAST(coalesce(s.v, 0) AS BIGINT) AS hub FROM nodes n"
+            f" LEFT JOIN (SELECT e.src AS node, sum(a.authority) AS v FROM e"
+            f" JOIN a{i + 1} a ON a.node = e.dst GROUP BY 1) s ON s.node = n.node)"
+        )
+    parts.append(
+        f"z AS (SELECT CAST(sum(hub) AS BIGINT) AS zh FROM h{iters})"
+    )
+    parts.append(
+        f"za AS (SELECT CAST(sum(authority) AS BIGINT) AS zaa FROM a{iters})"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node,"
+        f" CAST(h.hub AS DOUBLE) / greatest(CAST(z.zh AS DOUBLE), 1.0) AS hub,"
+        f" CAST(a.authority AS DOUBLE)"
+        f" / greatest(CAST(za.zaa AS DOUBLE), 1.0) AS authority"
+        f" FROM h{iters} h JOIN a{iters} a ON a.node = h.node, z, za"
+    )

@@ -195,6 +195,19 @@ def kn_score(
 
     Plan: explode bigrams → three BROADCAST joins against the capped
     model tables → one per-doc groupBy. No corpus-sized shuffle."""
+    scored = _kn_scored(df, id_col, text_col, lm)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.log("p")).alias("avg_logp"),
+        F.exp(-F.avg(F.log("p"))).alias("ppl"),
+    )
+
+
+def _kn_scored(df: DataFrame, id_col: str, text_col: str, lm: dict) -> DataFrame:
+    """(id, p) — one row per bigram with its interpolated-KN
+    probability; the shared core of :func:`kn_score` and
+    :func:`kn_score_quantized`, so the two outputs cannot diverge
+    arithmetically."""
     d = float(lm["discount"])
     n_types = max(float(lm["n_bigram_types"]), 1.0)
     floor = 1.0 / (10.0 * max(float(lm["n_tokens"]), 1.0))
@@ -225,13 +238,39 @@ def kn_score(
         / F.greatest(c_ctx, F.lit(1.0))
         * p_cont
     )
-    scored = joined.withColumn(
+    return joined.withColumn(
         "p", F.greatest(F.when(seen_ctx, p_kn).otherwise(p_cont), F.lit(floor))
     )
+
+
+def kn_score_quantized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """(id, n_scored, qlogp_sum) — the cross-engine-EXACT twin of
+    :func:`kn_score` for zero-tolerance gating: each bigram's log-prob
+    is quantized to a multiple of ``2^-scale_bits``
+    (``floor(log(p) * 2^scale_bits)`` as an INTEGER) and summed, so the
+    per-document aggregate is an order-independent 64-bit integer — the
+    `q_pagerank` 2^-30 trick applied to an LM score. The probability
+    itself is pure rational IEEE arithmetic (correctly-rounded ops in a
+    fixed order — bit-identical across engines that replay the same
+    expression); the single transcendental (``log``) sits INSIDE the
+    quantization, whose 2^-20 grid is ~2^30 coarser than the ~1-ulp
+    libm spread, so a replay matches exactly. ``avg_logp``/``ppl``
+    themselves stay `kn_score`'s (pytest-pinned to the pure-Python
+    reference) — this surface exists to make the KN signal
+    driver-gateable without rounding tolerance."""
+    scale = float(1 << scale_bits)
+    scored = _kn_scored(df, id_col, text_col, lm)
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
-        F.avg(F.log("p")).alias("avg_logp"),
-        F.exp(-F.avg(F.log("p"))).alias("ppl"),
+        F.sum(F.floor(F.log("p") * F.lit(scale)).cast("long")).alias(
+            "qlogp_sum"
+        ),
     )
 
 

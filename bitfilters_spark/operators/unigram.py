@@ -46,6 +46,7 @@ __all__ = [
     "viterbi_segment",
     "expected_piece_counts",
     "train_unigram",
+    "train_unigram_from_words",
     "train_unigram_local",
     "unigram_encode",
     "unigram_token_counts",
@@ -226,12 +227,36 @@ def train_unigram(
     """Distributed unigram-LM tokenizer training (see module docstring
     for the decomposition). ≡ :func:`train_unigram_local` on the same
     word table — pytest-pinned."""
+    words = word_frequencies(df, text_col, top_words)
+    return train_unigram_from_words(
+        words,
+        vocab_size=vocab_size,
+        seed_size=seed_size,
+        max_piece_len=max_piece_len,
+        em_rounds=em_rounds,
+        shrink_factor=shrink_factor,
+        em=em,
+    )
+
+
+def train_unigram_from_words(
+    words_df: DataFrame,
+    vocab_size: int = 8000,
+    seed_size: int = 100_000,
+    max_piece_len: int = 8,
+    em_rounds: int = 2,
+    shrink_factor: float = 0.75,
+    em: str = "hard",
+) -> dict:
+    """Train from an already-reduced (word, n) frequency table — shared
+    by :func:`train_unigram` and `streaming.tokenizer`'s folded-state
+    path, so batch and streamed models cannot diverge."""
     import pandas as pd
 
     if em not in ("hard", "soft"):
         raise ValueError("em must be 'hard' or 'soft'")
-    spark = df.sparkSession
-    words = word_frequencies(df, text_col, top_words).localCheckpoint()
+    spark = words_df.sparkSession
+    words = words_df.localCheckpoint()
     # seed: distributed substring counts, top-K by (count desc, piece);
     # only piece-scale rows ever cross the driver, never the word table
     sub = _substring_counts(words, max_piece_len).localCheckpoint(eager=False)

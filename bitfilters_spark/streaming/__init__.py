@@ -33,6 +33,14 @@ from .lm import (
     streaming_kn_stats,
 )
 from .sessions import streaming_sessionize
+from .tokenizer import (
+    compact_word_stats,
+    streaming_bpe_model,
+    streaming_unigram_model,
+    streaming_word_frequencies,
+    streaming_word_stats,
+    word_stats_fold,
+)
 from .sketches import (
     streaming_cms_counts,
     streaming_distinct_counts,
@@ -58,6 +66,12 @@ __all__ = [
     "make_prep_pipeline_fold",
     "streaming_prep_pipeline",
     "streaming_neardup_dedup",
+    "streaming_word_stats",
+    "word_stats_fold",
+    "streaming_word_frequencies",
+    "streaming_bpe_model",
+    "streaming_unigram_model",
+    "compact_word_stats",
     "streaming_quantiles",
     "streaming_frontier",
     "ann_maintenance_fold",

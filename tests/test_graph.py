@@ -318,3 +318,97 @@ def test_hits_feeds_frontier_priority(spark):
     ).collect()
     first = [r for r in sched if r["round"] == 0]
     assert len(first) == 1 and first[0]["url"] == "http://h10"
+
+
+def test_hits_quantized_oracle_sql_matches_spark(spark, edges):
+    """hits_quantized's unrolled-CTE SQL replay returns the same
+    (node, hub, authority) rows on DuckDB with ZERO tolerance — the
+    exactness contract the r12 driver leg relies on (the signal whose
+    un-quantized twin is numpy-pinned above)."""
+    import duckdb
+
+    from bitfilters_spark.operators.graph import hits_oracle_sql, hits_quantized
+
+    df, pairs = edges
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits_quantized(df, "src", "dst", iters=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("edata", df.toPandas())
+    sql = hits_oracle_sql("SELECT src, dst FROM edata", iters=3)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+
+
+def test_hits_quantized_tracks_hits(spark, edges):
+    """The quantized variant stays within the accumulated quantization
+    error of the float HITS (l1) — same leaders, near-identical
+    values."""
+    from bitfilters_spark.operators.graph import hits_quantized
+    from bitfilters_spark.operators.graph import hits as hits_f
+
+    df, pairs = edges
+    a = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits_f(df, "src", "dst", iters=3, norm="l1").collect()
+    }
+    b = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits_quantized(df, "src", "dst", iters=3).collect()
+    }
+    assert set(a) == set(b)
+    for n in a:
+        assert a[n][0] == pytest.approx(b[n][0], abs=1e-6)
+        assert a[n][1] == pytest.approx(b[n][1], abs=1e-6)
+    top_a = max(a, key=lambda n: a[n][1])
+    top_b = max(b, key=lambda n: b[n][1])
+    assert top_a == top_b
+
+
+def test_hits_exact_oracle_sql_matches_spark(spark, edges):
+    """hits_exact's integer-CTE SQL replay returns identical rows on
+    DuckDB — zero tolerance (the r12 q_pagerank hub/authority legs)."""
+    import duckdb
+
+    from bitfilters_spark.operators.graph import (
+        hits_exact,
+        hits_exact_oracle_sql,
+    )
+
+    df, pairs = edges
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits_exact(df, "src", "dst", iters=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("edata", df.toPandas())
+    sql = hits_exact_oracle_sql("SELECT src, dst FROM edata", iters=3)
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+
+
+def test_hits_exact_is_the_exact_float_hits(spark, edges):
+    """Because the HITS update is linear, per-iteration l1 normalization
+    commutes out — hits_exact (integer iteration + one final division)
+    IS the value the float hits() l1 path approximates; they agree to
+    float tolerance and rank identically."""
+    from bitfilters_spark.operators.graph import hits_exact
+    from bitfilters_spark.operators.graph import hits as hits_f
+
+    df, pairs = edges
+    a = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits_f(df, "src", "dst", iters=3, norm="l1").collect()
+    }
+    b = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits_exact(df, "src", "dst", iters=3).collect()
+    }
+    assert set(a) == set(b)
+    for n in a:
+        assert a[n][0] == pytest.approx(b[n][0], rel=1e-9, abs=1e-12)
+        assert a[n][1] == pytest.approx(b[n][1], rel=1e-9, abs=1e-12)
+    import pytest as _p
+    with _p.raises(ValueError, match="iters"):
+        hits_exact(df, "src", "dst", iters=0)

@@ -480,3 +480,29 @@ def test_kn3_cap_keeps_frequent_contexts_exact(spark):
     # exact scalars are cap-independent
     assert capped["n_bigram_types"] == full["n_bigram_types"]
     assert capped["n_tokens"] == full["n_tokens"]
+
+
+def test_kn_score_quantized_matches_kn_score(spark):
+    """kn_score_quantized is the same per-bigram p stream as kn_score:
+    n_scored matches exactly and qlogp_sum/2^bits reproduces
+    n * avg_logp to quantization error (< n * 2^-bits)."""
+    from bitfilters_spark.operators.lm import kn_score_quantized
+
+    lm = train_kn_lm(_train_df(spark), "text")
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on a log"), (2, "san francisco fog"),
+         (3, "zebra unseen words here")],
+        "doc_id long, text string",
+    )
+    full = {r["doc_id"]: r for r in kn_score(probe, "doc_id", "text", lm).collect()}
+    q = {
+        r["doc_id"]: r
+        for r in kn_score_quantized(probe, "doc_id", "text", lm, 20).collect()
+    }
+    assert set(full) == set(q)
+    for k in full:
+        n = full[k]["n_scored"]
+        assert q[k]["n_scored"] == n
+        approx = q[k]["qlogp_sum"] / float(1 << 20)
+        exact = full[k]["avg_logp"] * n
+        assert exact - n * 2.0 ** -20 <= approx <= exact

@@ -2170,3 +2170,100 @@ def test_streaming_kn_stats_match_batch_train(spark, tmp_path):
 
     # empty state: None
     assert streaming_kn_model(spark, str(tmp_path / "nope")) is None
+
+
+def test_streaming_word_stats_match_batch_tokenizers(spark, tmp_path):
+    """Streamed word-frequency statistics over 3 micro-batches ==
+    word_frequencies on the union — so BOTH tokenizer families trained
+    from the folded state equal their batch twins exactly (#145's
+    equivalence law for tokenizers, r12 directive 6). Replaying an
+    applied batch id is a no-op; compaction collapses the partials and
+    leaves both models identical."""
+    from bitfilters_spark.operators.bpe import train_bpe
+    from bitfilters_spark.operators.unigram import train_unigram
+    from bitfilters_spark.streaming import state_io
+    from bitfilters_spark.streaming.tokenizer import (
+        compact_word_stats,
+        streaming_bpe_model,
+        streaming_unigram_model,
+        streaming_word_frequencies,
+        streaming_word_stats,
+        word_stats_fold,
+    )
+
+    rows = [
+        (i, f"inter nation al{i % 5} national internationalization {i % 3}")
+        for i in range(60)
+    ]
+    src = str(tmp_path / "tok_in")
+    ckpt = str(tmp_path / "tok_ck")
+    state = str(tmp_path / "tok_state")
+    markers = str(tmp_path / "tok_markers")
+    for chunk in (rows[:20], rows[20:40]):
+        spark.createDataFrame(chunk, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_word_stats(stream, "text", state, markers).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[40:], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(rows, "doc_id long, text string")
+    from bitfilters_spark.operators.bpe import word_frequencies
+
+    folded = {
+        (r["word"], r["n"])
+        for r in streaming_word_frequencies(spark, state).collect()
+    }
+    want = {
+        (r["word"], r["n"])
+        for r in word_frequencies(union, "text", None).collect()
+    }
+    assert folded == want
+
+    live_bpe = streaming_bpe_model(spark, state, num_merges=30)
+    batch_bpe = train_bpe(union, "text", num_merges=30)
+    assert live_bpe == batch_bpe
+
+    live_uni = streaming_unigram_model(
+        spark, state, vocab_size=40, seed_size=300, em_rounds=1
+    )
+    batch_uni = train_unigram(
+        union, "text", vocab_size=40, seed_size=300, em_rounds=1
+    )
+    assert live_uni["pieces"].keys() == batch_uni["pieces"].keys()
+    for p in live_uni["pieces"]:
+        assert live_uni["pieces"][p] == pytest.approx(
+            batch_uni["pieces"][p], abs=1e-12
+        )
+
+    # replaying an applied batch id changes nothing
+    n_before = spark.read.parquet(f"{state}/words").count()
+    applied = sorted(
+        int(n.split("-")[1]) for n in state_io.list_names(markers, spark)
+    )
+    word_stats_fold("text", state, markers)(
+        spark.createDataFrame(rows[40:], "doc_id long, text string"),
+        applied[-1],
+    )
+    assert spark.read.parquet(f"{state}/words").count() == n_before
+
+    # compaction: rows collapse to distinct words, models identical
+    rep = compact_word_stats(spark, state)
+    assert rep["rows_after"] < rep["rows_before"]
+    folded2 = {
+        (r["word"], r["n"])
+        for r in streaming_word_frequencies(spark, state).collect()
+    }
+    assert folded2 == want
+    assert streaming_bpe_model(spark, state, num_merges=30) == batch_bpe
+
+    # empty state: None
+    assert streaming_word_frequencies(spark, str(tmp_path / "nope")) is None
+    assert streaming_bpe_model(spark, str(tmp_path / "nope")) is None
