@@ -77,6 +77,7 @@ def train_kn_lm(
     text_col: str = "text",
     vocab_size: int = 1 << 16,
     discount: float | None = None,
+    prune_to: int | None = None,
 ) -> dict:
     """Train an interpolated Kneser–Ney bigram LM.
 
@@ -103,7 +104,9 @@ def train_kn_lm(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c_tok"))
     ).localCheckpoint(eager=False)
-    return kn_model_from_type_tables(bi_types, uni, vocab_size, discount)
+    return kn_model_from_type_tables(
+        bi_types, uni, vocab_size, discount, prune_to=prune_to
+    )
 
 
 def kn_model_from_type_tables(
@@ -111,13 +114,29 @@ def kn_model_from_type_tables(
     uni: DataFrame,
     vocab_size: int = 1 << 16,
     discount: float | None = None,
+    prune_to: int | None = None,
 ) -> dict:
     """Derive the KN model from its two sufficient-statistic tables:
     ``bi_types`` (hp, hc, cb) — one row per distinct bigram — and
     ``uni`` (h, c_tok) token occurrence counts. Shared by
     :func:`train_kn_lm` and `streaming/lm.streaming_kn_model` (both are
     ADDITIVE tables, which is what lets the LM stream), so the two
-    paths cannot diverge arithmetically."""
+    paths cannot diverge arithmetically.
+
+    ``prune_to`` switches the explicit-bigram table's cap from raw
+    count to SCORE IMPACT (Stolcke-style weighted entropy pruning,
+    Stolcke 1998): a dropped (u, w) row falls back to the already-kept
+    backoff mass D·N1+(u·)/c(u)·Pc(w), so its cost is exactly
+    ``cb · (log P_with − log P_without)`` — occurrences × the log-ratio
+    the score moves. Keeping the ``prune_to`` highest-impact rows
+    minimizes total (weighted) log-prob distortion for the table size,
+    which at 100 TB is THE broadcast-size knob: a raw-count cap keeps
+    frequent bigrams whose explicit and backoff probabilities barely
+    differ, while impact keeps the rows the scores actually feel. The
+    ctx/cont/scalar statistics stay exact and un-pruned — only the
+    explicit-count table shrinks (the KenLM ``--prune`` shape; the
+    pruned model's Σ_w P(w|u) dips below 1 by the discarded mass, the
+    standard pruning trade)."""
     # exact scalar stats + count-of-counts in ONE pass over the type table
     stats = bi_types.agg(
         F.count(F.lit(1)).alias("n_types"),
@@ -158,11 +177,41 @@ def kn_model_from_type_tables(
         .limit(vocab_size)
         .select("h", "n_pred")
     )
-    bi = (
-        bi_types.select(F.xxhash64("hp", "hc").alias("hb"), "cb")
-        .orderBy(F.col("cb").desc(), "hb")
-        .limit(vocab_size)
-    )
+    if prune_to is None:
+        bi = (
+            bi_types.select(F.xxhash64("hp", "hc").alias("hb"), "cb")
+            .orderBy(F.col("cb").desc(), "hb")
+            .limit(vocab_size)
+        )
+    else:
+        # impact = cb * (log P_with - log P_without): rank rows by what
+        # dropping them would cost the weighted corpus log-prob
+        ctx_full = bi_types.groupBy(F.col("hp")).agg(
+            F.sum("cb").alias("__cctx"), F.count(F.lit(1)).alias("__nsucc")
+        )
+        cont_full = bi_types.groupBy(F.col("hc")).agg(
+            F.count(F.lit(1)).alias("__npred")
+        )
+        n_types_f = max(float(n_types), 1.0)
+        j = bi_types.join(ctx_full, "hp").join(cont_full, "hc")
+        pc = F.col("__npred").cast("double") / F.lit(n_types_f)
+        cctx = F.col("__cctx").cast("double")
+        backoff = (
+            F.lit(discount) * F.col("__nsucc").cast("double") / cctx * pc
+        )
+        p_with = (F.col("cb").cast("double") - F.lit(discount)) / cctx + backoff
+        impact = F.col("cb").cast("double") * (
+            F.log(p_with) - F.log(backoff)
+        )
+        bi = (
+            j.select(
+                F.xxhash64("hp", "hc").alias("hb"), "cb",
+                impact.alias("__imp"),
+            )
+            .orderBy(F.col("__imp").desc(), "hb")
+            .limit(prune_to)
+            .select("hb", "cb")
+        )
     n_tokens = int(uni.agg(F.sum("c_tok")).collect()[0][0] or 0)
     return {
         "ctx": ctx,

@@ -515,6 +515,87 @@ def ngram_contamination(
     )
 
 
+def filter_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    kind: str = "xor16",
+    verify: bool = True,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_contamination` at the scale where the benchmark gram
+    SET itself stops being broadcastable — the engine's filter kernels
+    applied to decontamination (the reference's headline prefiltered-join
+    use case, `plans/filter_join.py`, pointed at eval n-grams).
+
+    The benchmark's distinct gram hashes aggregate into ONE immutable
+    filter blob (~2.4 bytes/gram at xor16 vs 8-byte hashes + join
+    machinery for the set join; `build_filter`, any registered kind,
+    `num_shards` for the billion-gram build), which broadcasts and
+    probes map-side (`probe_filter` — numpy over Arrow batches, no
+    shuffle on the corpus gram stream before its per-doc aggregation).
+
+    Returns per doc (docs shorter than ``n`` tokens produce no rows):
+
+    - ``n_grams``  — distinct n-grams (exact);
+    - ``n_flagged`` — grams the filter reports present. NO false
+      negatives ever (AMQ guarantee), so ``n_flagged >= true n_hit`` and
+      ``n_flagged = 0`` is a PROOF of cleanliness; overcount is bounded
+      by the kind's FP rate (~2^-16 per gram at xor16);
+    - ``n_hit`` (``verify=True``) — the EXACT overlap: flagged grams
+      re-check against the true benchmark set, but the exact join now
+      runs only on the filter-surviving gram stream (corpus-wide
+      positive mass ≈ true hits + fpp·n_grams — the two-phase
+      prefilter-then-verify shape of `filter_join`), so results equal
+      :func:`ngram_contamination` exactly (pytest-pinned) at a fraction
+      of its join input.
+
+    Both gram streams hash identically (`hashed_word_shingles` — token
+    hashes combined positionally, never materializing gram strings)."""
+    from ..functions.filters import build_filter, probe_filter
+
+    bg = bench.select(
+        F.explode(
+            F.array_distinct(hashed_word_shingles(text_col, n))
+        ).alias("g")
+    )
+    filt = build_filter(
+        bg, [], "g", kind,
+        n=max(bg.count(), 1), num_shards=num_shards,
+    )
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(hashed_word_shingles(text_col, n))
+        ).alias("g"),
+    )
+    probed = probe_filter(dg, filt, "g", result_col="__flag")
+    agg = [
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("__flag").cast("long")).alias("n_flagged"),
+    ]
+    if not verify:
+        return probed.groupBy(id_col).agg(*agg)
+    truth = bg.distinct().withColumn("__hit", F.lit(1))
+    # exact verification joins ONLY the flagged gram stream — the
+    # filter already removed ~(1 - fpp) of the non-contaminated mass.
+    # No broadcast hint: this operator exists for benchmark sets too big
+    # to broadcast, and AQE picks broadcast anyway when the set is small
+    flagged = probed.where(F.col("__flag")).join(
+        truth, "g", "left"
+    ).groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit")
+    )
+    return (
+        probed.groupBy(id_col)
+        .agg(*agg)
+        .join(flagged, id_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,90 @@
+"""Filter-prefiltered benchmark decontamination
+(operators/text.filter_contamination): the engine's AMQ kernels pointed
+at eval n-grams — no false negatives ever, bounded overcount, and the
+verify path exactly equal to the broadcast-set ngram_contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.text import (
+    filter_contamination,
+    ngram_contamination,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _mk_docs(spark):
+    rows = []
+    for i in range(40):
+        toks = [WORDS[(i + j) % len(WORDS)] + str((i * 7 + j) % 11) for j in range(30)]
+        if i % 4 == 0:
+            # plant a contaminated run: 8 tokens straight from the bench
+            toks[10:18] = [f"bench{k}" for k in range(8)]
+        rows.append((i, " ".join(toks)))
+    rows.append((100, "short doc"))  # < n tokens: no output row
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mk_bench(spark):
+    rows = [
+        (0, " ".join(f"bench{k}" for k in range(12))),
+        (1, " ".join(f"other{k}" for k in range(12))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("kind", ["xor16", "bloom"])
+def test_verify_path_equals_exact_contamination(spark, kind):
+    docs, bench = _mk_docs(spark), _mk_bench(spark)
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination(docs, bench, n=5).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["n_hit"])
+        for r in filter_contamination(docs, bench, n=5, kind=kind).collect()
+    }
+    assert set(got) == set(exact)
+    for did, (n_grams, n_flagged, n_hit) in got.items():
+        assert (n_grams, n_hit) == exact[did]
+        # AMQ law: no false negatives, overcount only
+        assert n_flagged >= n_hit
+    # the planted docs are caught, the clean ones exactly zero hits
+    assert all(got[d][2] > 0 for d in got if d % 4 == 0 and d != 100)
+    assert all(got[d][2] == 0 for d in got if d % 4 != 0)
+    # short doc produced no row
+    assert 100 not in got
+
+
+def test_no_verify_superset_and_clean_proof(spark):
+    docs, bench = _mk_docs(spark), _mk_bench(spark)
+    exact = {
+        r["doc_id"]: r["n_hit"]
+        for r in ngram_contamination(docs, bench, n=5).collect()
+    }
+    got = {
+        r["doc_id"]: r["n_flagged"]
+        for r in filter_contamination(
+            docs, bench, n=5, kind="xor16", verify=False
+        ).collect()
+    }
+    for did, n_flagged in got.items():
+        assert n_flagged >= exact[did]
+        if n_flagged == 0:  # n_flagged = 0 is a PROOF of cleanliness
+            assert exact[did] == 0
+
+
+def test_sharded_build_same_answers(spark):
+    docs, bench = _mk_docs(spark), _mk_bench(spark)
+    a = {
+        (r["doc_id"], r["n_grams"], r["n_hit"])
+        for r in filter_contamination(docs, bench, n=5, kind="xor16").collect()
+    }
+    b = {
+        (r["doc_id"], r["n_grams"], r["n_hit"])
+        for r in filter_contamination(
+            docs, bench, n=5, kind="xor16", num_shards=4
+        ).collect()
+    }
+    assert a == b

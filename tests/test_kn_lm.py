@@ -506,3 +506,69 @@ def test_kn_score_quantized_matches_kn_score(spark):
         approx = q[k]["qlogp_sum"] / float(1 << 20)
         exact = full[k]["avg_logp"] * n
         assert exact - n * 2.0 ** -20 <= approx <= exact
+
+
+def test_kn_impact_pruning(spark):
+    """prune_to switches the bi cap to Stolcke-style weighted impact:
+    (a) prune_to >= n_types reproduces the unpruned scores exactly,
+    (b) the kept set equals the brute-force top-impact set,
+    (c) a pruned-away bigram scores exactly its backoff mass."""
+    import math
+
+    df = _train_df(spark)
+    full = train_kn_lm(df, "text", vocab_size=1 << 20)
+    n_types = full["n_bigram_types"]
+
+    same = train_kn_lm(df, "text", vocab_size=1 << 20, prune_to=n_types)
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on a log"), (2, "san francisco fog rolls")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", full).collect()}
+    b = {r["doc_id"]: r["avg_logp"] for r in kn_score(probe, "doc_id", "text", same).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+    # brute-force the impact ranking over the raw bigram types
+    texts = [t for (_, t) in _train_df(spark).collect()]
+    bis, ctx, cont = {}, {}, {}
+    for t in texts:
+        ts = t.split(" ")
+        for u, w in zip(ts, ts[1:]):
+            bis[(u, w)] = bis.get((u, w), 0) + 1
+    for (u, w), c in bis.items():
+        cu = ctx.setdefault(u, [0, 0])
+        cu[0] += c
+        cu[1] += 1
+        cont[w] = cont.get(w, 0) + 1
+    d = full["discount"]
+    nt = float(max(n_types, 1))
+    imp = {}
+    for (u, w), c in bis.items():
+        cu, ns = ctx[u]
+        pc = cont[w] / nt
+        backoff = d * ns / cu * pc
+        pw = (c - d) / cu + backoff
+        imp[(u, w)] = c * (math.log(pw) - math.log(backoff))
+    k = 5
+    want_kept = set(sorted(imp, key=lambda g: -imp[g])[:k])
+    pruned = train_kn_lm(df, "text", vocab_size=1 << 20, prune_to=k)
+    assert pruned["bi"].count() == k
+
+    # (c) score a doc consisting of one pruned-away bigram: exactly the
+    # backoff mass under the pruned model
+    dropped = sorted(set(imp) - want_kept, key=lambda g: -imp[g])[0]
+    u, w = dropped
+    one = spark.createDataFrame([(9, f"{u} {w}")], "doc_id long, text string")
+    got = kn_score(one, "doc_id", "text", pruned).collect()[0]["avg_logp"]
+    cu, ns = ctx[u]
+    expect = math.log(d * ns / cu * (cont[w] / nt))
+    assert got == pytest.approx(expect, abs=1e-12)
+    # and a kept bigram still scores its full explicit probability
+    ku, kw = sorted(want_kept, key=lambda g: -imp[g])[0]
+    one2 = spark.createDataFrame([(10, f"{ku} {kw}")], "doc_id long, text string")
+    got2 = kn_score(one2, "doc_id", "text", pruned).collect()[0]["avg_logp"]
+    cu2, ns2 = ctx[ku]
+    pc2 = cont[kw] / nt
+    expect2 = math.log((bis[(ku, kw)] - d) / cu2 + d * ns2 / cu2 * pc2)
+    assert got2 == pytest.approx(expect2, abs=1e-12)
