@@ -42,16 +42,29 @@ def pack_shards(
     weight_col: str,
     shard_weight: int,
     n_partitions: int | None = None,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """(id, weight, prefix_weight, shard) — ``prefix_weight`` is the sum of
     weights of all ids strictly before this one (in ``id_col`` order) and
-    ``shard = prefix_weight // shard_weight``. NULL weights count as 0."""
+    ``shard = prefix_weight // shard_weight``. NULL weights count as 0.
+
+    ``order_cols`` prepends sort keys to the packing order — docs pack
+    in ``(order_cols..., id)`` order instead of bare id order, which is
+    the in-context-pretraining trick (Shi et al. 2023: packing RELATED
+    documents into the same context window beats random order): pass a
+    cluster/topic/domain column (e.g. `cluster_near_duplicates` ids or
+    an IVF cell) and same-cluster docs land adjacent, so shard
+    boundaries cut between clusters far more often than through them.
+    Same two-phase distributed prefix sum — the range partitioner just
+    ranges over the richer key."""
     if shard_weight <= 0:
         raise ValueError("shard_weight must be positive")
     spark = df.sparkSession
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    ocols = list(order_cols or [])
     w = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(ocols)],
         F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
     )
     # localCheckpoint (eager), NOT cache: the driver offsets computed below
@@ -60,9 +73,10 @@ def pack_shards(
     # recomputed with drifted boundaries — silently wrong shard
     # assignments; a checkpoint truncates lineage so recompute is
     # impossible, and there is no per-call unpersist leak.
+    sort_keys = [F.col(f"__o{i}") for i in range(len(ocols))] + [F.col("id")]
     parts = (
-        w.repartitionByRange(n_partitions, F.col("id"))
-        .sortWithinPartitions("id")
+        w.repartitionByRange(n_partitions, *sort_keys)
+        .sortWithinPartitions(*sort_keys)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )

@@ -515,6 +515,185 @@ def ngram_contamination(
     )
 
 
+def script_profile(col) -> Column:
+    """struct(n_letters, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
+    n_hebrew, n_hangul, n_devanagari) — Unicode-script letter counts,
+    the language-ID complement the stopword tables can't provide
+    (stopword langid only separates languages SHARING a script; a
+    Cyrillic or CJK page scores 0 on every list and needs the script
+    signal to route to the right pipeline — the FineWeb-2 shape: script
+    first, then per-script language models). Pure JVM ``regexp_count``
+    with Java Unicode script classes — scan-speed, no UDF. Ratios are
+    one division away; counts stay integer for exact cross-engine
+    compares. Script classes include combining marks (a Devanagari
+    matra counts toward n_devanagari), while ``n_letters`` is strict
+    \p{L} — the script sum can exceed it on abugida text."""
+    c = F.col(col) if isinstance(col, str) else col
+    def n(script):
+        return F.regexp_count(c, F.lit(rf"\p{{Is{script}}}")).alias(
+            f"n_{script.lower()}"
+        )
+    return F.struct(
+        F.regexp_count(c, F.lit(r"\p{L}")).alias("n_letters"),
+        n("Latin"), n("Cyrillic"),
+        F.regexp_count(c, F.lit(r"\p{IsHan}")).alias("n_cjk"),
+        n("Arabic"), n("Greek"), n("Hebrew"), n("Hangul"),
+        n("Devanagari"),
+    )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Drop each document's REPEATED lines, keeping first occurrences in
+    order — intra-document exact dedup (the Gopher/C4 repetition family
+    acts ON the signal instead of just scoring it; distinct from
+    `web.remove_boilerplate_lines`, which drops lines repeated ACROSS
+    documents). Adds ``{out_col}`` (default: rewrite ``text_col``) and
+    ``n_dup_lines``. One higher-order ``aggregate`` running a
+    seen-array fold per document — no shuffle, no UDF; the
+    ``array_contains`` scan makes it O(lines²) per doc, fine at
+    real-page line counts (hundreds) and never corpus-dependent."""
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, l: F.when(F.array_contains(acc, l), acc).otherwise(
+            F.concat(acc, F.array(l))
+        ),
+    )
+    return (
+        df.withColumn("__kept", kept)
+        .withColumn(
+            "n_dup_lines",
+            (F.size(lines) - F.size("__kept")).cast("long"),
+        )
+        .withColumn(out_col, F.array_join(F.col("__kept"), "\n"))
+        .drop("__kept")
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    noise_density: float = 0.15,
+    mean_span: int = 3,
+    seed: int = 0,
+    inputs_col: str = "inputs",
+    targets_col: str = "targets",
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4) as a
+    DETERMINISTIC column transform: ``inputs`` is the document with
+    masked spans replaced by ``<extra_id_j>`` sentinels, ``targets`` is
+    the sentinels followed by the masked-out tokens (+ the closing
+    sentinel), ``n_masked`` the masked token count.
+
+    Where T5 samples spans from an RNG, this derives them from
+    ``xxhash64(id, j, seed)`` — same corpus + seed ⇒ the same pairs on
+    every engine, executor, and retry (a lineage recompute after
+    executor loss CANNOT produce different training data, the property
+    RNG-based augmentation silently lacks). The stateless scheme keeps
+    every position's fate a pure function of (id, j): the document
+    partitions into ``n_spans = round(n·density/mean_span)`` equal
+    buckets, bucket ``j`` hosts one span of hash-chosen length
+    1..2·mean_span−1 (uniform, mean = mean_span) at a hash-chosen
+    offset — non-overlap by construction, no sequential state, so the
+    whole transform is JVM higher-order expressions (slice/flatten
+    over the token array; no UDF, no shuffle). Documents too short for
+    one span pass through uncorrupted (targets = '')."""
+    if not (0.0 < noise_density < 1.0):
+        raise ValueError("noise_density must be in (0, 1)")
+    if mean_span < 1:
+        raise ValueError("mean_span must be >= 1")
+
+    def of(arr: Column) -> Column:
+        n = F.size(arr)
+        ns_raw = F.floor(
+            n.cast("double") * F.lit(noise_density) / F.lit(float(mean_span))
+            + F.lit(0.5)
+        ).cast("int")
+        ns = F.least(ns_raw, n)
+
+        def bstart(j):
+            return F.floor(j.cast("long") * n / ns).cast("int")
+
+        def span_of(j):
+            bs, be = bstart(j), bstart(j + 1)
+            blen = be - bs
+            slen = F.least(
+                F.lit(1)
+                + F.pmod(
+                    F.xxhash64(F.col(id_col), j, F.lit(seed), F.lit(1)),
+                    F.lit(2 * mean_span - 1),
+                ).cast("int"),
+                blen,
+            )
+            off = F.pmod(
+                F.xxhash64(F.col(id_col), j, F.lit(seed), F.lit(2)),
+                (blen - slen + 1).cast("long"),
+            ).cast("int")
+            return F.struct(
+                bs.alias("bs"), be.alias("be"),
+                (bs + off).alias("ss"), slen.alias("sl"),
+            )
+
+        spans = F.transform(F.sequence(F.lit(0), ns - 1), span_of)
+
+        def sent(j):
+            return F.concat(F.lit("<extra_id_"), j.cast("string"), F.lit(">"))
+
+        def piece_in(sp, j):
+            # tokens [bs, ss) + sentinel_j + tokens [ss+sl, be)
+            pre = F.slice(arr, sp["bs"] + 1, sp["ss"] - sp["bs"])
+            post = F.slice(arr, sp["ss"] + sp["sl"] + 1, sp["be"] - sp["ss"] - sp["sl"])
+            return F.concat(pre, F.array(sent(j)), post)
+
+        def piece_tgt(sp, j):
+            return F.concat(
+                F.array(sent(j)), F.slice(arr, sp["ss"] + 1, sp["sl"])
+            )
+
+        inputs = F.array_join(
+            F.flatten(F.zip_with(
+                spans, F.sequence(F.lit(0), ns - 1),
+                lambda sp, j: piece_in(sp, j),
+            )),
+            " ",
+        )
+        targets = F.array_join(
+            F.concat(
+                F.flatten(F.zip_with(
+                    spans, F.sequence(F.lit(0), ns - 1),
+                    lambda sp, j: piece_tgt(sp, j),
+                )),
+                F.array(sent(ns)),
+            ),
+            " ",
+        )
+        n_masked = F.aggregate(
+            spans, F.lit(0).cast("long"), lambda acc, sp: acc + sp["sl"]
+        )
+        passthrough = ns < 1
+        return F.struct(
+            F.when(passthrough, F.col(text_col)).otherwise(inputs).alias("i"),
+            F.when(passthrough, F.lit("")).otherwise(targets).alias("t"),
+            F.when(passthrough, F.lit(0).cast("long")).otherwise(n_masked).alias("m"),
+        )
+
+    bound = F.transform(F.array(tokens(text_col)), of)[0]
+    return (
+        df.withColumn("__sc", bound)
+        .withColumn(inputs_col, F.col("__sc.i"))
+        .withColumn(targets_col, F.col("__sc.t"))
+        .withColumn("n_masked", F.col("__sc.m"))
+        .drop("__sc")
+    )
+
+
 def filter_contamination(
     docs: DataFrame,
     bench: DataFrame,

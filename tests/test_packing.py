@@ -250,3 +250,35 @@ def test_materialize_sequences_round_trip(spark):
     assert sorted(map(tuple, seen)) == sorted(
         tuple(t) for t in toks_by_doc.values()
     )
+
+
+def test_pack_shards_order_cols_cluster_packing(spark):
+    """order_cols packs in (cluster, id) order — the in-context
+    pretraining layout: same-cluster docs adjacent, prefix sums equal to
+    the sequential replay over the reordered stream, and shard
+    boundaries honored."""
+    from bitfilters_spark.operators.packing import pack_shards
+
+    rows = [(i, (i * 37) % 4, 3 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster long, n long")
+    out = {
+        r["doc_id"]: (r["prefix_weight"], r["shard"])
+        for r in pack_shards(
+            df, "doc_id", "n", 25, order_cols=["cluster"]
+        ).collect()
+    }
+    # sequential replay in (cluster, id) order
+    seq = sorted(rows, key=lambda t: (t[1], t[0]))
+    run = 0
+    for did, _, n in seq:
+        assert out[did] == (run, run // 25), did
+        run += n
+    # without order_cols: plain id order (the pinned original contract)
+    out2 = {
+        r["doc_id"]: r["prefix_weight"]
+        for r in pack_shards(df, "doc_id", "n", 25).collect()
+    }
+    run = 0
+    for did, _, n in sorted(rows):
+        assert out2[did] == run
+        run += n

@@ -137,3 +137,120 @@ def test_nfkc_normalize_folds_compatibility_forms(spark):
     folded = {r["id"]: r["t"] for r in df.select(
         "id", nfkc_normalize("text", casefold=True).alias("t")).collect()}
     assert folded[0] == "hello"
+
+
+def test_span_corruption_reconstruction_law(spark):
+    """T5 span corruption (r12): for every doc, substituting each
+    <extra_id_j>'s target span back into the inputs reconstructs the
+    original token sequence exactly; n_masked matches; deterministic
+    across runs; seed changes the masks."""
+    import re
+
+    from bitfilters_spark.operators.text import span_corruption
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(10 + (i * 7) % 40)))
+        for i in range(30)
+    ] + [(100, "tiny doc"), (101, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["inputs"], r["targets"], r["n_masked"])
+        for r in span_corruption(df, "doc_id", "text").collect()
+    }
+    texts = dict(rows)
+    n_corrupted = 0
+    for did, (inp, tgt, nm) in out.items():
+        orig = texts[did].split(" ")
+        if tgt == "":
+            assert inp == texts[did] and nm == 0
+            continue
+        n_corrupted += 1
+        # parse targets into {sentinel: span tokens}
+        parts = re.split(r"(<extra_id_\d+>)", tgt)
+        parts = [p.strip() for p in parts if p.strip()]
+        spans, cur = {}, None
+        for p in parts:
+            if p.startswith("<extra_id_"):
+                cur = p
+                spans[cur] = []
+            else:
+                spans[cur] = p.split(" ")
+        closing = max(spans, key=lambda s: int(s[10:-1]))
+        assert spans.pop(closing) == []  # the closing sentinel is empty
+        rebuilt = []
+        for tok in inp.split(" "):
+            rebuilt.extend(spans[tok] if tok in spans else [tok])
+        assert rebuilt == orig, did
+        assert nm == sum(len(v) for v in spans.values())
+        # masked fraction in a sane band around the density
+        assert 0 < nm <= max(1, int(len(orig) * 0.6))
+    assert n_corrupted >= 25
+    # determinism
+    again = {
+        r["doc_id"]: (r["inputs"], r["targets"], r["n_masked"])
+        for r in span_corruption(df.repartition(7), "doc_id", "text").collect()
+    }
+    assert again == out
+    # a different seed moves the masks somewhere
+    other = {
+        r["doc_id"]: r["inputs"]
+        for r in span_corruption(df, "doc_id", "text", seed=9).collect()
+    }
+    assert any(other[d] != out[d][0] for d in other)
+    import pytest as _p
+    with _p.raises(ValueError, match="noise_density"):
+        span_corruption(df, "doc_id", "text", noise_density=1.5)
+
+
+def test_script_profile_counts(spark):
+    from bitfilters_spark.operators.text import script_profile
+
+    rows = [
+        (1, "hello мир 世界 مرحبا γειά שלום 한글 नमस्ते 123!"),
+        (2, "pure ascii text"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["p"].asDict()
+        for r in df.select("doc_id", script_profile("text").alias("p")).collect()
+    }
+    p = got[1]
+    assert p["n_latin"] == 5          # hello
+    assert p["n_cyrillic"] == 3       # мир
+    assert p["n_cjk"] == 2            # 世界
+    assert p["n_arabic"] == 5         # مرحبا
+    assert p["n_greek"] == 4          # γειά
+    assert p["n_hebrew"] == 4         # שלום
+    assert p["n_hangul"] == 2         # 한글
+    assert p["n_devanagari"] == 6     # नमस्ते (incl. combining marks)
+    # script classes count combining marks (Mn) that \p{L} does not:
+    # the 2 Devanagari matras put the script sum 2 over n_letters
+    assert p["n_letters"] == 29
+    assert sum(p[k] for k in p if k != "n_letters") == 31
+    assert got[2]["n_latin"] == 13 and got[2]["n_cyrillic"] == 0
+    assert all(v == 0 for v in got[3].values())
+
+
+def test_dedup_lines_within_doc(spark):
+    from bitfilters_spark.operators.text import dedup_lines_within_doc
+
+    rows = [
+        (1, "a\nb\na\nc\nb\na"),
+        (2, "unique\nlines\nonly"),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean"], r["n_dup_lines"])
+        for r in dedup_lines_within_doc(df, "text", "clean").collect()
+    }
+    assert got[1] == ("a\nb\nc", 3)
+    assert got[2] == ("unique\nlines\nonly", 0)
+    assert got[3] == ("x", 0)
+    # default: rewrite text_col in place
+    inplace = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines_within_doc(df, "text").collect()
+    }
+    assert inplace[1] == "a\nb\nc"

@@ -440,6 +440,79 @@ def main(sf_dir: str) -> None:
             stress, "doc_id", "text", uni_m
         ).count()
         out["unigram_encode_s"] = round(time.time() - t0, 2)
+
+        # r12: filter-prefiltered decontamination at stress — benchmark =
+        # the copy-0 slice (5k docs), corpus = all 50k; xor16 blob probes
+        # map-side; verify path re-checks only flagged grams
+        from bitfilters_spark.operators.text import filter_contamination
+
+        bench = docs.limit(500)
+        t0 = time.time()
+        fc = filter_contamination(
+            stress, bench, n=5, kind="xor16"
+        ).localCheckpoint(eager=False)
+        out["fcontam_docs"] = fc.count()
+        out["fcontam_flagged_docs"] = fc.where(F.col("n_flagged") > 0).count()
+        out["fcontam_s"] = round(time.time() - t0, 2)
+
+        # r12: hits_exact on the 10x crawl's host graph (integer power
+        # iteration + one division — the gate leg's operator at stress)
+        from bitfilters_spark.operators.graph import hits_exact
+
+        t0 = time.time()
+        he = hits_exact(
+            links.where(F.col("src_host") != F.col("dst_host")).select(
+                F.xxhash64("src_host").alias("s"),
+                F.xxhash64("dst_host").alias("d"),
+            ),
+            "s", "d", iters=3,
+        )
+        out["hits_exact_nodes"] = he.count()
+        out["hits_exact_s"] = round(time.time() - t0, 2)
+
+        # r12: KN impact pruning — same corpus, bi table cut 10x by
+        # weighted impact; scoring still runs (quality trade measured)
+        from bitfilters_spark.operators.lm import kn_score as _kns
+
+        t0 = time.time()
+        pruned = train_kn_lm(
+            stress, "text", prune_to=max(knlm["n_bigram_types"] // 10, 1)
+        )
+        out["kn_pruned_bi_rows"] = pruned["bi"].count()
+        out["kn_prune_train_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["kn_pruned_scored"] = _kns(
+            stress, "doc_id", "text", pruned
+        ).count()
+        out["kn_pruned_score_s"] = round(time.time() - t0, 2)
+
+        # r12: span corruption over the full 10x corpus (stateless JVM
+        # expressions — scan-speed is the claim being measured)
+        from bitfilters_spark.operators.text import span_corruption
+
+        t0 = time.time()
+        sc = span_corruption(stress, "doc_id", "text")
+        out["span_corruption_masked"] = int(
+            sc.agg(F.sum("n_masked")).collect()[0][0] or 0
+        )
+        out["span_corruption_s"] = round(time.time() - t0, 2)
+
+        # r12: preference prep at 10x — every stress doc becomes a pair
+        from bitfilters_spark.operators.preference import (
+            dedup_preference_pairs,
+            length_bias_report,
+        )
+
+        t0 = time.time()
+        prefs = stress.select(
+            F.col("doc_id").alias("pair_id"),
+            F.substring("text", 1, 80).alias("prompt"),
+            F.substring("text", 81, 400).alias("chosen"),
+            F.reverse(F.substring("text", 81, 300)).alias("rejected"),
+        )
+        out["pref_report"] = length_bias_report(prefs).collect()[0]["n_ok"]
+        out["pref_deduped"] = dedup_preference_pairs(prefs, "pair_id").count()
+        out["pref_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
