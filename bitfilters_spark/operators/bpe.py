@@ -282,6 +282,108 @@ def bpe_token_counts(
     return bpe_encode(df, id_col, text_col, model).select(id_col, "n_bpe_tokens")
 
 
+def chunk_by_pieces(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+    chunk_pieces: int = 512,
+    tokenizer: str = "bpe",
+) -> DataFrame:
+    """Split documents into chunks budgeted in REAL tokenizer pieces —
+    what the training batch actually pays — instead of
+    `text.chunk_documents`' whitespace proxy (a code-heavy doc can run
+    2-3x pieces-per-word and silently overflow a context window sized
+    by whitespace counts).
+
+    ``(id, chunk_id, chunk_text, n_pieces, n_words)`` where word ``i``
+    lands in chunk ``floor(pieces_before_i / chunk_pieces)`` — words
+    never split, so a chunk can overrun the budget by at most one
+    word's pieces (the documented, SQL-replayable boundary rule).
+
+    Plan: distinct word TYPES tokenize once in a broadcast-model
+    mapInPandas pass (the `unigram_encode` shape — corpus text never
+    enters Python), the (word -> n_pieces) mapping joins back onto the
+    exploded corpus, one per-doc window computes the exclusive piece
+    prefix, one regroup assembles chunks. ``tokenizer``: "bpe" (greedy
+    merge encode) or "unigram" (Viterbi; uncovered words count 1 —
+    the ``<unk>`` convention)."""
+    import pandas as pd
+
+    from .text import tokens
+
+    if chunk_pieces < 1:
+        raise ValueError("chunk_pieces must be >= 1")
+    if tokenizer not in ("bpe", "unigram"):
+        raise ValueError("tokenizer must be 'bpe' or 'unigram'")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if tokenizer == "bpe":
+        ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+        b = spark.sparkContext.broadcast(ranks)
+
+        def n_pieces_of(w):
+            return len(encode_word(w, b.value))
+    else:
+        from .unigram import viterbi_segment
+
+        mpl = int(model["max_piece_len"])
+        b = spark.sparkContext.broadcast(model["pieces"])
+
+        def n_pieces_of(w):
+            segs = viterbi_segment(w, b.value, mpl)
+            return len(segs) if segs else 1  # <unk>
+
+    def count_types(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "__np": [n_pieces_of(w) for w in pdf["word"]],
+                }
+            )
+
+    types = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    mapping = types.mapInPandas(count_types, schema="word string, __np int")
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("__pos", "word"),
+    ).join(mapping, "word")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prefix = F.coalesce(
+        F.sum("__np").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    chunked = exploded.withColumn(
+        "chunk_id", F.floor(prefix / F.lit(chunk_pieces)).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.sum("__np").cast("long").alias("n_pieces"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+
+
 def save_bpe(spark, model: dict, path: str) -> None:
     """Persist a trained BPE model as parquet (rank-ordered merge table +
     vocab table under one directory) — train once at ingest, reuse

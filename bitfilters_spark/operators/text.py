@@ -515,6 +515,41 @@ def ngram_contamination(
     )
 
 
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(group, n_grams_total, n_grams_distinct, distinct_ratio) — the
+    distinct-n diversity metric per group (Li et al. 2016's distinct-n,
+    corpus-level): the standard collapse detector for SYNTHETIC data
+    pipelines — model-generated corpora repeat n-grams far above human
+    baseline, and the ratio falling round-over-round is the signal to
+    stop mining a generator. Counts are exact integers (cross-engine
+    comparable); hashed n-grams (`hashed_word_shingles`) keep the
+    distinct-aggregation rows at 8 bytes. One explode + one two-level
+    aggregation — n_grams_distinct uses an exact count_distinct (the
+    group-keyed shuffle is the irreducible cost; swap in
+    `approx_count_distinct` consciously at extreme group sizes)."""
+    g = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(hashed_word_shingles(text_col, n)).alias("g"),
+    )
+    return g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_grams_total"),
+        F.count_distinct("g").alias("n_grams_distinct"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_grams_total",
+        "n_grams_distinct",
+        (
+            F.col("n_grams_distinct").cast("double")
+            / F.greatest(F.col("n_grams_total").cast("double"), F.lit(1.0))
+        ).alias("distinct_ratio"),
+    )
+
+
 def script_profile(col) -> Column:
     """struct(n_letters, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
     n_hebrew, n_hangul, n_devanagari) — Unicode-script letter counts,

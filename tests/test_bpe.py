@@ -296,3 +296,70 @@ def test_hf_tokenizer_json_import_drives_encode_and_packing(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="WordPiece"):
         B.load_hf_tokenizer_json(str(bad), spark)
+
+
+def test_chunk_by_pieces_budget_law(spark):
+    """chunk_by_pieces: word i lands in floor(pieces_before/budget);
+    chunks reassemble to the document; per-chunk piece sums match a
+    sequential replay; unigram variant agrees with its own encoder."""
+    from bitfilters_spark.operators.bpe import (
+        chunk_by_pieces,
+        encode_word,
+        train_bpe,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "internationalization " * 10),
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in texts], "doc_id long, text string"
+    )
+    model = train_bpe(df, "text", num_merges=50)
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    out = {}
+    for r in chunk_by_pieces(df, "doc_id", "text", model, 20).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"], r["n_pieces"], r["n_words"]
+        )
+    for did, text in [(i, t.strip()) for i, t in texts]:
+        words = text.split(" ")
+        np_seq = [len(encode_word(w, ranks)) for w in words]
+        # sequential replay of the boundary rule
+        want: dict = {}
+        run = 0
+        for w, npieces in zip(words, np_seq):
+            cid = run // 20
+            want.setdefault(cid, [[], 0, 0])
+            want[cid][0].append(w)
+            want[cid][1] += npieces
+            want[cid][2] += 1
+            run += npieces
+        got = out[did]
+        assert set(got) == set(want)
+        for cid in want:
+            assert got[cid] == (" ".join(want[cid][0]), want[cid][1], want[cid][2])
+        # chunks reassemble to the original document in chunk order
+        assert " ".join(got[c][0] for c in sorted(got)) == text
+
+    # unigram variant: piece sums equal the unigram token counts
+    from bitfilters_spark.operators.unigram import (
+        train_unigram,
+        unigram_token_counts,
+    )
+
+    um = train_unigram(df, "text", vocab_size=40, seed_size=300, em_rounds=1)
+    uc = chunk_by_pieces(df, "doc_id", "text", um, 20, tokenizer="unigram")
+    totals = {
+        r["doc_id"]: r["s"]
+        for r in uc.groupBy("doc_id").agg(F.sum("n_pieces").alias("s")).collect()
+    }
+    want_tot = {
+        r["doc_id"]: r["n_pieces"]
+        for r in unigram_token_counts(df, "doc_id", "text", um).collect()
+    }
+    assert totals == want_tot
+    import pytest as _p
+    with _p.raises(ValueError, match="chunk_pieces"):
+        chunk_by_pieces(df, "doc_id", "text", model, 0)

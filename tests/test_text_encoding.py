@@ -254,3 +254,34 @@ def test_dedup_lines_within_doc(spark):
         for r in dedup_lines_within_doc(df, "text").collect()
     }
     assert inplace[1] == "a\nb\nc"
+
+
+def test_ngram_diversity(spark):
+    """distinct-n per group: exact integers against a python replay; a
+    degenerate 'synthetic' group scores far below the varied one."""
+    from bitfilters_spark.operators.text import ngram_diversity
+
+    rows = [
+        (1, "human", "the quick brown fox jumps over the lazy dog"),
+        (2, "human", "pack my box with five dozen liquor jugs"),
+        (3, "synth", "yes and yes and yes and yes and yes and yes"),
+        (4, "synth", "yes and yes and yes and yes and yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        r["src"]: (r["n_grams_total"], r["n_grams_distinct"], r["distinct_ratio"])
+        for r in ngram_diversity(df, "src", "text", n=3).collect()
+    }
+
+    def replay(texts):
+        grams = []
+        for t in texts:
+            ts = t.split(" ")
+            grams += [tuple(ts[i:i+3]) for i in range(len(ts) - 2)]
+        return len(grams), len(set(grams))
+
+    ht, hd = replay([r[2] for r in rows if r[1] == "human"])
+    st, sd = replay([r[2] for r in rows if r[1] == "synth"])
+    assert got["human"][:2] == (ht, hd)
+    assert got["synth"][:2] == (st, sd)
+    assert got["synth"][2] < 0.3 < got["human"][2]
