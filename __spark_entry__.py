@@ -624,6 +624,16 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         native=False,
     ).select("lang_pred", "bucket", "checksum")
+    # div_* legs (r12, operator #158): distinct-n diversity per group —
+    # exact integer counts; the oracle counts distinct STRING 3-grams
+    # where Spark counts distinct hashed 3-grams (equal bar a 64-bit
+    # collision, ~2^-40 at this scale)
+    div = T.ngram_diversity(
+        enriched.select("lang_pred", "bucket", "text"),
+        ["lang_pred", "bucket"],
+        "text",
+        n=3,
+    ).select("lang_pred", "bucket", "n_grams_total", "n_grams_distinct")
     # fuzzy_name_pairs leg (r7, operator #103): within-table edit-distance
     # self-join on supplier names at d=1; strategy="deletion" (FastSS
     # neighborhoods) because every s_name shares the "Supplier#" template
@@ -636,7 +646,11 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fz = fuzzy_dedup_pairs(
         sup, "s_suppkey", "s_name", 1, strategy="deletion"
     ).agg(F.count(F.lit(1)).cast("long").alias("fuzzy_name_pairs"))
-    return stats.join(chk, ["lang_pred", "bucket"]).crossJoin(F.broadcast(fz))
+    return (
+        stats.join(chk, ["lang_pred", "bucket"])
+        .join(div, ["lang_pred", "bucket"])
+        .crossJoin(F.broadcast(fz))
+    )
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2576,18 +2590,39 @@ def oracle_sql() -> dict[str, str]:
                            + (1.0 - punct::DOUBLE / n_chars) * 0.1
                            + (1.0 - digits::DOUBLE / n_chars) * 0.1, 6) AS quality_score,
                      {_LANGID_CASE} AS lang_pred
-              FROM m)
-            SELECT lang_pred, bucket, count(*) AS n_docs,
+              FROM m),
+            div AS (
+              -- div_* legs: distinct-n diversity per (lang, bucket) —
+              -- string 3-grams where Spark uses hashed 3-grams (equal
+              -- bar a 64-bit collision)
+              SELECT lang_pred, bucket,
+                     count(*)::BIGINT AS n_grams_total,
+                     count(DISTINCT g)::BIGINT AS n_grams_distinct
+              FROM (
+                SELECT q2.lang_pred, q2.bucket,
+                       unnest(list_transform(
+                         generate_series(1, greatest(
+                           len(string_split(q2.text, ' ')) - 2, 0)),
+                         i -> array_to_string(
+                           (string_split(q2.text, ' '))[i:i+2], ' '))) AS g
+                FROM (SELECT m.text, q.lang_pred, q.bucket
+                      FROM q JOIN m ON q.doc_id = m.doc_id) q2)
+              GROUP BY lang_pred, bucket)
+            SELECT q.lang_pred, q.bucket, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality_score), 6) AS avg_quality,
                    min(src_chars) AS min_chars, max(src_chars) AS max_chars,
                    {_sql_signed("bit_xor(hash(doc_id))")} AS checksum,
+                   any_value(div.n_grams_total) AS n_grams_total,
+                   any_value(div.n_grams_distinct) AS n_grams_distinct,
                    (SELECT count(*)::BIGINT
                     FROM supplier a JOIN supplier b
                       ON a.s_suppkey < b.s_suppkey
                      AND levenshtein(a.s_name, b.s_name) <= 1
                    ) AS fuzzy_name_pairs
-            FROM q GROUP BY lang_pred, bucket
+            FROM q JOIN div ON q.lang_pred = div.lang_pred
+                           AND q.bucket = div.bucket
+            GROUP BY q.lang_pred, q.bucket
         """,
         "q_kmv_distinct": """
             WITH keyed AS (

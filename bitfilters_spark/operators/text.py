@@ -517,7 +517,7 @@ def ngram_contamination(
 
 def ngram_diversity(
     df: DataFrame,
-    group_col: str,
+    group_cols,
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
@@ -532,15 +532,15 @@ def ngram_diversity(
     aggregation — n_grams_distinct uses an exact count_distinct (the
     group-keyed shuffle is the irreducible cost; swap in
     `approx_count_distinct` consciously at extreme group sizes)."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     g = df.select(
-        F.col(group_col).alias("grp"),
-        F.explode(hashed_word_shingles(text_col, n)).alias("g"),
+        *keys, F.explode(hashed_word_shingles(text_col, n)).alias("g")
     )
-    return g.groupBy("grp").agg(
+    return g.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_grams_total"),
         F.count_distinct("g").alias("n_grams_distinct"),
     ).select(
-        F.col("grp").alias(group_col),
+        *keys,
         "n_grams_total",
         "n_grams_distinct",
         (
