@@ -646,9 +646,17 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fz = fuzzy_dedup_pairs(
         sup, "s_suppkey", "s_name", 1, strategy="deletion"
     ).agg(F.count(F.lit(1)).cast("long").alias("fuzzy_name_pairs"))
+    # LEFT join + coalesce(0): a (lang, bucket) group whose docs are all
+    # shorter than 3 tokens produces no div rows, and an inner join
+    # would silently drop that group's whole stats row (a coverage
+    # narrowing vs pre-r12 output)
     return (
         stats.join(chk, ["lang_pred", "bucket"])
-        .join(div, ["lang_pred", "bucket"])
+        .join(div, ["lang_pred", "bucket"], "left")
+        .withColumn("n_grams_total", F.coalesce("n_grams_total", F.lit(0)))
+        .withColumn(
+            "n_grams_distinct", F.coalesce("n_grams_distinct", F.lit(0))
+        )
         .crossJoin(F.broadcast(fz))
     )
 
@@ -992,8 +1000,12 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = T.langid_table(docs, "doc_id", "text", out_col="lang_pred").select(
         "doc_id", "sw_en", "sw_de", "lang_pred"
     )
+    # vocab_size explicitly far above any reachable slice size: the
+    # oracle's ctx/cont/bi tables are UNCAPPED, so a silent cap eviction
+    # at a bigger SF would flip seen_ctx to backoff and break parity
     lm = train_kn_lm(
-        docs.where(F.col("doc_id") % 17 == 0).select("text"), "text"
+        docs.where(F.col("doc_id") % 17 == 0).select("text"), "text",
+        vocab_size=1 << 20,
     )
     kn = kn_score_quantized(docs, "doc_id", "text", lm, scale_bits=20).select(
         "doc_id",
@@ -2109,16 +2121,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
     )
     html_leg = pagerank(mined, "s", "d", iters=3)
-    # hub/authority columns (r12, operator #141 under the driver gate):
-    # hits_quantized over the SAME direct edge set — the pagerank 2^-30
-    # trick extended through the l1-normalizing division, so the oracle
-    # (graph.hits_oracle_sql) replays every iteration exactly
-    # hits_exact: the HITS update is linear, so per-iteration l1
-    # normalization commutes out and the iteration runs in pure BIGINT
-    # sums (pagerank-shaped plan, no normalizer subtree) with ONE final
-    # division — the cheapest zero-tolerance form of the signal
-    # (hits_quantized, the normalized-quantized twin, is pytest-pinned
-    # against DuckDB separately in tests/test_graph.py)
+    # hub/authority columns (r12, operator #141 under the driver gate)
+    # over the SAME direct edge set
+    # hits_exact (graph.hits_exact_oracle_sql replays it): the HITS
+    # update is linear, so per-iteration l1 normalization commutes out
+    # and the iteration runs in pure BIGINT sums (pagerank-shaped plan,
+    # no normalizer subtree) with ONE final division — the cheapest
+    # zero-tolerance form of the signal (hits_quantized, the
+    # normalized-quantized twin, is pytest-pinned against DuckDB
+    # separately in tests/test_graph.py)
     ht = hits_exact(eck, "s", "d", iters=3)
     out = direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
         html_leg.select(F.lit("html").alias("leg"), "node", "rank")
@@ -2613,15 +2624,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality_score), 6) AS avg_quality,
                    min(src_chars) AS min_chars, max(src_chars) AS max_chars,
                    {_sql_signed("bit_xor(hash(doc_id))")} AS checksum,
-                   any_value(div.n_grams_total) AS n_grams_total,
-                   any_value(div.n_grams_distinct) AS n_grams_distinct,
+                   coalesce(any_value(div.n_grams_total), 0)
+                     AS n_grams_total,
+                   coalesce(any_value(div.n_grams_distinct), 0)
+                     AS n_grams_distinct,
                    (SELECT count(*)::BIGINT
                     FROM supplier a JOIN supplier b
                       ON a.s_suppkey < b.s_suppkey
                      AND levenshtein(a.s_name, b.s_name) <= 1
                    ) AS fuzzy_name_pairs
-            FROM q JOIN div ON q.lang_pred = div.lang_pred
-                           AND q.bucket = div.bucket
+            FROM q LEFT JOIN div ON q.lang_pred = div.lang_pred
+                                AND q.bucket = div.bucket
             GROUP BY q.lang_pred, q.bucket
         """,
         "q_kmv_distinct": """
@@ -3624,8 +3637,8 @@ _PAGERANK_EDGE_SQL = (
 # via extract_links) must equal the SAME rank vector — the oracle
 # computes it once and emits it under both tags, so the html leg's
 # extraction path is held to zero tolerance. The r12 hub/authority
-# columns replay hits_quantized (graph.hits_oracle_sql) over the same
-# edge set, also exactly.
+# columns replay hits_exact (graph.hits_exact_oracle_sql) over the
+# same edge set, in pure integer arithmetic — also exactly.
 _PAGERANK_ORACLE = (
     "WITH pr AS ({inner}), ht AS ({hits}) "
     "SELECT 'direct' AS leg, pr.node, pr.rank, ht.hub, ht.authority "

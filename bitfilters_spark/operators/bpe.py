@@ -530,8 +530,12 @@ def load_hf_tokenizer_json(path: str, spark=None) -> dict:
         # trained vocabs carry the ▁ word-start marker; this engine's
         # single-space words carry none (the Ġ caveat below, same trade).
         pieces = {str(p): float(lp) for p, lp in (model.get("vocab") or [])}
-        for tok in doc.get("added_tokens", []) or []:
-            pieces.setdefault(str(tok["content"]), 0.0)
+        # added_tokens are deliberately NOT folded into the lattice:
+        # HF matches them as pre-split whole tokens BEFORE the model
+        # runs, so giving them an in-lattice score (any score — log-prob
+        # 0.0 would dominate every real segmentation mid-word) changes
+        # Viterbi where the production tokenizer would not; callers that
+        # need specials handle them as a pre-split concern
         if not pieces:
             raise ValueError(f"tokenizer.json Unigram model at {path} has no vocab")
         return {

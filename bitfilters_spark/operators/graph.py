@@ -437,6 +437,12 @@ def hits_oracle_sql(
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
     ]
+    if iters < 1:
+        # the operator's iters=0 closed form: initial vectors
+        return (
+            ",\n".join(parts)
+            + "\nSELECT node, 1.0 AS hub, 0.0 AS authority FROM nodes"
+        )
     for i in range(iters):
         parts.append(
             f"ra{i + 1} AS (SELECT n.node, coalesce(s.v, 0.0) AS v FROM nodes n"
@@ -490,11 +496,20 @@ def hits_exact(
     CHEAP: the plan is pagerank-shaped — one join + one groupBy per
     half-iteration, linear lineage, no normalizer subtree doubling.
 
-    Bound: magnitudes grow like (edge count)^iters; Spark's ANSI mode
-    raises on long overflow rather than corrupting, so keep
-    ``iters * log2(|E|) < 63`` (iters=3 is safe beyond 2M edges).
-    Scale posture: node-keyed shuffles only; the edge list materializes
-    once (lazy checkpoint) like :func:`pagerank`."""
+    Bound: TWO integer matrix products run per iteration (auth then
+    hub), so magnitudes grow like d_max^(2·iters) — d_max the maximum
+    node degree — and the final l1 sums like n·d_max^(2·iters). A
+    runtime guard measures (d_max, n) in one pass over the deduped
+    edges and refuses when ``2·iters·log2(d_max) + log2(n) > 62``,
+    instead of letting ANSI mode kill the job mid-iteration (or, ANSI
+    off, letting values silently wrap while the DuckDB oracle's
+    HUGEINT sums keep going — a parity break with no error). For
+    graphs past the bound lower ``iters`` or use :func:`hits_quantized`
+    (floats never overflow). Scale posture: node-keyed shuffles only;
+    the edge list materializes once (the guard's pass doubles as the
+    materialization) like :func:`pagerank`."""
+    import math as _math
+
     if iters < 1:
         raise ValueError("iters must be >= 1")
     e = (
@@ -507,6 +522,24 @@ def hits_exact(
     )
     if iters > 1:
         e = e.localCheckpoint(eager=False)
+    # overflow guard: combined degree bounds both d_in and d_out max
+    g = (
+        e.select(F.explode(F.array("src", "dst")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("dmax"), F.count(F.lit(1)).alias("nn"))
+        .collect()[0]
+    )
+    dmax, n_nodes = int(g["dmax"] or 0), int(g["nn"] or 0)
+    if dmax and (
+        2 * iters * _math.log2(max(dmax, 2)) + _math.log2(max(n_nodes, 2))
+        > 62
+    ):
+        raise ValueError(
+            f"hits_exact: {iters} iterations at max degree {dmax} over "
+            f"{n_nodes} nodes can overflow 64-bit sums (bound "
+            "n*d_max^(2*iters)); lower iters or use hits_quantized"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -556,7 +589,10 @@ def hits_exact_oracle_sql(
 ) -> str:
     """The ANSI-SQL replay of :func:`hits_exact`: unrolled integer CTE
     sums (every intermediate a BIGINT — nothing to round) and the one
-    final l1 division. ``edges_sql`` must select columns (src, dst)."""
+    final l1 division. ``edges_sql`` must select columns (src, dst);
+    ``iters >= 1``, matching the operator's own validation."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     parts = [
         f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
         " WHERE src IS NOT NULL AND dst IS NOT NULL)",

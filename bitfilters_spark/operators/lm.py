@@ -183,6 +183,17 @@ def kn_model_from_type_tables(
             .orderBy(F.col("cb").desc(), "hb")
             .limit(vocab_size)
         )
+    elif discount <= 0.0:
+        # D = 0 (legal: n1 = 0 when no bigram type is a singleton) makes
+        # EVERY backoff mass 0 — log(0) would NULL every impact and the
+        # "top-impact" cap would decay to a hash-arbitrary subset. With
+        # no discount the explicit entry IS the whole probability, so
+        # occurrence count is the honest importance order.
+        bi = (
+            bi_types.select(F.xxhash64("hp", "hc").alias("hb"), "cb")
+            .orderBy(F.col("cb").desc(), "hb")
+            .limit(prune_to)
+        )
     else:
         # impact = cb * (log P_with - log P_without): rank rows by what
         # dropping them would cost the weighted corpus log-prob

@@ -170,9 +170,11 @@ def preference_prompt_leakage(
         .distinct()
         .withColumn("__leak", F.lit(True))
     )
+    # no broadcast hint: eval sets are usually broadcastable (AQE picks
+    # that itself) but the operator must survive ones that are not
     return (
         df.withColumn("__ph", F.xxhash64(p))
-        .join(F.broadcast(ev), "__ph", "left")
+        .join(ev, "__ph", "left")
         .withColumn("leaked", F.coalesce(F.col("__leak"), F.lit(False)))
         .drop("__ph", "__leak")
     )

@@ -770,15 +770,18 @@ def filter_contamination(
     hashes combined positionally, never materializing gram strings)."""
     from ..functions.filters import build_filter, probe_filter
 
+    # one lazy barrier: the bench gram explode feeds up to three
+    # consumers (sizing count, filter build, verify truth set) — without
+    # it each would re-run the full benchmark shingle pass
     bg = bench.select(
         F.explode(
             F.array_distinct(hashed_word_shingles(text_col, n))
         ).alias("g")
-    )
-    filt = build_filter(
-        bg, [], "g", kind,
-        n=max(bg.count(), 1), num_shards=num_shards,
-    )
+    ).localCheckpoint(eager=False)
+    # only the bloom family sizes from n — the peeled kinds size from
+    # the actual key array, so skip the count job for them
+    nb = max(bg.count(), 1) if kind == "bloom" else 100_000
+    filt = build_filter(bg, [], "g", kind, n=nb, num_shards=num_shards)
     dg = docs.select(
         F.col(id_col),
         F.explode(

@@ -423,9 +423,10 @@ def save_unigram_text(model: dict, path: str, spark=None) -> None:
     ``vocab: [[piece, logprob], ...]``), so trained models load into
     standard tooling AND back through :func:`bpe.load_hf_tokenizer_json`.
     Lines order by score descending then piece (deterministic; the
-    id order HF assigns on import). Pieces never contain whitespace
-    (words are single-space split upstream), so the line format is
-    unambiguous. Conventions note: SentencePiece-trained vocabularies
+    id order HF assigns on import). Tab/newline/backslash INSIDE a
+    piece (legal — word types come from the single-space split) are
+    escaped in the vocab file and unescaped on load, keeping the line
+    format unambiguous. Conventions note: SentencePiece-trained vocabularies
     mark word starts with ``▁`` (U+2581); models trained HERE carry no
     marker — same caveat as the BPE ``Ġ`` note on import, check
     `tokenizer_fertility_report` before committing a cross-convention
@@ -436,7 +437,20 @@ def save_unigram_text(model: dict, path: str, spark=None) -> None:
     from ..streaming import state_io
 
     rows = sorted(model["pieces"].items(), key=lambda kv: (-kv[1], kv[0]))
-    vocab_txt = "".join(f"{p}\t{logp!r}\n" for p, logp in rows)
+    # pieces CAN contain tab/newline (word types come from the single-
+    # space tokens() split, so '\t'/'\n' are legal piece characters):
+    # escape them (and backslash) so the line format stays unambiguous
+    # and the round trip lossless — an unescaped tab piece would crash
+    # the loader's float() and a newline piece would silently corrupt
+    def _esc(piece: str) -> str:
+        return (
+            piece.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+
+    vocab_txt = "".join(f"{_esc(p)}\t{logp!r}\n" for p, logp in rows)
     state_io.write_bytes(
         state_io.join(path, "unigram.vocab"), vocab_txt.encode("utf-8"), spark
     )
@@ -465,12 +479,25 @@ def load_unigram_text(path: str, spark=None) -> dict:
     raw = state_io.read_bytes(state_io.join(path, "unigram.vocab"), spark)
     if raw is None:
         raise FileNotFoundError(f"no unigram.vocab under {path}")
+    def _unesc(piece: str) -> str:
+        out, i = [], 0
+        while i < len(piece):
+            ch = piece[i]
+            if ch == "\\" and i + 1 < len(piece):
+                nxt = piece[i + 1]
+                out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, nxt))
+                i += 2
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
+
     pieces = {}
     for line in raw.decode("utf-8").splitlines():
         if not line:
             continue
         piece, _, score = line.partition("\t")
-        pieces[piece] = float(score)
+        pieces[_unesc(piece)] = float(score)
     if not pieces:
         raise ValueError(f"empty unigram.vocab under {path}")
     return {

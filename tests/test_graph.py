@@ -412,3 +412,49 @@ def test_hits_exact_is_the_exact_float_hits(spark, edges):
     import pytest as _p
     with _p.raises(ValueError, match="iters"):
         hits_exact(df, "src", "dst", iters=0)
+
+
+def test_hits_exact_overflow_guard(spark):
+    """Review fix (r12): magnitudes grow like d_max^(2*iters) — the
+    guard refuses a high-degree graph before ANSI overflow (or silent
+    wrap with ANSI off) instead of mid-iteration."""
+    from bitfilters_spark.operators.graph import hits_exact
+
+    # star graph: one hub pointing at 3000 nodes -> d_max = 3000
+    e = spark.range(3000).select(
+        F.lit(999_999).alias("src"), F.col("id").alias("dst")
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        hits_exact(e, "src", "dst", iters=4)
+    # small iters on the same graph stays under the bound and runs
+    got = hits_exact(e, "src", "dst", iters=1).collect()
+    assert len(got) == 3001
+
+
+def test_hits_quantized_iters0_oracle_closed_form(spark, edges):
+    """Review fix (r12): hits_quantized(iters=0) returns the initial
+    vectors and the oracle emits the same closed form instead of
+    invalid SQL; hits_exact's oracle matches its iters>=1 validation."""
+    import duckdb
+
+    from bitfilters_spark.operators.graph import (
+        hits_exact_oracle_sql,
+        hits_oracle_sql,
+        hits_quantized,
+    )
+
+    df, pairs = edges
+    got = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits_quantized(df, "src", "dst", iters=0).collect()
+    )
+    con = duckdb.connect()
+    con.register("edata", df.toPandas())
+    want = sorted(
+        map(tuple, con.sql(
+            hits_oracle_sql("SELECT src, dst FROM edata", iters=0)
+        ).fetchall())
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="iters"):
+        hits_exact_oracle_sql("SELECT 1 AS src, 2 AS dst", iters=0)

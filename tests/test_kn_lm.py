@@ -572,3 +572,25 @@ def test_kn_impact_pruning(spark):
     pc2 = cont[kw] / nt
     expect2 = math.log((bis[(ku, kw)] - d) / cu2 + d * ns2 / cu2 * pc2)
     assert got2 == pytest.approx(expect2, abs=1e-12)
+
+
+def test_kn_prune_zero_discount_falls_back_to_counts(spark):
+    """Review fix (r12): D = 0 (n1 = 0 — every bigram type repeats)
+    makes every backoff mass 0, so impact ranking is undefined; the
+    prune cap must fall back to occurrence order, not a NULL-impact
+    hash-arbitrary subset."""
+    texts = ["x y " * 30, "x y x y", "p q p q p q", "r s r s"]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    # force D = 0 explicitly to pin the branch regardless of estimate
+    pruned = train_kn_lm(df, "text", vocab_size=1 << 20, discount=0.0,
+                         prune_to=2)
+    kept = {r["hb"] for r in pruned["bi"].collect()}
+    want = {
+        r["hb"]
+        for r in train_kn_lm(df, "text", vocab_size=2, discount=0.0)["bi"]
+        .collect()
+    }
+    assert kept == want and len(kept) == 2  # top-cb rows, deterministically

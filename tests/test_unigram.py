@@ -328,3 +328,24 @@ def test_unigram_text_export_reimports_identically(spark, tmp_path):
         for r in unigram_encode(_df(spark), "doc_id", "text", via_hf).collect()
     }
     assert enc_a == enc_b
+
+
+def test_unigram_text_export_escapes_whitespace_pieces(spark, tmp_path):
+    """Review fix (r12): pieces CAN contain tab/newline (word types come
+    from the single-space split) — the vocab line format escapes them so
+    the round trip stays lossless instead of crashing or silently
+    loading the wrong piece."""
+    from bitfilters_spark.operators.unigram import (
+        load_unigram_text,
+        save_unigram_text,
+    )
+
+    model = {
+        "pieces": {"a\tb": -1.5, "c": -0.5, "x\ny": -2.0, "w\\z": -3.25,
+                   "plain": -0.25},
+        "max_piece_len": 5,
+    }
+    out = str(tmp_path / "esc")
+    save_unigram_text(model, out, spark)
+    back = load_unigram_text(out, spark)
+    assert back["pieces"] == model["pieces"]
