@@ -1438,8 +1438,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       benchmark fingerprints (probe short-circuits the definitely-clean
       bulk map-side; only probable hits pay the exact anti-join — result
       identical to plain NOT IN).
+    - `fc_flagged` leg (r12, operator #151): `filter_contamination` with
+      kind='duckdb_bloom' and the DuckDB-parity gram hash — the whole
+      AMQ decontamination path INCLUDING its false positives under the
+      zero-tolerance gate: the oracle rebuilds the byte-identical
+      sector/mask filter from the bench grams in SQL and replays every
+      probe, so `fc_flagged` (>= n_hit by the no-false-negative law)
+      must match bit-for-bit.
     """
-    from bitfilters_spark.operators.text import ngram_contamination
+    from bitfilters_spark.operators.text import (
+        filter_contamination,
+        ngram_contamination,
+    )
     from bitfilters_spark.plans.filter_join import antijoin_filter
 
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
@@ -1447,6 +1457,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
     contam = ngram_contamination(train, bench, "doc_id", "text", n=5, hashed=False)
+    # the parity path (string shingles + Arrow parity hash) costs ~3x
+    # the native path per gram — probe a THIRD of train (doc_id % 3 == 0;
+    # the oracle replays the same slice) to bound the leg at ~+1 s while
+    # every stage of the operator still runs end-to-end at corpus scale
+    fc = filter_contamination(
+        train.where(F.col("doc_id") % 3 == 0), bench, "doc_id", "text",
+        n=5, kind="duckdb_bloom", verify=False, native=False,
+        num_sectors=1024,
+    ).select("doc_id", F.col("n_flagged").alias("fc_flagged"))
     fp = F.substring_index("text", " ", 5)
     clean = antijoin_filter(
         train.select("doc_id", fp.alias("fp")),
@@ -1457,13 +1476,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=10_000,
         fpp=0.01,
     )
-    return contam.join(
-        clean.select("doc_id", F.lit(1).alias("fp_clean")), "doc_id", "left"
-    ).select(
-        "doc_id",
-        "n_grams",
-        "n_hit",
-        F.coalesce("fp_clean", F.lit(0)).alias("fp_clean"),
+    return (
+        contam.join(
+            clean.select("doc_id", F.lit(1).alias("fp_clean")),
+            "doc_id",
+            "left",
+        )
+        .join(fc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.coalesce("fp_clean", F.lit(0)).alias("fp_clean"),
+            "fc_flagged",
+        )
     )
 
 
@@ -3282,10 +3308,29 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id % 17 <> 0
                 AND array_to_string(string_split(text, ' ')[1:5], ' ') NOT IN (
                   SELECT array_to_string(string_split(text, ' ')[1:5], ' ')
-                  FROM documents WHERE doc_id % 17 = 0))
+                  FROM documents WHERE doc_id % 17 = 0)),
+            -- fc_flagged leg: rebuild the duckdb_bloom sector table from
+            -- the bench grams (bit_or of Kirsch-Mitzenmacher masks) and
+            -- replay every probe — byte-identical to the Spark blob
+            bh AS (SELECT DISTINCT hash(g) AS h FROM bg),
+            ins AS (
+              SELECT h & 1023 AS idx, bit_or((1::HUGEINT << (((h >> 32) & 63)::INT)) | (1::HUGEINT << (((h >> 40) & 63)::INT)) | (1::HUGEINT << (((h >> 48) & 63)::INT)) | (1::HUGEINT << (((h >> 56) & 63)::INT))) AS sector
+              FROM bh GROUP BY idx),
+            fh AS (SELECT doc_id, hash(g) AS h FROM dg
+                   WHERE doc_id % 3 = 0),
+            fc AS (
+              SELECT f.doc_id,
+                     count(*) FILTER (
+                       WHERE s.sector IS NOT NULL
+                         AND (s.sector & ((1::HUGEINT << (((f.h >> 32) & 63)::INT)) | (1::HUGEINT << (((f.h >> 40) & 63)::INT)) | (1::HUGEINT << (((f.h >> 48) & 63)::INT)) | (1::HUGEINT << (((f.h >> 56) & 63)::INT)))) = ((1::HUGEINT << (((f.h >> 32) & 63)::INT)) | (1::HUGEINT << (((f.h >> 40) & 63)::INT)) | (1::HUGEINT << (((f.h >> 48) & 63)::INT)) | (1::HUGEINT << (((f.h >> 56) & 63)::INT)))
+                     )::BIGINT AS fc_flagged
+              FROM fh f LEFT JOIN ins s ON s.idx = (f.h & 1023)
+              GROUP BY f.doc_id)
             SELECT s.doc_id, s.n_grams, s.n_hit,
-                   CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS fp_clean
+                   CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS fp_clean,
+                   fc.fc_flagged
             FROM scored s LEFT JOIN clean c USING (doc_id)
+            LEFT JOIN fc USING (doc_id)
         """,
         "q_token_budget": """
             WITH stats AS (

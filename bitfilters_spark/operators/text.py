@@ -738,6 +738,8 @@ def filter_contamination(
     kind: str = "xor16",
     verify: bool = True,
     num_shards: int | None = None,
+    native: bool = True,
+    **filter_kwargs,
 ) -> DataFrame:
     """:func:`ngram_contamination` at the scale where the benchmark gram
     SET itself stops being broadcastable — the engine's filter kernels
@@ -766,28 +768,58 @@ def filter_contamination(
       :func:`ngram_contamination` exactly (pytest-pinned) at a fraction
       of its join input.
 
-    Both gram streams hash identically (`hashed_word_shingles` — token
-    hashes combined positionally, never materializing gram strings)."""
+    Both gram streams hash identically — ``native=True`` (default)
+    via `hashed_word_shingles` (token hashes combined positionally,
+    never materializing gram strings; the fast path), ``native=False``
+    via `duckdb_hash` of the gram STRING (the cross-engine path: a
+    DuckDB oracle replays hash + — for kind="duckdb_bloom" — the whole
+    sector/mask build and probe EXACTLY, which is how the driver gate
+    pins this operator including its false positives). Extra
+    ``filter_kwargs`` (num_sectors, fpp, ...) pass through to
+    `build_filter`."""
     from ..functions.filters import build_filter, probe_filter
+
+    def bench_grams(df_):
+        if native:
+            return df_.select(
+                F.explode(
+                    F.array_distinct(hashed_word_shingles(text_col, n))
+                ).alias("g")
+            )
+        # the parity hash is an Arrow UDF (not expressible inside a
+        # higher-order lambda): explode the STRING grams, hash the column
+        return df_.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias(
+                "gs"
+            )
+        ).select(duckdb_hash("v1.0.0", "gs").alias("g"))
+
+    def doc_grams(df_):
+        if native:
+            return df_.select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(hashed_word_shingles(text_col, n))
+                ).alias("g"),
+            )
+        return df_.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias(
+                "gs"
+            ),
+        ).select(id_col, duckdb_hash("v1.0.0", "gs").alias("g"))
 
     # one lazy barrier: the bench gram explode feeds up to three
     # consumers (sizing count, filter build, verify truth set) — without
     # it each would re-run the full benchmark shingle pass
-    bg = bench.select(
-        F.explode(
-            F.array_distinct(hashed_word_shingles(text_col, n))
-        ).alias("g")
-    ).localCheckpoint(eager=False)
+    bg = bench_grams(bench).localCheckpoint(eager=False)
     # only the bloom family sizes from n — the peeled kinds size from
     # the actual key array, so skip the count job for them
     nb = max(bg.count(), 1) if kind == "bloom" else 100_000
-    filt = build_filter(bg, [], "g", kind, n=nb, num_shards=num_shards)
-    dg = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(hashed_word_shingles(text_col, n))
-        ).alias("g"),
+    filt = build_filter(
+        bg, [], "g", kind, n=nb, num_shards=num_shards, **filter_kwargs
     )
+    dg = doc_grams(docs)
     probed = probe_filter(dg, filt, "g", result_col="__flag")
     agg = [
         F.count(F.lit(1)).alias("n_grams"),

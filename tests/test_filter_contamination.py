@@ -88,3 +88,25 @@ def test_sharded_build_same_answers(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_duckdb_parity_mode_matches_native(spark):
+    """native=False (string shingles + DuckDB-parity hash, the gate
+    path) preserves the operator laws: verify path ≡ exact
+    contamination, flags ≥ hits."""
+    docs, bench = _mk_docs(spark), _mk_bench(spark)
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination(docs, bench, n=5).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["n_hit"])
+        for r in filter_contamination(
+            docs, bench, n=5, kind="duckdb_bloom", native=False,
+            num_sectors=1024,
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for did, (n_grams, n_flagged, n_hit) in got.items():
+        assert (n_grams, n_hit) == exact[did]
+        assert n_flagged >= n_hit
