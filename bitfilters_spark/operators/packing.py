@@ -130,6 +130,53 @@ def pack_shards(
     )
 
 
+def packing_report(
+    packed: DataFrame,
+    shard_col: str = "shard",
+    weight_col: str | None = None,
+    shard_weight: int | None = None,
+) -> DataFrame:
+    """One-row audit of a packing run — the numbers a training-ops
+    review asks for before shards ship:
+
+    - ``n_shards`` / ``n_docs`` / ``total_weight``;
+    - ``min_fill`` / ``max_fill`` / ``mean_fill`` — per-shard weight
+      sums (the `pack_shards` boundary rule lets a shard overrun by at
+      most one document, so max_fill bounds the realized context
+      overflow);
+    - with ``shard_weight``: ``fill_rate`` = total_weight /
+      (n_shards · shard_weight) — padding waste is ``1 − fill_rate``
+      of every training step's FLOPs, the metric that justifies
+      best-fit or cluster-aware packing over naive order.
+
+    Works on any (shard, weight) table — `pack_shards`,
+    `pack_sequences`' output exploded, or an external manifest. Two
+    small aggregations (per-shard, then one row); integer outputs
+    where the inputs are integers."""
+    wcol = weight_col or "w"
+    per = packed.groupBy(shard_col).agg(
+        F.sum(F.col(wcol).cast("long")).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("total_weight"),
+        F.min("__w").cast("long").alias("min_fill"),
+        F.max("__w").cast("long").alias("max_fill"),
+        F.avg("__w").alias("mean_fill"),
+    )
+    if shard_weight is None:
+        return agg
+    if shard_weight <= 0:
+        raise ValueError("shard_weight must be positive")
+    return agg.withColumn(
+        "fill_rate",
+        F.col("total_weight").cast("double")
+        / (F.col("n_shards").cast("double") * F.lit(float(shard_weight))),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

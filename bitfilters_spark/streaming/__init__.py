@@ -32,6 +32,11 @@ from .lm import (
     streaming_kn_model,
     streaming_kn_stats,
 )
+from .preference import (
+    preference_stats_fold,
+    streaming_preference_report,
+    streaming_preference_stats,
+)
 from .sessions import streaming_sessionize
 from .tokenizer import (
     compact_word_stats,
@@ -66,6 +71,9 @@ __all__ = [
     "make_prep_pipeline_fold",
     "streaming_prep_pipeline",
     "streaming_neardup_dedup",
+    "streaming_preference_stats",
+    "preference_stats_fold",
+    "streaming_preference_report",
     "streaming_word_stats",
     "word_stats_fold",
     "streaming_word_frequencies",

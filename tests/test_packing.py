@@ -282,3 +282,33 @@ def test_pack_shards_order_cols_cluster_packing(spark):
     for did, _, n in sorted(rows):
         assert out2[did] == run
         run += n
+
+
+def test_packing_report(spark):
+    """packing_report over a pack_shards run: counts/fills against a
+    python replay; fill_rate with the budget; weight_col naming."""
+    from bitfilters_spark.operators.packing import pack_shards, packing_report
+
+    rows = [(i, 3 + (i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = pack_shards(df, "doc_id", "n", 40)
+    import pytest
+
+    rep = packing_report(packed, "shard", "n", shard_weight=40).collect()[0]
+
+    fills = {}
+    run = 0
+    for _, n in sorted(rows):
+        fills[run // 40] = fills.get(run // 40, 0) + n
+        run += n
+    total = sum(n for _, n in rows)
+    assert rep["n_shards"] == len(fills)
+    assert rep["n_docs"] == 100
+    assert rep["total_weight"] == total
+    assert rep["min_fill"] == min(fills.values())
+    assert rep["max_fill"] == max(fills.values())
+    assert rep["mean_fill"] == pytest.approx(total / len(fills))
+    assert rep["fill_rate"] == pytest.approx(total / (len(fills) * 40.0))
+    import pytest as _p
+    with _p.raises(ValueError, match="shard_weight"):
+        packing_report(packed, "shard", "n", shard_weight=0)

@@ -2267,3 +2267,63 @@ def test_streaming_word_stats_match_batch_tokenizers(spark, tmp_path):
     # empty state: None
     assert streaming_word_frequencies(spark, str(tmp_path / "nope")) is None
     assert streaming_bpe_model(spark, str(tmp_path / "nope")) is None
+
+
+def test_streaming_preference_report_matches_batch(spark, tmp_path):
+    """Streamed preference counters over 3 micro-batches == the batch
+    length_bias_report on the union, EXACTLY (integer partials, one
+    final division); replaying an applied batch id is a no-op; empty
+    state -> None."""
+    from bitfilters_spark.operators.preference import length_bias_report
+    from bitfilters_spark.streaming import state_io
+    from bitfilters_spark.streaming.preference import (
+        preference_stats_fold,
+        streaming_preference_report,
+        streaming_preference_stats,
+    )
+
+    rows = []
+    for i in range(60):
+        chosen = "good answer " * (1 + i % 4)
+        rejected = "bad " * (1 + (i * 3) % 5)
+        if i % 10 == 0:
+            rejected = chosen  # identical pair: not pref_ok
+        rows.append((i, f"prompt {i}", chosen.strip(), rejected.strip()))
+    schema = "pair_id long, prompt string, chosen string, rejected string"
+    src = str(tmp_path / "pref_in")
+    ckpt = str(tmp_path / "pref_ck")
+    state = str(tmp_path / "pref_state")
+    markers = str(tmp_path / "pref_markers")
+    for chunk in (rows[:20], rows[20:40]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_preference_stats(stream, state, markers).option(
+        "checkpointLocation", ckpt
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[40:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(rows, schema)
+    live = streaming_preference_report(spark, state).collect()[0].asDict()
+    batch = length_bias_report(union).collect()[0].asDict()
+    assert live == batch
+
+    # replaying an applied batch id changes nothing
+    n_before = spark.read.parquet(f"{state}/partials").count()
+    applied = sorted(
+        int(n.split("-")[1]) for n in state_io.list_names(markers, spark)
+    )
+    preference_stats_fold(state, markers)(
+        spark.createDataFrame(rows[40:], schema), applied[-1]
+    )
+    assert spark.read.parquet(f"{state}/partials").count() == n_before
+
+    assert streaming_preference_report(spark, str(tmp_path / "nope")) is None
