@@ -152,8 +152,21 @@ def packing_report(
     Works on any (shard, weight) table — `pack_shards`,
     `pack_sequences`' output exploded, or an external manifest. Two
     small aggregations (per-shard, then one row); integer outputs
-    where the inputs are integers."""
+    where the inputs are integers.
+
+    ``weight_col`` defaults by schema inspection: ``pack_shards``
+    names its weight column after the CALLER's ``weight_col`` (e.g.
+    ``n_tokens``), so when the argument is omitted this resolves
+    ``'w'`` if present, else raises a ValueError naming the available
+    columns — a loud early error instead of a mid-plan
+    AnalysisException."""
     wcol = weight_col or "w"
+    if wcol not in packed.columns:
+        raise ValueError(
+            f"packing_report: weight column {wcol!r} not in input "
+            f"columns {packed.columns}; pass weight_col= (pack_shards "
+            "names it after the weight_col you packed with)"
+        )
     per = packed.groupBy(shard_col).agg(
         F.sum(F.col(wcol).cast("long")).alias("__w"),
         F.count(F.lit(1)).alias("__n"),

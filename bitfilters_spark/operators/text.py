@@ -551,18 +551,22 @@ def ngram_diversity(
 
 
 def script_profile(col) -> Column:
-    """struct(n_letters, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek,
-    n_hebrew, n_hangul, n_devanagari) — Unicode-script letter counts,
-    the language-ID complement the stopword tables can't provide
-    (stopword langid only separates languages SHARING a script; a
-    Cyrillic or CJK page scores 0 on every list and needs the script
-    signal to route to the right pipeline — the FineWeb-2 shape: script
-    first, then per-script language models). Pure JVM ``regexp_count``
-    with Java Unicode script classes — scan-speed, no UDF. Ratios are
-    one division away; counts stay integer for exact cross-engine
-    compares. Script classes include combining marks (a Devanagari
-    matra counts toward n_devanagari), while ``n_letters`` is strict
-    \p{L} — the script sum can exceed it on abugida text."""
+    r"""struct(n_letters, n_latin, n_cyrillic, n_cjk, n_hiragana,
+    n_katakana, n_arabic, n_greek, n_hebrew, n_hangul, n_devanagari,
+    n_thai) — Unicode-script letter counts, the language-ID complement
+    the stopword tables can't provide (stopword langid only separates
+    languages SHARING a script; a Cyrillic or CJK page scores 0 on
+    every list and needs the script signal to route to the right
+    pipeline — the FineWeb-2 shape: script first, then per-script
+    language models). Hiragana/Katakana are counted separately from Han
+    so a kana-heavy Japanese page — the exact routing case — does not
+    profile as script-less, and the kana:Han mix separates Japanese
+    from Chinese text that shares the Han block. Pure JVM
+    ``regexp_count`` with Java Unicode script classes — scan-speed, no
+    UDF. Ratios are one division away; counts stay integer for exact
+    cross-engine compares. Script classes include combining marks (a
+    Devanagari matra counts toward n_devanagari), while ``n_letters``
+    is strict \p{L} — the script sum can exceed it on abugida text."""
     c = F.col(col) if isinstance(col, str) else col
     def n(script):
         return F.regexp_count(c, F.lit(rf"\p{{Is{script}}}")).alias(
@@ -572,8 +576,9 @@ def script_profile(col) -> Column:
         F.regexp_count(c, F.lit(r"\p{L}")).alias("n_letters"),
         n("Latin"), n("Cyrillic"),
         F.regexp_count(c, F.lit(r"\p{IsHan}")).alias("n_cjk"),
+        n("Hiragana"), n("Katakana"),
         n("Arabic"), n("Greek"), n("Hebrew"), n("Hangul"),
-        n("Devanagari"),
+        n("Devanagari"), n("Thai"),
     )
 
 
@@ -581,34 +586,72 @@ def dedup_lines_within_doc(
     df: DataFrame,
     text_col: str,
     out_col: str | None = None,
+    max_lines: int | None = None,
 ) -> DataFrame:
     """Drop each document's REPEATED lines, keeping first occurrences in
     order — intra-document exact dedup (the Gopher/C4 repetition family
     acts ON the signal instead of just scoring it; distinct from
     `web.remove_boilerplate_lines`, which drops lines repeated ACROSS
     documents). Adds ``{out_col}`` (default: rewrite ``text_col``) and
-    ``n_dup_lines``. One higher-order ``aggregate`` running a
-    seen-array fold per document — no shuffle, no UDF; the
-    ``array_contains`` scan makes it O(lines²) per doc, fine at
-    real-page line counts (hundreds) and never corpus-dependent."""
+    ``n_dup_lines``.
+
+    Per-doc cost is O(lines·log lines): sort (line, position) structs,
+    mark each run head by comparing against a one-slot-shifted copy
+    (``zip_with`` pads the shorter side with NULL, giving the i=0 head
+    for free), then restore document order by sorting the survivors on
+    position — all JVM higher-order expressions, no shuffle, no UDF, no
+    seen-array rescans, so a pathological crawl row (a 10^5-line log
+    dump or minified blob) stays a ~n·log n task instead of an O(n²)
+    straggler. ``max_lines`` is a fail-safe in the ``max_right_rows``
+    convention: when set, documents with more lines pass through
+    UNCHANGED (``n_dup_lines`` NULL) and are flagged
+    ``line_dedup_skipped`` so the bypass is countable downstream."""
     out_col = out_col or text_col
     lines = F.split(F.col(text_col), "\n")
-    kept = F.aggregate(
+    tagged = F.zip_with(
         lines,
-        F.array().cast("array<string>"),
-        lambda acc, l: F.when(F.array_contains(acc, l), acc).otherwise(
-            F.concat(acc, F.array(l))
+        F.sequence(F.lit(0), F.size(lines) - 1),
+        lambda l, p: F.struct(l.alias("l"), p.alias("p")),
+    )
+    srt = F.array_sort(tagged)  # struct order: line first, then position
+    # zip the sorted array against itself shifted one slot right; the
+    # extra leading NULL makes zip_with pad the LEFT side's tail, so
+    # drop the trailing a-is-NULL element and keep run heads only.
+    heads = F.filter(
+        F.zip_with(
+            srt,
+            F.concat(F.array(F.lit(None).cast("struct<l:string,p:int>")), srt),
+            lambda a, prev: F.struct(
+                a["l"].alias("l"),
+                a["p"].alias("p"),
+                (prev.isNull() | (prev["l"] != a["l"])).alias("keep"),
+            ),
         ),
+        lambda x: x["l"].isNotNull() & x["keep"],
     )
-    return (
-        df.withColumn("__kept", kept)
-        .withColumn(
-            "n_dup_lines",
-            (F.size(lines) - F.size("__kept")).cast("long"),
+    kept = F.transform(
+        F.array_sort(
+            F.transform(
+                heads, lambda x: F.struct(x["p"].alias("p"), x["l"].alias("l"))
+            )
+        ),
+        lambda x: x["l"],
+    )
+    deduped = F.array_join(kept, "\n")
+    n_dup = (F.size(lines) - F.size(kept)).cast("long")
+    if max_lines is not None:
+        oversize = F.size(lines) > F.lit(int(max_lines))
+        return (
+            df.withColumn("line_dedup_skipped", oversize)
+            .withColumn(
+                "n_dup_lines",
+                F.when(oversize, F.lit(None).cast("long")).otherwise(n_dup),
+            )
+            .withColumn(
+                out_col, F.when(oversize, F.col(text_col)).otherwise(deduped)
+            )
         )
-        .withColumn(out_col, F.array_join(F.col("__kept"), "\n"))
-        .drop("__kept")
-    )
+    return df.withColumn("n_dup_lines", n_dup).withColumn(out_col, deduped)
 
 
 def span_corruption(
@@ -729,6 +772,23 @@ def span_corruption(
     )
 
 
+def _size_capacity_kind(kind: str, nkeys: int, filter_kwargs: dict) -> dict:
+    """Derive safe geometry for fixed-capacity filter kinds from the key
+    count, unless the caller already passed it: cuckoo gets the next
+    power-of-two ``nbuckets`` at <=0.84 load (the kick loop stays sane),
+    quotient the smallest ``q`` with 2^q slots at <=0.85 load. Bloom
+    sizes via ``n`` directly in `build_filter`; peeled kinds size from
+    the key array. Returns a (possibly updated) copy."""
+    out = dict(filter_kwargs)
+    if kind == "cuckoo" and "nbuckets" not in out:
+        bs = out.get("bucket_size", 4)
+        need = int(nkeys / (bs * 0.84)) + 1
+        out["nbuckets"] = max(2, 1 << (need - 1).bit_length())
+    if kind == "quotient" and "q" not in out:
+        out["q"] = max(8, int(nkeys / 0.85).bit_length())
+    return out
+
+
 def filter_contamination(
     docs: DataFrame,
     bench: DataFrame,
@@ -749,7 +809,10 @@ def filter_contamination(
     The benchmark's distinct gram hashes aggregate into ONE immutable
     filter blob (~2.4 bytes/gram at xor16 vs 8-byte hashes + join
     machinery for the set join; `build_filter`, any registered kind,
-    `num_shards` for the billion-gram build), which broadcasts and
+    `num_shards` for the billion-gram build — capacity-bound kinds
+    [bloom/cuckoo/quotient] are auto-sized from the gram count at a
+    safe load factor unless their geometry kwargs are passed
+    explicitly), which broadcasts and
     probes map-side (`probe_filter` — numpy over Arrow batches, no
     shuffle on the corpus gram stream before its per-doc aggregation).
 
@@ -813,9 +876,18 @@ def filter_contamination(
     # consumers (sizing count, filter build, verify truth set) — without
     # it each would re-run the full benchmark shingle pass
     bg = bench_grams(bench).localCheckpoint(eager=False)
-    # only the bloom family sizes from n — the peeled kinds size from
-    # the actual key array, so skip the count job for them
-    nb = max(bg.count(), 1) if kind == "bloom" else 100_000
+    # capacity-bound kinds size from the gram count (the peeled kinds —
+    # xor/fuse/ribbon — size from the actual key array, so they skip the
+    # count job): bloom via n; cuckoo/quotient get their geometry derived
+    # at a safe load factor UNLESS the caller passed it explicitly — a
+    # benchmark-scale gram set must never out-grow a default-sized
+    # fixed-capacity filter mid-build (ADVICE r12)
+    nb = (
+        max(bg.count(), 1)
+        if kind in ("bloom", "cuckoo", "quotient")
+        else 100_000
+    )
+    filter_kwargs = _size_capacity_kind(kind, nb, filter_kwargs)
     filt = build_filter(
         bg, [], "g", kind, n=nb, num_shards=num_shards, **filter_kwargs
     )

@@ -90,6 +90,47 @@ def test_sharded_build_same_answers(spark):
     assert a == b
 
 
+def test_capacity_kind_auto_sizing():
+    """ADVICE r12: capacity-bound kinds must size from the gram count —
+    the derivation pins a power-of-two cuckoo table at <=0.84 load and a
+    quotient q at <=0.85 load, and never overrides explicit kwargs."""
+    from bitfilters_spark.operators.text import _size_capacity_kind
+
+    nk = 1_000_000
+    ck = _size_capacity_kind("cuckoo", nk, {})
+    nb = ck["nbuckets"]
+    assert nb & (nb - 1) == 0  # power of two (core/cuckoo.py requires)
+    assert nk <= nb * 4 * 0.84 + 4  # fits at safe load, default bucket_size
+    ck1 = _size_capacity_kind("cuckoo", nk, {"bucket_size": 1})
+    assert ck1["nbuckets"] >= nb * 4 / 2  # smaller buckets -> more of them
+    qk = _size_capacity_kind("quotient", nk, {})
+    assert (1 << qk["q"]) * 0.85 >= nk
+    # explicit geometry is respected verbatim
+    assert _size_capacity_kind("cuckoo", nk, {"nbuckets": 64}) == {"nbuckets": 64}
+    assert _size_capacity_kind("quotient", nk, {"q": 10}) == {"q": 10}
+    # non-capacity kinds pass through untouched
+    assert _size_capacity_kind("xor16", nk, {}) == {}
+
+
+def test_capacity_kinds_end_to_end(spark):
+    """cuckoo/quotient rides filter_contamination with DERIVED geometry
+    and still satisfies the operator laws (verify ≡ exact)."""
+    docs, bench = _mk_docs(spark), _mk_bench(spark)
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination(docs, bench, n=5).collect()
+    }
+    for kind in ("cuckoo", "quotient"):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_flagged"], r["n_hit"])
+            for r in filter_contamination(docs, bench, n=5, kind=kind).collect()
+        }
+        assert set(got) == set(exact)
+        for did, (n_grams, n_flagged, n_hit) in got.items():
+            assert (n_grams, n_hit) == exact[did]
+            assert n_flagged >= n_hit
+
+
 def test_duckdb_parity_mode_matches_native(spark):
     """native=False (string shingles + DuckDB-parity hash, the gate
     path) preserves the operator laws: verify path ≡ exact

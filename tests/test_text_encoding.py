@@ -209,6 +209,8 @@ def test_script_profile_counts(spark):
         (1, "hello мир 世界 مرحبا γειά שלום 한글 नमस्ते 123!"),
         (2, "pure ascii text"),
         (3, ""),
+        (4, "日本語のテキスト です"),      # kana-heavy Japanese + Han
+        (5, "ภาษาไทยสวัสดี"),              # Thai (incl. combining marks)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -230,6 +232,16 @@ def test_script_profile_counts(spark):
     assert sum(p[k] for k in p if k != "n_letters") == 31
     assert got[2]["n_latin"] == 13 and got[2]["n_cyrillic"] == 0
     assert all(v == 0 for v in got[3].values())
+    # the r12-verdict routing case: a kana-heavy Japanese page must NOT
+    # profile as script-less — Hiragana/Katakana counted apart from Han
+    jp = got[4]
+    assert jp["n_cjk"] == 3           # 日本語
+    assert jp["n_hiragana"] == 3      # の + です
+    assert jp["n_katakana"] == 4      # テキスト
+    assert jp["n_cjk"] + jp["n_hiragana"] + jp["n_katakana"] == jp["n_letters"]
+    th = got[5]
+    assert th["n_thai"] >= 10 and th["n_latin"] == 0
+    assert th["n_thai"] >= th["n_letters"]  # combining vowels/tones counted
 
 
 def test_dedup_lines_within_doc(spark):
@@ -254,6 +266,52 @@ def test_dedup_lines_within_doc(spark):
         for r in dedup_lines_within_doc(df, "text").collect()
     }
     assert inplace[1] == "a\nb\nc"
+
+
+def test_dedup_lines_large_doc_bounded(spark):
+    """r12 verdict #157: a pathological 50k-line document must complete
+    in bounded time (the sort-based path is O(n log n), not the old
+    seen-array O(n²) fold) and still match a python replay exactly."""
+    import time
+
+    from bitfilters_spark.operators.text import dedup_lines_within_doc
+
+    n = 50_000
+    py_lines = [f"line-{i % 7919}-{i % 13}" for i in range(n)]
+    doc = "\n".join(py_lines)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    t0 = time.monotonic()
+    row = dedup_lines_within_doc(df, "text", "clean").collect()[0]
+    elapsed = time.monotonic() - t0
+    seen, kept = set(), []
+    for l in py_lines:
+        if l not in seen:
+            seen.add(l)
+            kept.append(l)
+    assert row["clean"] == "\n".join(kept)
+    assert row["n_dup_lines"] == n - len(kept)
+    # generous bound: the quadratic fold took minutes here, the sorted
+    # path is sub-second plus session overhead
+    assert elapsed < 60, f"50k-line doc took {elapsed:.1f}s"
+
+
+def test_dedup_lines_max_lines_bypass(spark):
+    """max_lines= passes oversized docs through unchanged with a counted
+    flag (the max_right_rows fail-safe convention); small docs dedup."""
+    from bitfilters_spark.operators.text import dedup_lines_within_doc
+
+    rows = [(1, "a\na\nb"), (2, "x\nx\nx\nx\nx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_lines_within_doc(df, "text", max_lines=4).collect()
+    }
+    assert got[1]["text"] == "a\nb"
+    assert got[1]["n_dup_lines"] == 1
+    assert got[1]["line_dedup_skipped"] is False
+    assert got[2]["text"] == "x\nx\nx\nx\nx"  # unchanged
+    assert got[2]["n_dup_lines"] is None
+    assert got[2]["line_dedup_skipped"] is True
 
 
 def test_ngram_diversity(spark):
