@@ -844,13 +844,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per tokenizer, and `chunk_documents(chunk_tokens=64, overlap=16)`
     rolled up per doc — `n_chunks` and `chunk_token_sum` (which must equal
     n_tokens + (n_chunks-1)*overlap except for the short-tail rule, so the
-    start/stride/slice arithmetic is fully pinned by the oracle)."""
+    start/stride/slice arithmetic is fully pinned by the oracle).
+
+    `sc_*` legs (r13, operator #154 under the driver gate):
+    `span_corruption(hash="duckdb")` — T5 span corruption with the
+    cross-engine md5-derived span hash, so the oracle replays the FULL
+    derivation (bucket boundaries, hash-chosen span length/offset,
+    sentinel interleave) and string-compares inputs/targets with zero
+    tolerance — the reconstruction law under the gate."""
     from bitfilters_spark.operators.chat import (
         assistant_token_spans,
         chat_tokens,
         render_chat,
     )
-    from bitfilters_spark.operators.text import chunk_documents
+    from bitfilters_spark.operators.text import chunk_documents, span_corruption
 
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
@@ -894,6 +901,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("spans", 1)["start"].cast("long").alias("chat_span_start"),
         F.element_at("spans", 1)["end"].cast("long").alias("chat_span_end"),
     )
+    sc = span_corruption(docs, "doc_id", "text", hash="duckdb").select(
+        "doc_id",
+        F.col("inputs").alias("sc_inputs"),
+        F.col("targets").alias("sc_targets"),
+        F.col("n_masked").alias("sc_n_masked"),
+    )
     return (
         docs.select(
             "doc_id",
@@ -903,6 +916,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(chunks, "doc_id")
         .join(chat, "doc_id")
+        .join(sc, "doc_id")
     )
 
 
@@ -931,7 +945,25 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lorem-ipsum / bad-word page gates) — every doc gets a deterministic
     6-line page exercising keep AND drop paths of every rule; the
     cleaned text is string-compared and the flags are integer, so the
-    oracle replay is bit-exact."""
+    oracle replay is bit-exact.
+
+    `pref_*` legs (r13, operator #152 under the driver gate): every doc
+    becomes a deterministic (prompt, chosen, rejected) DPO triple with
+    planted hazards keyed on doc_id % 12 — ==1: one CONSTANT triple
+    (the pair-dedup group, min doc_id wins), ==3: rejected := chosen
+    (identical, zero preference signal), ==5: chosen := '' (degenerate);
+    eval prompts are the %12==7 prompts upper-cased with doubled spaces
+    (leakage must survive `normalize_text`). The oracle replays the \\s+
+    token stats, the flag booleans, the pair-dedup window, the
+    normalized-prompt leakage join, and the byte-exact ChatML chosen
+    render (preference.py: preference_stats / dedup_preference_pairs /
+    preference_prompt_leakage / render_preference)."""
+    from bitfilters_spark.operators.preference import (
+        dedup_preference_pairs,
+        preference_prompt_leakage,
+        preference_stats,
+        render_preference,
+    )
     from bitfilters_spark.operators.text import c4_rules, gopher_rules
 
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
@@ -966,6 +998,53 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c4_has_badword").cast("int").alias("c4_has_badword"),
         F.col("c4_pass").cast("int").alias("c4_pass"),
     )
+    m = did % 12
+    chosen_norm = F.expr("substring(text, 41, 120)")
+    triples = docs.select(
+        "doc_id",
+        F.when(m == 1, F.lit("Common question?"))
+        .otherwise(
+            F.concat(
+                F.lit("Q"), did.cast("string"), F.lit(": "),
+                F.substring("text", 1, 40),
+            )
+        )
+        .alias("prompt"),
+        F.when(m == 1, F.lit("The shared chosen answer."))
+        .when(m == 5, F.lit(""))
+        .otherwise(chosen_norm)
+        .alias("chosen"),
+        F.when(m == 1, F.lit("The shared rejected answer."))
+        .when(m == 3, chosen_norm)
+        .otherwise(F.expr("substring(text, 161, 80)"))
+        .alias("rejected"),
+    )
+    evals = triples.where(m == 7).select(
+        F.regexp_replace(F.upper("prompt"), " ", "  ").alias("prompt")
+    )
+    kept_ids = dedup_preference_pairs(
+        triples, "doc_id", normalize=False
+    ).select("doc_id", F.lit(1).alias("__kept"))
+    pref = (
+        render_preference(
+            preference_prompt_leakage(preference_stats(triples), evals)
+        )
+        .join(kept_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_prompt").alias("pref_n_prompt"),
+            F.col("n_chosen").alias("pref_n_chosen"),
+            F.col("n_rejected").alias("pref_n_rejected"),
+            F.col("len_delta").alias("pref_len_delta"),
+            F.col("identical").cast("int").alias("pref_identical"),
+            F.col("degenerate").cast("int").alias("pref_degenerate"),
+            F.col("pref_ok").cast("int").alias("pref_ok"),
+            F.col("leaked").cast("int").alias("pref_leaked"),
+            F.coalesce(F.col("__kept"), F.lit(0)).alias("pref_kept"),
+            F.col("text_chosen").alias("pref_chosen_render"),
+            F.length("text_rejected").cast("long").alias("pref_rej_render_len"),
+        )
+    )
     return (
         T.quality_metrics(docs, "text")
         .select(
@@ -974,6 +1053,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(gates, "doc_id")
         .join(c4, "doc_id")
+        .join(pref, "doc_id")
     )
 
 
@@ -992,27 +1072,51 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type tables → count-of-counts discount → backoff arithmetic in the
     IDENTICAL IEEE op order → ln inside the 2^-20 grid, ~2^30 coarser
     than libm's ulp spread) with ZERO tolerance. Thematically this IS
-    CCNet: langid + LM-quality in one row."""
-    from bitfilters_spark.operators.lm import kn_score_quantized, train_kn_lm
+    CCNet: langid + LM-quality in one row.
+
+    `kn3_*` legs (r13, operator #146 under the driver gate): the
+    TRIGRAM interpolated-KN sibling via `kn3_score_quantized` — the
+    same 2^-20 integer log-prob sum, with the oracle replaying the full
+    three-order backoff (trigram type tables → D3/D2 count-of-counts →
+    P3→P2→P1 recursion in the identical IEEE op order), trained on the
+    same held-out slice."""
+    from bitfilters_spark.operators.lm import (
+        kn3_model_from_type_tables,
+        kn3_score_quantized,
+        kn_model_from_type_tables,
+        kn_score_quantized,
+        kn_type_tables,
+    )
 
     # one-row-group input + heavy map stage: widen the scan (no-op at scale)
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     base = T.langid_table(docs, "doc_id", "text", out_col="lang_pred").select(
         "doc_id", "sw_en", "sw_de", "lang_pred"
     )
-    # vocab_size explicitly far above any reachable slice size: the
-    # oracle's ctx/cont/bi tables are UNCAPPED, so a silent cap eviction
-    # at a bigger SF would flip seen_ctx to backoff and break parity
-    lm = train_kn_lm(
-        docs.where(F.col("doc_id") % 17 == 0).select("text"), "text",
-        vocab_size=1 << 20,
-    )
+    # ONE tokenization + type-table build feeds BOTH model orders (the
+    # r13 shared-derivation path — paying the slice scan per trainer
+    # was the measured fat in this row). vocab_size=None = genuinely
+    # UNCAPPED (r13): the oracle's tables are uncapped, so a silent cap
+    # eviction at a bigger SF would flip seen_ctx to backoff and break
+    # parity — and None also skips the 8 TakeOrdered cap sorts the old
+    # far-above-any-size cap paid for nothing
+    train = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    tt = kn_type_tables(train, "text", orders=(2, 3))
+    lm = kn_model_from_type_tables(tt["bi_types"], tt["uni"], vocab_size=None)
     kn = kn_score_quantized(docs, "doc_id", "text", lm, scale_bits=20).select(
         "doc_id",
         F.col("n_scored").alias("kn_n"),
         F.col("qlogp_sum").alias("kn_qlogp"),
     )
-    return base.join(kn, "doc_id", "left")
+    lm3 = kn3_model_from_type_tables(
+        tt["tri_types"], tt["bi_types"], tt["uni"], vocab_size=None
+    )
+    kn3 = kn3_score_quantized(docs, "doc_id", "text", lm3, scale_bits=20).select(
+        "doc_id",
+        F.col("n_scored").alias("kn3_n"),
+        F.col("qlogp_sum").alias("kn3_qlogp"),
+    )
+    return base.join(kn, "doc_id", "left").join(kn3, "doc_id", "left")
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2155,8 +2259,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no normalizer subtree) with ONE final division — the cheapest
     # zero-tolerance form of the signal (hits_quantized, the
     # normalized-quantized twin, is pytest-pinned against DuckDB
-    # separately in tests/test_graph.py)
-    ht = hits_exact(eck, "s", "d", iters=3)
+    # separately in tests/test_graph.py). skip_guard (r13): the gate
+    # graph is a FIXED 50-node/<=2.4k-edge fixture whose bound
+    # (2*3*log2(d_max<=98) + log2(50) ~ 45 < 62) is pre-validated, so
+    # the guard's per-call degree agg+collect is pure overhead here —
+    # the r12-verdict q_pagerank trim
+    ht = hits_exact(eck, "s", "d", iters=3, skip_guard=True)
     out = direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
         html_leg.select(F.lit("html").alias("leg"), "node", "rank")
     )
@@ -2845,6 +2953,55 @@ def oracle_sql() -> dict[str, str]:
                          0, len(string_split(text, ' ')) - 1, 48)) AS s
                 FROM documents)
               GROUP BY doc_id),
+            -- sc_* legs (operator #154): replay span_corruption's whole
+            -- hash="duckdb" derivation — ns = round(n*0.15/3), bucket j
+            -- = [floor(j*n/ns), floor((j+1)*n/ns)), span length 1 +
+            -- md5_60bit(id:j:0:1) % 5 capped at bucket, offset
+            -- md5_60bit(id:j:0:2) % (blen-sl+1) — then rebuild
+            -- inputs/targets strings token-exactly
+            sc_par AS (
+              SELECT doc_id, text, string_split(text, ' ') AS tk,
+                     len(string_split(text, ' '))::INT AS n,
+                     least(floor(len(string_split(text, ' '))::DOUBLE
+                                 * 0.15::DOUBLE / 3.0::DOUBLE + 0.5)::INT,
+                           len(string_split(text, ' '))::INT) AS ns
+              FROM documents),
+            sc_sp2 AS (
+              SELECT doc_id, tk, ns, j,
+                     floor((j * n) / ns)::INT AS bs,
+                     floor(((j + 1) * n) / ns)::INT AS be,
+                     least(1 + (('0x' || substr(md5(doc_id || ':' || j
+                                 || ':0:1'), 1, 15))::BIGINT % 5)::INT,
+                           floor(((j + 1) * n) / ns)::INT
+                             - floor((j * n) / ns)::INT) AS sl
+              FROM (SELECT doc_id, tk, n, ns,
+                           unnest(generate_series(0, ns - 1)) AS j
+                    FROM sc_par WHERE ns >= 1)),
+            sc_sp3 AS (
+              SELECT *, bs + (('0x' || substr(md5(doc_id || ':' || j
+                              || ':0:2'), 1, 15))::BIGINT
+                              % (be - bs - sl + 1))::INT AS ss
+              FROM sc_sp2),
+            sc_agg AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(list_concat(list_concat(
+                       tk[bs+1:ss], ['<extra_id_' || j || '>']),
+                       tk[ss+sl+1:be]), ' '), ' ' ORDER BY j) AS ins,
+                     string_agg(array_to_string(list_concat(
+                       ['<extra_id_' || j || '>'], tk[ss+1:ss+sl]), ' '),
+                       ' ' ORDER BY j) AS tgt,
+                     sum(sl)::BIGINT AS n_masked
+              FROM sc_sp3 GROUP BY doc_id),
+            sc AS (
+              SELECT p.doc_id,
+                     CASE WHEN p.ns < 1 THEN p.text ELSE a.ins END
+                       AS sc_inputs,
+                     CASE WHEN p.ns < 1 THEN ''
+                          ELSE a.tgt || ' <extra_id_' || p.ns || '>' END
+                       AS sc_targets,
+                     (CASE WHEN p.ns < 1 THEN 0 ELSE a.n_masked END)::BIGINT
+                       AS sc_n_masked
+              FROM sc_par p LEFT JOIN sc_agg a ON p.doc_id = a.doc_id),
             chat AS (
               -- chat_* legs: replay render_chat (ChatML) + the merge-
               -- exact span arithmetic on the planted 3-message
@@ -2879,9 +3036,11 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(regexp_split_to_array(ch.chat_render, '\s+'),
                        t -> t <> '')) AS chat_n,
                    (ch.cum2 + 1) AS chat_span_start,
-                   (ch.cum2 + 1 + ch.a_wc) AS chat_span_end
+                   (ch.cum2 + 1 + ch.a_wc) AS chat_span_end,
+                   sc.sc_inputs, sc.sc_targets, sc.sc_n_masked
             FROM documents d JOIN chunks c ON d.doc_id = c.doc_id
             JOIN chat ch ON d.doc_id = ch.doc_id
+            JOIN sc ON d.doc_id = sc.doc_id
         """,
         "q_pack_shards": """
             WITH w AS (
@@ -2952,7 +3111,57 @@ def oracle_sql() -> dict[str, str]:
                      regexp_matches(lower(text),
                        '(^|[^a-z0-9])(badword1|badword2|obscenephrase)($|[^a-z0-9])')
                        AS has_bad
-              FROM aug)
+              FROM aug),
+            -- pref_* legs (operator #152): deterministic DPO triples with
+            -- planted hazards on doc_id % 12 (1: constant dedup group,
+            -- 3: identical sides, 5: blank chosen); wc() = \s+ nonempty
+            trip AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 12 = 1 THEN 'Common question?'
+                          ELSE 'Q' || doc_id || ': ' || substring(text, 1, 40)
+                     END AS prompt,
+                     CASE WHEN doc_id % 12 = 1 THEN 'The shared chosen answer.'
+                          WHEN doc_id % 12 = 5 THEN ''
+                          ELSE substring(text, 41, 120) END AS chosen,
+                     CASE WHEN doc_id % 12 = 1 THEN 'The shared rejected answer.'
+                          WHEN doc_id % 12 = 3 THEN substring(text, 41, 120)
+                          ELSE substring(text, 161, 80) END AS rejected
+              FROM documents),
+            -- normalize_text replay: lower -> digit-run collapse ->
+            -- punct->space -> whitespace collapse -> trim
+            ev AS (
+              SELECT DISTINCT trim(regexp_replace(regexp_replace(
+                       regexp_replace(lower(prompt), '[0-9][0-9.,:]*', '0', 'g'),
+                       '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS np
+              FROM trip WHERE doc_id % 12 = 7),
+            pref AS (
+              SELECT t.doc_id,
+                     len(list_filter(regexp_split_to_array(t.prompt, '\s+'),
+                         x -> x <> '')) AS pref_n_prompt,
+                     len(list_filter(regexp_split_to_array(t.chosen, '\s+'),
+                         x -> x <> '')) AS pref_n_chosen,
+                     len(list_filter(regexp_split_to_array(t.rejected, '\s+'),
+                         x -> x <> '')) AS pref_n_rejected,
+                     (trim(t.chosen) = trim(t.rejected)) AS identical,
+                     (trim(t.prompt) = '' OR trim(t.chosen) = ''
+                      OR trim(t.rejected) = '') AS degenerate,
+                     (row_number() OVER (
+                        PARTITION BY t.prompt || chr(31) || t.chosen
+                                     || chr(31) || t.rejected
+                        ORDER BY t.doc_id) = 1) AS kept,
+                     (e.np IS NOT NULL) AS leaked,
+                     '<|im_start|>user' || chr(10) || t.prompt || '<|im_end|>'
+                       || chr(10) || '<|im_start|>assistant' || chr(10)
+                       || t.chosen || '<|im_end|>' || chr(10)
+                       AS pref_chosen_render,
+                     length('<|im_start|>user' || chr(10) || t.prompt
+                       || '<|im_end|>' || chr(10) || '<|im_start|>assistant'
+                       || chr(10) || t.rejected || '<|im_end|>' || chr(10)
+                       )::BIGINT AS pref_rej_render_len
+              FROM trip t LEFT JOIN ev e
+                ON trim(regexp_replace(regexp_replace(
+                     regexp_replace(lower(t.prompt), '[0-9][0-9.,:]*', '0', 'g'),
+                     '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) = e.np)
             SELECT m.doc_id, n_chars, n_tokens, n_uniq_tokens,
                    round(n_uniq_tokens::DOUBLE / n_tokens, 6) AS ttr,
                    round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6) AS avg_token_len,
@@ -2975,9 +3184,19 @@ def oracle_sql() -> dict[str, str]:
                    c4.has_bad::INT AS c4_has_badword,
                    CASE WHEN len(c4.kept) >= 3 AND NOT c4.has_brace
                              AND NOT c4.has_lorem AND NOT c4.has_bad
-                        THEN 1 ELSE 0 END AS c4_pass
+                        THEN 1 ELSE 0 END AS c4_pass,
+                   p.pref_n_prompt, p.pref_n_chosen, p.pref_n_rejected,
+                   (p.pref_n_chosen - p.pref_n_rejected)::BIGINT
+                     AS pref_len_delta,
+                   p.identical::INT AS pref_identical,
+                   p.degenerate::INT AS pref_degenerate,
+                   (NOT p.identical AND NOT p.degenerate)::INT AS pref_ok,
+                   p.leaked::INT AS pref_leaked,
+                   p.kept::INT AS pref_kept,
+                   p.pref_chosen_render, p.pref_rej_render_len
             FROM m JOIN g ON m.doc_id = g.doc_id
             JOIN c4 ON m.doc_id = c4.doc_id
+            JOIN pref p ON m.doc_id = p.doc_id
         """,
         "q_langid": f"""
             WITH s AS (
@@ -3019,6 +3238,96 @@ def oracle_sql() -> dict[str, str]:
               SELECT w1, sum(cb) AS c_ctx, count(*) AS n_succ
               FROM tr_bi GROUP BY w1),
             cont AS (SELECT w2, count(*) AS n_pred FROM tr_bi GROUP BY w2),
+            -- kn3_* legs: replay train_kn3_lm + kn3_score_quantized —
+            -- trigram/continuation type tables, D3/D2 count-of-counts,
+            -- and the P3->P2->P1 recursion in the identical IEEE order
+            tr_tri AS (
+              SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3,
+                     count(*) AS c
+              FROM tr, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) g
+              GROUP BY 1, 2, 3),
+            cont3f AS (
+              SELECT w2, w3, count(*) AS n_pred3 FROM tr_tri GROUP BY 1, 2),
+            k3consts AS (
+              SELECT
+                (SELECT count(*) FILTER (WHERE c = 1) FROM tr_tri) AS n1_3,
+                (SELECT count(*) FILTER (WHERE c = 2) FROM tr_tri) AS n2_3,
+                (SELECT count(*) FILTER (WHERE n_pred3 = 1) FROM cont3f) AS n1_2,
+                (SELECT count(*) FILTER (WHERE n_pred3 = 2) FROM cont3f) AS n2_2,
+                (SELECT count(*) FROM tr_bi) AS nbt),
+            c3 AS (
+              SELECT
+                CASE WHEN (n1_3 + 2 * n2_3) > 0 THEN
+                  CASE WHEN CAST(n1_3 AS DOUBLE)
+                            / (CAST(n1_3 AS DOUBLE) + 2.0 * CAST(n2_3 AS DOUBLE))
+                            >= 1.0
+                       THEN 0.75
+                       ELSE CAST(n1_3 AS DOUBLE)
+                            / (CAST(n1_3 AS DOUBLE) + 2.0 * CAST(n2_3 AS DOUBLE))
+                  END
+                ELSE 0.75 END AS d3,
+                CASE WHEN (n1_2 + 2 * n2_2) > 0 THEN
+                  CASE WHEN CAST(n1_2 AS DOUBLE)
+                            / (CAST(n1_2 AS DOUBLE) + 2.0 * CAST(n2_2 AS DOUBLE))
+                            >= 1.0
+                       THEN 0.75
+                       ELSE CAST(n1_2 AS DOUBLE)
+                            / (CAST(n1_2 AS DOUBLE) + 2.0 * CAST(n2_2 AS DOUBLE))
+                  END
+                ELSE 0.75 END AS d2,
+                greatest(CAST(nbt AS DOUBLE), 1.0) AS n_bi
+              FROM k3consts),
+            ctx3 AS (
+              SELECT w1, w2, sum(c) AS c_ctx3, count(*) AS n_succ3
+              FROM tr_tri GROUP BY 1, 2),
+            mid3 AS (
+              SELECT w2 AS v, sum(n_pred3) AS n_mid, count(*) AS n_ctypes
+              FROM cont3f GROUP BY 1),
+            docs_tri AS (
+              SELECT d.doc_id, d.ts[i] AS w1, d.ts[i+1] AS w2, d.ts[i+2] AS w3
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents) d,
+                   LATERAL (SELECT unnest(range(1, len(d.ts) - 1)) AS i) g),
+            p3t AS (
+              SELECT dt.doc_id,
+                greatest(
+                  CASE WHEN cx.c_ctx3 IS NOT NULL THEN
+                    (greatest(CAST(coalesce(tt.c, 0) AS DOUBLE) - c3.d3, 0.0)
+                     + (c3.d3 * CAST(coalesce(cx.n_succ3, 0) AS DOUBLE))
+                       * (CASE WHEN m.n_mid IS NOT NULL THEN
+                            (greatest(CAST(coalesce(cf.n_pred3, 0) AS DOUBLE)
+                                      - c3.d2, 0.0)
+                             + (c3.d2 * CAST(coalesce(m.n_ctypes, 0) AS DOUBLE))
+                               * (CAST(coalesce(co.n_pred, 0) AS DOUBLE)
+                                  / c3.n_bi))
+                            / greatest(CAST(coalesce(m.n_mid, 0) AS DOUBLE), 1.0)
+                          ELSE CAST(coalesce(co.n_pred, 0) AS DOUBLE) / c3.n_bi
+                          END))
+                    / greatest(CAST(coalesce(cx.c_ctx3, 0) AS DOUBLE), 1.0)
+                  ELSE
+                    CASE WHEN m.n_mid IS NOT NULL THEN
+                      (greatest(CAST(coalesce(cf.n_pred3, 0) AS DOUBLE)
+                                - c3.d2, 0.0)
+                       + (c3.d2 * CAST(coalesce(m.n_ctypes, 0) AS DOUBLE))
+                         * (CAST(coalesce(co.n_pred, 0) AS DOUBLE) / c3.n_bi))
+                      / greatest(CAST(coalesce(m.n_mid, 0) AS DOUBLE), 1.0)
+                    ELSE CAST(coalesce(co.n_pred, 0) AS DOUBLE) / c3.n_bi
+                    END
+                  END,
+                  c2.fl) AS pr
+              FROM docs_tri dt
+              LEFT JOIN tr_tri tt
+                ON dt.w1 = tt.w1 AND dt.w2 = tt.w2 AND dt.w3 = tt.w3
+              LEFT JOIN ctx3 cx ON dt.w1 = cx.w1 AND dt.w2 = cx.w2
+              LEFT JOIN cont3f cf ON dt.w2 = cf.w2 AND dt.w3 = cf.w3
+              LEFT JOIN mid3 m ON dt.w2 = m.v
+              LEFT JOIN cont co ON dt.w3 = co.w2
+              CROSS JOIN c3 CROSS JOIN c2),
+            kn3 AS (
+              SELECT doc_id, count(*) AS kn3_n,
+                     CAST(sum(CAST(floor(ln(pr) * 1048576.0) AS BIGINT))
+                          AS BIGINT) AS kn3_qlogp
+              FROM p3t GROUP BY doc_id),
             docs_bi AS (
               SELECT d.doc_id, d.ts[i] AS w1, d.ts[i + 1] AS w2
               FROM (SELECT doc_id, string_split(text, ' ') AS ts
@@ -3047,8 +3356,9 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS kn_qlogp
               FROM p GROUP BY doc_id)
             SELECT s.doc_id, s.sw_en, s.sw_de, {_LANGID_CASE} AS lang_pred,
-                   kn.kn_n, kn.kn_qlogp
+                   kn.kn_n, kn.kn_qlogp, kn3.kn3_n, kn3.kn3_qlogp
             FROM s LEFT JOIN kn ON s.doc_id = kn.doc_id
+            LEFT JOIN kn3 ON s.doc_id = kn3.doc_id
         """,
         "q_doc_fingerprint": (
             "SELECT doc_id, "

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StructField,
@@ -493,4 +494,343 @@ def recenter_ann_index(
         num_buckets=int(num_buckets or geom["num_buckets"]),
         path=path,
         seed=seed,
+    )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+#
+# The FAISS IVFPQ composition (Jégou et al. 2011 §IV): the coarse
+# quantizer routes each vector to a cell (#132's layout) and the
+# RESIDUAL r = v − c_cell is product-quantized to m bytes — the index
+# stores (cell, id, code) instead of (cell, id, vec), so a billion-
+# vector store holds 16-byte codes where #132 holds 8·d-byte floats
+# (768-dim float64: 6144 → m bytes). Probing combines both halves of
+# the decomposition q·v = q·c_cell + q·r: the first term is computed
+# EXACTLY per (query, cell) on the driver, the second approximated by
+# ADC over the residual codebooks — so the only approximation is the
+# residual quantization error, and in the lossless-codebook regime
+# (every subspace ≤ n_codes distinct residuals) probing equals
+# `ivf_topk` with the same centroids and nprobe EXACTLY (pytest).
+# Codebooks are GLOBAL across cells (the FAISS default — per-cell books
+# would multiply model size by n_centroids for marginal recall).
+
+_CODE_SCHEMA = StructType(
+    [
+        StructField("cell", LongType()),
+        StructField("id", LongType()),
+        StructField("code", BinaryType()),
+    ]
+)
+
+
+def _encode_residuals(routed: DataFrame, C: np.ndarray, cb: np.ndarray) -> DataFrame:
+    """(cell, id, code) — PQ-encode each routed vector's residual
+    against its cell centroid; one mapInPandas pass, both models
+    broadcast. Assignment arithmetic mirrors `similarity.pq_encode`."""
+    m, dsub = cb.shape[0], cb.shape[2]
+    b = routed.sparkSession.sparkContext.broadcast(
+        (np.asarray(C, dtype=np.float64), np.asarray(cb, dtype=np.float64))
+    )
+
+    def enc(batches):
+        C_, cb_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            R = mat - C_[cells]
+            codes = np.empty((len(R), m), dtype=np.uint8)
+            for s in range(m):
+                Xs = R[:, s * dsub : (s + 1) * dsub]
+                Cb = cb_[s]
+                dist = -2.0 * (Xs @ Cb.T) + (Cb * Cb).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cell": cells,
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return routed.mapInPandas(enc, schema=_CODE_SCHEMA)
+
+
+def _write_pq_staged(
+    spark: SparkSession,
+    name: str,
+    codes: DataFrame,
+    C: np.ndarray,
+    cb: np.ndarray,
+    num_buckets: int,
+    path: str | None,
+) -> None:
+    """Stage-and-swap all three IVFPQ tables (cells=codes, centroids,
+    codebooks) — the `_write_staged` contract with the PQ model added."""
+    stage = f"{name}__stage"
+    for suffix in ("cells", "centroids", "codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {stage}_{suffix}")
+    write_bucketed(
+        codes,
+        f"{stage}_cells",
+        ["cell"],
+        num_buckets=num_buckets,
+        sort_cols=["cell"],
+        path=_stage_path(spark, f"{name}_cells", path, f"{name}_cells"),
+    )
+    cw = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell long, vec array<double>",
+    ).write.mode("overwrite")
+    if path:
+        cw = cw.option(
+            "path",
+            _stage_path(spark, f"{name}_centroids", path, f"{name}_centroids"),
+        )
+    cw.saveAsTable(f"{stage}_centroids")
+    bw = spark.createDataFrame(
+        [
+            (int(s), int(j), [float(x) for x in cb[s, j]])
+            for s in range(cb.shape[0])
+            for j in range(cb.shape[1])
+        ],
+        "s long, j long, vec array<double>",
+    ).write.mode("overwrite")
+    if path:
+        bw = bw.option(
+            "path",
+            _stage_path(spark, f"{name}_codebooks", path, f"{name}_codebooks"),
+        )
+    bw.saveAsTable(f"{stage}_codebooks")
+    _stamp(spark, f"{stage}_cells", num_buckets, len(C))
+    spark.sql(
+        f"ALTER TABLE {stage}_cells SET TBLPROPERTIES "
+        f"('bitfilters.pq_m'='{cb.shape[0]}')"
+    )
+    for suffix in ("cells", "centroids", "codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        spark.sql(f"ALTER TABLE {stage}_{suffix} RENAME TO {name}_{suffix}")
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    n_centroids: int = 64,
+    m: int = 8,
+    n_codes: int = 256,
+    num_buckets: int = 16,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    path: str | None = None,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> tuple:
+    """Build and persist the IVFPQ index; returns (centroids,
+    codebooks). Two corpus passes: a bounded residual SAMPLE trains the
+    codebooks (driver-side k-means on ≤ sample_rows residuals — the
+    `train_pq` cost posture, O(sample) never O(corpus)), then one full
+    pass routes + encodes. Pass ``centroids``/``codebooks`` to reuse
+    trained models and skip the respective training."""
+    from .similarity import train_pq_books
+
+    _check_name(name)
+    spark = df.sparkSession
+    C = np.asarray(
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, vec_col, n_centroids, seed=seed),
+        dtype=np.float64,
+    )
+    routed = _route(df, id_col, vec_col, C)
+    if codebooks is None:
+        sample = routed.select("cell", "vec").limit(sample_rows).collect()
+        if not sample:
+            raise ValueError("build_ivfpq_index: empty input")
+        R = np.array([r["vec"] for r in sample], dtype=np.float64) - C[
+            np.array([r["cell"] for r in sample], dtype=np.int64)
+        ]
+        cb = train_pq_books(R, m, n_codes, iters, seed)
+    else:
+        cb = np.asarray(codebooks, dtype=np.float64)
+    _write_pq_staged(
+        spark, name, _encode_residuals(routed, C, cb), C, cb, num_buckets, path
+    )
+    return C, cb
+
+
+def load_pq_codebooks(spark: SparkSession, name: str) -> np.ndarray:
+    rows = sorted(
+        spark.table(f"{_check_name(name)}_codebooks").collect(),
+        key=lambda r: (r["s"], r["j"]),
+    )
+    m = int(rows[-1]["s"]) + 1
+    k_eff = len(rows) // m
+    return np.array([r["vec"] for r in rows], dtype=np.float64).reshape(
+        m, k_eff, -1
+    )
+
+
+def append_to_ivfpq_index(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    num_buckets: int = 16,
+) -> None:
+    """Fold NEW vectors in at cost ∝ the new data: route through the
+    STORED centroids and encode through the STORED codebooks (both
+    frozen — identical cells AND codes to a rebuild with the same
+    models, so append-then-probe ≡ rebuild-then-probe, tested). Same
+    geometry guard and single-writer contract as
+    `append_to_ann_index`."""
+    _check_name(name)
+    spark = new_df.sparkSession
+    geom = _stored_geometry(spark, name)
+    if geom.get("num_buckets") is not None and geom["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"IVFPQ index '{name}' was built with num_buckets="
+            f"{geom['num_buckets']}, called with {num_buckets}; appended "
+            "rows would land in the wrong buckets."
+        )
+    C = load_ann_centroids(spark, name)
+    cb = load_pq_codebooks(spark, name)
+    _encode_residuals(_route(new_df, id_col, vec_col, C), C, cb).write.mode(
+        "append"
+    ).format("parquet").bucketBy(num_buckets, "cell").sortBy("cell").saveAsTable(
+        f"{name}_cells"
+    )
+
+
+class IvfPqProbe:
+    """Session-cached IVFPQ probe handle (the :class:`AnnProbe`
+    pattern, models pinned at construction). Scoring decomposes
+    q·v = q·c_cell (exact, driver-computed per candidate cell) +
+    q·r (ADC over the residual codebooks — m byte-indexed lookups per
+    candidate; the stored float vectors do not exist to be read)."""
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = _check_name(name)
+        self.refresh()
+
+    def refresh(self) -> "IvfPqProbe":
+        _refresh(self.spark, self.name)
+        self.spark.catalog.refreshTable(f"{self.name}_codebooks")
+        self.C = load_ann_centroids(self.spark, self.name)
+        self.cb = load_pq_codebooks(self.spark, self.name)
+        return self
+
+    def query(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 8,
+        max_queries: int = 100_000,
+    ) -> DataFrame:
+        """(query_id, rank, neighbor_id) — `ann_query_index`'s contract
+        over PQ codes: candidate cells are a literal In-filter on the
+        bucketed codes scan + a broadcast probe list; per candidate the
+        score is base[q, cell] + Σ_s LUT[q][s, code_s]."""
+        spark, C, cb = self.spark, self.C, self.cb
+        m, k_eff, dsub = cb.shape
+        qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"ivfpq_query_index collected more than max_queries="
+                f"{max_queries} query rows; batch the query set, or raise "
+                "max_queries consciously."
+            )
+        empty = spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long"
+        )
+        if not qrows:
+            return empty
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+        qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        base = qmat @ C.T  # exact q . c_cell term, (nq, n_centroids)
+        order = np.argsort(-base, axis=1)[:, : min(nprobe, len(C))]
+        lut = np.einsum(
+            "qsd,sjd->qsj", qmat.reshape(len(qmat), m, dsub), cb
+        ).reshape(len(qmat), m * k_eff)
+        probe_pairs = [
+            (int(qids[i]), int(c)) for i in range(len(qids)) for c in order[i]
+        ]
+        cand_cells = sorted({c for _, c in probe_pairs})
+        probes = spark.createDataFrame(probe_pairs, "query_id long, cell long")
+        qpos = {int(qids[i]): i for i in range(len(qids))}
+        bc = spark.sparkContext.broadcast((qpos, lut, base))
+        cells = spark.table(f"{self.name}_cells").where(
+            F.col("cell").isin(cand_cells)
+        )
+        cand = (
+            F.broadcast(probes)
+            .join(cells, "cell")
+            .where(F.col("query_id") != F.col("id"))
+        )
+
+        sim_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            qpos_, lut_, base_ = bc.value
+            offs = np.arange(m, dtype=np.int64) * k_eff
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qidx = np.array(
+                    [qpos_[q] for q in pdf["query_id"]], dtype=np.int64
+                )
+                cells_ = pdf["cell"].to_numpy(dtype=np.int64)
+                cm = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(
+                    -1, m
+                )
+                idx = cm.astype(np.int64) + offs[None, :]
+                adc = lut_[qidx[:, None], idx].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                        "neighbor_id": pdf["id"].to_numpy(dtype=np.int64),
+                        "sim": base_[qidx, cells_] + adc,
+                    }
+                )
+
+        scored = cand.mapInPandas(score, schema=sim_schema)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id")
+        )
+
+
+def ivfpq_query_index(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 8,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """One-shot form of :class:`IvfPqProbe` (fresh models read every
+    call — correct for occasional probes; loops should hold a handle)."""
+    return IvfPqProbe(spark, name).query(
+        queries, id_col, vec_col, k, nprobe, max_queries
     )

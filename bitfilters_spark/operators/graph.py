@@ -482,6 +482,7 @@ def hits_exact(
     src_col: str,
     dst_col: str,
     iters: int = 3,
+    skip_guard: bool = False,
 ) -> DataFrame:
     """(node, hub, authority) — the EXACT value :func:`hits` (l1 norm)
     approximates in floats: because the HITS update is LINEAR, the
@@ -505,9 +506,15 @@ def hits_exact(
     off, letting values silently wrap while the DuckDB oracle's
     HUGEINT sums keep going — a parity break with no error). For
     graphs past the bound lower ``iters`` or use :func:`hits_quantized`
-    (floats never overflow). Scale posture: node-keyed shuffles only;
-    the edge list materializes once (the guard's pass doubles as the
-    materialization) like :func:`pagerank`."""
+    (floats never overflow). ``skip_guard=True`` omits the guard's
+    degree-stats job for graphs the CALLER has already validated
+    against the bound (a repeated run over a known graph — e.g. the
+    driver gate's 50-node fixture — where the extra agg+collect per
+    call is pure overhead); ANSI mode still errors loudly rather than
+    wrapping if the promise was wrong. Scale posture: node-keyed
+    shuffles only; the edge list materializes once (the guard's pass
+    doubles as the materialization when it runs) like
+    :func:`pagerank`."""
     import math as _math
 
     if iters < 1:
@@ -522,24 +529,25 @@ def hits_exact(
     )
     if iters > 1:
         e = e.localCheckpoint(eager=False)
-    # overflow guard: combined degree bounds both d_in and d_out max
-    g = (
-        e.select(F.explode(F.array("src", "dst")).alias("n"))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.max("d").alias("dmax"), F.count(F.lit(1)).alias("nn"))
-        .collect()[0]
-    )
-    dmax, n_nodes = int(g["dmax"] or 0), int(g["nn"] or 0)
-    if dmax and (
-        2 * iters * _math.log2(max(dmax, 2)) + _math.log2(max(n_nodes, 2))
-        > 62
-    ):
-        raise ValueError(
-            f"hits_exact: {iters} iterations at max degree {dmax} over "
-            f"{n_nodes} nodes can overflow 64-bit sums (bound "
-            "n*d_max^(2*iters)); lower iters or use hits_quantized"
+    if not skip_guard:
+        # overflow guard: combined degree bounds both d_in and d_out max
+        g = (
+            e.select(F.explode(F.array("src", "dst")).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d").alias("dmax"), F.count(F.lit(1)).alias("nn"))
+            .collect()[0]
         )
+        dmax, n_nodes = int(g["dmax"] or 0), int(g["nn"] or 0)
+        if dmax and (
+            2 * iters * _math.log2(max(dmax, 2)) + _math.log2(max(n_nodes, 2))
+            > 62
+        ):
+            raise ValueError(
+                f"hits_exact: {iters} iterations at max degree {dmax} over "
+                f"{n_nodes} nodes can overflow 64-bit sums (bound "
+                "n*d_max^(2*iters)); lower iters or use hits_quantized"
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

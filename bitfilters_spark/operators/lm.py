@@ -75,7 +75,7 @@ def _bigram_structs(hs):
 def train_kn_lm(
     df: DataFrame,
     text_col: str = "text",
-    vocab_size: int = 1 << 16,
+    vocab_size: int | None = 1 << 16,
     discount: float | None = None,
     prune_to: int | None = None,
 ) -> dict:
@@ -89,30 +89,55 @@ def train_kn_lm(
     (computed before any cap). ``discount`` overrides the n1/(n1+2·n2)
     estimate (KenLM's ``--discount_fallback`` analogue for tiny corpora
     where n1 or n2 is 0)."""
+    t = kn_type_tables(df, text_col, orders=(2,))
+    return kn_model_from_type_tables(
+        t["bi_types"], t["uni"], vocab_size, discount, prune_to=prune_to
+    )
+
+
+def kn_type_tables(
+    df: DataFrame, text_col: str = "text", orders: tuple = (2, 3)
+) -> dict:
+    """The additive sufficient-statistic tables every KN order derives
+    from, built from ONE tokenization: ``bi_types`` (hp, hc, cb),
+    ``uni`` (h, c_tok), and — when 3 ∈ orders — ``tri_types``
+    (hu, hv, hw, c). All lazily checkpointed. Factored out (r13) so a
+    caller training BOTH the bigram and trigram models (the CCNet
+    gate row does) shares the slice scan and aggregations instead of
+    paying them per trainer."""
     seq = df.select(
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
     )
+    out = {}
     # one row per distinct bigram TYPE (hp, hc, cb) — every KN statistic
-    # below derives from this table, occurrences never re-scanned
-    bi_types = (
+    # derives from type tables, occurrences never re-scanned
+    out["bi_types"] = (
         seq.select(F.explode(_bigram_structs(F.col("hs"))).alias("g"))
         .groupBy("g.hp", "g.hc")
         .agg(F.count(F.lit(1)).alias("cb"))
     ).localCheckpoint(eager=False)
-    uni = (
+    out["uni"] = (
         seq.select(F.explode("hs").alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c_tok"))
     ).localCheckpoint(eager=False)
-    return kn_model_from_type_tables(
-        bi_types, uni, vocab_size, discount, prune_to=prune_to
-    )
+    if 3 in orders:
+        out["tri_types"] = (
+            seq.select(F.explode(_trigram_structs(F.col("hs"))).alias("g"))
+            .groupBy(
+                F.col("g.hu").alias("hu"),
+                F.col("g.hv").alias("hv"),
+                F.col("g.hw").alias("hw"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).localCheckpoint(eager=False)
+    return out
 
 
 def kn_model_from_type_tables(
     bi_types: DataFrame,
     uni: DataFrame,
-    vocab_size: int = 1 << 16,
+    vocab_size: int | None = 1 << 16,
     discount: float | None = None,
     prune_to: int | None = None,
 ) -> dict:
@@ -137,13 +162,19 @@ def kn_model_from_type_tables(
     explicit-count table shrinks (the KenLM ``--prune`` shape; the
     pruned model's Σ_w P(w|u) dips below 1 by the discarded mass, the
     standard pruning trade)."""
-    # exact scalar stats + count-of-counts in ONE pass over the type table
-    stats = bi_types.agg(
-        F.count(F.lit(1)).alias("n_types"),
-        F.sum("cb").alias("n_bigrams"),
-        F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
-        F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
-    ).collect()[0]
+    # exact scalar stats + count-of-counts in ONE job: the type-table
+    # pass and the token-total agg are 1-row frames crossJoined before
+    # the single collect (two fixed job overheads become one)
+    stats = (
+        bi_types.agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cb").alias("n_bigrams"),
+            F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
+        )
+        .crossJoin(uni.agg(F.sum("c_tok").alias("ntok")))
+        .collect()[0]
+    )
     n_types = int(stats["n_types"] or 0)
     n_bigrams = int(stats["n_bigrams"] or 0)
     if discount is None:
@@ -158,31 +189,34 @@ def kn_model_from_type_tables(
         raise ValueError(f"discount must be in [0, 1), got {discount}")
 
     # context stats: c(u) = sum of u's bigram counts, N1+(u·) = its
-    # distinct-continuation count (= row count: bi_types is one row/type)
-    ctx = (
-        bi_types.groupBy(F.col("hp").alias("h"))
-        .agg(F.sum("cb").alias("c_ctx"), F.count(F.lit(1)).alias("n_succ"))
-        .orderBy(F.col("c_ctx").desc(), "h")
-        .limit(vocab_size)
+    # distinct-continuation count (= row count: bi_types is one row/type).
+    # vocab_size=None (r13) = genuinely UNCAPPED: skip the TakeOrdered
+    # sorts (and the uni join that exists only to order the cont cap) —
+    # the gate rows used a "far above any reachable size" cap for
+    # uncapped semantics and paid 8 pointless sorts per train
+    ctx = bi_types.groupBy(F.col("hp").alias("h")).agg(
+        F.sum("cb").alias("c_ctx"), F.count(F.lit(1)).alias("n_succ")
     )
+    if vocab_size is not None:
+        ctx = ctx.orderBy(F.col("c_ctx").desc(), "h").limit(vocab_size)
     # continuation stats: N1+(·w) = distinct predecessors of w, cap
     # ORDER by token frequency from uni (a token's scoring impact ∝ how
     # often probes hit it — predecessor-type counts tie at 1 across
     # whole corpora and would evict frequent tokens arbitrarily)
-    cont = (
-        bi_types.groupBy(F.col("hc").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n_pred"))
-        .join(uni, "h", "left")
-        .orderBy(F.col("c_tok").desc(), "h")
-        .limit(vocab_size)
-        .select("h", "n_pred")
+    cont = bi_types.groupBy(F.col("hc").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_pred")
     )
-    if prune_to is None:
-        bi = (
-            bi_types.select(F.xxhash64("hp", "hc").alias("hb"), "cb")
-            .orderBy(F.col("cb").desc(), "hb")
+    if vocab_size is not None:
+        cont = (
+            cont.join(uni, "h", "left")
+            .orderBy(F.col("c_tok").desc(), "h")
             .limit(vocab_size)
+            .select("h", "n_pred")
         )
+    if prune_to is None:
+        bi = bi_types.select(F.xxhash64("hp", "hc").alias("hb"), "cb")
+        if vocab_size is not None:
+            bi = bi.orderBy(F.col("cb").desc(), "hb").limit(vocab_size)
     elif discount <= 0.0:
         # D = 0 (legal: n1 = 0 when no bigram type is a singleton) makes
         # EVERY backoff mass 0 — log(0) would NULL every impact and the
@@ -223,14 +257,13 @@ def kn_model_from_type_tables(
             .limit(prune_to)
             .select("hb", "cb")
         )
-    n_tokens = int(uni.agg(F.sum("c_tok")).collect()[0][0] or 0)
     return {
         "ctx": ctx,
         "cont": cont,
         "bi": bi,
         "n_bigram_types": n_types,
         "n_bigrams": n_bigrams,
-        "n_tokens": n_tokens,
+        "n_tokens": int(stats["ntok"] or 0),
         "discount": float(discount),
     }
 
@@ -397,7 +430,7 @@ def _trigram_structs(hs):
 def train_kn3_lm(
     df: DataFrame,
     text_col: str = "text",
-    vocab_size: int = 1 << 16,
+    vocab_size: int | None = 1 << 16,
     discount3: float | None = None,
     discount2: float | None = None,
 ) -> dict:
@@ -424,30 +457,10 @@ def train_kn3_lm(
     at ``vocab_size`` rows by their own counts (the same
     exact-stats-then-cap semantics as the bigram model). Scoring is
     five broadcast joins + one per-doc groupBy; no corpus shuffle."""
-    seq = df.select(
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
-    )
-    tri_types = (
-        seq.select(F.explode(_trigram_structs(F.col("hs"))).alias("g"))
-        .groupBy(
-            F.col("g.hu").alias("hu"),
-            F.col("g.hv").alias("hv"),
-            F.col("g.hw").alias("hw"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    ).localCheckpoint(eager=False)
-    bi_types = (
-        seq.select(F.explode(_bigram_structs(F.col("hs"))).alias("g"))
-        .groupBy(F.col("g.hp").alias("hp"), F.col("g.hc").alias("hc"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-    ).localCheckpoint(eager=False)
-    uni = (
-        seq.select(F.explode("hs").alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c_tok"))
-    ).localCheckpoint(eager=False)
+    t = kn_type_tables(df, text_col, orders=(2, 3))
     return kn3_model_from_type_tables(
-        tri_types, bi_types, uni, vocab_size, discount3, discount2
+        t["tri_types"], t["bi_types"], t["uni"], vocab_size, discount3,
+        discount2,
     )
 
 
@@ -462,7 +475,7 @@ def kn3_model_from_type_tables(
     tri_types: DataFrame,
     bi_types: DataFrame,
     uni: DataFrame,
-    vocab_size: int = 1 << 16,
+    vocab_size: int | None = 1 << 16,
     discount3: float | None = None,
     discount2: float | None = None,
 ) -> dict:
@@ -473,78 +486,93 @@ def kn3_model_from_type_tables(
     cont3_full = tri_types.groupBy("hv", "hw").agg(
         F.count(F.lit(1)).alias("n_pred3")
     ).localCheckpoint(eager=False)
-    s3 = tri_types.agg(
-        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
-        F.sum((F.col("c") == 2).cast("long")).alias("n2"),
-    ).collect()[0]
-    s2 = cont3_full.agg(
-        F.sum((F.col("n_pred3") == 1).cast("long")).alias("n1"),
-        F.sum((F.col("n_pred3") == 2).cast("long")).alias("n2"),
-    ).collect()[0]
-    d3 = _estimate_discount(s3, "n1", "n2") if discount3 is None else discount3
-    d2 = _estimate_discount(s2, "n1", "n2") if discount2 is None else discount2
+    # ONE stats job for all four scalar groups (discount count-of-counts
+    # at both orders + the lowest-order normalizers): each agg is a
+    # 1-row frame, crossJoined before the single collect — 4 fixed
+    # job overheads become 1
+    stats = (
+        tri_types.agg(
+            F.sum((F.col("c") == 1).cast("long")).alias("n1_3"),
+            F.sum((F.col("c") == 2).cast("long")).alias("n2_3"),
+        )
+        .crossJoin(
+            cont3_full.agg(
+                F.sum((F.col("n_pred3") == 1).cast("long")).alias("n1_2"),
+                F.sum((F.col("n_pred3") == 2).cast("long")).alias("n2_2"),
+            )
+        )
+        .crossJoin(bi_types.agg(F.count(F.lit(1)).alias("nbt")))
+        .crossJoin(uni.agg(F.sum("c_tok").alias("ntok")))
+        .collect()[0]
+    )
+    d3 = _estimate_discount(stats, "n1_3", "n2_3") if discount3 is None else discount3
+    d2 = _estimate_discount(stats, "n1_2", "n2_2") if discount2 is None else discount2
     for name, d in (("discount3", d3), ("discount2", d2)):
         if not (0.0 <= d < 1.0):
             raise ValueError(f"{name} must be in [0, 1), got {d}")
 
-    tri = (
-        tri_types.select(F.xxhash64("hu", "hv", "hw").alias("h3"), "c")
-        .orderBy(F.col("c").desc(), "h3")
-        .limit(vocab_size)
+    # vocab_size=None (r13) = genuinely UNCAPPED: skip every TakeOrdered
+    # sort and the joins that exist only to order the caps
+    tri = tri_types.select(F.xxhash64("hu", "hv", "hw").alias("h3"), "c")
+    if vocab_size is not None:
+        tri = tri.orderBy(F.col("c").desc(), "h3").limit(vocab_size)
+    ctx3 = tri_types.groupBy(F.xxhash64("hu", "hv").alias("h2")).agg(
+        F.sum("c").alias("c_ctx3"), F.count(F.lit(1)).alias("n_succ3")
     )
-    ctx3 = (
-        tri_types.groupBy(F.xxhash64("hu", "hv").alias("h2"))
-        .agg(F.sum("c").alias("c_ctx3"), F.count(F.lit(1)).alias("n_succ3"))
-        .orderBy(F.col("c_ctx3").desc(), "h2")
-        .limit(vocab_size)
-    )
+    if vocab_size is not None:
+        ctx3 = ctx3.orderBy(F.col("c_ctx3").desc(), "h2").limit(vocab_size)
     # cont3 caps ORDER by how often the (v,w) bigram OCCURS (cb from
     # bi_types), not by n_pred3 — predecessor-type counts tie at 1
     # across whole corpora and would evict frequent, scoring-hot
     # contexts hash-arbitrarily (the exact failure the bigram model's
     # cont table documents and avoids, kn_model_from_type_tables)
-    cont3 = (
-        cont3_full.join(
-            bi_types.select(
-                F.col("hp").alias("hv"), F.col("hc").alias("hw"), "cb"
-            ),
-            ["hv", "hw"],
-            "left",
+    if vocab_size is None:
+        cont3 = cont3_full.select(
+            F.xxhash64("hv", "hw").alias("hvw"), "n_pred3"
         )
-        .select(F.xxhash64("hv", "hw").alias("hvw"), "n_pred3", "cb")
-        .orderBy(F.col("cb").desc(), "hvw")
-        .limit(vocab_size)
-        .select("hvw", "n_pred3")
-    )
+    else:
+        cont3 = (
+            cont3_full.join(
+                bi_types.select(
+                    F.col("hp").alias("hv"), F.col("hc").alias("hw"), "cb"
+                ),
+                ["hv", "hw"],
+                "left",
+            )
+            .select(F.xxhash64("hv", "hw").alias("hvw"), "n_pred3", "cb")
+            .orderBy(F.col("cb").desc(), "hvw")
+            .limit(vocab_size)
+            .select("hvw", "n_pred3")
+        )
     # mid caps ORDER by the middle token's corpus frequency (uni.c_tok),
     # for the same reason: scoring impact ∝ how often probes hit v
-    mid = (
-        cont3_full.groupBy(F.col("hv").alias("h"))
-        .agg(
-            F.sum("n_pred3").alias("n_mid"),
-            F.count(F.lit(1)).alias("n_ctypes"),
-        )
-        .join(uni, "h", "left")
-        .orderBy(F.col("c_tok").desc(), "h")
-        .limit(vocab_size)
-        .select("h", "n_mid", "n_ctypes")
+    mid = cont3_full.groupBy(F.col("hv").alias("h")).agg(
+        F.sum("n_pred3").alias("n_mid"),
+        F.count(F.lit(1)).alias("n_ctypes"),
     )
+    if vocab_size is not None:
+        mid = (
+            mid.join(uni, "h", "left")
+            .orderBy(F.col("c_tok").desc(), "h")
+            .limit(vocab_size)
+            .select("h", "n_mid", "n_ctypes")
+        )
     # lowest order: the bigram continuation distribution, derived
     # DIRECTLY — running kn_model_from_type_tables here would also
     # compute the bigram ctx/bi tables and the n1/n2 discount stats
     # only to throw them away (one wasted full-stats job per train)
-    cont = (
-        bi_types.groupBy(F.col("hc").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n_pred"))
-        .join(uni, "h", "left")
-        .orderBy(F.col("c_tok").desc(), "h")
-        .limit(vocab_size)
-        .select("h", "n_pred")
+    cont = bi_types.groupBy(F.col("hc").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_pred")
     )
-    n_bigram_types = int(
-        bi_types.agg(F.count(F.lit(1))).collect()[0][0] or 0
-    )
-    n_tokens = int(uni.agg(F.sum("c_tok")).collect()[0][0] or 0)
+    if vocab_size is not None:
+        cont = (
+            cont.join(uni, "h", "left")
+            .orderBy(F.col("c_tok").desc(), "h")
+            .limit(vocab_size)
+            .select("h", "n_pred")
+        )
+    n_bigram_types = int(stats["nbt"] or 0)
+    n_tokens = int(stats["ntok"] or 0)
     return {
         "tri": tri,
         "ctx3": ctx3,
@@ -569,6 +597,43 @@ def kn3_score(
     (floor ``1/(10·n_tokens)``, docs with < 3 tokens not emitted), one
     order deeper. Plan: explode trigrams → five broadcast joins → one
     per-doc groupBy."""
+    scored = _kn3_scored(df, id_col, text_col, lm)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.log("p")).alias("avg_logp"),
+        F.exp(-F.avg(F.log("p"))).alias("ppl"),
+    )
+
+
+def kn3_score_quantized(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm: dict,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """(id, n_scored, qlogp_sum) — the cross-engine-EXACT twin of
+    :func:`kn3_score`, exactly as :func:`kn_score_quantized` is to
+    :func:`kn_score`: each trigram log-prob quantized to an INTEGER
+    multiple of ``2^-scale_bits`` and summed, order-independent, so a
+    SQL oracle that replays the three-order backoff in the identical
+    IEEE op order matches with zero tolerance. Shares
+    :func:`_kn3_scored` with the float scorer so the two cannot diverge
+    arithmetically."""
+    scale = float(1 << scale_bits)
+    scored = _kn3_scored(df, id_col, text_col, lm)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.floor(F.log("p") * F.lit(scale)).cast("long")).alias(
+            "qlogp_sum"
+        ),
+    )
+
+
+def _kn3_scored(df: DataFrame, id_col: str, text_col: str, lm: dict) -> DataFrame:
+    """(id, p) — one row per trigram with its interpolated order-3 KN
+    probability; the shared core of :func:`kn3_score` and
+    :func:`kn3_score_quantized`."""
     d3 = float(lm["discount3"])
     d2 = float(lm["discount2"])
     n_bi = max(float(lm["n_bigram_types"]), 1.0)
@@ -625,12 +690,7 @@ def kn3_score(
         + F.lit(d3) * F.coalesce(F.col("n_succ3"), F.lit(0)).cast("double") * p2
     ) / F.greatest(c_ctx3, F.lit(1.0))
     p3 = F.when(F.col("c_ctx3").isNotNull(), p3_kn).otherwise(p2)
-    scored = joined.withColumn("p", F.greatest(p3, F.lit(floor)))
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_scored"),
-        F.avg(F.log("p")).alias("avg_logp"),
-        F.exp(-F.avg(F.log("p"))).alias("ppl"),
-    )
+    return joined.withColumn("p", F.greatest(p3, F.lit(floor)))
 
 
 _KN_TABLES = ("ctx", "cont", "bi")

@@ -824,6 +824,17 @@ def train_pq(
         raise ValueError("train_pq: empty input")
     X = np.array([r[0] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return {"codebooks": train_pq_books(X, m, n_codes, iters, seed),
+            "m": m, "d": X.shape[1]}
+
+
+def train_pq_books(
+    X: np.ndarray, m: int, n_codes: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """The PQ k-means core on a PREPARED sample matrix (no normalization
+    — :func:`train_pq` normalizes raw vectors before calling this;
+    `ann_index.build_ivfpq_index` feeds RESIDUALS, which must stay
+    unnormalized). Returns (m, k_eff, d/m) float64 codebooks."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -846,8 +857,9 @@ def train_pq(
     k_eff = max(len(b) for b in books)
     # pad ragged books (a subspace with < n_codes distinct values) by
     # repeating the last centroid — unreachable codes, harmless in ADC
-    cb = np.stack([np.vstack([b, np.repeat(b[-1:], k_eff - len(b), 0)]) for b in books])
-    return {"codebooks": cb, "m": m, "d": d}
+    return np.stack(
+        [np.vstack([b, np.repeat(b[-1:], k_eff - len(b), 0)]) for b in books]
+    )
 
 
 def pq_encode(

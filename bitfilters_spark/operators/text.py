@@ -663,6 +663,7 @@ def span_corruption(
     seed: int = 0,
     inputs_col: str = "inputs",
     targets_col: str = "targets",
+    hash: str = "native",
 ) -> DataFrame:
     """T5-style span-corruption pairs (Raffel et al. 2020 §3.1.4) as a
     DETERMINISTIC column transform: ``inputs`` is the document with
@@ -682,11 +683,37 @@ def span_corruption(
     offset — non-overlap by construction, no sequential state, so the
     whole transform is JVM higher-order expressions (slice/flatten
     over the token array; no UDF, no shuffle). Documents too short for
-    one span pass through uncorrupted (targets = '')."""
+    one span pass through uncorrupted (targets = '').
+
+    ``hash`` picks the span-derivation hash (the
+    `filter_contamination(native=...)` precedent): ``"native"`` —
+    ``xxhash64``, the JVM fast path; ``"duckdb"`` — a cross-engine
+    derivation any SQL engine can replay exactly (60-bit integer from
+    the first 15 hex chars of ``md5(id || ':' || j || ':' || seed ||
+    ':' || k)``; DuckDB: ``('0x' || substr(md5(...), 1, 15))::BIGINT``),
+    which is how the driver gate pins the whole reconstruction law with
+    zero tolerance. Same span STATISTICS, different span positions —
+    pick one per corpus and keep it."""
     if not (0.0 < noise_density < 1.0):
         raise ValueError("noise_density must be in (0, 1)")
     if mean_span < 1:
         raise ValueError("mean_span must be >= 1")
+    if hash not in ("native", "duckdb"):
+        raise ValueError("hash must be 'native' or 'duckdb'")
+
+    def hkey(j: Column, k: int) -> Column:
+        if hash == "native":
+            return F.xxhash64(F.col(id_col), j, F.lit(seed), F.lit(k))
+        s = F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            j.cast("string"),
+            F.lit(str(seed)),
+            F.lit(str(k)),
+        )
+        return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
 
     def of(arr: Column) -> Column:
         n = F.size(arr)
@@ -704,15 +731,11 @@ def span_corruption(
             blen = be - bs
             slen = F.least(
                 F.lit(1)
-                + F.pmod(
-                    F.xxhash64(F.col(id_col), j, F.lit(seed), F.lit(1)),
-                    F.lit(2 * mean_span - 1),
-                ).cast("int"),
+                + F.pmod(hkey(j, 1), F.lit(2 * mean_span - 1)).cast("int"),
                 blen,
             )
             off = F.pmod(
-                F.xxhash64(F.col(id_col), j, F.lit(seed), F.lit(2)),
-                (blen - slen + 1).cast("long"),
+                hkey(j, 2), (blen - slen + 1).cast("long")
             ).cast("int")
             return F.struct(
                 bs.alias("bs"), be.alias("be"),

@@ -431,6 +431,27 @@ def test_hits_exact_overflow_guard(spark):
     assert len(got) == 3001
 
 
+def test_hits_exact_skip_guard_same_result(spark, edges):
+    """r13 (q_pagerank trim): skip_guard=True omits the degree-stats
+    job for pre-validated graphs; the result is identical, and the
+    overflow graph that the guard would refuse is simply NOT checked
+    (the caller's promise) — ANSI still errors rather than wrapping."""
+    from bitfilters_spark.operators.graph import hits_exact
+
+    df, pairs = edges
+    a = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits_exact(df, "src", "dst", iters=3).collect()
+    )
+    b = sorted(
+        (r["node"], r["hub"], r["authority"])
+        for r in hits_exact(
+            df, "src", "dst", iters=3, skip_guard=True
+        ).collect()
+    )
+    assert a == b
+
+
 def test_hits_quantized_iters0_oracle_closed_form(spark, edges):
     """Review fix (r12): hits_quantized(iters=0) returns the initial
     vectors and the oracle emits the same closed form instead of

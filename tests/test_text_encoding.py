@@ -202,6 +202,63 @@ def test_span_corruption_reconstruction_law(spark):
         span_corruption(df, "doc_id", "text", noise_density=1.5)
 
 
+def test_span_corruption_duckdb_hash_variant(spark):
+    """r13: hash='duckdb' derives spans from the md5-based cross-engine
+    hash — the reconstruction law still holds, span positions generally
+    differ from native, and a python replay of the md5 derivation
+    matches the engine bit-for-bit (what the driver oracle does)."""
+    import hashlib
+    import re
+
+    from bitfilters_spark.operators.text import span_corruption
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(12 + (i * 5) % 35)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["inputs"], r["targets"], r["n_masked"])
+        for r in span_corruption(df, "doc_id", "text", hash="duckdb").collect()
+    }
+    texts = dict(rows)
+
+    def h60(did, j, seed, k):
+        s = f"{did}:{j}:{seed}:{k}".encode()
+        return int(hashlib.md5(s).hexdigest()[:15], 16)
+
+    for did, (inp, tgt, nm) in out.items():
+        orig = texts[did].split(" ")
+        n = len(orig)
+        ns = min(int(n * 0.15 / 3.0 + 0.5), n)
+        if ns < 1:
+            assert inp == texts[did] and tgt == "" and nm == 0
+            continue
+        # python replay of the whole derivation
+        pieces_in, pieces_tgt, masked = [], [], 0
+        for j in range(ns):
+            bs, be = j * n // ns, (j + 1) * n // ns
+            blen = be - bs
+            sl = min(1 + h60(did, j, 0, 1) % 5, blen)
+            off = h60(did, j, 0, 2) % (blen - sl + 1)
+            ss = bs + off
+            pieces_in += orig[bs:ss] + [f"<extra_id_{j}>"] + orig[ss + sl:be]
+            pieces_tgt += [f"<extra_id_{j}>"] + orig[ss:ss + sl]
+            masked += sl
+        assert inp == " ".join(pieces_in), did
+        assert tgt == " ".join(pieces_tgt + [f"<extra_id_{ns}>"]), did
+        assert nm == masked
+    # different hash families place spans differently somewhere
+    native = {
+        r["doc_id"]: r["inputs"]
+        for r in span_corruption(df, "doc_id", "text").collect()
+    }
+    assert any(native[d] != out[d][0] for d in native)
+    import pytest as _p
+    with _p.raises(ValueError, match="hash"):
+        span_corruption(df, "doc_id", "text", hash="bogus")
+
+
 def test_script_profile_counts(spark):
     from bitfilters_spark.operators.text import script_profile
 
