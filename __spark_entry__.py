@@ -634,6 +634,38 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
     ).select("lang_pred", "bucket", "n_grams_total", "n_grams_distinct")
+    # sp_* legs (r13, operator #156 under the driver gate): per-group
+    # script-profile sums over PLANTED multi-script snippets (the corpus
+    # is pure ASCII — doc_id%5 cycles kana/Thai/Cyrillic/Han+Hangul text
+    # so every script counter moves); Java \p{IsXxx} and DuckDB RE2
+    # \p{Xxx} implement the same Unicode Script property, so the integer
+    # sums replay exactly
+    from bitfilters_spark.operators.text import script_profile
+
+    did5 = F.col("doc_id") % 5
+    aug_sp = enriched.select(
+        "lang_pred",
+        "bucket",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.lit(" "),
+            F.when(did5 == 0, F.lit("ひらがな てすと"))
+            .when(did5 == 1, F.lit("カタカナ モジ"))
+            .when(did5 == 2, F.lit("ไทยสวัสดีครับ"))
+            .when(did5 == 3, F.lit("Русский текст здесь"))
+            .otherwise(F.lit("漢字文章 한글")),
+        ).alias("t"),
+    ).select("lang_pred", "bucket", script_profile("t").alias("p"))
+    sp = aug_sp.groupBy("lang_pred", "bucket").agg(
+        F.sum("p.n_letters").cast("long").alias("sp_letters"),
+        F.sum("p.n_latin").cast("long").alias("sp_latin"),
+        F.sum("p.n_cyrillic").cast("long").alias("sp_cyrillic"),
+        F.sum("p.n_cjk").cast("long").alias("sp_cjk"),
+        F.sum("p.n_hiragana").cast("long").alias("sp_hiragana"),
+        F.sum("p.n_katakana").cast("long").alias("sp_katakana"),
+        F.sum("p.n_thai").cast("long").alias("sp_thai"),
+        F.sum("p.n_hangul").cast("long").alias("sp_hangul"),
+    )
     # fuzzy_name_pairs leg (r7, operator #103): within-table edit-distance
     # self-join on supplier names at d=1; strategy="deletion" (FastSS
     # neighborhoods) because every s_name shares the "Supplier#" template
@@ -657,6 +689,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_grams_distinct", F.coalesce("n_grams_distinct", F.lit(0))
         )
+        .join(sp, ["lang_pred", "bucket"])
         .crossJoin(F.broadcast(fz))
     )
 
@@ -1450,9 +1483,26 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leg='cos': exact cosine top-k (brute-force baseline). leg='ham'
+    (r13, operator #163 under the driver gate): binary-signature
+    Hamming top-k — sign-bit packing into 32-bit words and XOR+popcount
+    ranking are pure INTEGER arithmetic, so the oracle replays the
+    whole ANN family (packing fold, distance, tie order) with zero
+    tolerance — the first ANN path gated exactly rather than by recall
+    envelope."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+    cos = SIM.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        F.lit("cos").alias("leg"),
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    ham = SIM.hamming_topk(emb, queries_df, "vec_id", "embedding", k=5).select(
+        F.lit("ham").alias("leg"), "query_id", "rank", "neighbor_id", "hamming"
+    )
+    return cos.unionByName(ham)
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,9 +1599,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       sector/mask filter from the bench grams in SQL and replays every
       probe, so `fc_flagged` (>= n_hit by the no-false-negative law)
       must match bit-for-bit.
+    - `lcs_*` legs (r13, operator #164): `lcs_contamination` — the
+      longest-common-token-run rule via the diagonal-islands algebra
+      (gram-position equi-join → runs per (pair, diagonal) → max+n−1).
+      Planted runs: train docs %7==2 append the first 6+(doc_id%5)
+      tokens of a 12-token sentinel phrase, every bench doc appends the
+      full phrase, so exact run lengths 6..10 vary per row; the oracle
+      replays the islands algebra on string grams (equal bar a 64-bit
+      gram-hash collision, the #158 convention).
     """
     from bitfilters_spark.operators.text import (
         filter_contamination,
+        lcs_contamination,
         ngram_contamination,
     )
     from bitfilters_spark.plans.filter_join import antijoin_filter
@@ -1580,6 +1639,30 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=10_000,
         fpp=0.01,
     )
+    phrase = " ".join(f"lcsw{k}" for k in range(12))
+    pw = F.split(F.lit(phrase), " ")
+    plant = F.array_join(
+        F.slice(pw, 1, (F.lit(6) + F.col("doc_id") % 5).cast("int")), " "
+    )
+    train_aug = train.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" "), plant)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench_aug = bench.select(
+        "doc_id", F.concat("text", F.lit(" " + phrase)).alias("text")
+    )
+    lcs = (
+        lcs_contamination(train_aug, bench_aug, "doc_id", "text", min_lcs=6)
+        .groupBy("doc_id")
+        .agg(
+            F.max("lcs_tokens").alias("lcs_max"),
+            F.count(F.lit(1)).cast("long").alias("lcs_hits"),
+        )
+    )
     return (
         contam.join(
             clean.select("doc_id", F.lit(1).alias("fp_clean")),
@@ -1587,12 +1670,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(fc, "doc_id", "left")
+        .join(lcs, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
             "n_hit",
             F.coalesce("fp_clean", F.lit(0)).alias("fp_clean"),
             "fc_flagged",
+            F.coalesce("lcs_max", F.lit(0)).alias("lcs_max"),
+            F.coalesce("lcs_hits", F.lit(0)).alias("lcs_hits"),
         )
     )
 
@@ -2752,6 +2838,38 @@ def oracle_sql() -> dict[str, str]:
                            (string_split(q2.text, ' '))[i:i+2], ' '))) AS g
                 FROM (SELECT m.text, q.lang_pred, q.bucket
                       FROM q JOIN m ON q.doc_id = m.doc_id) q2)
+              GROUP BY lang_pred, bucket),
+            -- sp_* legs (operator #156): script-profile sums over the
+            -- planted doc_id%5 multi-script snippets; RE2 \\p{{Xxx}} and
+            -- Java \\p{{IsXxx}} are the same Unicode Script property
+            sp AS (
+              SELECT lang_pred, bucket,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{L}}'))) AS BIGINT)
+                       AS sp_letters,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Latin}}'))) AS BIGINT)
+                       AS sp_latin,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Cyrillic}}'))) AS BIGINT)
+                       AS sp_cyrillic,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Han}}'))) AS BIGINT)
+                       AS sp_cjk,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Hiragana}}'))) AS BIGINT)
+                       AS sp_hiragana,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Katakana}}'))) AS BIGINT)
+                       AS sp_katakana,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Thai}}'))) AS BIGINT)
+                       AS sp_thai,
+                     CAST(sum(len(regexp_extract_all(t, '\\p{{Hangul}}'))) AS BIGINT)
+                       AS sp_hangul
+              FROM (
+                SELECT q.lang_pred, q.bucket,
+                       substring(m.text, 1, 30) || ' ' ||
+                       CASE m.doc_id % 5
+                         WHEN 0 THEN 'ひらがな てすと'
+                         WHEN 1 THEN 'カタカナ モジ'
+                         WHEN 2 THEN 'ไทยสวัสดีครับ'
+                         WHEN 3 THEN 'Русский текст здесь'
+                         ELSE '漢字文章 한글' END AS t
+                FROM q JOIN m ON q.doc_id = m.doc_id)
               GROUP BY lang_pred, bucket)
             SELECT q.lang_pred, q.bucket, count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -2762,6 +2880,14 @@ def oracle_sql() -> dict[str, str]:
                      AS n_grams_total,
                    coalesce(any_value(div.n_grams_distinct), 0)
                      AS n_grams_distinct,
+                   any_value(sp.sp_letters) AS sp_letters,
+                   any_value(sp.sp_latin) AS sp_latin,
+                   any_value(sp.sp_cyrillic) AS sp_cyrillic,
+                   any_value(sp.sp_cjk) AS sp_cjk,
+                   any_value(sp.sp_hiragana) AS sp_hiragana,
+                   any_value(sp.sp_katakana) AS sp_katakana,
+                   any_value(sp.sp_thai) AS sp_thai,
+                   any_value(sp.sp_hangul) AS sp_hangul,
                    (SELECT count(*)::BIGINT
                     FROM supplier a JOIN supplier b
                       ON a.s_suppkey < b.s_suppkey
@@ -2769,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS fuzzy_name_pairs
             FROM q LEFT JOIN div ON q.lang_pred = div.lang_pred
                                 AND q.bucket = div.bucket
+            JOIN sp ON q.lang_pred = sp.lang_pred AND q.bucket = sp.bucket
             GROUP BY q.lang_pred, q.bucket
         """,
         "q_kmv_distinct": """
@@ -3530,10 +3657,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                      list_cosine_similarity(a.embedding, b.embedding) AS c
               FROM embeddings a, embeddings b
-              WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
-            FROM p QUALIFY rank <= 5
+              WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+            cosleg AS (
+              SELECT 'cos' AS leg, query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                     ) AS rank,
+                     NULL::BIGINT AS hamming
+              FROM p QUALIFY rank <= 5),
+            -- ham legs (operator #163): sign-bit words (32/word — RE
+            -- packing replayed exactly) + XOR popcount, pure integers
+            sigs AS (
+              SELECT vec_id, i // 32 AS w,
+                     bit_or(((e > 0)::BIGINT) << (i % 32)) AS word
+              FROM (SELECT vec_id, unnest(embedding) AS e,
+                           generate_subscripts(embedding, 1) - 1 AS i
+                    FROM embeddings)
+              GROUP BY vec_id, i // 32),
+            hd AS (
+              SELECT sa.vec_id AS query_id, sb.vec_id AS neighbor_id,
+                     CAST(sum(bit_count(xor(sa.word, sb.word))) AS BIGINT)
+                       AS hamming
+              FROM sigs sa JOIN sigs sb
+                ON sa.w = sb.w AND sa.vec_id <> sb.vec_id
+              WHERE sa.vec_id < 10
+              GROUP BY sa.vec_id, sb.vec_id),
+            hamleg AS (
+              SELECT 'ham' AS leg, query_id, neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY hamming, neighbor_id
+                     ) AS rank,
+                     hamming
+              FROM hd QUALIFY rank <= 5)
+            SELECT leg, query_id, rank, neighbor_id, hamming FROM cosleg
+            UNION ALL
+            SELECT leg, query_id, rank, neighbor_id, hamming FROM hamleg
         """,
         "q_quantize_int8": """
             WITH s AS (
@@ -3635,12 +3793,56 @@ def oracle_sql() -> dict[str, str]:
                          AND (s.sector & ((1::HUGEINT << (((f.h >> 32) & 63)::INT)) | (1::HUGEINT << (((f.h >> 40) & 63)::INT)) | (1::HUGEINT << (((f.h >> 48) & 63)::INT)) | (1::HUGEINT << (((f.h >> 56) & 63)::INT)))) = ((1::HUGEINT << (((f.h >> 32) & 63)::INT)) | (1::HUGEINT << (((f.h >> 40) & 63)::INT)) | (1::HUGEINT << (((f.h >> 48) & 63)::INT)) | (1::HUGEINT << (((f.h >> 56) & 63)::INT)))
                      )::BIGINT AS fc_flagged
               FROM fh f LEFT JOIN ins s ON s.idx = (f.h & 1023)
-              GROUP BY f.doc_id)
+              GROUP BY f.doc_id),
+            -- lcs_* legs (operator #164): diagonal-islands longest
+            -- common token run over planted sentinel-phrase suffixes
+            lt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 2
+                          THEN text || ' ' || array_to_string(
+                            (string_split(
+                              'lcsw0 lcsw1 lcsw2 lcsw3 lcsw4 lcsw5 lcsw6 lcsw7 lcsw8 lcsw9 lcsw10 lcsw11',
+                              ' '))[1:(6 + (doc_id % 5))::INT], ' ')
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0),
+            lb AS (
+              SELECT doc_id AS bench_id,
+                     text || ' lcsw0 lcsw1 lcsw2 lcsw3 lcsw4 lcsw5 lcsw6 lcsw7 lcsw8 lcsw9 lcsw10 lcsw11'
+                       AS text
+              FROM documents WHERE doc_id % 17 = 0),
+            ltg AS (
+              SELECT doc_id, i,
+                     array_to_string((string_split(text,' '))[i:i+5], ' ') AS g
+              FROM lt, LATERAL (SELECT unnest(generate_series(1,
+                     greatest(len(string_split(text,' ')) - 5, 0))) AS i) u),
+            lbg AS (
+              SELECT bench_id, j,
+                     array_to_string((string_split(text,' '))[j:j+5], ' ') AS g
+              FROM lb, LATERAL (SELECT unnest(generate_series(1,
+                     greatest(len(string_split(text,' ')) - 5, 0))) AS j) u),
+            lruns AS (
+              SELECT doc_id, bench_id, d,
+                     i - row_number() OVER (
+                       PARTITION BY doc_id, bench_id, d ORDER BY i) AS isl
+              FROM (SELECT t.doc_id, b.bench_id, (t.i - b.j) AS d, t.i
+                    FROM ltg t JOIN lbg b USING (g))),
+            lpair AS (
+              SELECT doc_id, bench_id, max(cnt + 5) AS l
+              FROM (SELECT doc_id, bench_id, d, isl, count(*) AS cnt
+                    FROM lruns GROUP BY 1, 2, 3, 4)
+              GROUP BY 1, 2),
+            lcsa AS (
+              SELECT doc_id, CAST(max(l) AS BIGINT) AS lcs_max,
+                     CAST(count(*) AS BIGINT) AS lcs_hits
+              FROM lpair GROUP BY doc_id)
             SELECT s.doc_id, s.n_grams, s.n_hit,
                    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS fp_clean,
-                   fc.fc_flagged
+                   fc.fc_flagged,
+                   coalesce(lcsa.lcs_max, 0) AS lcs_max,
+                   coalesce(lcsa.lcs_hits, 0) AS lcs_hits
             FROM scored s LEFT JOIN clean c USING (doc_id)
             LEFT JOIN fc USING (doc_id)
+            LEFT JOIN lcsa USING (doc_id)
         """,
         "q_token_budget": """
             WITH stats AS (

@@ -1533,3 +1533,72 @@ def nfkc_normalize(col, casefold: bool = False) -> Column:
         return s.map(one)
 
     return nf(c)
+
+
+def lcs_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_lcs: int = 8,
+    bench_id_col: str | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(id_col, bench_id, lcs_tokens) — pairs where a document and a
+    benchmark item share a CONTIGUOUS token run of ≥ ``min_lcs``
+    (token-level longest-common-substring), with the exact run length.
+    The fuzzy complement of :func:`ngram_contamination`'s count surface
+    and the phrase index's exact-sentence lookup: the
+    frontier-model-card decontamination rule is "drop on a ≥ N-token
+    verbatim overlap", and the run LENGTH is the audit column that
+    separates a quoted sentence (~15 tokens) from a wholesale paste
+    (hundreds).
+
+    DIAGONAL-ISLANDS formulation, no quadratic DP anywhere: a common
+    token run of length L ≥ min_lcs is exactly a run of R = L−n+1
+    CONSECUTIVE matching n-gram positions (n = min_lcs) on one diagonal
+    d = i−j of the match matrix, so the whole computation is one hashed
+    n-gram POSITION equi-join (`hashed_word_shingles` + posexplode —
+    match volume ∝ shared-gram occurrences, which are rare at n ≥ 8;
+    the only wide op) → gaps-and-islands per (pair, diagonal) (i −
+    row_number() constant within a run) → max run + n − 1. Pure
+    DataFrame expressions end-to-end — no UDF, no per-pair text
+    materialization, and the identical islands algebra replays in ANSI
+    SQL (equal bar a 64-bit gram-hash collision, the #158 convention).
+    ``df_cap`` is the `shingle_jaccard_pairs` skew guard: grams present
+    in more than df_cap documents are excluded from matching only (a
+    boilerplate gram shared by half the corpus would make the match
+    stream quadratic); runs measured through surviving grams stay
+    exact."""
+    from pyspark.sql import Window
+
+    if min_lcs < 2:
+        raise ValueError("min_lcs must be >= 2")
+    bid = bench_id_col or id_col
+    dg = docs.select(
+        F.col(id_col),
+        F.posexplode(hashed_word_shingles(text_col, min_lcs)).alias("i", "g"),
+    )
+    if df_cap is not None:
+        hot = (
+            dg.groupBy("g")
+            .agg(F.count_distinct(id_col).alias("__df"))
+            .where(F.col("__df") > df_cap)
+            .select("g")
+        )
+        dg = dg.join(F.broadcast(hot), "g", "left_anti")
+    bg = bench.select(
+        F.col(bid).alias("bench_id"),
+        F.posexplode(hashed_word_shingles(text_col, min_lcs)).alias("j", "g"),
+    )
+    m = dg.join(bg, "g").select(
+        id_col, "bench_id", (F.col("i") - F.col("j")).alias("__d"), "i"
+    )
+    w = Window.partitionBy(id_col, "bench_id", "__d").orderBy("i")
+    runs = m.withColumn("__isl", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "bench_id", "__d", "__isl")
+        .agg((F.count(F.lit(1)) + F.lit(min_lcs - 1)).alias("__run"))
+        .groupBy(id_col, "bench_id")
+        .agg(F.max("__run").cast("long").alias("lcs_tokens"))
+    )

@@ -151,3 +151,71 @@ def test_duckdb_parity_mode_matches_native(spark):
     for did, (n_grams, n_flagged, n_hit) in got.items():
         assert (n_grams, n_hit) == exact[did]
         assert n_flagged >= n_hit
+
+
+def test_lcs_contamination_exact_lengths(spark):
+    """#164: pairs sharing a contiguous >= min_lcs token run are found
+    with the EXACT run length (python DP replay); sub-threshold overlap
+    and disjoint docs produce no pair; recall is complete by the
+    gram-prefilter containment law."""
+    from bitfilters_spark.operators.text import lcs_contamination
+
+    bench_rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "pack my box with five dozen liquor jugs now please"),
+    ]
+    doc_rows = [
+        # verbatim 10-token paste of bench 0 inside noise -> lcs 10
+        (10, "x1 x2 " + bench_rows[0][1] + " y1 y2"),
+        # 6-token run of bench 1 (min_lcs=5 catches, length exactly 6)
+        (11, "z1 pack my box with five dozen z2 z3 z4 z5"),
+        # 4-token run only -> BELOW min_lcs=5, no pair
+        (12, "w1 the quick brown fox w2 w3 w4 w5 w6 w7"),
+        # disjoint
+        (13, "completely unrelated content with no shared runs at all"),
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["bench_id"]): r["lcs_tokens"]
+        for r in lcs_contamination(docs, bench, min_lcs=5).collect()
+    }
+    assert got == {(10, 0): 10, (11, 1): 6}
+
+    # brute-force law on random token soup: every pair the DP replay
+    # says has a run >= 5 appears with the identical length
+    import numpy as np
+    rng = np.random.default_rng(4)
+    vocab = [f"t{i}" for i in range(30)]
+    bench2_rows = [(i, " ".join(rng.choice(vocab, 12))) for i in range(5)]
+    docs2_rows = [(100 + i, " ".join(rng.choice(vocab, 40))) for i in range(20)]
+    docs2 = spark.createDataFrame(docs2_rows, "doc_id long, text string")
+    bench2 = spark.createDataFrame(bench2_rows, "doc_id long, text string")
+
+    def lcs(a, b):
+        a, b = a.split(" "), b.split(" ")
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b):
+                if x == y:
+                    cur[j + 1] = prev[j] + 1
+                    best = max(best, cur[j + 1])
+            prev = cur
+        return best
+
+    want = {
+        (d, b): lcs(td, tb)
+        for d, td in docs2_rows
+        for b, tb in bench2_rows
+        if lcs(td, tb) >= 3
+    }
+    got2 = {
+        (r["doc_id"], r["bench_id"]): r["lcs_tokens"]
+        for r in lcs_contamination(docs2, bench2, min_lcs=3).collect()
+    }
+    assert got2 == want
+    import pytest as _p
+    with _p.raises(ValueError, match="min_lcs"):
+        lcs_contamination(docs, bench, min_lcs=1)

@@ -669,3 +669,65 @@ def test_ann_index_recenter(spark, tmp_path):
         nprobe=4, centroids=C2,
     ).select("query_id", "rank", "neighbor_id").collect()))
     assert via == direct and len(via) > 0
+
+
+def test_binary_signatures_packing_law(spark):
+    """#163: word w packs dims [32w, 32w+32) as sign bits — exact python
+    replay, including an exact-0.0 dim (packs as 0) and a non-multiple-
+    of-32 dimension tail."""
+    from bitfilters_spark.operators.similarity import binary_signatures
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(70)
+        v[i % 70] = 0.0  # tie-at-zero packs as 0 in every engine
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: list(r["sig"])
+        for r in binary_signatures(df).collect()
+    }
+    for i, v in rows:
+        want = []
+        for w in range((70 + 31) // 32):
+            word = 0
+            for j in range(w * 32, min(w * 32 + 32, 70)):
+                if v[j] > 0:
+                    word |= 1 << (j - w * 32)
+            want.append(word)
+        assert got[i] == want, i
+
+
+def test_hamming_topk_equals_brute_force(spark):
+    """hamming_topk ≡ a numpy sign-bit/hamming/tie replay exactly
+    (integer distance — no float tolerance anywhere), and a planted
+    near-duplicate is its query's top-1."""
+    from bitfilters_spark.operators.similarity import hamming_topk
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((60, 64))
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    dup = base[7].copy()
+    dup[3] += 0.001  # near-dup of 7: identical sign pattern (almost)
+    rows.append((100, dup.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id").isin([0, 7, 100]))
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["hamming"])
+        for r in hamming_topk(df, queries, k=4).collect()
+    ]
+    # brute force
+    ids = [r[0] for r in rows]
+    bits = {i: (np.array(v) > 0) for i, v in rows}
+    want = []
+    for qid in (0, 7, 100):
+        ds = sorted(
+            (int((bits[qid] ^ bits[i]).sum()), i)
+            for i in ids if i != qid
+        )
+        for rk, (d, i) in enumerate(ds[:4], 1):
+            want.append((qid, rk, i, d))
+    assert sorted(got) == sorted(want)
+    top1 = {q: n for q, rk, n, _ in got if rk == 1}
+    assert top1[100] == 7 and top1[7] == 100
