@@ -21,9 +21,11 @@ from .frontier import streaming_frontier
 from .index_maintenance import (
     ann_maintenance_fold,
     bm25_maintenance_fold,
+    ivfpq_maintenance_fold,
     phrase_maintenance_fold,
     streaming_ann_index,
     streaming_bm25_index,
+    streaming_ivfpq_index,
     streaming_phrase_index,
 )
 from .lm import (
@@ -84,8 +86,10 @@ __all__ = [
     "streaming_frontier",
     "ann_maintenance_fold",
     "bm25_maintenance_fold",
+    "ivfpq_maintenance_fold",
     "streaming_ann_index",
     "streaming_bm25_index",
+    "streaming_ivfpq_index",
     "streaming_sessionize",
     "streaming_topk",
     "streaming_window_counts",

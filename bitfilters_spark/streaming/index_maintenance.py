@@ -166,3 +166,48 @@ def streaming_phrase_index(
     return stream.writeStream.foreachBatch(
         phrase_maintenance_fold(id_col, text_col, name, marker_path, num_buckets)
     ).outputMode("append")
+
+
+def ivfpq_maintenance_fold(
+    id_col: str,
+    vec_col: str,
+    name: str,
+    marker_path: str,
+    num_buckets: int = 16,
+):
+    """foreachBatch function: route the batch's NEW vectors through the
+    IVFPQ index's frozen centroids AND encode through its frozen
+    codebooks, then append — exactly once per batch id."""
+    from ..operators.ann_index import append_to_ivfpq_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _applied(marker_path, batch_id, spark):
+            return
+        if batch_df.isEmpty():
+            _mark(marker_path, batch_id, spark)
+            return
+        append_to_ivfpq_index(batch_df, id_col, vec_col, name, num_buckets)
+        _mark(marker_path, batch_id, spark)
+
+    return fold
+
+
+def streaming_ivfpq_index(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    marker_path: str,
+    num_buckets: int = 16,
+):
+    """foreachBatch writer keeping a built IVFPQ index current — the
+    #133/#134 contract one index family over (index must exist:
+    `build_ivfpq_index` trains BOTH frozen models on a seed corpus;
+    appended vectors land in identical cells WITH identical codes to a
+    rebuild under those models, so stream-maintained probes equal the
+    rebuild exactly — pytest; distribution drift degrades recall like
+    any frozen-quantizer append: rebuild to re-center)."""
+    return stream.writeStream.foreachBatch(
+        ivfpq_maintenance_fold(id_col, vec_col, name, marker_path, num_buckets)
+    ).outputMode("append")

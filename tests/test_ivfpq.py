@@ -166,3 +166,64 @@ def test_ivfpq_probe_handle_and_empty_queries(spark, tmp_path):
     assert got.count() > 0
     with pytest.raises(ValueError, match="max_queries"):
         probe.query(emb, "vec_id", "embedding", max_queries=5)
+
+
+def test_streaming_ivfpq_index_maintenance(spark, tmp_path):
+    """Streaming IVFPQ maintenance (#165): micro-batches route + encode
+    through BOTH frozen models; after the drain, probes equal a rebuild
+    over the union with the same centroids and codebooks; replaying an
+    applied batch id is a no-op."""
+    from bitfilters_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from bitfilters_spark.streaming import (
+        ivfpq_maintenance_fold,
+        streaming_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(EMB)
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    C, cb = build_ivfpq_index(
+        seed, "vec_id", "embedding", "sivfpq", n_centroids=8, m=8,
+        n_codes=32, num_buckets=4, path=str(tmp_path / "ix"),
+    )
+    src = str(tmp_path / "in")
+    rest.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        streaming_ivfpq_index(
+            stream.select("vec_id", "embedding"), "vec_id", "embedding",
+            "sivfpq", str(tmp_path / "markers"), num_buckets=4,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_ivfpq_index(
+        emb, "vec_id", "embedding", "sivfpq_full", n_centroids=8, m=8,
+        n_codes=32, num_buckets=4, path=str(tmp_path / "full"),
+        centroids=C, codebooks=cb,
+    )
+    queries = emb.where(F.col("vec_id") < 6)
+    a = sorted(map(tuple, ivfpq_query_index(
+        spark, "sivfpq", queries, "vec_id", "embedding", k=5, nprobe=8
+    ).collect()))
+    b = sorted(map(tuple, ivfpq_query_index(
+        spark, "sivfpq_full", queries, "vec_id", "embedding", k=5, nprobe=8
+    ).collect()))
+    assert a == b and len(a) > 0
+    fold = ivfpq_maintenance_fold(
+        "vec_id", "embedding", "sivfpq", str(tmp_path / "m2"), num_buckets=4
+    )
+    extra = emb.where(F.col("vec_id") == 2).select("vec_id", "embedding")
+    fold(extra, 3)
+    before = spark.table("sivfpq_cells").count()
+    fold(extra, 3)
+    assert spark.table("sivfpq_cells").count() == before
