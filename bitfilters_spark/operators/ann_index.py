@@ -834,3 +834,38 @@ def ivfpq_query_index(
     return IvfPqProbe(spark, name).query(
         queries, id_col, vec_col, k, nprobe, max_queries
     )
+
+
+def compact_ivfpq_index(
+    spark: SparkSession, name: str, path: str | None = None
+) -> dict:
+    """`compact_ann_index` for the IVFPQ family: every append adds a
+    file-set per bucket forever; rewrite the codes table to one file-set
+    per bucket. Rows, centroids, codebooks, and geometry are unchanged,
+    so probes are bit-identical before/after; same staging-swap
+    atomicity (a crash mid-compact leaves the live index untouched).
+    Returns ``{"files_before": n, "files_after": n}``."""
+    _check_name(name)
+    _refresh(spark, name)
+    spark.catalog.refreshTable(f"{name}_codebooks")
+    geom = _stored_geometry(spark, name)
+    num_buckets = geom["num_buckets"]
+
+    def _nfiles():
+        return (
+            spark.table(f"{name}_cells")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    files_before = _nfiles()
+    C = load_ann_centroids(spark, name)
+    cb = load_pq_codebooks(spark, name)
+    from .bm25_index import _live_location
+
+    loc = _live_location(spark, f"{name}_cells")
+    src = spark.read.parquet(loc) if loc else spark.table(f"{name}_cells")
+    codes = src.repartition(num_buckets, F.col("cell"))
+    _write_pq_staged(spark, name, codes, C, cb, num_buckets, path)
+    return {"files_before": files_before, "files_after": _nfiles()}

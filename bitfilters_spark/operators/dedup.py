@@ -1291,3 +1291,67 @@ def lsh_recall_report(
         "candidate_precision": (n_found / n_cand) if n_cand else None,
         "sample_rate": (sample_threshold) / (sample_mask + 1),
     }
+
+
+def lsh_plan(
+    threshold: float,
+    n_perm: int = 128,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+    grid: int = 2000,
+) -> dict:
+    """Choose MinHash-LSH banding (b bands × r rows) for a target
+    Jaccard ``threshold`` — the knob every LSH deployment hand-tunes
+    (MMDS §3.4.3 made rigorous): candidate probability is the S-curve
+    P(s) = 1 − (1 − s^r)^b, and the planner picks, among all (b, r)
+    with b·r ≤ n_perm, the banding minimizing
+
+        fp_weight · ∫₀ᵗ P(s) ds  +  fn_weight · ∫ᵗ¹ (1 − P(s)) ds
+
+    — the weighted false-positive/false-negative AREAS, integrated on a
+    deterministic midpoint grid (pure driver-side math; nothing touches
+    the cluster). ``fn_weight`` > ``fp_weight`` biases toward recall
+    (dedup hates missed duplicates; candidates get verified exactly
+    anyway), the reverse biases toward fewer verification pairs.
+
+    Returns ``{"b", "r", "n_used", "threshold_est", "fp_area",
+    "fn_area", "p_at_threshold", "candidates"}`` — ``threshold_est`` is
+    the classic (1/b)^(1/r) inflection estimate, ``candidates`` the
+    full ranked table so the trade is auditable. Feed b·r as
+    ``num_perm`` and b as the band count to `minhash_signatures` /
+    `minhash_lsh_pairs`."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_perm < 2:
+        raise ValueError("n_perm must be >= 2")
+    cands = []
+    for r in range(1, n_perm + 1):
+        b = n_perm // r
+        if b < 1:
+            break
+        fp = fn = 0.0
+        step = 1.0 / grid
+        for k in range(grid):
+            s = (k + 0.5) * step
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        cost = fp_weight * fp + fn_weight * fn
+        cands.append(
+            {
+                "b": b,
+                "r": r,
+                "n_used": b * r,
+                "fp_area": fp,
+                "fn_area": fn,
+                "cost": cost,
+                "threshold_est": (1.0 / b) ** (1.0 / r) if b > 1 else 0.0,
+                "p_at_threshold": 1.0 - (1.0 - threshold**r) ** b,
+            }
+        )
+    cands.sort(key=lambda c: (c["cost"], c["r"]))
+    best = dict(cands[0])
+    best["candidates"] = cands
+    return best

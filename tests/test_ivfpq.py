@@ -227,3 +227,43 @@ def test_streaming_ivfpq_index_maintenance(spark, tmp_path):
     before = spark.table("sivfpq_cells").count()
     fold(extra, 3)
     assert spark.table("sivfpq_cells").count() == before
+
+
+def test_compact_ivfpq_index_probe_identical(spark, tmp_path):
+    """compact_ivfpq_index collapses append-accumulated file-sets to one
+    per bucket; probes are bit-identical before/after and the models
+    are unchanged."""
+    from bitfilters_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_query_index,
+        load_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(EMB).where(F.col("vec_id") < 200)
+    seed = emb.where(F.col("vec_id") % 2 == 0)
+    build_ivfpq_index(
+        seed, "vec_id", "embedding", "ivfpq_c", n_centroids=4, m=4,
+        n_codes=16, num_buckets=2, path=str(tmp_path / "c"),
+    )
+    for lo, hi in ((1, 60), (61, 120), (121, 200)):
+        append_to_ivfpq_index(
+            emb.where(
+                (F.col("vec_id") % 2 == 1)
+                & F.col("vec_id").between(lo, hi)
+            ),
+            "vec_id", "embedding", "ivfpq_c", num_buckets=2,
+        )
+    queries = emb.where(F.col("vec_id") < 5)
+    before = sorted(map(tuple, ivfpq_query_index(
+        spark, "ivfpq_c", queries, "vec_id", "embedding", k=5, nprobe=4
+    ).collect()))
+    cb_before = load_pq_codebooks(spark, "ivfpq_c")
+    rep = compact_ivfpq_index(spark, "ivfpq_c", path=str(tmp_path / "c"))
+    assert rep["files_after"] < rep["files_before"]
+    after = sorted(map(tuple, ivfpq_query_index(
+        spark, "ivfpq_c", queries, "vec_id", "embedding", k=5, nprobe=4
+    ).collect()))
+    assert before == after and len(after) > 0
+    np.testing.assert_array_equal(cb_before, load_pq_codebooks(spark, "ivfpq_c"))
