@@ -756,16 +756,19 @@ class IvfPqProbe:
         qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
         base = qmat @ C.T  # exact q . c_cell term, (nq, n_centroids)
         order = np.argsort(-base, axis=1)[:, : min(nprobe, len(C))]
-        lut = np.einsum(
-            "qsd,sjd->qsj", qmat.reshape(len(qmat), m, dsub), cb
-        ).reshape(len(qmat), m * k_eff)
         probe_pairs = [
             (int(qids[i]), int(c)) for i in range(len(qids)) for c in order[i]
         ]
         cand_cells = sorted({c for _, c in probe_pairs})
         probes = spark.createDataFrame(probe_pairs, "query_id long, cell long")
         qpos = {int(qids[i]): i for i in range(len(qids))}
-        bc = spark.sparkContext.broadcast((qpos, lut, base))
+        # broadcast the COMPACT models (qmat is nq x d; C/cb are tiny)
+        # and derive the ADC LUT + base table ONCE PER TASK on the
+        # executor: the expanded LUT is (nq, m*k_eff) — up to ~32x qmat
+        # at the defaults, ~1.6 GB at max_queries — and shipping it
+        # would OOM long before the query bound AnnProbe sustains; the
+        # one einsum per task is nq*d*k_eff flops, noise next to scan
+        bc = spark.sparkContext.broadcast((qpos, qmat, C, cb))
         cells = spark.table(f"{self.name}_cells").where(
             F.col("cell").isin(cand_cells)
         )
@@ -784,7 +787,11 @@ class IvfPqProbe:
         )
 
         def score(batches):
-            qpos_, lut_, base_ = bc.value
+            qpos_, qmat_, C_, cb_ = bc.value
+            base_ = qmat_ @ C_.T
+            lut_ = np.einsum(
+                "qsd,sjd->qsj", qmat_.reshape(len(qmat_), m, dsub), cb_
+            ).reshape(len(qmat_), m * k_eff)
             offs = np.arange(m, dtype=np.int64) * k_eff
             for pdf in batches:
                 if not len(pdf):

@@ -1320,38 +1320,44 @@ def lsh_plan(
     full ranked table so the trade is auditable. Feed b·r as
     ``num_perm`` and b as the band count to `minhash_signatures` /
     `minhash_lsh_pairs`."""
+    import numpy as np
+
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
     if n_perm < 2:
         raise ValueError("n_perm must be >= 2")
+    # the FULL (b, r) lattice with b*r <= n_perm — not just the maximal
+    # b per r: raising b raises P(s) pointwise (more fp area, less fn),
+    # so under fp-heavy weights the optimum for a given r is often a
+    # SMALLER b, which a b = n_perm // r search would never see
+    step = 1.0 / grid
+    s = (np.arange(grid) + 0.5) * step
+    below = s < threshold
     cands = []
     for r in range(1, n_perm + 1):
-        b = n_perm // r
-        if b < 1:
+        if n_perm // r < 1:
             break
-        fp = fn = 0.0
-        step = 1.0 / grid
-        for k in range(grid):
-            s = (k + 0.5) * step
-            p = 1.0 - (1.0 - s**r) ** b
-            if s < threshold:
-                fp += p * step
-            else:
-                fn += (1.0 - p) * step
-        cost = fp_weight * fp + fn_weight * fn
-        cands.append(
-            {
-                "b": b,
-                "r": r,
-                "n_used": b * r,
-                "fp_area": fp,
-                "fn_area": fn,
-                "cost": cost,
-                "threshold_est": (1.0 / b) ** (1.0 / r) if b > 1 else 0.0,
-                "p_at_threshold": 1.0 - (1.0 - threshold**r) ** b,
-            }
-        )
-    cands.sort(key=lambda c: (c["cost"], c["r"]))
+        sr = s**r
+        one_minus = 1.0 - sr
+        pw = np.ones(grid)  # (1 - s^r)^b built incrementally over b
+        for b in range(1, n_perm // r + 1):
+            pw = pw * one_minus
+            p = 1.0 - pw
+            fp = float(p[below].sum() * step)
+            fn = float(pw[~below].sum() * step)
+            cands.append(
+                {
+                    "b": b,
+                    "r": r,
+                    "n_used": b * r,
+                    "fp_area": fp,
+                    "fn_area": fn,
+                    "cost": fp_weight * fp + fn_weight * fn,
+                    "threshold_est": (1.0 / b) ** (1.0 / r),
+                    "p_at_threshold": 1.0 - (1.0 - threshold**r) ** b,
+                }
+            )
+    cands.sort(key=lambda c: (c["cost"], c["n_used"], c["r"]))
     best = dict(cands[0])
     best["candidates"] = cands
     return best

@@ -1062,7 +1062,11 @@ def binary_signatures(
     array slot per 32 dims, invisible next to the 64x size cut. Pure
     higher-order JVM expressions (a descending ``aggregate`` fold per
     word: acc·2 + bit — multiplication caps at 2^32, no overflow under
-    ANSI); no UDF, no shuffle, scan-speed."""
+    ANSI); no UDF, no shuffle, scan-speed. Degenerate inputs follow the
+    column algebra: an EMPTY vector packs to an empty signature (the
+    `hashed_word_shingles` descending-sequence guard class — without it
+    ``sequence(0, -1)`` would DESCEND and the fold would crash the
+    job), a NULL vector to a NULL signature."""
     v = F.col(vec_col)
     last_word = F.floor((F.size(v) - 1) / 32).cast("int")
 
@@ -1078,7 +1082,10 @@ def binary_signatures(
         )
 
     return df.withColumn(
-        sig_col, F.transform(F.sequence(F.lit(0), last_word), word)
+        sig_col,
+        F.when(F.size(v) < 1, F.array().cast("array<long>")).otherwise(
+            F.transform(F.sequence(F.lit(0), last_word), word)
+        ),
     )
 
 
@@ -1122,6 +1129,11 @@ def hamming_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("hamming", ham)
         .drop("__sc", "__sq")
+        # NULL sigs (NULL embedding) and dimension mismatches (zip_with
+        # NULL-pads the shorter signature) yield NULL hamming — drop
+        # them, else asc ordering (NULLS FIRST) would crown a NULL row
+        # rank 1 for every query
+        .where(F.col("hamming").isNotNull())
     )
     from pyspark.sql import Window
 

@@ -905,11 +905,14 @@ def filter_contamination(
     # at a safe load factor UNLESS the caller passed it explicitly — a
     # benchmark-scale gram set must never out-grow a default-sized
     # fixed-capacity filter mid-build (ADVICE r12)
-    nb = (
-        max(bg.count(), 1)
-        if kind in ("bloom", "cuckoo", "quotient")
-        else 100_000
-    )
+    # the count job runs only when its result is actually consumed:
+    # bloom always sizes from n; cuckoo/quotient only when their
+    # geometry kwarg was NOT passed (explicit geometry must not pay a
+    # full benchmark-gram aggregation for a discarded value)
+    needs_count = kind == "bloom" or (
+        kind == "cuckoo" and "nbuckets" not in filter_kwargs
+    ) or (kind == "quotient" and "q" not in filter_kwargs)
+    nb = max(bg.count(), 1) if needs_count else 100_000
     filter_kwargs = _size_capacity_kind(kind, nb, filter_kwargs)
     filt = build_filter(
         bg, [], "g", kind, n=nb, num_shards=num_shards, **filter_kwargs

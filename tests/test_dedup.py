@@ -38,3 +38,20 @@ def test_lsh_plan_banding_choice():
     import pytest as _p
     with _p.raises(ValueError, match="threshold"):
         lsh_plan(1.5)
+
+
+def test_lsh_plan_full_lattice_and_b1_estimate():
+    """r13 review: the planner searches the FULL b*r <= n_perm lattice
+    (fp-heavy weights pick a smaller-than-maximal b for some r), and
+    threshold_est honors (1/b)^(1/r) at b == 1 (i.e. 1.0, not 0.0)."""
+    from bitfilters_spark.operators.dedup import lsh_plan
+
+    plan = lsh_plan(0.5, n_perm=128, fp_weight=5.0)
+    cands = plan["candidates"]
+    # the lattice contains non-maximal b rows for a given r
+    r16 = sorted(c["b"] for c in cands if c["r"] == 16)
+    assert r16 == list(range(1, 9))
+    # and the fp-heavy winner is optimal over that full lattice
+    assert all(plan["cost"] <= c["cost"] + 1e-12 for c in cands)
+    b1 = [c for c in cands if c["b"] == 1]
+    assert b1 and all(c["threshold_est"] == 1.0 for c in b1)

@@ -731,3 +731,24 @@ def test_hamming_topk_equals_brute_force(spark):
     assert sorted(got) == sorted(want)
     top1 = {q: n for q, rk, n, _ in got if rk == 1}
     assert top1[100] == 7 and top1[7] == 100
+
+
+def test_hamming_topk_degenerate_vectors(spark):
+    """r13 review: an empty embedding packs to an empty signature, a
+    NULL embedding to a NULL one — neither crashes the fold nor ranks
+    (NULL hamming would otherwise sort NULLS FIRST and crown rank 1)."""
+    from bitfilters_spark.operators.similarity import (
+        binary_signatures,
+        hamming_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(10)]
+    rows += [(50, []), (51, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = {r["vec_id"]: r["sig"] for r in binary_signatures(df).collect()}
+    assert sigs[50] == [] and sigs[51] is None
+    got = hamming_topk(df, df.where(F.col("vec_id") < 2), k=3).collect()
+    assert len(got) == 6  # 2 queries x k
+    assert all(r["neighbor_id"] not in (50, 51) for r in got)
+    assert all(r["hamming"] is not None for r in got)
