@@ -1,0 +1,117 @@
+"""Content-defined chunking (#168, operators/cdc.py): partition law,
+size bounds, mask-hit boundaries, shift invariance, and the dup report's
+first-occurrence winner convention."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bitfilters_spark.operators.cdc import (
+    _boundaries,
+    _gear_hashes,
+    cdc_chunks,
+    cdc_dup_report,
+    gear_table,
+)
+
+
+def _mk_text(rng, n):
+    return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+
+
+def test_cdc_partition_law_and_bounds(spark):
+    """Chunks partition each document exactly (concat == doc), every
+    non-final length is within [min, max], and every non-forced cut
+    sits on a gear-hash mask hit; identical inputs chunk identically
+    across repartitioning (determinism)."""
+    rng = np.random.default_rng(7)
+    rows = [(i, _mk_text(rng, 200 + 300 * i)) for i in range(6)]
+    rows.append((100, "tiny"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = cdc_chunks(df, "doc_id", "text", 32, 64, 256).collect()
+    texts = dict(rows)
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    gear = gear_table()
+    bits = int(round(np.log2(64)))
+    mask = (1 << bits) - 1
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        data = texts[did].encode("utf-8")
+        # partition law
+        assert b"".join(
+            r["chunk_text"].encode("utf-8") for r in rs
+        ) == data
+        pos = 0
+        h = _gear_hashes(np.frombuffer(data, dtype=np.uint8), gear)
+        for i, r in enumerate(rs):
+            assert r["start"] == pos
+            pos += r["length"]
+            if i < len(rs) - 1:
+                assert 32 <= r["length"] <= 256
+                end = r["start"] + r["length"]
+                # a cut is a mask hit unless it was forced at max_size
+                assert (int(h[end - 1]) & mask) == 0 or r["length"] == 256
+        assert pos == len(data)
+    again = cdc_chunks(
+        df.repartition(5), "doc_id", "text", 32, 64, 256
+    ).collect()
+    key = lambda rws: sorted(
+        (r["doc_id"], r["chunk_id"], r["start"], r["length"], r["chunk_hash"])
+        for r in rws
+    )
+    assert key(again) == key(got)
+    with pytest.raises(ValueError, match="min_size"):
+        cdc_chunks(df, "doc_id", "text", 0, 64, 256)
+
+
+def test_cdc_shift_invariance(spark):
+    """The CDC property fixed-size chunking lacks: prepending a banner
+    shifts every byte offset, yet most chunk HASHES survive, because
+    boundaries re-synchronize right after the edit."""
+    rng = np.random.default_rng(21)
+    body = _mk_text(rng, 4000)
+    df = spark.createDataFrame(
+        [(1, body), (2, "INSERTED BANNER TEXT " * 3 + body)],
+        "doc_id long, text string",
+    )
+    got = cdc_chunks(df, "doc_id", "text", 32, 64, 256, keep_text=False)
+    h1 = {r["chunk_hash"] for r in got.where("doc_id = 1").collect()}
+    h2 = {r["chunk_hash"] for r in got.where("doc_id = 2").collect()}
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, f"only {shared:.0%} of chunk hashes survived the shift"
+
+
+def test_cdc_dup_report_winner_convention(spark):
+    """First corpus-wide occurrence of a chunk stays unflagged; copies
+    count with their byte mass. An exact duplicate document is ~100%
+    dup bytes; an unrelated one ~0."""
+    rng = np.random.default_rng(3)
+    a = _mk_text(rng, 3000)
+    b = _mk_text(rng, 3000)
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in cdc_dup_report(df, "doc_id", "text", 32, 64, 256).collect()
+    }
+    assert rep[1]["n_dup_chunks"] == 0  # the winner copy
+    assert rep[2]["n_dup_chunks"] == rep[2]["n_chunks"]
+    assert rep[2]["dup_bytes"] == len(a.encode("utf-8"))
+    assert rep[3]["n_dup_chunks"] == 0
+
+
+def test_cdc_boundary_walk_pure():
+    """_boundaries replay: forced cuts at max_size when no candidate is
+    in range, first in-range candidate otherwise."""
+    h = np.zeros(100, dtype=np.uint64)
+    h[:] = 1  # no mask hits anywhere -> all cuts forced at max
+    assert _boundaries(h, 100, 10, 30, 0xF) == [30, 60, 90, 100]
+    h2 = np.ones(100, dtype=np.uint64)
+    h2[19] = 0  # candidate cut AFTER position 19 => end 20
+    h2[24] = 0  # inside the next chunk's min window -> skipped
+    h2[54] = 0
+    assert _boundaries(h2, 100, 10, 40, 0xF) == [20, 55, 95, 100]
