@@ -115,3 +115,26 @@ def test_cdc_boundary_walk_pure():
     h2[24] = 0  # inside the next chunk's min window -> skipped
     h2[54] = 0
     assert _boundaries(h2, 100, 10, 40, 0xF) == [20, 55, 95, 100]
+
+
+def test_cdc_batched_hashing_exact_at_min64(spark):
+    """r13 perf: min_size >= 64 switches to one batch-wide gear pass;
+    results must equal the per-doc path exactly (contaminated window
+    positions 0..62 can never be cut points when min_size >= 64) and be
+    invariant to how docs co-batch."""
+    rng = np.random.default_rng(13)
+    rows = [(i, _mk_text(rng, 500 + 37 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda rws: sorted(
+        (r["doc_id"], r["chunk_id"], r["start"], r["length"], r["chunk_hash"])
+        for r in rws
+    )
+    a = key(cdc_chunks(df.coalesce(1), "doc_id", "text", 64, 128, 512).collect())
+    b = key(cdc_chunks(df.repartition(7), "doc_id", "text", 64, 128, 512).collect())
+    assert a == b and len(a) > 0
+    # per-doc replay: run each doc alone (batch of one == per-doc math)
+    singles = []
+    for i, t in rows:
+        one = spark.createDataFrame([(i, t)], "doc_id long, text string")
+        singles += cdc_chunks(one, "doc_id", "text", 64, 128, 512).collect()
+    assert key(singles) == a

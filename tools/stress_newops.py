@@ -513,6 +513,74 @@ def main(sf_dir: str) -> None:
         out["pref_report"] = length_bias_report(prefs).collect()[0]["n_ok"]
         out["pref_deduped"] = dedup_preference_pairs(prefs, "pair_id").count()
         out["pref_s"] = round(time.time() - t0, 2)
+
+        # r13: LCS decontamination at 10x — diagonal islands over the
+        # gram-position join; bench = 500 base docs (grams match only
+        # the copy-suffix-matched slice, the designed sparsity)
+        from bitfilters_spark.operators.text import lcs_contamination
+
+        t0 = time.time()
+        out["lcs_pairs"] = lcs_contamination(
+            stress, stress.limit(500), min_lcs=8
+        ).count()
+        out["lcs_s"] = round(time.time() - t0, 2)
+
+        # r13: CDC chunking + dup report at 10x (row-local chunking,
+        # one hash-keyed election; the 10 copies share no chunks by
+        # construction — the suffixing breaks byte identity — so this
+        # measures the full-corpus chunk+aggregate cost)
+        from bitfilters_spark.operators.cdc import cdc_dup_report
+
+        t0 = time.time()
+        rep = cdc_dup_report(stress, "doc_id", "text").agg(
+            F.sum("n_chunks"), F.sum("n_dup_chunks")
+        ).collect()[0]
+        out["cdc_chunks"] = int(rep[0] or 0)
+        out["cdc_dup_chunks"] = int(rep[1] or 0)
+        out["cdc_s"] = round(time.time() - t0, 2)
+
+        # r13: binary-signature Hamming ANN over the 10x-replicated
+        # embedding store (popcount scan is the claim being measured)
+        from bitfilters_spark.operators.similarity import hamming_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb10 = (
+            emb.crossJoin(copies)
+            .select(
+                (F.col("vec_id") * 10 + F.col("copy")).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint()
+        )
+        out["n_vecs"] = emb10.count()
+        t0 = time.time()
+        out["hamming_rows"] = hamming_topk(
+            emb10, emb10.where(F.col("vec_id") < 20), k=10
+        ).count()
+        out["hamming_s"] = round(time.time() - t0, 2)
+
+        # r13: IVFPQ build + probe at 10x (codes table holds m bytes
+        # per vector; probe = exact cell term + ADC)
+        from bitfilters_spark.operators.ann_index import (
+            build_ivfpq_index,
+            ivfpq_query_index,
+        )
+
+        for s in ("cells", "centroids", "codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS stress_ivfpq_{s}")
+        t0 = time.time()
+        build_ivfpq_index(
+            emb10, "vec_id", "embedding", "stress_ivfpq",
+            n_centroids=64, m=8, n_codes=256, num_buckets=16,
+            path=f"{tmp}/ivfpq",
+        )
+        out["ivfpq_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["ivfpq_probe_rows"] = ivfpq_query_index(
+            spark, "stress_ivfpq", emb10.where(F.col("vec_id") < 20),
+            "vec_id", "embedding", k=10, nprobe=8,
+        ).count()
+        out["ivfpq_probe_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
