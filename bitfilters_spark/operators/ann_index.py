@@ -876,3 +876,33 @@ def compact_ivfpq_index(
     codes = src.repartition(num_buckets, F.col("cell"))
     _write_pq_staged(spark, name, codes, C, cb, num_buckets, path)
     return {"files_before": files_before, "files_after": _nfiles()}
+
+
+def ivfpq_index_report(spark: SparkSession, name: str) -> DataFrame:
+    """Per-cell occupancy + size accounting for an IVFPQ index —
+    `ann_index_report`'s WHEN-to-rebuild occupancy half (frozen-model
+    appends skew cells as the distribution drifts; a few giant cells
+    mean nprobe covers less of the corpus than nprobe/n_centroids
+    suggests) plus the accounting the compression exists for:
+    ``code_bytes`` per cell and the index-wide bytes/vector (== m by
+    construction — asserted in pytest, the claim the codes table makes
+    vs #132's 8·d float layout). The centroid-distance drift half needs
+    raw vectors the codes table deliberately no longer stores — decode
+    error vs the ORIGINAL vectors is `similarity.pq_recall_report`'s
+    job at build/validate time."""
+    _check_name(name)
+    _refresh(spark, name)
+    cells = spark.table(f"{name}_cells")
+    per = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.octet_length("code")).cast("long").alias("code_bytes"),
+    )
+    tot = per.agg(F.sum("n_vecs").alias("__t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.greatest(
+            F.col("__t").cast("double"), F.lit(1.0)
+        )).alias("frac"),
+        "code_bytes",
+    )

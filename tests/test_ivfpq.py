@@ -267,3 +267,22 @@ def test_compact_ivfpq_index_probe_identical(spark, tmp_path):
     ).collect()))
     assert before == after and len(after) > 0
     np.testing.assert_array_equal(cb_before, load_pq_codebooks(spark, "ivfpq_c"))
+
+
+def test_ivfpq_index_report_occupancy_and_bytes(spark, tmp_path):
+    """Report fractions sum to 1, vector counts match the build, and
+    bytes/vector == m — the compression claim, measured."""
+    from bitfilters_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_report,
+    )
+
+    emb = spark.read.parquet(EMB).where(F.col("vec_id") < 300)
+    build_ivfpq_index(
+        emb, "vec_id", "embedding", "ivfpq_rep", n_centroids=8, m=8,
+        n_codes=32, num_buckets=4, path=str(tmp_path / "rep"),
+    )
+    rep = ivfpq_index_report(spark, "ivfpq_rep").collect()
+    assert sum(r["n_vecs"] for r in rep) == 300
+    assert abs(sum(r["frac"] for r in rep) - 1.0) < 1e-9
+    assert all(r["code_bytes"] == 8 * r["n_vecs"] for r in rep)
