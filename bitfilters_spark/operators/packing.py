@@ -528,3 +528,92 @@ def materialize_masked_sequences(
         "n_docs",
         "n_tokens",
     )
+
+
+def export_hf_layout(
+    assigned: DataFrame,
+    payload: DataFrame,
+    id_col: str,
+    path: str,
+    split: str = "train",
+    weight_col: str = "n_tokens",
+    shard_col: str = "shard",
+) -> dict:
+    """Materialize a shard assignment as the FLAT deterministic layout
+    the HF-datasets/webdataset ecosystem reads:
+    ``path/<split>-00000-of-000NN.parquet`` ... plus one
+    ``<split>_manifest.json`` — the publishable form of
+    :func:`write_training_shards`' ``shard=N/`` directories (loaders
+    that glob `train-*-of-*.parquet` neither understand Hive
+    partitioning nor tolerate nondeterministic part names; shard N must
+    be the SAME bytes on every rebuild for cache keys to hold).
+
+    Write path: the payload joins its (metadata-scale) assignment,
+    repartitions BY the shard column (all of a shard's rows land in one
+    task ⇒ exactly one file per shard directory — asserted, not
+    assumed), stages under ``path/__stage`` via ``partitionBy``, then
+    the driver renames each shard's single part-file to its
+    ``<split>-{i:05d}-of-{total:05d}.parquet`` name through the Hadoop
+    FileSystem API (`streaming.state_io` — works on file:/hdfs:/s3a:
+    alike) in shard order and drops the staging dir. Rows inside a
+    shard are sorted by packing order (``prefix_weight``), so shard
+    bytes are a pure function of the assignment. Returns the manifest
+    dict (also written as JSON): per-shard file name, rows, weight."""
+    import json as _json
+
+    from ..streaming import state_io
+
+    spark = payload.sparkSession
+    stage = state_io.join(path, "__stage")
+    a = assigned.select(id_col, shard_col, "prefix_weight")
+    (
+        payload.join(a, id_col)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, "prefix_weight")
+        .drop("prefix_weight")
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(stage)
+    )
+    stats = {
+        int(r[shard_col]): (int(r["n"]), int(r["wt"]))
+        for r in assigned.groupBy(shard_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(weight_col).alias("wt"))
+        .collect()
+    }
+    shards = sorted(stats)
+    total = len(shards)
+    manifest = {"split": split, "n_shards": total, "shards": {}}
+    for i, s in enumerate(shards):
+        sdir = state_io.join(stage, f"{shard_col}={s}")
+        parts = [
+            n
+            for n in state_io.list_names(sdir, spark)
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"export_hf_layout: shard {s} staged {len(parts)} part "
+                "files (expected exactly 1 — the repartition-by-shard "
+                "write guarantees it; was the staging dir modified?)"
+            )
+        fname = f"{split}-{i:05d}-of-{total:05d}.parquet"
+        dst = state_io.join(path, fname)
+        # re-exports overwrite: Hadoop rename refuses an existing
+        # destination (returns false), so clear the previous shard file
+        # first — the staging dir already holds the complete new export
+        if state_io.exists(dst, spark):
+            state_io.delete(dst, spark)
+        state_io.rename(state_io.join(sdir, parts[0]), dst, spark)
+        manifest["shards"][fname] = {
+            "shard": s,
+            "n_rows": stats[s][0],
+            "weight": stats[s][1],
+        }
+    state_io.delete(stage, spark)
+    state_io.write_bytes(
+        state_io.join(path, f"{split}_manifest.json"),
+        _json.dumps(manifest, indent=1, sort_keys=True).encode(),
+        spark,
+    )
+    return manifest

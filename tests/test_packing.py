@@ -312,3 +312,44 @@ def test_packing_report(spark):
     import pytest as _p
     with _p.raises(ValueError, match="shard_weight"):
         packing_report(packed, "shard", "n", shard_weight=0)
+
+
+def test_export_hf_layout_flat_deterministic(spark, tmp_path):
+    """#169: flat <split>-NNNNN-of-NNNNN.parquet naming, one file per
+    shard, a parseable manifest, staging dir gone, and a byte-stable
+    re-export (shard bytes are a pure function of the assignment)."""
+    import glob
+    import json
+    import os
+
+    from bitfilters_spark.operators.packing import (
+        export_hf_layout,
+        pack_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "w " * (i % 9), 3 + i % 9) for i in range(40)],
+        "doc_id long, text string, n_tokens int",
+    )
+    assigned = pack_shards(
+        docs.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 40
+    )
+    out = str(tmp_path / "hf")
+    man = export_hf_layout(assigned, docs, "doc_id", out)
+    files = sorted(os.path.basename(p) for p in glob.glob(f"{out}/train-*.parquet"))
+    total = man["n_shards"]
+    assert files == [f"train-{i:05d}-of-{total:05d}.parquet" for i in range(total)]
+    assert set(man["shards"]) == set(files)
+    assert not os.path.exists(f"{out}/__stage")
+    disk = json.loads(open(f"{out}/train_manifest.json").read())
+    assert disk == man
+    # every payload row survives, exactly once, with its shard's rows
+    back = spark.read.parquet(f"{out}/train-*.parquet")
+    assert back.count() == 40
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == list(range(40))
+    assert sum(v["n_rows"] for v in man["shards"].values()) == 40
+    # deterministic bytes: re-export and byte-compare every shard file
+    before = {f: open(f"{out}/{f}", "rb").read() for f in files}
+    export_hf_layout(assigned, docs, "doc_id", out)
+    for f in files:
+        assert open(f"{out}/{f}", "rb").read() == before[f], f
