@@ -1145,3 +1145,111 @@ def hamming_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "hamming")
     )
+
+def chain_order_within_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    max_cell: int = 4096,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(id, cell, chain_pos) — the in-context-pretraining ORDER (Shi et
+    al. 2023 §2: packing a context window with documents that follow a
+    nearest-neighbor CHAIN beats both random order and plain
+    clustering, because each document's left-context is its nearest
+    available neighbor, not just a same-cluster sibling).
+    `pack_shards(order_cols=["cell", "chain_pos"])` (#155) consumes
+    this directly — #155 gives same-CLUSTER adjacency, this gives
+    nearest-NEIGHBOR adjacency inside each cluster.
+
+    Shape: the coarse quantizer routes vectors to cells (the `ivf_topk`
+    assignment arithmetic — one mapInPandas, centroids broadcast), then
+    ONE `applyInPandas` per (cell, block) runs the greedy chain: start
+    at the lowest id (deterministic), repeatedly hop to the most-
+    cosine-similar unvisited vector (ties resolve to the lowest id).
+    The chain is inherently sequential but only ever WITHIN a block, so
+    the global shape is embarrassingly parallel with O(k²) vectorized
+    work per block. ``max_cell`` is the skew guard: a cell larger than
+    it splits into contiguous-id blocks of ≤ max_cell, each chained
+    independently (local coherence kept, the quadratic bounded — block
+    boundaries cost one cold transition each, exactly the cluster-
+    boundary cost #155 already accepts); ``chain_pos`` stays monotonic
+    across a cell's blocks (block b starts at b·max_cell). No RNG
+    anywhere — deterministic under repartitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    C = np.asarray(
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, vec_col, n_centroids, seed=seed),
+        dtype=np.float64,
+    )
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    vec_type = df.schema[vec_col].dataType
+    route_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("id", LongType()),
+            StructField("vec", vec_type),
+        ]
+    )
+
+    def assign(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax((mat / norms) @ C_.T, axis=1)
+            yield pd.DataFrame(
+                {"cell": cells, "id": ids, "vec": list(mat / norms)}
+            )
+
+    routed = df.select(id_col, vec_col).mapInPandas(assign, schema=route_schema)
+    wcell = Window.partitionBy("cell").orderBy("id")
+    routed = routed.withColumn(
+        "blk", ((F.row_number().over(wcell) - 1) / F.lit(max_cell)).cast("long")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("cell", LongType()),
+            StructField("chain_pos", LongType()),
+        ]
+    )
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        n = len(ids)
+        pos = np.empty(n, dtype=np.int64)
+        visited = np.zeros(n, dtype=bool)
+        cur = 0  # lowest id starts the chain
+        for step in range(n):
+            visited[cur] = True
+            pos[cur] = step
+            if step == n - 1:
+                break
+            sims = mat @ mat[cur]
+            sims[visited] = -np.inf
+            # ids are sorted, so argmax's first-maximal IS the lowest id
+            cur = int(np.argmax(sims))
+        base = int(pdf["blk"].iloc[0]) * max_cell
+        return pd.DataFrame(
+            {"id": ids, "cell": int(pdf["cell"].iloc[0]),
+             "chain_pos": pos + base}
+        )
+
+    return (
+        routed.groupBy("cell", "blk")
+        .applyInPandas(chain, schema=out_schema)
+        .withColumnRenamed("id", id_col)
+    )

@@ -752,3 +752,64 @@ def test_hamming_topk_degenerate_vectors(spark):
     assert len(got) == 6  # 2 queries x k
     assert all(r["neighbor_id"] not in (50, 51) for r in got)
     assert all(r["hamming"] is not None for r in got)
+
+
+def test_chain_order_within_cells_locality_law(spark):
+    """#170: every id gets exactly one (cell, chain_pos); chain_pos is
+    dense-from-0 per cell (single-block cells); the greedy chain's mean
+    adjacent cosine beats id-order's by construction on clustered data;
+    deterministic under repartitioning; max_cell splits keep positions
+    monotonic and disjoint."""
+    from bitfilters_spark.operators.similarity import chain_order_within_cells
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, 32)) * 3
+    rows = []
+    for i in range(120):
+        c = i % 4
+        rows.append((i, (centers[c] + 0.3 * rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from bitfilters_spark.operators.similarity import ivf_centroids
+
+    # pin the quantizer: ivf_centroids samples via limit(), whose row
+    # order (hence the k-means init) shifts with partitioning — the
+    # operator's own determinism claim is about the CHAIN given a model
+    C = ivf_centroids(df, n_centroids=4)
+    got = chain_order_within_cells(df, n_centroids=4, centroids=C).collect()
+    assert sorted(r["vec_id"] for r in got) == list(range(120))
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append((r["chain_pos"], r["vec_id"]))
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    chain_sims, id_sims = [], []
+    for cell, members in by_cell.items():
+        members.sort()
+        assert [p for p, _ in members] == list(range(len(members)))
+        ids = [i for _, i in members]
+        chain_sims += [float(vecs[a] @ vecs[b]) for a, b in zip(ids, ids[1:])]
+        ordered = sorted(ids)
+        id_sims += [
+            float(vecs[a] @ vecs[b]) for a, b in zip(ordered, ordered[1:])
+        ]
+    assert np.mean(chain_sims) >= np.mean(id_sims) - 1e-12
+    again = chain_order_within_cells(
+        df.repartition(7), n_centroids=4, centroids=C
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    # max_cell split: positions monotonic across blocks, all distinct
+    small = chain_order_within_cells(df, n_centroids=1, max_cell=32)
+    ps = [r["chain_pos"] for r in small.collect()]
+    assert len(set(ps)) == 120
+    assert max(ps) < 4 * 32  # ceil(120/32)=4 blocks, base = blk*32
+    # composition: feeds pack_shards(order_cols=...)
+    from bitfilters_spark.operators.packing import pack_shards
+
+    w = spark.createDataFrame(
+        [(i, 5) for i in range(120)], "vec_id long, n int"
+    )
+    order = chain_order_within_cells(df, n_centroids=4)
+    packed = pack_shards(
+        w.join(order, "vec_id"), "vec_id", "n", 50,
+        order_cols=["cell", "chain_pos"],
+    )
+    assert packed.count() == 120
