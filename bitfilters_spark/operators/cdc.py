@@ -41,8 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -80,20 +80,23 @@ def _boundaries(
     h: np.ndarray, n: int, min_size: int, max_size: int, mask: int
 ) -> list:
     """Chunk end positions (exclusive) — walk the candidate list, not
-    the bytes: next cut is the first mask-hit >= start+min_size, else a
-    forced cut at start+max_size."""
+    the bytes: next cut is the first mask-hit in [start+min_size,
+    start+max_size], else a forced cut at start+max_size. The TAIL also
+    honors candidates (r13 review): when fewer than max_size bytes
+    remain, a mask hit in [start+min_size, n) still cuts — dropping it
+    would desynchronize suffix-edited re-crawls, the exact pattern CDC
+    exists for; only a candidate-free tail (or one shorter than
+    min_size) becomes the final short chunk."""
     cand = np.nonzero((h & np.uint64(mask)) == 0)[0] + 1  # cut AFTER pos
     ends = []
     start = 0
-    ci = 0
     while start < n:
         lo, hi = start + min_size, start + max_size
-        if hi >= n:
-            ends.append(n)
-            break
         ci = int(np.searchsorted(cand, lo))
-        if ci < len(cand) and cand[ci] <= hi:
+        if ci < len(cand) and cand[ci] <= min(hi, n - 1):
             ends.append(int(cand[ci]))
+        elif hi >= n:
+            ends.append(n)
         else:
             ends.append(hi)
         start = ends[-1]
@@ -107,17 +110,24 @@ def cdc_chunks(
     min_size: int = 64,
     avg_size: int = 256,
     max_size: int = 1024,
-    keep_text: bool = True,
+    keep_bytes: bool = True,
 ) -> DataFrame:
-    """(id, chunk_id, start, length, chunk_hash[, chunk_text]) — the
-    document split at content-defined boundaries. ``start``/``length``
-    are BYTE offsets into the UTF-8 encoding (the hash runs over
-    bytes); ``chunk_hash`` is the 60-bit md5 integer of the chunk bytes
-    (the cross-engine-parity hash family `span_corruption(hash=
-    "duckdb")` uses), so equal chunks collide deterministically
-    everywhere. Chunks partition the document exactly (law pinned in
-    pytest: byte-concat of chunks == the document); every chunk length
-    is in [min_size, max_size] except a shorter final chunk."""
+    """(id, chunk_id, start, length, chunk_hash[, chunk_bytes]) — the
+    document split at content-defined boundaries. CDC is a BYTE-level
+    operator: ``start``/``length`` index the UTF-8 encoding, cuts can
+    land inside a multi-byte codepoint, and the payload column is
+    therefore BINARY ``chunk_bytes`` (exact — a lossy text decode would
+    silently corrupt split codepoints with U+FFFD; decode AFTER
+    reassembly, never per chunk). ``chunk_hash`` is the 60-bit md5
+    integer of the chunk bytes (the cross-engine-parity hash family
+    `span_corruption(hash="duckdb")` uses), so equal chunks collide
+    deterministically everywhere. Chunks partition the document
+    exactly (law pinned in pytest on a multi-byte corpus: byte-concat
+    of chunks == the document's UTF-8); every chunk length is in
+    [min_size, max_size] except a shorter final chunk. The id column
+    keeps its input dtype (string keys work). NULL/empty documents
+    produce no chunk rows — there is nothing to chunk;
+    `cdc_dup_report` still reports them (n_chunks = 0)."""
     if not 0 < min_size <= avg_size <= max_size:
         raise ValueError("require 0 < min_size <= avg_size <= max_size")
     bits = max(1, int(round(np.log2(avg_size))))
@@ -125,14 +135,14 @@ def cdc_chunks(
     gear = gear_table()
 
     fields = [
-        StructField("__id", LongType()),
+        StructField("__id", df.schema[id_col].dataType),
         StructField("chunk_id", LongType()),
         StructField("start", LongType()),
         StructField("length", LongType()),
         StructField("chunk_hash", LongType()),
     ]
-    if keep_text:
-        fields.append(StructField("chunk_text", StringType()))
+    if keep_bytes:
+        fields.append(StructField("chunk_bytes", BinaryType()))
     schema = StructType(fields)
 
     # Batched hashing (min_size >= 64 only): concatenate the batch's
@@ -161,7 +171,7 @@ def cdc_chunks(
                     [],
                     columns=["__id", "chunk_id", "start", "length",
                              "chunk_hash"]
-                    + (["chunk_text"] if keep_text else []),
+                    + (["chunk_bytes"] if keep_bytes else []),
                 )
                 continue
             if batched:
@@ -181,14 +191,14 @@ def cdc_chunks(
                 for cid, end in enumerate(ends):
                     blob = raw[start:end]
                     chash = int(hashlib.md5(blob).hexdigest()[:15], 16)
-                    row = [int(did), cid, start, end - start, chash]
-                    if keep_text:
-                        row.append(blob.decode("utf-8", errors="replace"))
+                    row = [did, cid, start, end - start, chash]
+                    if keep_bytes:
+                        row.append(blob)
                     out.append(tuple(row))
                     start = end
             cols = ["__id", "chunk_id", "start", "length", "chunk_hash"]
-            if keep_text:
-                cols.append("chunk_text")
+            if keep_bytes:
+                cols.append("chunk_bytes")
             yield pd.DataFrame(out, columns=cols)
 
     return (
@@ -214,7 +224,7 @@ def cdc_dup_report(
     chunk-level dedup would save). One chunking pass + one hash-keyed
     aggregation with a map-side ``min(struct)`` election."""
     chunks = cdc_chunks(
-        df, id_col, text_col, min_size, avg_size, max_size, keep_text=False
+        df, id_col, text_col, min_size, avg_size, max_size, keep_bytes=False
     )
     winners = chunks.groupBy("chunk_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("__w")
@@ -224,10 +234,23 @@ def cdc_dup_report(
         (F.col("__w")[id_col] != F.col(id_col))
         | (F.col("__w")["chunk_id"] != F.col("chunk_id")),
     )
-    return flagged.groupBy(id_col).agg(
+    per = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("__dup").cast("long")).alias("n_dup_chunks"),
         F.sum(F.when(F.col("__dup"), F.col("length")).otherwise(F.lit(0))).alias(
             "dup_bytes"
         ),
+    )
+    # LEFT join back onto the input ids: NULL/empty documents produce no
+    # chunks, but per-document accounting must still cover them
+    # (n_chunks = 0) — r13 review
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.coalesce("dup_bytes", F.lit(0)).alias("dup_bytes"),
+        )
     )

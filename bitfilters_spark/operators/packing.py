@@ -567,22 +567,44 @@ def export_hf_layout(
     stage = state_io.join(path, "__stage")
     a = assigned.select(id_col, shard_col, "prefix_weight")
     (
+        # id_col as the final sort key: prefix_weight ties (zero/NULL
+        # weight docs) would otherwise leave shuffle-order rows in the
+        # file — nondeterministic bytes, the exact thing this exists
+        # to prevent (r13 review)
         payload.join(a, id_col)
         .repartition(F.col(shard_col))
-        .sortWithinPartitions(shard_col, "prefix_weight")
+        .sortWithinPartitions(shard_col, "prefix_weight", id_col)
         .drop("prefix_weight")
         .write.mode("overwrite")
         .partitionBy(shard_col)
         .parquet(stage)
     )
+    # stats over assigned ids that the payload ACTUALLY has (left_semi
+    # mirrors the write's inner join): a manifest computed from the
+    # bare assignment would overstate shard contents whenever the
+    # payload lost ids after packing (r13 review)
     stats = {
         int(r[shard_col]): (int(r["n"]), int(r["wt"]))
-        for r in assigned.groupBy(shard_col)
+        for r in assigned.join(
+            payload.select(id_col), id_col, "left_semi"
+        )
+        .groupBy(shard_col)
         .agg(F.count(F.lit(1)).alias("n"), F.sum(weight_col).alias("wt"))
         .collect()
     }
     shards = sorted(stats)
     total = len(shards)
+    # clear EVERY prior export file for this split first: a re-export
+    # with fewer shards would otherwise leave stale
+    # <split>-*-of-<old_total>.parquet files that a glob reader mixes
+    # into the new data (r13 review)
+    for n in state_io.list_names(path, spark):
+        if (
+            n.startswith(f"{split}-")
+            and n.endswith(".parquet")
+            and "-of-" in n
+        ):
+            state_io.delete(state_io.join(path, n), spark)
     manifest = {"split": split, "n_shards": total, "shards": {}}
     for i, s in enumerate(shards):
         sdir = state_io.join(stage, f"{shard_col}={s}")
@@ -598,13 +620,9 @@ def export_hf_layout(
                 "write guarantees it; was the staging dir modified?)"
             )
         fname = f"{split}-{i:05d}-of-{total:05d}.parquet"
-        dst = state_io.join(path, fname)
-        # re-exports overwrite: Hadoop rename refuses an existing
-        # destination (returns false), so clear the previous shard file
-        # first — the staging dir already holds the complete new export
-        if state_io.exists(dst, spark):
-            state_io.delete(dst, spark)
-        state_io.rename(state_io.join(sdir, parts[0]), dst, spark)
+        state_io.rename(
+            state_io.join(sdir, parts[0]), state_io.join(path, fname), spark
+        )
         manifest["shards"][fname] = {
             "shard": s,
             "n_rows": stats[s][0],

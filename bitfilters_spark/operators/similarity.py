@@ -1179,6 +1179,9 @@ def chain_order_within_cells(
     across a cell's blocks (block b starts at b·max_cell). No RNG
     anywhere — deterministic under repartitioning."""
     from pyspark.sql import Window
+
+    if max_cell < 1:
+        raise ValueError("max_cell must be >= 1")
     from pyspark.sql.types import LongType, StructField, StructType
 
     C = np.asarray(

@@ -40,10 +40,8 @@ def test_cdc_partition_law_and_bounds(spark):
     for did, rs in by_doc.items():
         rs.sort(key=lambda r: r["chunk_id"])
         data = texts[did].encode("utf-8")
-        # partition law
-        assert b"".join(
-            r["chunk_text"].encode("utf-8") for r in rs
-        ) == data
+        # partition law (chunk_bytes is BINARY — exact at any boundary)
+        assert b"".join(bytes(r["chunk_bytes"]) for r in rs) == data
         pos = 0
         h = _gear_hashes(np.frombuffer(data, dtype=np.uint8), gear)
         for i, r in enumerate(rs):
@@ -77,7 +75,7 @@ def test_cdc_shift_invariance(spark):
         [(1, body), (2, "INSERTED BANNER TEXT " * 3 + body)],
         "doc_id long, text string",
     )
-    got = cdc_chunks(df, "doc_id", "text", 32, 64, 256, keep_text=False)
+    got = cdc_chunks(df, "doc_id", "text", 32, 64, 256, keep_bytes=False)
     h1 = {r["chunk_hash"] for r in got.where("doc_id = 1").collect()}
     h2 = {r["chunk_hash"] for r in got.where("doc_id = 2").collect()}
     shared = len(h1 & h2) / len(h1)
@@ -138,3 +136,38 @@ def test_cdc_batched_hashing_exact_at_min64(spark):
         one = spark.createDataFrame([(i, t)], "doc_id long, text string")
         singles += cdc_chunks(one, "doc_id", "text", 64, 128, 512).collect()
     assert key(singles) == a
+
+
+def test_cdc_r13_review_fixes(spark):
+    """r13 second review pass: (a) multi-byte text — binary chunks keep
+    the partition law exact even when a cut splits a codepoint; (b) the
+    TAIL honors mask-hit candidates (suffix-edited docs resynchronize);
+    (c) string id columns work; (d) empty/NULL docs appear in the dup
+    report with n_chunks = 0."""
+    rng = np.random.default_rng(31)
+    uni = "héllo wörld çafé ñiño — " * 150  # multi-byte everywhere
+    rows = [("a", uni), ("b", _mk_text(rng, 900)), ("c", ""), ("d", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = cdc_chunks(df, "doc_id", "text", 32, 64, 128).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {"a", "b"}  # empty/NULL: no chunk rows
+    for did, txt in rows[:2]:
+        rs = sorted(by_doc[did], key=lambda r: r["chunk_id"])
+        assert b"".join(bytes(r["chunk_bytes"]) for r in rs) == txt.encode("utf-8")
+    # tail resync: body + suffix shares the body's tail-side cuts
+    body = _mk_text(rng, 700)
+    df2 = spark.createDataFrame(
+        [(1, body), (2, body + _mk_text(rng, 500))], "doc_id long, text string"
+    )
+    ch = cdc_chunks(df2, "doc_id", "text", 64, 128, 1024, keep_bytes=False)
+    h1 = {r["chunk_hash"] for r in ch.where("doc_id = 1").collect()}
+    h2 = {r["chunk_hash"] for r in ch.where("doc_id = 2").collect()}
+    # every chunk of doc 1 except (possibly) its final tail chunk is
+    # also a chunk of doc 2 — the tail-candidate rule keeps shared cuts
+    assert len(h1 & h2) >= len(h1) - 1
+    # dup report covers EVERY input id, zeros for unchunkable docs
+    rep = {r["doc_id"]: r for r in cdc_dup_report(df, "doc_id", "text").collect()}
+    assert set(rep) == {"a", "b", "c", "d"}
+    assert rep["c"]["n_chunks"] == 0 and rep["d"]["dup_bytes"] == 0

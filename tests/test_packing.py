@@ -353,3 +353,55 @@ def test_export_hf_layout_flat_deterministic(spark, tmp_path):
     export_hf_layout(assigned, docs, "doc_id", out)
     for f in files:
         assert open(f"{out}/{f}", "rb").read() == before[f], f
+
+
+def test_export_hf_layout_r13_review_fixes(spark, tmp_path):
+    """r13 second review pass: (a) a re-export with FEWER shards clears
+    every stale <split>-*-of-*.parquet; (b) the manifest counts only
+    rows the payload actually has; (c) zero-weight ties sort by id —
+    byte-deterministic even with duplicate prefix_weights."""
+    import glob
+    import os
+
+    from bitfilters_spark.operators.packing import (
+        export_hf_layout,
+        pack_shards,
+    )
+
+    # zero-weight docs everywhere: prefix_weight ties on purpose
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", 0 if i % 3 else 7) for i in range(30)],
+        "doc_id long, text string, n_tokens int",
+    )
+    assigned = pack_shards(
+        docs.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 20
+    )
+    out = str(tmp_path / "hf2")
+    man1 = export_hf_layout(assigned, docs, "doc_id", out)
+    files1 = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/train-*.parquet")
+    )
+    before = {f: open(f"{out}/{f}", "rb").read() for f in files1}
+    export_hf_layout(assigned, docs, "doc_id", out)
+    for f in files1:  # zero-weight ties byte-stable across re-exports
+        assert open(f"{out}/{f}", "rb").read() == before[f], f
+    # re-export with FEWER shards: no stale files survive the glob
+    assigned2 = pack_shards(
+        docs.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 1000
+    )
+    man2 = export_hf_layout(assigned2, docs, "doc_id", out)
+    files2 = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/train-*.parquet")
+    )
+    assert man2["n_shards"] < man1["n_shards"]
+    assert files2 == [
+        f"train-{i:05d}-of-{man2['n_shards']:05d}.parquet"
+        for i in range(man2["n_shards"])
+    ]
+    assert spark.read.parquet(f"{out}/train-*.parquet").count() == 30
+    # manifest counts only ids the payload actually has
+    man3 = export_hf_layout(
+        assigned2, docs.where("doc_id < 20"), "doc_id", out
+    )
+    assert sum(v["n_rows"] for v in man3["shards"].values()) == 20
+    assert spark.read.parquet(f"{out}/train-*.parquet").count() == 20
