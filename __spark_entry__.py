@@ -1602,11 +1602,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `lcs_*` legs (r13, operator #164): `lcs_contamination` — the
       longest-common-token-run rule via the diagonal-islands algebra
       (gram-position equi-join → runs per (pair, diagonal) → max+n−1).
-      Planted runs: train docs %7==2 append the first 6+(doc_id%5)
-      tokens of a 12-token sentinel phrase, every bench doc appends the
-      full phrase, so exact run lengths 6..10 vary per row; the oracle
-      replays the islands algebra on string grams (equal bar a 64-bit
-      gram-hash collision, the #158 convention).
+      Planted runs: train docs %21==2 append the first 6+(doc_id%5)
+      tokens of a 12-token sentinel phrase (a THIRD of %7 — the match
+      stream is planted-docs × bench and dominates the leg's cost),
+      every bench doc appends the full phrase, so exact run lengths
+      6..10 vary per row; the oracle replays the islands algebra on
+      string grams (equal bar a 64-bit gram-hash collision, the #158
+      convention).
     """
     from bitfilters_spark.operators.text import (
         filter_contamination,
@@ -1647,7 +1649,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_aug = train.select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" "), plant)
+            F.col("doc_id") % 21 == 2, F.concat("text", F.lit(" "), plant)
         )
         .otherwise(F.col("text"))
         .alias("text"),
@@ -3798,7 +3800,7 @@ def oracle_sql() -> dict[str, str]:
             -- common token run over planted sentinel-phrase suffixes
             lt AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 7 = 2
+                     CASE WHEN doc_id % 21 = 2
                           THEN text || ' ' || array_to_string(
                             (string_split(
                               'lcsw0 lcsw1 lcsw2 lcsw3 lcsw4 lcsw5 lcsw6 lcsw7 lcsw8 lcsw9 lcsw10 lcsw11',
