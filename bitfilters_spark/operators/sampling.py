@@ -928,3 +928,127 @@ def allocate_weighted_budget(
         )
     )
     return filled.unionByName(dead)
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    k_negatives: int = 4,
+    n_centroids: int = 64,
+    max_cell: int = 4096,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """(anchor, positive, negative, neg_sim) — `mine_contrastive_triplets`
+    with HARD negatives: instead of hash-random corpus docs, each
+    anchor's negatives are its most-cosine-similar NON-positives (the
+    modern embedding-training recipe — random negatives quickly become
+    trivial and the gradient signal dies; hard negatives keep the margin
+    binding). ``neg_sim`` rides along so curricula can anneal hardness.
+
+    Spark shape — NO driver-side query collect (anchors are pair-list
+    scale, far past the `cosine_topk` broadcast contract): the coarse
+    quantizer routes every vector once (the `ivf_topk` assignment), and
+    candidates come from a CELL-local self-join — anchor rows join
+    their own cell's members, cosine is a pure higher-order `zip_with`
+    dot product over the stored normalized vectors (JVM, no UDF), true
+    pairs (both orientations) and self anti-join away, and one window
+    takes the top ``k_negatives`` per anchor (sim desc, id tiebreak).
+    Cost ∝ Σ|cell|·|anchors ∩ cell| — bounded like SemDeDup's by the
+    quantizer, with the `chain_order_within_cells` skew guard: a cell
+    over ``max_cell`` splits into contiguous-id blocks and negatives
+    mine block-locally (still same-cell near neighbors; the trade is
+    documented, not silent). Deterministic given the quantizer."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_centroids
+
+    if k_negatives <= 0:
+        raise ValueError("k_negatives must be positive")
+    if max_cell < 1:
+        raise ValueError("max_cell must be >= 1")
+    C = np.asarray(
+        centroids
+        if centroids is not None
+        else ivf_centroids(docs, vec_col, n_centroids, seed=seed),
+        dtype=np.float64,
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(C)
+    vec_type = docs.schema[vec_col].dataType
+    route_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("id", LongType()),
+            StructField("vec", vec_type),
+        ]
+    )
+
+    def assign(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cells = np.argmax((mat / norms) @ C_.T, axis=1)
+            yield pd.DataFrame(
+                {"cell": cells, "id": ids, "vec": list(mat / norms)}
+            )
+
+    routed = docs.select(id_col, vec_col).mapInPandas(
+        assign, schema=route_schema
+    )
+    wcell = Window.partitionBy("cell").orderBy("id")
+    routed = routed.withColumn(
+        "blk",
+        ((F.row_number().over(wcell) - 1) / F.lit(max_cell)).cast("long"),
+    ).localCheckpoint(eager=False)
+
+    anchors = pairs.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("positive")
+        )
+    )
+    avecs = routed.select(
+        "cell", "blk", F.col("id").alias("anchor"), F.col("vec").alias("__av")
+    ).join(anchors.select("anchor").distinct(), "anchor")
+    cand = avecs.join(
+        routed.select("cell", "blk", F.col("id").alias("negative"), "vec"),
+        ["cell", "blk"],
+    ).where(F.col("negative") != F.col("anchor"))
+    # drop true pairs in BOTH orientations (a positive must never be
+    # served as a negative)
+    truth = anchors.select(
+        "anchor", F.col("positive").alias("negative")
+    ).distinct()
+    cand = cand.join(truth, ["anchor", "negative"], "left_anti")
+    sim = F.aggregate(
+        F.zip_with("__av", "vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.withColumn("neg_sim", sim).select(
+        "anchor", "negative", "neg_sim"
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("neg_sim").desc(), F.col("negative")
+    )
+    topk = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k_negatives)
+        .drop("__r")
+    )
+    return anchors.join(topk, "anchor").select(
+        "anchor", "positive", "negative", "neg_sim"
+    )

@@ -666,3 +666,59 @@ def test_reservoir_duckdb_parity_unsigned_order(spark):
         )
     }
     assert got == want
+
+
+def test_mine_hard_negatives_cell_local_ranking(spark):
+    """#171: negatives are the anchor's most-similar same-cell
+    non-positives — verified against a python cosine replay; positives/
+    self never appear; exactly k per (anchor, positive) when the cell
+    has enough members; neg_sim matches the true dot product."""
+    import numpy as np
+
+    from bitfilters_spark.operators.sampling import mine_hard_negatives
+    from bitfilters_spark.operators.similarity import ivf_centroids
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((3, 16)) * 4
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + 0.5 * rng.standard_normal(16)).tolist()))
+    docs = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 5)], "id_a long, id_b long"
+    )
+    C = ivf_centroids(docs, n_centroids=3)
+    got = mine_hard_negatives(
+        docs, pairs, k_negatives=4, n_centroids=3, centroids=C
+    ).collect()
+    # every (anchor, positive) orientation present with exactly k rows
+    from collections import Counter
+
+    cnt = Counter((r["anchor"], r["positive"]) for r in got)
+    assert set(cnt) == {(0, 3), (3, 0), (1, 4), (4, 1), (2, 5), (5, 2)}
+    assert all(v == 4 for v in cnt.values())
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    Cn = np.asarray(C)
+    cell = {i: int(np.argmax(vecs[i] @ Cn.T)) for i, _ in rows}
+    pairset = {(0, 3), (3, 0), (1, 4), (4, 1), (2, 5), (5, 2)}
+    for (a, p), _ in cnt.items():
+        negs = sorted(
+            [(r["negative"], r["neg_sim"]) for r in got
+             if r["anchor"] == a and r["positive"] == p],
+            key=lambda x: (-x[1], x[0]),
+        )
+        # replay: same-cell non-positive non-self ranked by cosine
+        cands = [
+            (i, float(vecs[a] @ vecs[i]))
+            for i, _ in rows
+            if i != a and cell[i] == cell[a] and (a, i) not in pairset
+        ]
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        assert [n for n, _ in negs] == [i for i, _ in cands[:4]], (a, p)
+        for (n, s), (i, t) in zip(negs, cands[:4]):
+            assert abs(s - t) < 1e-9
+        assert all((a, n) not in pairset and n != a for n, _ in negs)
+    import pytest as _p
+    with _p.raises(ValueError, match="k_negatives"):
+        mine_hard_negatives(docs, pairs, k_negatives=0)
