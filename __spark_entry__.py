@@ -1223,12 +1223,39 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation per plan; no entry contains ' ' or '|' so no match can
     span the boundary) while the per-row text leg is `gated` (one
     lead-char scan on clean text instead of 44 replaces). Outputs are
-    byte-identical to the r7 expression; the oracle is unchanged."""
+    byte-identical to the r7 expression; the oracle is unchanged.
+
+    `ka_*` legs (r13, operator #172 under the driver gate): the
+    QUASI-identifier complement of the direct-identifier scan —
+    `k_anonymity_report` over customer (nationkey, mktsegment,
+    floor(acctbal/1000)) with sensitive c_custkey%7: n_rows/groups/
+    k_anonymity/at-risk mass/l-diversity as exact integers + one double
+    division, replayed verbatim by the oracle (the 1-row report rides
+    every doc row by broadcast crossJoin — the q_corpus_stats fz
+    pattern)."""
+    from bitfilters_spark.operators.privacy import k_anonymity_report
     from bitfilters_spark.operators.web import fix_mojibake, moji_prefix
     from bitfilters_spark.sources import rebalance_scan
 
     # map-only query over one-row-group input: widen the scan first
     docs = _pii_augmented(rebalance_scan(load_table(spark, sf_dir, "documents")))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_k"),
+        (F.col("c_custkey") % 7).alias("sens"),
+    )
+    ka = k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_k"], k=5,
+        sensitive_col="sens",
+    ).select(
+        F.col("n_rows").alias("ka_rows"),
+        F.col("n_groups").alias("ka_groups"),
+        F.col("k_anonymity").alias("ka_min"),
+        F.col("n_rows_at_risk").alias("ka_at_risk"),
+        F.col("frac_at_risk").alias("ka_frac"),
+        F.col("l_diversity").alias("ka_ldiv"),
+    )
     return docs.select(
         "doc_id",
         *T.pii_scan("text"),
@@ -1236,7 +1263,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             fix_mojibake(F.lit(moji_prefix())),
             fix_mojibake(F.col("text"), gated=True),
         ).alias("fixed"),
-    )
+    ).crossJoin(F.broadcast(ka))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3566,14 +3593,34 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 4 = 0
                         THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
                         ELSE '' END AS text
-              FROM documents)
+              FROM documents),
+            -- ka_* legs (operator #172): k-anonymity / l-diversity
+            -- audit over customer quasi-identifiers, exact integers +
+            -- one double division
+            kg AS (
+              SELECT c_nationkey, c_mktsegment,
+                     floor(c_acctbal / 1000.0) AS bal_k,
+                     count(*) AS n, count(DISTINCT c_custkey % 7) AS s
+              FROM customer GROUP BY 1, 2, 3),
+            ka AS (
+              SELECT CAST(sum(n) AS BIGINT) AS ka_rows,
+                     CAST(count(*) AS BIGINT) AS ka_groups,
+                     CAST(min(n) AS BIGINT) AS ka_min,
+                     CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS ka_at_risk,
+                     CAST(min(s) AS BIGINT) AS ka_ldiv
+              FROM kg)
             SELECT doc_id,
                    len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS n_emails,
                    len(regexp_extract_all(text, '{T.PHONE_RE}')) AS n_phones,
                    regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
                                   '{T.PHONE_RE}', '<PHONE>', 'g') AS redacted,
-                   {_moji_fixed_sql()} AS fixed
-            FROM aug
+                   {_moji_fixed_sql()} AS fixed,
+                   ka.ka_rows, ka.ka_groups, ka.ka_min, ka.ka_at_risk,
+                   ka.ka_at_risk::DOUBLE
+                     / greatest(ka.ka_rows::DOUBLE, 1.0) AS ka_frac,
+                   ka.ka_ldiv
+            FROM aug CROSS JOIN ka
         """,
         # BM25: exact term-for-term replay of text.bm25_scores — the same
         # idf smoothing, the same operation ORDER inside each float
