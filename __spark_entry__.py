@@ -1821,16 +1821,31 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the brute-force oracle applies while the query exercises the
     cell-assignment + cell-routed-join scale path.
 
-    Two leg-tagged paths in one driver row (r10): src='scan' routes the
+    Three leg-tagged paths in one driver row: src='scan' routes the
     corpus in-session (``ivf_topk``); src='index' probes the PERSISTED
     cell-bucketed index (operator #132, ``ann_query_index`` — candidate
     cells pushed into the bucketed scan as an In-filter). Both share the
     routing/scoring arithmetic bit-for-bit, so one brute-force oracle
     covers both legs. Index built once per (process, sf_dir) — the
-    operator's design point is build-once/probe-many."""
+    operator's design point is build-once/probe-many.
+
+    src='ivfpq' (r14, operator #162 under the gate): the IVF-PQ
+    composed index probed in its LOSSLESS-codebook regime — the
+    sub-corpus vec_id < 200 has ≤ n_codes=256 distinct residual
+    subvectors per subspace, so every residual is its own frozen PQ
+    centroid (pinned equality to ``ivf_topk`` in tests/test_ivfpq.py),
+    ADC reconstruction is exact, and at full nprobe the same
+    brute-force cosine oracle applies with the neighbor set restricted
+    to the sub-corpus. m=8 bytes/vector stored; the probe pushes its
+    candidate cells into the bucketed codes scan as an In-filter."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    from bitfilters_spark.operators.ann_index import AnnProbe, build_ann_index
+    from bitfilters_spark.operators.ann_index import (
+        AnnProbe,
+        IvfPqProbe,
+        build_ann_index,
+        build_ivfpq_index,
+    )
 
     cached = _ANN_IX_CACHE.get(sf_dir)
     if cached is None:
@@ -1842,10 +1857,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "vec_id", "embedding", name, n_centroids=16,
             num_buckets=4, path=tempfile.mkdtemp(prefix="annix_"),
         )
-        # session-cached probe handle (r11): warm iterations skip the
-        # per-call catalog refresh + centroid-table collect
-        cached = _ANN_IX_CACHE[sf_dir] = (AnnProbe(spark, name), C)
-    probe, C = cached
+        pq_name = f"q_ivfpq_ix_{uuid.uuid4().hex[:8]}"
+        build_ivfpq_index(
+            emb.where(F.col("vec_id") < 200), "vec_id", "embedding",
+            pq_name, n_centroids=8, m=8, n_codes=256, num_buckets=4,
+            path=tempfile.mkdtemp(prefix="ivfpqix_"),
+        )
+        # session-cached probe handles (r11): warm iterations skip the
+        # per-call catalog refresh + centroid/codebook-table collects
+        cached = _ANN_IX_CACHE[sf_dir] = (
+            AnnProbe(spark, name), C, IvfPqProbe(spark, pq_name),
+        )
+    probe, C, pq_probe = cached
     scan = SIM.ivf_topk(
         emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16,
         nprobe=16, centroids=C,
@@ -1853,7 +1876,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via_index = probe.query(
         queries_df, "vec_id", "embedding", k=5, nprobe=16
     ).select(F.lit("index").alias("src"), "query_id", "neighbor_id", "rank")
-    return scan.unionByName(via_index)
+    via_ivfpq = pq_probe.query(
+        queries_df, "vec_id", "embedding", k=5, nprobe=8
+    ).select(F.lit("ivfpq").alias("src"), "query_id", "neighbor_id", "rank")
+    return scan.unionByName(via_index).unionByName(via_ivfpq)
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3775,6 +3801,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT legs.src, query_id, neighbor_id,
                    row_number() OVER (PARTITION BY legs.src, query_id ORDER BY c DESC, neighbor_id) AS rank
             FROM p CROSS JOIN (VALUES ('scan'), ('index')) legs(src)
+            QUALIFY rank <= 5
+            UNION ALL
+            -- ivfpq leg: lossless-codebook regime over the vec_id<200
+            -- sub-corpus at full nprobe == exact cosine top-k there
+            SELECT 'ivfpq' AS src, query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+            FROM p WHERE neighbor_id < 200
             QUALIFY rank <= 5
         """,
         "q_hash_split": """
