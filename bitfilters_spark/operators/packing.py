@@ -594,17 +594,16 @@ def export_hf_layout(
     }
     shards = sorted(stats)
     total = len(shards)
-    # clear EVERY prior export file for this split first: a re-export
-    # with fewer shards would otherwise leave stale
-    # <split>-*-of-<old_total>.parquet files that a glob reader mixes
-    # into the new data (r13 review)
-    for n in state_io.list_names(path, spark):
-        if (
-            n.startswith(f"{split}-")
-            and n.endswith(".parquet")
-            and "-of-" in n
-        ):
-            state_io.delete(state_io.join(path, n), spark)
+    # Crash-safe publish order (r14, closes the r13 delete-before-rename
+    # window): (1) rename every NEW file into place FIRST — names can
+    # only collide with a prior export when its total equals ours, and
+    # then only that one destination is deleted immediately before its
+    # atomic per-file rename; (2) write the manifest only after ALL
+    # renames — it is the commit point, so a crash mid-renames leaves
+    # the OLD manifest naming files that all still exist; (3) sweep
+    # stale old-total files LAST, when the new manifest already
+    # describes a complete export. At no point does a manifest on disk
+    # reference a deleted file set.
     manifest = {"split": split, "n_shards": total, "shards": {}}
     for i, s in enumerate(shards):
         sdir = state_io.join(stage, f"{shard_col}={s}")
@@ -620,18 +619,33 @@ def export_hf_layout(
                 "write guarantees it; was the staging dir modified?)"
             )
         fname = f"{split}-{i:05d}-of-{total:05d}.parquet"
-        state_io.rename(
-            state_io.join(sdir, parts[0]), state_io.join(path, fname), spark
-        )
+        dest = state_io.join(path, fname)
+        if state_io.exists(dest, spark):
+            # Hadoop rename refuses existing destinations; the delete
+            # is scoped to this single colliding file, immediately
+            # before its replacement lands
+            state_io.delete(dest, spark)
+        state_io.rename(state_io.join(sdir, parts[0]), dest, spark)
         manifest["shards"][fname] = {
             "shard": s,
             "n_rows": stats[s][0],
             "weight": stats[s][1],
         }
-    state_io.delete(stage, spark)
     state_io.write_bytes(
         state_io.join(path, f"{split}_manifest.json"),
         _json.dumps(manifest, indent=1, sort_keys=True).encode(),
         spark,
     )
+    # sweep stale files from a prior export with a DIFFERENT shard
+    # count (same-count names were replaced in place above); the new
+    # manifest is already the committed source of truth
+    for n in state_io.list_names(path, spark):
+        if (
+            n.startswith(f"{split}-")
+            and n.endswith(".parquet")
+            and "-of-" in n
+            and n not in manifest["shards"]
+        ):
+            state_io.delete(state_io.join(path, n), spark)
+    state_io.delete(stage, spark)
     return manifest

@@ -1095,6 +1095,7 @@ def hamming_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, hamming) — top-k nearest corpus
     rows per query by Hamming distance over the sign signatures
@@ -1109,7 +1110,20 @@ def hamming_topk(
     pass); one per-query top-k window over candidates. At billion-row
     scale compose with the IVF cell routing (`ann_index`) to bound the
     candidate stream first, then re-rank the Hamming survivors with
-    exact cosine — the standard two-stage shape."""
+    exact cosine — the standard two-stage shape (packaged as
+    :func:`hamming_rerank_topk`).
+
+    `queries` is broadcast, so it must stay driver-scale: the
+    `max_queries` fail-fast (the `ann_query_index` convention) raises
+    loudly instead of letting a corpus-sized query frame OOM the
+    broadcast."""
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hamming_topk broadcasts the query side, which exceeds "
+            f"max_queries={max_queries} rows; batch the query set, or "
+            "raise max_queries consciously."
+        )
     c = binary_signatures(df, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("sig").alias("__sc")
     )

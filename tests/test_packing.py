@@ -405,3 +405,101 @@ def test_export_hf_layout_r13_review_fixes(spark, tmp_path):
     )
     assert sum(v["n_rows"] for v in man3["shards"].values()) == 20
     assert spark.read.parquet(f"{out}/train-*.parquet").count() == 20
+
+
+def test_export_hf_layout_crash_safety(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 "what's wrong" #1): the publish order is
+    rename-first / manifest-as-commit-point / sweep-last, so a crash at
+    ANY stage of a re-export leaves a manifest on disk whose named
+    files ALL exist and read back complete — never a manifest pointing
+    at deleted files. Simulated by interrupting (a) mid-renames and
+    (b) just before the manifest write, then healing by re-running."""
+    import glob
+    import json
+    import os
+
+    from bitfilters_spark.operators.packing import (
+        export_hf_layout,
+        pack_shards,
+    )
+    from bitfilters_spark.streaming import state_io
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", 0 if i % 3 else 7) for i in range(30)],
+        "doc_id long, text string, n_tokens int",
+    )
+    one_shard = pack_shards(
+        docs.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 1000
+    )
+    two_shards = pack_shards(
+        docs.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 40
+    )
+    out = str(tmp_path / "hf_crash")
+
+    def readable():
+        """The reader contract: every manifest-named file exists and
+        the manifest-described split reads back in full."""
+        man = json.loads(open(f"{out}/train_manifest.json").read())
+        total_rows = 0
+        for f in man["shards"]:
+            assert os.path.exists(f"{out}/{f}"), f"manifest names missing {f}"
+            total_rows += spark.read.parquet(f"{out}/{f}").count()
+        assert total_rows == sum(v["n_rows"] for v in man["shards"].values())
+        return man
+
+    man1 = export_hf_layout(one_shard, docs, "doc_id", out)
+    assert man1["n_shards"] == 1 and readable() == man1
+
+    # (a) crash mid-renames of a DIFFERENT-total re-export: the second
+    # rename dies after the first new file landed; the OLD export must
+    # still be fully readable (no collisions -> nothing was deleted)
+    real_rename = state_io.rename
+    calls = {"n": 0}
+
+    def boom_rename(src, dst, spark_=None):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-renames")
+        return real_rename(src, dst, spark_)
+
+    monkeypatch.setattr(state_io, "rename", boom_rename)
+    try:
+        export_hf_layout(two_shards, docs, "doc_id", out)
+        raise AssertionError("simulated crash did not fire")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    monkeypatch.setattr(state_io, "rename", real_rename)
+    assert readable() == man1  # old export intact, old manifest valid
+
+    # heal: re-running the same export completes and sweeps stale files
+    man2 = export_hf_layout(two_shards, docs, "doc_id", out)
+    assert man2["n_shards"] == 2 and readable() == man2
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/train-*.parquet")
+    )
+    assert on_disk == sorted(man2["shards"])  # stale 1-shard file swept
+
+    # (b) crash between the renames and the manifest write: new files
+    # are in place but the OLD manifest is still the commit point and
+    # all its files still exist (different totals -> no collisions)
+    real_write = state_io.write_bytes
+
+    def boom_write(path, data, spark_=None):
+        raise RuntimeError("simulated crash before manifest")
+
+    monkeypatch.setattr(state_io, "write_bytes", boom_write)
+    try:
+        export_hf_layout(one_shard, docs, "doc_id", out)
+        raise AssertionError("simulated crash did not fire")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    monkeypatch.setattr(state_io, "write_bytes", real_write)
+    assert readable() == man2  # the 2-shard export is still committed
+
+    # heal again: the 1-shard export commits and the glob is clean
+    man3 = export_hf_layout(one_shard, docs, "doc_id", out)
+    assert readable() == man3
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/train-*.parquet")
+    )
+    assert on_disk == sorted(man3["shards"])

@@ -754,6 +754,23 @@ def test_hamming_topk_degenerate_vectors(spark):
     assert all(r["hamming"] is not None for r in got)
 
 
+def test_hamming_topk_max_queries_guard(spark):
+    """r14 (ADVICE): the query side is broadcast, so a corpus-sized
+    query frame must fail LOUDLY (the ann_query_index convention), not
+    OOM the broadcast; at the bound it still runs."""
+    import pytest
+
+    from bitfilters_spark.operators.similarity import hamming_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_queries"):
+        hamming_topk(df, df, k=2, max_queries=5)
+    got = hamming_topk(df, df, k=2, max_queries=12).collect()
+    assert len(got) == 24
+
+
 def test_chain_order_within_cells_locality_law(spark):
     """#170: every id gets exactly one (cell, chain_pos); chain_pos is
     dense-from-0 per cell (single-block cells); the greedy chain's mean
