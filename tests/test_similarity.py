@@ -754,6 +754,54 @@ def test_hamming_topk_degenerate_vectors(spark):
     assert all(r["hamming"] is not None for r in got)
 
 
+def test_hamming_rerank_topk_two_stage(spark):
+    """r14 (#173): the packaged Hamming-coarse -> exact-cosine re-rank.
+    (a) when overfetch covers the corpus the result EQUALS cosine_topk
+    row for row; (b) recall vs cosine_topk is monotone non-decreasing
+    in overfetch (nested candidate supersets); (c) the score column is
+    the true cosine of the returned pair (numpy replay)."""
+    from bitfilters_spark.operators.similarity import (
+        cosine_topk,
+        hamming_rerank_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((80, 64))
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") < 6)
+
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    )
+    full = hamming_rerank_topk(df, queries, k=5, overfetch=16).collect()
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in full)
+    assert got == want  # k*overfetch=80 covers the corpus
+
+    # score column is the exact cosine (numpy replay, 1e-12)
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for r in full:
+        c = float(unit[r["query_id"]] @ unit[r["neighbor_id"]])
+        assert abs(r["score"] - c) < 1e-12
+
+    truth = {}
+    for q, _, n in want:
+        truth.setdefault(q, set()).add(n)
+    prev = -1.0
+    for ov in (1, 2, 4, 16):
+        res = hamming_rerank_topk(df, queries, k=5, overfetch=ov).collect()
+        hit = sum(
+            1 for r in res if r["neighbor_id"] in truth[r["query_id"]]
+        )
+        recall = hit / sum(len(v) for v in truth.values())
+        assert recall >= prev - 1e-9, (ov, recall, prev)
+        prev = recall
+    assert prev == 1.0  # the covering overfetch ends at full recall
+
+
 def test_hamming_topk_max_queries_guard(spark):
     """r14 (ADVICE): the query side is broadcast, so a corpus-sized
     query frame must fail LOUDLY (the ann_query_index convention), not
