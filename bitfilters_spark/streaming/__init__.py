@@ -1,4 +1,11 @@
 from .asof import streaming_asof_enrich, streaming_asof_join
+from .cdc import (
+    cdc_stats_fold,
+    compact_cdc_stats,
+    streaming_cdc_dup_report,
+    streaming_cdc_stats,
+    streaming_chunk_counts,
+)
 from .dsir import (
     load_dsir_counts,
     streaming_dsir_counts,
@@ -76,6 +83,11 @@ __all__ = [
     "streaming_preference_stats",
     "preference_stats_fold",
     "streaming_preference_report",
+    "cdc_stats_fold",
+    "streaming_cdc_stats",
+    "streaming_chunk_counts",
+    "streaming_cdc_dup_report",
+    "compact_cdc_stats",
     "streaming_word_stats",
     "word_stats_fold",
     "streaming_word_frequencies",

@@ -171,3 +171,238 @@ def test_cdc_r13_review_fixes(spark):
     rep = {r["doc_id"]: r for r in cdc_dup_report(df, "doc_id", "text").collect()}
     assert set(rep) == {"a", "b", "c", "d"}
     assert rep["c"]["n_chunks"] == 0 and rep["d"]["dup_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental CDC dedup: the persisted chunk-hash index (r14)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_corpus(spark, seed=31):
+    """ref = 6 docs; new = 2 re-crawls of ref docs with a prepended
+    banner (chunk-sharing, the CDC point), 1 fresh doc, and 1 doc that
+    near-copies the fresh one (new-new dup — must be KEPT by the
+    against-index contract)."""
+    rng = np.random.default_rng(seed)
+    ref_rows = [(i, _mk_text(rng, 900 + 50 * i)) for i in range(6)]
+    banner = "breaking banner added on the re-crawl * "
+    fresh = _mk_text(rng, 900)
+    new_rows = [
+        (100, banner + ref_rows[0][1]),
+        (101, banner + ref_rows[3][1]),
+        (102, fresh),
+        (103, fresh + " tail edit"),
+    ]
+    schema = "doc_id long, text string"
+    return (
+        spark.createDataFrame(ref_rows, schema),
+        spark.createDataFrame(new_rows, schema),
+    )
+
+
+GEOM = dict(min_size=16, avg_size=64, max_size=256)
+
+
+def test_cdc_index_probe_matches_in_session_accounting(spark, tmp_path):
+    """Composition law: probe_cdc_index(new, index(ref)) returns exactly
+    the accounting of an in-session join of new chunks against ref
+    chunk hashes; cdc_dedup_against_index drops the banner re-crawls
+    (chunk-shared) and keeps fresh + new-new-dup docs."""
+    from bitfilters_spark.operators.cdc import (
+        build_cdc_index,
+        cdc_dedup_against_index,
+        probe_cdc_index,
+    )
+
+    ref, new = _cdc_corpus(spark)
+    spark.sql("DROP TABLE IF EXISTS cdcix_chunks")
+    build_cdc_index(ref, "doc_id", "text", "cdcix", **GEOM,
+                    num_buckets=4, path=str(tmp_path / "cdcix"))
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_bytes"], r["ref_dup_chunks"],
+                      r["ref_dup_bytes"])
+        for r in probe_cdc_index(
+            spark, new, "doc_id", "text", "cdcix", **GEOM
+        ).collect()
+    }
+    # in-session replay: chunk both sides, flag new chunks whose hash
+    # appears anywhere in ref
+    ref_hashes = {
+        r["chunk_hash"]
+        for r in cdc_chunks(ref, "doc_id", "text", **GEOM,
+                            keep_bytes=False).collect()
+    }
+    want = {}
+    for r in cdc_chunks(new, "doc_id", "text", **GEOM,
+                        keep_bytes=False).collect():
+        n, b, dn, db = want.get(r["doc_id"], (0, 0, 0, 0))
+        hit = r["chunk_hash"] in ref_hashes
+        want[r["doc_id"]] = (
+            n + 1, b + r["length"], dn + hit, db + hit * r["length"]
+        )
+    assert got == want
+    # the banner re-crawls share most bytes; fresh docs share ~none
+    for d in (100, 101):
+        assert got[d][3] / got[d][1] > 0.5, (d, got[d])
+    for d in (102, 103):
+        assert got[d][3] / got[d][1] < 0.3, (d, got[d])
+
+    kept = {
+        r["doc_id"]
+        for r in cdc_dedup_against_index(
+            spark, new, "doc_id", "text", "cdcix", threshold=0.5, **GEOM
+        ).collect()
+    }
+    assert kept == {102, 103}  # new-new dup kept (cross_dedup contract)
+
+    # NULL/empty docs: probe reports zeros, dedup keeps them
+    weird = spark.createDataFrame(
+        [(200, None), (201, "")], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: (r["n_chunks"], r["ref_dup_bytes"])
+        for r in probe_cdc_index(
+            spark, weird, "doc_id", "text", "cdcix", **GEOM
+        ).collect()
+    }
+    assert rep == {200: (0, 0), 201: (0, 0)}
+    assert cdc_dedup_against_index(
+        spark, weird, "doc_id", "text", "cdcix", **GEOM
+    ).count() == 2
+
+
+def test_cdc_index_append_then_probe_equals_rebuild(spark, tmp_path):
+    """append_to_cdc_index folds a crawl in at cost ∝ new data, and the
+    result is INDISTINGUISHABLE from a rebuild over the union (chunking
+    is per-document); geometry mismatches fail loudly."""
+    import pytest as _pytest
+
+    from bitfilters_spark.operators.cdc import (
+        append_to_cdc_index,
+        build_cdc_index,
+        cdc_index_geometry,
+        probe_cdc_index,
+    )
+
+    ref, new = _cdc_corpus(spark)
+    ref1, ref2 = ref.where("doc_id < 3"), ref.where("doc_id >= 3")
+    spark.sql("DROP TABLE IF EXISTS cdcap_chunks")
+    spark.sql("DROP TABLE IF EXISTS cdcfull_chunks")
+    build_cdc_index(ref1, "doc_id", "text", "cdcap", **GEOM,
+                    num_buckets=4, path=str(tmp_path / "cdcap"))
+    append_to_cdc_index(ref2, "doc_id", "text", "cdcap", **GEOM,
+                        num_buckets=4)
+    build_cdc_index(ref, "doc_id", "text", "cdcfull", **GEOM,
+                    num_buckets=4, path=str(tmp_path / "cdcfull"))
+
+    probe_ap = sorted(map(tuple, probe_cdc_index(
+        spark, new, "doc_id", "text", "cdcap", **GEOM).collect()))
+    probe_full = sorted(map(tuple, probe_cdc_index(
+        spark, new, "doc_id", "text", "cdcfull", **GEOM).collect()))
+    assert probe_ap == probe_full
+    assert any(r[3] > 0 for r in probe_ap)  # hits exist through append
+
+    assert cdc_index_geometry(spark, "cdcap") == {**GEOM, "num_buckets": 4}
+    with _pytest.raises(ValueError, match="geometry"):
+        probe_cdc_index(spark, new, "doc_id", "text", "cdcap",
+                        min_size=16, avg_size=32, max_size=256)
+    with _pytest.raises(ValueError, match="geometry"):
+        append_to_cdc_index(ref2, "doc_id", "text", "cdcap", **GEOM,
+                            num_buckets=8)
+
+
+def test_cdc_index_compact_preserves_probe(spark, tmp_path):
+    """compact_cdc_index collapses the append file-sets; probe rows and
+    stored geometry are identical before/after."""
+    from bitfilters_spark.operators.cdc import (
+        append_to_cdc_index,
+        build_cdc_index,
+        cdc_index_geometry,
+        compact_cdc_index,
+        probe_cdc_index,
+    )
+
+    ref, new = _cdc_corpus(spark)
+    spark.sql("DROP TABLE IF EXISTS cdccp_chunks")
+    build_cdc_index(ref.where("doc_id < 2"), "doc_id", "text", "cdccp",
+                    **GEOM, num_buckets=4, path=str(tmp_path / "cdccp"))
+    for lo, hi in ((2, 4), (4, 6)):
+        append_to_cdc_index(
+            ref.where(f"doc_id >= {lo} and doc_id < {hi}"),
+            "doc_id", "text", "cdccp", **GEOM, num_buckets=4,
+        )
+    before = sorted(map(tuple, probe_cdc_index(
+        spark, new, "doc_id", "text", "cdccp", **GEOM).collect()))
+    geom_before = cdc_index_geometry(spark, "cdccp")
+    stats = compact_cdc_index(spark, "cdccp", path=str(tmp_path / "cdccp"))
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 4  # one file per bucket
+    after = sorted(map(tuple, probe_cdc_index(
+        spark, new, "doc_id", "text", "cdccp", **GEOM).collect()))
+    assert after == before
+    assert cdc_index_geometry(spark, "cdccp") == geom_before
+
+
+def test_streaming_cdc_stats_fold_replay_and_compact(spark, tmp_path):
+    """#150 pattern over chunk counts: a 3-batch fold equals one
+    cdc_chunks pass over the union; a crash-replayed batch id no-ops;
+    compaction collapses rows and leaves the fold identical; the 1-row
+    dup report matches a direct replay."""
+    from collections import Counter
+
+    from bitfilters_spark.streaming.cdc import (
+        cdc_stats_fold,
+        compact_cdc_stats,
+        streaming_cdc_dup_report,
+        streaming_chunk_counts,
+    )
+
+    rng = np.random.default_rng(91)
+    shared = _mk_text(rng, 500)
+    rows = [(i, _mk_text(rng, 400 + 100 * i)) for i in range(9)]
+    rows += [(50, shared), (51, shared)]  # cross-batch duplicate mass
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    markers = str(tmp_path / "markers")
+    fold = cdc_stats_fold("doc_id", "text", state, markers, **GEOM)
+    assert streaming_chunk_counts(spark, state) is None
+    batches = [df.where(f"doc_id % 3 = {i}") for i in range(3)]
+    for i, b in enumerate(batches):
+        fold(b, i)
+
+    got = {
+        r["chunk_hash"]: (r["n"], r["bytes"])
+        for r in streaming_chunk_counts(spark, state).collect()
+    }
+    chunks = cdc_chunks(df, "doc_id", "text", **GEOM,
+                        keep_bytes=False).collect()
+    n_c, b_c = Counter(), Counter()
+    for r in chunks:
+        n_c[r["chunk_hash"]] += 1
+        b_c[r["chunk_hash"]] += r["length"]
+    want = {h: (n_c[h], b_c[h]) for h in n_c}
+    assert got == want
+
+    fold(batches[1], 1)  # crash-replayed batch id: must no-op
+    assert {
+        r["chunk_hash"]: (r["n"], r["bytes"])
+        for r in streaming_chunk_counts(spark, state).collect()
+    } == want
+
+    rep = streaming_cdc_dup_report(spark, state).collect()[0]
+    assert rep["n_chunks"] == len(chunks)
+    assert rep["n_unique_chunks"] == len(want)
+    assert rep["n_dup_chunks"] == len(chunks) - len(want)
+    assert rep["total_bytes"] == sum(b for _, b in want.values())
+    assert rep["dup_bytes"] == sum(
+        b - b // n for n, b in want.values()
+    )
+    assert rep["n_dup_chunks"] > 0  # the planted 50/51 pair shares mass
+
+    stats = compact_cdc_stats(spark, state)
+    assert stats["rows_after"] <= stats["rows_before"]
+    assert {
+        r["chunk_hash"]: (r["n"], r["bytes"])
+        for r in streaming_chunk_counts(spark, state).collect()
+    } == want
