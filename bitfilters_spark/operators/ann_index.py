@@ -647,7 +647,16 @@ def build_ivfpq_index(
     )
     routed = _route(df, id_col, vec_col, C)
     if codebooks is None:
-        sample = routed.select("cell", "vec").limit(sample_rows).collect()
+        # deterministic training sample (r14, ADVICE): an unordered
+        # limit() varies across rebuilds of the same corpus, silently
+        # changing the codebooks; TakeOrdered by the unique id pins it,
+        # cost O(n log sample) distributed — never a full sort
+        sample = (
+            routed.select("cell", "vec", "id")
+            .orderBy("id")
+            .limit(sample_rows)
+            .collect()
+        )
         if not sample:
             raise ValueError("build_ivfpq_index: empty input")
         R = np.array([r["vec"] for r in sample], dtype=np.float64) - C[

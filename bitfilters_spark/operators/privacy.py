@@ -35,13 +35,24 @@ def quasi_identifier_groups(
     anonymity set size (a row's re-identification risk is 1/n_rows),
     ``n_sensitive`` its distinct-sensitive-value count (the l in
     l-diversity). NULLs group as values (a NULL ZIP is itself a
-    quasi-identifier state). The detail table for drill-down; the
+    quasi-identifier state), and a NULL SENSITIVE value counts as one
+    distinct sensitive state (r14, ADVICE): "attribute withheld" is
+    itself disclosable information, and the alternative — count_distinct
+    skipping NULLs — made an all-NULL group read l=0, ambiguous with
+    "impossible". No sentinel substitution, so real values can never
+    collide with the NULL state. The detail table for drill-down; the
     one-row gate is :func:`k_anonymity_report`."""
     if not quasi_cols:
         raise ValueError("quasi_cols must name at least one column")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if sensitive_col is not None:
-        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"))
+        s = F.col(sensitive_col)
+        aggs.append(
+            (
+                F.count_distinct(s)
+                + F.max(F.when(s.isNull(), 1).otherwise(0))
+            ).alias("n_sensitive")
+        )
     return df.groupBy(*quasi_cols).agg(*aggs)
 
 

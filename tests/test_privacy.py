@@ -44,3 +44,30 @@ def test_k_anonymity_report_exact(spark):
         k_anonymity_report(df, [])
     with pytest.raises(ValueError, match="k must"):
         k_anonymity_report(df, ["zip"], k=0)
+
+
+def test_null_sensitive_counts_as_a_state(spark):
+    """r14 (ADVICE): a NULL sensitive value is one distinct sensitive
+    state — an all-NULL group reads l=1 (not the ambiguous 0), a mixed
+    group counts NULL alongside its real values, and no sentinel can
+    collide with real data."""
+    from bitfilters_spark.operators.privacy import (
+        k_anonymity_report,
+        quasi_identifier_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", None), ("a", None),          # all-NULL sensitive group
+            ("b", "x"), ("b", None), ("b", "y"),  # mixed: 2 real + NULL
+            ("c", "x"), ("c", "x"),            # constant real value
+        ],
+        "zip string, diag string",
+    )
+    g = {
+        r["zip"]: r["n_sensitive"]
+        for r in quasi_identifier_groups(df, ["zip"], "diag").collect()
+    }
+    assert g == {"a": 1, "b": 3, "c": 1}
+    rep = k_anonymity_report(df, ["zip"], k=2, sensitive_col="diag")
+    assert rep.collect()[0]["l_diversity"] == 1
