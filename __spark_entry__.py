@@ -2331,14 +2331,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 hits_quantized leg both start from this ~2.4k-row checkpoint
     # instead of each re-scanning events and re-shuffling the distinct
     eck = pairs.select("s", "d").distinct().localCheckpoint()
-    direct = pagerank(eck, "s", "d", iters=3)
+    # iters=2 (r14, the sanctioned q_pagerank trim): one fewer
+    # join+agg round per leg; the oracle unrolls the same 2
+    direct = pagerank(eck, "s", "d", iters=2)
 
-    # the events parquet arrives as ONE scan partition at gate scale —
-    # spread the planted pages across the cluster before the regex-heavy
-    # extraction (the shuffled rows are 3 tiny columns; the HTML is
-    # built AFTER the exchange)
+    # ONE page per DISTINCT (s, d, form) (r14, the q_pagerank trim):
+    # the raw pair stream repeats each edge ~40x at sf0.1 (~98k pages),
+    # but the gate's power lives entirely at the distinct level — every
+    # edge still plants every href form it occurs with, every page
+    # still carries all four decoys, and the recovered edge SET (what
+    # the ranks hash) is identical. The distinct is one shuffle of 3
+    # tiny columns and cuts the regex-heavy extraction volume ~10x.
+    # It also spreads the one-partition events scan across the cluster
+    # (the job the bare repartition used to do).
     n_part = spark.sparkContext.defaultParallelism
-    pairs = pairs.repartition(n_part)
+    pairs = pairs.distinct().repartition(n_part)
 
     d = F.col("d")
     anchor = (
@@ -2391,7 +2398,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("src_host", r"^h(\d+)\.test$", 1).alias("s"),
         F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
     )
-    html_leg = pagerank(mined, "s", "d", iters=3)
+    html_leg = pagerank(mined, "s", "d", iters=2)
     # hub/authority columns (r12, operator #141 under the driver gate)
     # over the SAME direct edge set
     # hits_exact (graph.hits_exact_oracle_sql replays it): the HITS
@@ -2405,7 +2412,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2*3*log2(d_max<=98) + log2(50) ~ 45 < 62) is pre-validated, so
     # the guard's per-call degree agg+collect is pure overhead here —
     # the r12-verdict q_pagerank trim
-    ht = hits_exact(eck, "s", "d", iters=3, skip_guard=True)
+    ht = hits_exact(eck, "s", "d", iters=2, skip_guard=True)
     out = direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
         html_leg.select(F.lit("html").alias("leg"), "node", "rank")
     )
@@ -4286,8 +4293,8 @@ _PAGERANK_ORACLE = (
     "SELECT 'html' AS leg, pr.node, pr.rank, ht.hub, ht.authority "
     "FROM pr LEFT JOIN ht ON ht.node = pr.node"
 ).format(
-    inner=_pr_sql(_PAGERANK_EDGE_SQL, iters=3),
-    hits=_hits_sql(_PAGERANK_EDGE_SQL, iters=3),
+    inner=_pr_sql(_PAGERANK_EDGE_SQL, iters=2),
+    hits=_hits_sql(_PAGERANK_EDGE_SQL, iters=2),
 )
 
 _FILTER_SIZES_ORACLE = """
