@@ -1271,7 +1271,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is diffed against a deterministically mutated copy (doc_id%13
     == 0 rewritten, %11 == 0 removed, nothing added ⇒ per-doc `change` in
     unchanged/changed/removed — `snapshot_diff` drops unchanged rows; the
-    left join restores them as the 'unchanged' label)."""
+    left join restores them as the 'unchanged' label).
+
+    cdc rows (r14, operator #168 under the driver gate): 40 planted
+    ASCII documents (six concatenated md5 hex strings per doc — both
+    engines construct the identical bytes) run through `cdc_chunks`
+    with min_size=1 / avg_size=64 / max_size=2^20; min_size=1 collapses
+    the FastCDC min/max walk to "every gear mask hit < n cuts, plus the
+    final end", which the oracle replays IN FULL: the splitmix64 gear
+    table and the powers of two are inlined as VALUES, the 64-byte
+    rolling window is a position self-join with per-term mod-2^64
+    HUGEINT products, mask hits are hv % 64 = 0, and each chunk's
+    identity is the 60-bit md5 of the exact substring. Rides the
+    fingerprint row in its own doc_id space (9_000_000+): fp carries
+    chunk_hash, change carries chunk_id:start:length — zero tolerance
+    over every cut position, length, and chunk hash."""
+    from bitfilters_spark.operators.cdc import cdc_chunks
     from bitfilters_spark.operators.dedup import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1288,13 +1303,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "f",
     )
-    return (
+    main = (
         docs.select("doc_id", fp.alias("fp"))
         .join(diff, "doc_id", "left")
         .select(
             "doc_id", "fp", F.coalesce("change", F.lit("unchanged")).alias("change")
         )
     )
+    planted = docs.where(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat(
+            *[
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{i}")))
+                for i in range(6)
+            ]
+        ).alias("ptext"),
+    )
+    cdc_rows = cdc_chunks(
+        planted, "doc_id", "ptext", min_size=1, avg_size=64,
+        max_size=1 << 20, keep_bytes=False,
+    ).select(
+        (F.lit(9_000_000) + F.col("doc_id")).alias("doc_id"),
+        F.col("chunk_hash").alias("fp"),
+        F.concat_ws(":", "chunk_id", "start", "length").alias("change"),
+    )
+    return main.unionByName(cdc_rows)
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3556,7 +3589,59 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 11 = 0 THEN 'removed'
                         WHEN doc_id % 13 = 0 THEN 'changed'
                         ELSE 'unchanged' END AS change
-               FROM documents"""
+               FROM documents
+            UNION ALL
+            -- cdc rows (#168): full gear-recurrence replay over the 40
+            -- planted ASCII docs; min_size=1 => cuts are exactly the
+            -- mask hits < n plus the final end
+            SELECT 9000000 + doc_id AS doc_id, chunk_hash AS fp,
+                   chunk_id || ':' || start || ':' || length AS change
+            FROM (
+              WITH gear(gb, g) AS (VALUES """
+            + _CDC_GEAR_VALUES
+            + """),
+              pw(j, p) AS (VALUES """
+            + _CDC_POW_VALUES
+            + """),
+              pl AS (
+                SELECT doc_id,
+                       md5(doc_id || '-0') || md5(doc_id || '-1') ||
+                       md5(doc_id || '-2') || md5(doc_id || '-3') ||
+                       md5(doc_id || '-4') || md5(doc_id || '-5') AS t
+                FROM documents WHERE doc_id < 40),
+              bpos AS (
+                SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+                FROM pl),
+              bb AS (
+                SELECT doc_id, i, ascii(substr(t, i, 1)) AS byte,
+                       len(t) AS n
+                FROM bpos),
+              h AS (
+                SELECT cur.doc_id, cur.i AS pos, cur.n,
+                       sum((gear.g * pw.p) % 18446744073709551616::HUGEINT)
+                         % 18446744073709551616::HUGEINT AS hv
+                FROM bb cur
+                JOIN bb prev ON prev.doc_id = cur.doc_id
+                            AND prev.i BETWEEN cur.i - 63 AND cur.i
+                JOIN pw ON pw.j = cur.i - prev.i
+                JOIN gear ON gear.gb = prev.byte
+                GROUP BY cur.doc_id, cur.i, cur.n),
+              ends AS (
+                SELECT doc_id, pos AS e FROM h WHERE hv % 64 = 0 AND pos < n
+                UNION ALL
+                SELECT doc_id, len(t) AS e FROM pl),
+              ch AS (
+                SELECT doc_id, e,
+                       lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+                         AS chunk_id
+                FROM ends)
+              SELECT ch.doc_id, ch.chunk_id, ch.s AS start,
+                     ch.e - ch.s AS length,
+                     ('0x' || substr(md5(substr(pl.t, ch.s + 1, ch.e - ch.s)),
+                                     1, 15))::BIGINT AS chunk_hash
+              FROM ch JOIN pl USING (doc_id)
+            )"""
         ),
         "q_tfidf": """
             WITH tok AS (
@@ -4285,6 +4370,19 @@ _PAGERANK_EDGE_SQL = (
 # extraction path is held to zero tolerance. The r12 hub/authority
 # columns replay hits_exact (graph.hits_exact_oracle_sql) over the
 # same edge set, in pure integer arithmetic — also exactly.
+# q_doc_fingerprint's cdc rows (#168 under the gate): the FastCDC gear
+# table and the 64 powers of two are DETERMINISTIC PUBLIC CONSTANTS of
+# the operator (splitmix64 over a fixed seed), inlined as VALUES so the
+# oracle replays the rolling hash itself — per-term (gear * 2^j) mod
+# 2^64 in HUGEINT (a 64-term window sum stays < 2^70, so one outer mod
+# suffices), mask hits, and the min_size=1 boundary collapse.
+from bitfilters_spark.operators.cdc import gear_table as _cdc_gear_table
+
+_CDC_GEAR_VALUES = ",".join(
+    f"({i},{int(v)}::HUGEINT)" for i, v in enumerate(_cdc_gear_table())
+)
+_CDC_POW_VALUES = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
+
 _PAGERANK_ORACLE = (
     "WITH pr AS ({inner}), ht AS ({hits}) "
     "SELECT 'direct' AS leg, pr.node, pr.rank, ht.hub, ht.authority "
