@@ -915,3 +915,182 @@ def ivfpq_index_report(spark: SparkSession, name: str) -> DataFrame:
         )).alias("frac"),
         "code_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted binary-signature (Hamming) index — the fifth index family
+# (r14): the build-once/probe-many form of `similarity.hamming_topk` /
+# `hamming_rerank_topk`. The store is `<name>_sigs` (id, sig[, vec]):
+# the sign signatures are the 64x-compressed coarse representation; the
+# optional vec column keeps the float vectors co-located for the exact-
+# cosine re-rank stage (bucketed on id, so the re-rank's re-fetch join
+# reads index rows in place). Probes share `_hamming_rank` /
+# `_cosine_rerank` with the in-session operators, so index and scan can
+# never diverge arithmetically (pinned in pytest).
+# ---------------------------------------------------------------------------
+
+
+def build_sig_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    num_buckets: int = 16,
+    keep_vectors: bool = True,
+    path: str | None = None,
+) -> None:
+    """One corpus pass → the bucketed table ``<name>_sigs``.
+    ``keep_vectors=False`` stores signatures only (8 B/vector at 64
+    dims) — probes then serve the coarse Hamming ranking and refuse
+    re-ranking loudly."""
+    from .similarity import binary_signatures
+
+    _check_name(name)
+    spark = df.sparkSession
+    base = binary_signatures(df.select(id_col, vec_col), vec_col)
+    cols = [F.col(id_col).alias("id"), F.col("sig")]
+    if keep_vectors:
+        cols.append(F.col(vec_col).alias("vec"))
+    write_bucketed(
+        base.select(*cols),
+        f"{name}_sigs",
+        ["id"],
+        num_buckets=num_buckets,
+        sort_cols=["id"],
+        path=None if path is None else f"{path}/sigs",
+    )
+    spark.sql(
+        f"ALTER TABLE {name}_sigs SET TBLPROPERTIES "
+        f"('bitfilters.num_buckets'='{num_buckets}', "
+        f"'bitfilters.keep_vectors'='{int(keep_vectors)}')"
+    )
+
+
+def append_to_sig_index(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    num_buckets: int = 16,
+) -> None:
+    """Fold NEW vectors in at cost ∝ new data (signature packing is
+    scan-speed); the stored layout decides whether vectors ride along.
+    Same geometry guard and single-writer contract as the other index
+    families."""
+    from .similarity import binary_signatures
+
+    _check_name(name)
+    spark = new_df.sparkSession
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_sigs").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    stored_nb = props.get("bitfilters.num_buckets")
+    if stored_nb is not None and int(stored_nb) != num_buckets:
+        raise ValueError(
+            f"signature index '{name}' was built with num_buckets="
+            f"{stored_nb}, called with {num_buckets}; appended rows "
+            "would land in the wrong buckets."
+        )
+    keep_vectors = props.get("bitfilters.keep_vectors", "1") == "1"
+    base = binary_signatures(new_df.select(id_col, vec_col), vec_col)
+    cols = [F.col(id_col).alias("id"), F.col("sig")]
+    if keep_vectors:
+        cols.append(F.col(vec_col).alias("vec"))
+    base.select(*cols).write.mode("append").format("parquet").bucketBy(
+        num_buckets, "id"
+    ).sortBy("id").saveAsTable(f"{name}_sigs")
+
+
+def sig_query_index(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_overfetch: int = 0,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Probe the persisted signature store. ``rerank_overfetch=0``:
+    the pure coarse pass — (query_id, rank, neighbor_id, hamming),
+    identical to `hamming_topk` against the indexed corpus. ``>= 1``:
+    the two-stage shape — k·overfetch Hamming survivors re-ranked by
+    exact cosine from the CO-LOCATED stored vectors (no second corpus
+    scan; requires keep_vectors=True, else a loud error), identical to
+    `hamming_rerank_topk`. Query signatures are computed in-session;
+    the index side streams its stored ones."""
+    from .similarity import (
+        _check_query_count,
+        _cosine_rerank,
+        _hamming_rank,
+        binary_signatures,
+    )
+
+    _check_name(name)
+    _check_query_count(queries, max_queries, "sig_query_index")
+    sigs = spark.table(f"{name}_sigs")
+    q = binary_signatures(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("sig").alias("__sq"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = sigs.select(F.col("id").alias("neighbor_id"), F.col("sig").alias("__sc"))
+    if rerank_overfetch < 1:
+        return _hamming_rank(c, q.drop("__qv"), k)
+    if "vec" not in sigs.columns:
+        raise ValueError(
+            f"signature index '{name}' was built with keep_vectors=False; "
+            "it cannot serve an exact-cosine re-rank. Rebuild with "
+            "keep_vectors=True or probe with rerank_overfetch=0."
+        )
+    coarse = _hamming_rank(c, q.drop("__qv"), k * rerank_overfetch).select(
+        "query_id", "neighbor_id"
+    )
+    nvec = sigs.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("__nv"))
+    return _cosine_rerank(coarse, nvec, q.select("query_id", "__qv"), k)
+
+
+def compact_sig_index(spark: SparkSession, name: str, path: str | None = None) -> dict:
+    """Rewrite the signature table into one file-set per bucket —
+    rows/probe results unchanged, staging-swap atomicity with the
+    alternating external directories (the family contract)."""
+    from .bm25_index import _live_location
+
+    _check_name(name)
+    spark.catalog.refreshTable(f"{name}_sigs")
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_sigs").collect()
+    props = {
+        r["key"]: r["value"] for r in rows if r["key"].startswith("bitfilters.")
+    }
+    if "bitfilters.num_buckets" not in props:
+        raise ValueError(
+            f"signature index '{name}' carries no stored geometry; "
+            "compaction needs the bucket count to preserve the layout."
+        )
+    nb = int(props["bitfilters.num_buckets"])
+
+    def _nfiles():
+        return (
+            spark.table(f"{name}_sigs")
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    files_before = _nfiles()
+    stage = f"{name}__stage"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}_sigs")
+    loc = _live_location(spark, f"{name}_sigs")
+    src = spark.read.parquet(loc) if loc else spark.table(f"{name}_sigs")
+    write_bucketed(
+        src.repartition(nb, F.col("id")),
+        f"{stage}_sigs",
+        ["id"],
+        num_buckets=nb,
+        sort_cols=["id"],
+        path=_stage_path(spark, f"{name}_sigs", path, f"{name}_sigs"),
+    )
+    kv = ", ".join(f"'{k_}'='{v}'" for k_, v in props.items())
+    spark.sql(f"ALTER TABLE {stage}_sigs SET TBLPROPERTIES ({kv})")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+    spark.sql(f"ALTER TABLE {stage}_sigs RENAME TO {name}_sigs")
+    return {"files_before": files_before, "files_after": _nfiles()}

@@ -1361,3 +1361,104 @@ def lsh_plan(
     best = dict(cands[0])
     best["candidates"] = cands
     return best
+
+
+def bbit_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    b: int = 1,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, bsig array<long>) — b-bit minwise hashing (Li & König 2010):
+    keep only the LOWEST ``b`` bits of each of the k minhash values,
+    packed ``63 // b`` slots per long (the sign bit stays clear — the
+    repo's cross-engine bit-packing convention). At b=1 a k=128
+    signature shrinks 1024 → 16 bytes + padding, the storage that makes
+    corpus-scale signature retention viable; the resemblance
+    information lost to b-bit collisions is RECOVERED by the
+    :func:`bbit_jaccard_estimate` correction instead of by storage.
+    Same permutations as :func:`minhash_signatures` (derived from it),
+    so b-bit and full signatures never disagree about the underlying
+    minhash values."""
+    if not 1 <= b <= 16:
+        raise ValueError("b must be in [1, 16]")
+    per_word = 63 // b
+    mask = (1 << b) - 1
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    words = []
+    for w in range(0, k, per_word):
+        slots = [
+            (F.col("sig")[i].bitwiseAND(F.lit(mask).cast("long")))
+            * F.lit(1 << (j * b)).cast("long")
+            for j, i in enumerate(range(w, min(k, w + per_word)))
+        ]
+        acc = slots[0]
+        for s in slots[1:]:
+            acc = acc + s
+        words.append(acc)
+    return sig.select(id_col, F.array(*words).alias("bsig"))
+
+
+def bbit_jaccard_estimate(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    k: int = 128,
+    b: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, match_frac, jaccard_est) for each candidate pair —
+    the Li–König estimator over packed b-bit signatures:
+    Ĵ = (E − C) / (1 − C) with E the fraction of matching b-bit slots
+    and C = 2^−b the accidental-collision floor (two DIFFERENT minhash
+    values agree on their low b bits with probability ~2^−b), clamped
+    to [0, 1]. Matching slots are counted with pure bit arithmetic on
+    the packed words: slot j of word w matches iff
+    (a XOR b) AND (mask << j·b) == 0 — the per-slot literals are
+    Python-precomputed, so the whole estimate is one JVM expression
+    per pair (no UDF, no unpacking explode). ``pairs`` is the
+    candidate list (LSH buckets, blocking, a prior run's suspects);
+    the estimator never generates pairs itself."""
+    if not 1 <= b <= 16:
+        raise ValueError("b must be in [1, 16]")
+    per_word = 63 // b
+    mask = (1 << b) - 1
+    sa = sigs.select(
+        F.col(id_col).alias(a_col), F.col("bsig").alias("__ba")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias(b_col), F.col("bsig").alias("__bb")
+    )
+    terms = []
+    for w in range(0, k, per_word):
+        wi = w // per_word
+        x = F.col("__ba")[wi].bitwiseXOR(F.col("__bb")[wi])
+        for j, _ in enumerate(range(w, min(k, w + per_word))):
+            terms.append(
+                F.when(
+                    x.bitwiseAND(F.lit(mask << (j * b)).cast("long")) == 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    c = 1.0 / (1 << b)
+    e = acc.cast("double") / F.lit(float(k))
+    est = (e - F.lit(c)) / F.lit(1.0 - c)
+    return (
+        pairs.select(a_col, b_col)
+        .join(sa, a_col)
+        .join(sb, b_col)
+        .select(
+            a_col,
+            b_col,
+            e.alias("match_frac"),
+            F.least(F.greatest(est, F.lit(0.0)), F.lit(1.0)).alias(
+                "jaccard_est"
+            ),
+        )
+    )

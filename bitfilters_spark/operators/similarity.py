@@ -1117,19 +1117,31 @@ def hamming_topk(
     `max_queries` fail-fast (the `ann_query_index` convention) raises
     loudly instead of letting a corpus-sized query frame OOM the
     broadcast."""
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
-        raise ValueError(
-            f"hamming_topk broadcasts the query side, which exceeds "
-            f"max_queries={max_queries} rows; batch the query set, or "
-            "raise max_queries consciously."
-        )
+    _check_query_count(queries, max_queries, "hamming_topk")
     c = binary_signatures(df, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("sig").alias("__sc")
     )
     q = binary_signatures(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("sig").alias("__sq")
     )
+    return _hamming_rank(c, q, k)
+
+
+def _check_query_count(queries: DataFrame, max_queries: int, who: str) -> None:
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"{who} broadcasts the query side, which exceeds "
+            f"max_queries={max_queries} rows; batch the query set, or "
+            "raise max_queries consciously."
+        )
+
+
+def _hamming_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """The Hamming scan core over prepared signature frames —
+    c: (neighbor_id, __sc), q: (query_id, __sq, small/broadcastable).
+    Shared by `hamming_topk` (in-session signatures) and the persisted
+    signature index probe (`ann_index.sig_query_index`), so the two can
+    never diverge arithmetically."""
     ham = F.aggregate(
         F.zip_with(
             "__sq",
@@ -1197,6 +1209,16 @@ def hamming_rerank_topk(
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
+    return _cosine_rerank(coarse, nvec, qvec, k)
+
+
+def _cosine_rerank(
+    coarse: DataFrame, nvec: DataFrame, qvec: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a coarse survivor list — coarse:
+    (query_id, neighbor_id), nvec: (neighbor_id, __nv), qvec:
+    (query_id, __qv, driver-scale). Shared by `hamming_rerank_topk`
+    (in-session) and the signature index probe, identical arithmetic."""
 
     def dot(a, b):
         return F.aggregate(

@@ -99,3 +99,84 @@ def test_lsh_plan_duckdb_parity():
         assert abs(row[2] - mine["fp_area"]) < 1e-9
         assert abs(row[3] - mine["fn_area"]) < 1e-9
         assert abs(row[4] - mine["cost"]) < 1e-9
+
+
+def test_bbit_minhash_packing_and_estimator(spark):
+    """#176 (Li & König 2010): (a) packed b-bit words unpack to exactly
+    sig[i] & mask for every position at b=1 and b=4 (sign bit clear);
+    (b) match_frac equals a python replay of slot agreement; (c) the
+    collision-corrected estimator tracks exact Jaccard and strictly
+    beats the UNCORRECTED match fraction, whose b-bit collisions bias
+    it high."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bitfilters_spark.operators.dedup import (
+        bbit_jaccard_estimate,
+        bbit_minhash_signatures,
+        minhash_signatures,
+    )
+    from bitfilters_spark.operators.text import word_shingles
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(400)]
+    # controlled-overlap doc pairs: docs 2j and 2j+1 share a prefix
+    rows = []
+    for j in range(4):
+        base = list(rng.choice(vocab, 60, replace=False))
+        other = list(rng.choice(vocab, 60, replace=False))
+        keep = 15 * j  # 0, 15, 30, 45 shared tokens
+        rows.append((2 * j, " ".join(base)))
+        rows.append((2 * j + 1, " ".join(base[:keep] + other[keep:60])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k = 256
+    full = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(df, "doc_id", "text", k=k).collect()
+    }
+    for b in (1, 4):
+        per_word = 63 // b
+        mask = (1 << b) - 1
+        packed = {
+            r["doc_id"]: r["bsig"]
+            for r in bbit_minhash_signatures(
+                df, "doc_id", "text", k=k, b=b
+            ).collect()
+        }
+        for d, sig in full.items():
+            got = [
+                (packed[d][i // per_word] >> ((i % per_word) * b)) & mask
+                for i in range(k)
+            ]
+            assert got == [v & mask for v in sig], (b, d)
+            assert all(w >= 0 for w in packed[d])  # sign bit clear
+
+    # estimator over the 4 planted pairs at b=1
+    pairs = spark.createDataFrame(
+        [(2 * j, 2 * j + 1) for j in range(4)], "id_a long, id_b long"
+    )
+    sigs = bbit_minhash_signatures(df, "doc_id", "text", k=k, b=1).select(
+        F.col("doc_id").alias("id"), "bsig"
+    )
+    est = {
+        (r["id_a"], r["id_b"]): (r["match_frac"], r["jaccard_est"])
+        for r in bbit_jaccard_estimate(pairs, sigs, k=k, b=1).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", F.array_distinct(word_shingles("text", 3)).alias("s")
+        ).collect()
+    }
+    for j in range(4):
+        a_, b_ = 2 * j, 2 * j + 1
+        true_j = len(sh[a_] & sh[b_]) / len(sh[a_] | sh[b_])
+        mf, je = est[(a_, b_)]
+        # python replay of slot agreement on the packed signatures
+        replay = sum(
+            (full[a_][i] & 1) == (full[b_][i] & 1) for i in range(k)
+        ) / k
+        assert abs(mf - replay) < 1e-12
+        assert abs(je - true_j) <= abs(mf - true_j) + 1e-12  # correction helps
+        assert abs(je - true_j) < 0.16, (j, je, true_j)  # k=256 noise band
