@@ -27,6 +27,8 @@ from .pipeline import make_prep_pipeline_fold, streaming_prep_pipeline
 from .frontier import streaming_frontier
 from .index_maintenance import (
     ann_maintenance_fold,
+    sig_maintenance_fold,
+    streaming_sig_index,
     bm25_maintenance_fold,
     ivfpq_maintenance_fold,
     phrase_maintenance_fold,
@@ -102,6 +104,8 @@ __all__ = [
     "streaming_ann_index",
     "streaming_bm25_index",
     "streaming_ivfpq_index",
+    "sig_maintenance_fold",
+    "streaming_sig_index",
     "streaming_sessionize",
     "streaming_topk",
     "streaming_window_counts",

@@ -211,3 +211,47 @@ def streaming_ivfpq_index(
     return stream.writeStream.foreachBatch(
         ivfpq_maintenance_fold(id_col, vec_col, name, marker_path, num_buckets)
     ).outputMode("append")
+
+
+def sig_maintenance_fold(
+    id_col: str,
+    vec_col: str,
+    name: str,
+    marker_path: str,
+    num_buckets: int = 16,
+):
+    """foreachBatch function: pack the batch's NEW vectors into sign
+    signatures and append to the persisted signature index — exactly
+    once per batch id (the family contract; signature packing has no
+    trained model at all, so streamed maintenance is drift-free)."""
+    from ..operators.ann_index import append_to_sig_index
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _applied(marker_path, batch_id, spark):
+            return
+        if batch_df.isEmpty():
+            _mark(marker_path, batch_id, spark)
+            return
+        append_to_sig_index(batch_df, id_col, vec_col, name, num_buckets)
+        _mark(marker_path, batch_id, spark)
+
+    return fold
+
+
+def streaming_sig_index(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    marker_path: str,
+    num_buckets: int = 16,
+):
+    """foreachBatch writer keeping a built signature index current
+    (index must exist: `build_sig_index` fixes the layout incl.
+    keep_vectors; appended rows are byte-identical to a rebuild's —
+    sign packing is model-free — so stream-maintained probes equal the
+    rebuild exactly, pytest)."""
+    return stream.writeStream.foreachBatch(
+        sig_maintenance_fold(id_col, vec_col, name, marker_path, num_buckets)
+    ).outputMode("append")

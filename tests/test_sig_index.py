@@ -120,3 +120,59 @@ def test_sig_index_compact_preserves_probe(spark, tmp_path):
     after = sorted(map(tuple, sig_query_index(
         spark, "sigcp", queries, k=4, rerank_overfetch=2).collect()))
     assert after == before
+
+
+def test_streaming_sig_index_maintenance(spark, tmp_path):
+    """Streaming signature maintenance: micro-batches pack and append;
+    after the drain, probes (coarse AND re-ranked) equal a rebuild over
+    the union — sign packing is model-free, so the equality is exact;
+    replaying an applied batch id is a no-op."""
+    from bitfilters_spark.operators.ann_index import (
+        build_sig_index,
+        sig_query_index,
+    )
+    from bitfilters_spark.streaming import (
+        sig_maintenance_fold,
+        streaming_sig_index,
+    )
+
+    df = _corpus(spark, n=80, seed=9)
+    seed_df = df.where("vec_id % 2 = 0")
+    rest = df.where("vec_id % 2 = 1")
+    for t in ("ssig_sigs", "ssig_full_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_sig_index(seed_df, "vec_id", "embedding", "ssig", num_buckets=4,
+                    path=str(tmp_path / "ssig"))
+    src = str(tmp_path / "in")
+    rest.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(rest.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    markers = str(tmp_path / "markers")
+    q = (
+        streaming_sig_index(
+            stream.select("vec_id", "embedding"), "vec_id", "embedding",
+            "ssig", markers, num_buckets=4,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    build_sig_index(df, "vec_id", "embedding", "ssig_full", num_buckets=4,
+                    path=str(tmp_path / "full"))
+    queries = df.where(F.col("vec_id") < 4)
+    for kw in (dict(k=4), dict(k=4, rerank_overfetch=2)):
+        a = sorted(map(tuple, sig_query_index(
+            spark, "ssig", queries, **kw).collect()))
+        b = sorted(map(tuple, sig_query_index(
+            spark, "ssig_full", queries, **kw).collect()))
+        assert a == b and len(a) == 16
+    # crash-replay: re-applying batch 0 must not duplicate rows
+    n_before = spark.table("ssig_sigs").count()
+    sig_maintenance_fold(
+        "vec_id", "embedding", "ssig", markers, num_buckets=4
+    )(rest.limit(5), 0)
+    assert spark.table("ssig_sigs").count() == n_before == 80
