@@ -1365,3 +1365,83 @@ def chain_order_within_cells(
         .applyInPandas(chain, schema=out_schema)
         .withColumnRenamed("id", id_col)
     )
+
+
+def pq_code_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: dict | None = None,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """(id_a, id_b[, cosine]) — embedding near-duplicate candidates at
+    PQ-CODE granularity (SemDeDup's observation priced at m BYTES per
+    vector): two vectors with an IDENTICAL m-byte code quantize to the
+    same centroid in all m subspaces, which at sensible codebook sizes
+    only near-duplicates do. The candidate step is ONE groupBy on the
+    code (an m-byte shuffle key — no banding, no self-join, no float
+    math); within a group every member pairs against the group's MIN-id
+    representative — g−1 pairs, never the O(g²) all-pairs, so a 10^6-
+    copy boilerplate embedding yields 10^6−1 pairs against one winner
+    instead of a task-killing square.
+
+    ``verify_threshold`` re-fetches the float vectors for pair members
+    only (bounded by the pair list, never the corpus) and keeps exact
+    cosine >= threshold — the guard against coarse codebooks collapsing
+    merely-close vectors. Codes come from :func:`pq_encode` under
+    ``model`` (:func:`train_pq`); reuse one model across runs so code
+    identity is stable."""
+    codes = pq_encode(df, id_col, vec_col, model).select(
+        F.col(id_col).alias("id"), "code"
+    )
+    winners = codes.groupBy("code").agg(F.min("id").alias("id_a"))
+    pairs = (
+        codes.join(winners, "code")
+        .where(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+    if verify_threshold is None:
+        return pairs
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(v):
+        n = F.sqrt(dot(v, v))
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb"))
+            / (norm(F.col("__va")) * norm(F.col("__vb"))),
+        )
+        .where(F.col("cosine") >= verify_threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def pq_code_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: dict | None = None,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """``df`` with every non-winner member of a PQ-code near-dup group
+    dropped (keep min id per code — the corpus-wide winner convention;
+    with ``verify_threshold`` only exact-cosine-verified members drop).
+    The cheapest embedding dedup in the repo: one code groupBy at
+    m bytes/vector vs SemDeDup's per-cell similarity matrices."""
+    hits = pq_code_neardup_pairs(
+        df, id_col, vec_col, model, verify_threshold
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(hits, id_col, "left_anti")

@@ -878,3 +878,68 @@ def test_chain_order_within_cells_locality_law(spark):
         order_cols=["cell", "chain_pos"],
     )
     assert packed.count() == 120
+
+
+def test_pq_code_dedup_semdedup_lite(spark):
+    """#179: identical m-byte PQ codes flag embedding near-dups at one
+    groupBy. (a) planted near-copies share their original's code under a
+    fine model and verification keeps them (cos > 0.99); (b) a 3-copy
+    group pairs both copies against the min-id winner (never all-pairs);
+    (c) a deliberately COARSE model (n_codes=1 => every vector one code)
+    collapses everything, and verify_threshold prunes the false
+    collapses down to the true duplicates; (d) pq_code_dedup drops
+    exactly the verified non-winners."""
+    from bitfilters_spark.operators.similarity import (
+        pq_code_dedup,
+        pq_code_neardup_pairs,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((60, 32))
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # 100/101: near-copies of 0; 102: near-copy of 1 (min-id sources, so
+    # the code-group winner is always the original)
+    rows.append((100, (base[0] + 1e-4 * rng.standard_normal(32)).tolist()))
+    rows.append((101, (base[0] + 1e-4 * rng.standard_normal(32)).tolist()))
+    rows.append((102, (base[1] + 1e-4 * rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # codebook must be COARSER than the duplicate noise: at n_codes=16
+    # over ~63 distinct subvectors, a 1e-4 perturbation lands in its
+    # original's cell in every subspace while distinct random vectors
+    # rarely share all m cells — and the cosine verify drops those
+    model = train_pq(df, m=4, n_codes=16)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in pq_code_neardup_pairs(
+            df, model=model, verify_threshold=0.99
+        ).collect()
+    }
+    assert set(pairs) == {(0, 100), (0, 101), (1, 102)}  # winner = min id
+    assert all(c > 0.99 for c in pairs.values())
+
+    kept = {
+        r["vec_id"]
+        for r in pq_code_dedup(
+            df, model=model, verify_threshold=0.99
+        ).collect()
+    }
+    assert kept == set(range(60))  # all originals, no copies
+
+    # coarse model: one code for everything -> candidates explode, the
+    # exact-cosine verify is what keeps the operator honest
+    coarse = train_pq(df, m=1, n_codes=1)
+    cand = pq_code_neardup_pairs(df, model=coarse)
+    assert cand.count() == 62  # everyone vs the single min-id winner
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in pq_code_neardup_pairs(
+            df, model=coarse, verify_threshold=0.99
+        ).collect()
+    }
+    # the single group's winner is vec 0, so the exact-cosine verify
+    # keeps ONLY vec 0's true duplicates out of the 62 candidates —
+    # 102 is a dup of vec 1, invisible against winner 0 (the documented
+    # coarse-model recall cost the fine model above does not pay)
+    assert verified == {(0, 100), (0, 101)}
