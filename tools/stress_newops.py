@@ -581,6 +581,83 @@ def main(sf_dir: str) -> None:
             "vec_id", "embedding", k=10, nprobe=8,
         ).count()
         out["ivfpq_probe_s"] = round(time.time() - t0, 2)
+
+        # r14: two-stage Hamming -> cosine re-rank at 10x (coarse
+        # popcount scan + bounded float re-fetch)
+        from bitfilters_spark.operators.similarity import (
+            hamming_rerank_topk,
+        )
+
+        t0 = time.time()
+        out["rerank_rows"] = hamming_rerank_topk(
+            emb10, emb10.where(F.col("vec_id") < 20), k=10, overfetch=4
+        ).count()
+        out["rerank_s"] = round(time.time() - t0, 2)
+
+        # r14: persisted CDC chunk-hash index — build on 90% of the
+        # stress corpus, probe the remaining 10% "re-crawl" against it
+        from bitfilters_spark.operators.cdc import (
+            build_cdc_index,
+            probe_cdc_index,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS stress_cdcix_chunks")
+        ref = stress.where(F.col("doc_id") % 10 != 3)
+        newc = stress.where(F.col("doc_id") % 10 == 3)
+        t0 = time.time()
+        build_cdc_index(
+            ref, "doc_id", "text", "stress_cdcix", num_buckets=16,
+            path=f"{tmp}/cdcix",
+        )
+        out["cdc_index_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        rep = probe_cdc_index(
+            spark, newc, "doc_id", "text", "stress_cdcix"
+        ).agg(F.sum("n_chunks"), F.sum("ref_dup_chunks")).collect()[0]
+        out["cdc_probe_chunks"] = int(rep[0] or 0)
+        out["cdc_probe_dups"] = int(rep[1] or 0)
+        out["cdc_probe_s"] = round(time.time() - t0, 2)
+
+        # r14: persisted signature index probe (coarse + re-ranked)
+        from bitfilters_spark.operators.ann_index import (
+            build_sig_index,
+            sig_query_index,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS stress_sig_sigs")
+        t0 = time.time()
+        build_sig_index(
+            emb10, "vec_id", "embedding", "stress_sig", num_buckets=16,
+            path=f"{tmp}/sig",
+        )
+        out["sig_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["sig_probe_rows"] = sig_query_index(
+            spark, "stress_sig", emb10.where(F.col("vec_id") < 20),
+            k=10, rerank_overfetch=4,
+        ).count()
+        out["sig_probe_s"] = round(time.time() - t0, 2)
+
+        # r14: b-bit minhash signatures + estimator over LSH candidates
+        from bitfilters_spark.operators.dedup import (
+            bbit_jaccard_estimate,
+            bbit_minhash_signatures,
+        )
+
+        t0 = time.time()
+        bsigs = bbit_minhash_signatures(
+            stress, "doc_id", "text", k=128, b=1
+        ).select(F.col("doc_id").alias("id"), "bsig").localCheckpoint()
+        out["bbit_sig_rows"] = bsigs.count()
+        out["bbit_sig_s"] = round(time.time() - t0, 2)
+        cand = stress.select((F.col("doc_id")).alias("id_a")).where(
+            F.col("id_a") % 10 == 0
+        ).withColumn("id_b", F.col("id_a") + 1)
+        t0 = time.time()
+        out["bbit_est_rows"] = bbit_jaccard_estimate(
+            cand, bsigs, k=128, b=1
+        ).count()
+        out["bbit_est_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
