@@ -1445,3 +1445,199 @@ def pq_code_dedup(
         df, id_col, vec_col, model, verify_threshold
     ).select(F.col("id_b").alias(id_col)).distinct()
     return df.join(hits, id_col, "left_anti")
+
+
+def nn_descent_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 3,
+    sample_pct: int = 100,
+    init_buckets: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, nbr, sim, rank) — approximate cosine kNN GRAPH over the whole
+    corpus via NN-Descent (Dong, Moses & Li, WWW 2011).
+
+    The all-pairs-k complement of the query-style ANN families
+    (:func:`cosine_topk` answers "neighbors of THESE queries";
+    this answers "every node's neighbors at once" — the input to kNN-graph
+    clustering, graph-based dedup sweeps, and HNSW-style index seeding).
+    Brute force is O(n^2); NN-Descent converges on real data in a few
+    iterations of "my neighbors' neighbors are probably my neighbors",
+    touching only ~(2k)^2 candidates per node per iteration.
+
+    Spark shape — every step is a DataFrame op, nothing collects:
+
+    - vectors L2-normalize ONCE in the JVM (``transform``/``aggregate``
+      higher-order functions, no UDF) and localCheckpoint, so every
+      iteration's scoring join reads the same materialized rows;
+    - init AND per-iteration exploration use a deterministic hash ring:
+      nodes sort by ``xxhash64(id, salt)`` within size-targeted hash
+      buckets (occupancy ~max(4k, ``init_buckets``) nodes, so bucket
+      COUNT grows with n and no window sort ever sees more than a few
+      hundred rows) and adopt their k forward ring neighbors with
+      wraparound — random-quality candidate edges, no node stranded.
+      Each iteration re-rings with a fresh salt: pure local joins
+      freeze when a true cluster fragments into disjoint k-cliques,
+      and the ring is the random-restart bridge (hash-derived, so the
+      whole construction stays deterministic);
+    - each iteration: undirected neighbor lists self-join on the shared
+      pivot (the neighbor-of-neighbor step, ≤(2k)^2 candidate rows of
+      two longs per node — linear in n, the term that survives 100 TB),
+      optional deterministic candidate sampling (``sample_pct`` < 100
+      keeps pairs where ``pmod(xxhash64(a,b,iter), 100) < sample_pct``
+      — NN-Descent's rho-sampling without RNG), distinct pairs score
+      once via one equi-join per side onto the normalized vectors and a
+      ``zip_with`` dot (JVM), and a union + per-node top-(k) window
+      keeps the best edges. Union-then-top-k means graph quality is
+      MONOTONE non-decreasing by construction;
+    - per-iteration ``localCheckpoint`` cuts the iterative lineage (the
+      repo's pagerank/HITS convention).
+
+    Deterministic for a given (seed, sample_pct, iters). Nodes with
+    zero-norm vectors score 0 against everything but still hold ring
+    edges (never silently dropped). Returns at most k rows per id
+    (fewer only when the corpus itself has < k+1 nodes).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not 1 <= sample_pct <= 100:
+        raise ValueError("sample_pct must be in [1, 100]")
+    if init_buckets < 1:
+        raise ValueError("init_buckets must be >= 1")
+
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.greatest(F.sqrt(sq), F.lit(1e-12))
+    normed = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / norm
+            ).alias("__nv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # --- deterministic random candidates: circular ring in hash order ---
+    # Used for the initial graph AND re-injected each iteration with a
+    # fresh hash seed: pure neighbor-of-neighbor propagation provably
+    # freezes when a true cluster splits into disjoint k-cliques (no
+    # pivot ever holds members of both), so every iteration also scores
+    # one ring of hash-random pairs — NN-Descent's random-restart remedy
+    # without RNG. Bucket count scales with n (target occupancy
+    # max(4k, ``init_buckets``) nodes) so the per-bucket window sort
+    # stays tiny at any corpus size, and the ring WRAPS inside its
+    # bucket so every node in a >=2 bucket gets k candidates (a fixed
+    # bucket count would strand small-bucket nodes with zero edges).
+    n_nodes = normed.count()
+    n_buckets = max(1, n_nodes // max(4 * k, init_buckets))
+
+    def _ring_pairs(salt: int) -> DataFrame:
+        ring = normed.select(
+            "id",
+            F.pmod(F.xxhash64("id", F.lit(salt)), F.lit(n_buckets)).alias("__bk"),
+            F.xxhash64("id", F.lit(salt + 1)).alias("__h"),
+        )
+        wb = Window.partitionBy("__bk").orderBy("__h", "id")
+        pos = (
+            ring.withColumn("__p", F.row_number().over(wb))
+            .withColumn(
+                "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__bk"))
+            )
+            .select("id", "__bk", "__p", "__cnt")
+        )
+        return (
+            pos.select(
+                "id",
+                "__bk",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.least(F.lit(k), F.col("__cnt") - 1)
+                            ),
+                            lambda j: F.pmod(F.col("__p") - 1 + j, F.col("__cnt")) + 1,
+                        )
+                    )
+                ).alias("__tp"),
+            )
+            .join(
+                pos.select(
+                    F.col("__bk"),
+                    F.col("__p").alias("__tp"),
+                    F.col("id").alias("nbr"),
+                ),
+                ["__bk", "__tp"],
+            )
+            .where(F.col("nbr") != F.col("id"))
+            .select("id", "nbr")
+        )
+
+    cand0 = _ring_pairs(seed)
+
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        """pairs(id, nbr) -> (id, nbr, sim) via two vector joins + JVM dot."""
+        return (
+            pairs.join(normed.select(F.col("id"), F.col("__nv").alias("__va")), "id")
+            .join(
+                normed.select(F.col("id").alias("nbr"), F.col("__nv").alias("__vb")),
+                "nbr",
+            )
+            .select("id", "nbr", dot.alias("sim"))
+        )
+
+    def _topk(edges: DataFrame) -> DataFrame:
+        w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
+        return (
+            edges.dropDuplicates(["id", "nbr"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    edges = _topk(_score(cand0)).localCheckpoint()
+
+    for it in range(iters):
+        und = (
+            edges.select("id", "nbr")
+            .unionByName(edges.select(F.col("nbr").alias("id"), F.col("id").alias("nbr")))
+            .dropDuplicates(["id", "nbr"])
+        )
+        # neighbor-of-neighbor: all pairs among each pivot's neighbor set
+        nn = (
+            und.select(F.col("id").alias("__pv"), F.col("nbr").alias("a"))
+            .join(und.select(F.col("id").alias("__pv"), F.col("nbr").alias("b")), "__pv")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        if sample_pct < 100:
+            nn = nn.where(
+                F.pmod(F.xxhash64("a", "b", F.lit(it), F.lit(seed)), F.lit(100))
+                < F.lit(sample_pct)
+            )
+        explore = _ring_pairs(seed + 1000 * (it + 1)).select(
+            F.least("id", "nbr").alias("a"), F.greatest("id", "nbr").alias("b")
+        )
+        pairs = nn.unionByName(explore).distinct()
+        scored = _score(pairs.select(F.col("a").alias("id"), F.col("b").alias("nbr")))
+        both = scored.unionByName(
+            scored.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"), "sim")
+        )
+        edges = _topk(edges.select("id", "nbr", "sim").unionByName(both)).localCheckpoint()
+
+    return edges.select("id", "nbr", "sim", "rank")

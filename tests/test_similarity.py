@@ -943,3 +943,77 @@ def test_pq_code_dedup_semdedup_lite(spark):
     # 102 is a dup of vec 1, invisible against winner 0 (the documented
     # coarse-model recall cost the fine model above does not pay)
     assert verified == {(0, 100), (0, 101)}
+
+
+def test_nn_descent_graph_recall_and_exactness(spark):
+    """#180: NN-Descent converges to the brute-force kNN graph on a small
+    clustered corpus, sims replay numpy cosine exactly, output shape laws
+    hold (<=k per node, dense ranks, no self edges)."""
+    from bitfilters_spark.operators.similarity import nn_descent_graph
+
+    # clustered corpus — the regime real embeddings live in (NN-Descent's
+    # convergence argument needs local structure; on structure-free
+    # Gaussian noise any neighbor-propagation method degrades)
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((12, 16)) * 3
+    rows = [
+        (c * 10 + j, (cents[c] + 0.35 * rng.standard_normal(16)).tolist())
+        for c in range(12)
+        for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows])
+    g = nn_descent_graph(df, k=6, iters=3, seed=3).toPandas()
+
+    # shape laws
+    assert not (g["id"] == g["nbr"]).any()
+    per = g.groupby("id").agg(n=("rank", "size"), mx=("rank", "max"))
+    assert (per["n"] <= 6).all() and (per["n"] == per["mx"]).all()
+    assert len(per) == len(ids)  # every node has edges
+
+    # sims are exact cosine
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in g.itertuples():
+        expect = float(m[idx[r.id]] @ m[idx[r.nbr]])
+        assert abs(r.sim - expect) < 1e-9
+
+    # recall vs brute force top-6
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    hit = tot = 0
+    got = g.groupby("id")["nbr"].apply(set).to_dict()
+    for v, i in idx.items():
+        truth = {ids[j] for j in np.argsort(-sims[i])[:6]}
+        hit += len(truth & got.get(v, set()))
+        tot += 6
+    assert hit / tot >= 0.95
+
+
+def test_nn_descent_graph_monotone_and_deterministic(spark):
+    """Union+top-k makes mean graph similarity monotone in iterations;
+    the whole construction is deterministic for a fixed seed."""
+    from bitfilters_spark.operators.similarity import nn_descent_graph
+
+    df, _, _, _ = _corpus(spark, n=70, dim=16, n_pairs=8)
+    means = [
+        nn_descent_graph(df, k=5, iters=i, seed=11)
+        .agg(F.avg("sim"))
+        .first()[0]
+        for i in range(3)
+    ]
+    assert means[0] <= means[1] + 1e-12 and means[1] <= means[2] + 1e-12
+    assert means[2] > means[0]  # descent actually improved over the ring
+
+    a = sorted(map(tuple, nn_descent_graph(df, k=5, iters=2, seed=11).collect()))
+    b = sorted(map(tuple, nn_descent_graph(df, k=5, iters=2, seed=11).collect()))
+    assert a == b
+
+    # sampled candidates: still valid shape, deterministic, and guards fire
+    s = nn_descent_graph(df, k=5, iters=2, seed=11, sample_pct=50)
+    assert s.groupBy("id").count().agg(F.max("count")).first()[0] <= 5
+    with pytest.raises(ValueError):
+        nn_descent_graph(df, k=0)
+    with pytest.raises(ValueError):
+        nn_descent_graph(df, k=5, sample_pct=0)
