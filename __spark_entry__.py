@@ -1232,8 +1232,20 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_anonymity/at-risk mass/l-diversity as exact integers + one double
     division, replayed verbatim by the oracle (the 1-row report rides
     every doc row by broadcast crossJoin — the q_corpus_stats fz
-    pattern)."""
-    from bitfilters_spark.operators.privacy import k_anonymity_report
+    pattern).
+
+    `tc_*` legs (r14, operator #181 under the driver gate):
+    `t_closeness_report` over the SAME quasi/sensitive frame — each
+    group's total variation distance from the global sensitive
+    distribution computed as a pure INTEGER numerator
+    (Σ_v |n_gv·N − N_v·n_g|, absent values folded into the closed-form
+    n_g·(N − Σ_present N_v) term) with ONE double division per group;
+    the oracle replays the identical algebra, so max-TVD and the
+    over-threshold group/row masses are zero-tolerance."""
+    from bitfilters_spark.operators.privacy import (
+        k_anonymity_report,
+        t_closeness_report,
+    )
     from bitfilters_spark.operators.web import fix_mojibake, moji_prefix
     from bitfilters_spark.sources import rebalance_scan
 
@@ -1256,6 +1268,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frac_at_risk").alias("ka_frac"),
         F.col("l_diversity").alias("ka_ldiv"),
     )
+    tc = t_closeness_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_k"], "sens", t=0.15
+    ).select(
+        F.col("n_groups").alias("tc_groups"),
+        F.col("t_closeness").alias("tc_max"),
+        F.col("n_groups_over_t").alias("tc_over"),
+        F.col("n_rows_over_t").alias("tc_rows_over"),
+    )
     return docs.select(
         "doc_id",
         *T.pii_scan("text"),
@@ -1263,7 +1283,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             fix_mojibake(F.lit(moji_prefix())),
             fix_mojibake(F.col("text"), gated=True),
         ).alias("fixed"),
-    ).crossJoin(F.broadcast(ka))
+    ).crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(tc))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3727,7 +3747,49 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
                        AS ka_at_risk,
                      CAST(min(s) AS BIGINT) AS ka_ldiv
-              FROM kg)
+              FROM kg),
+            -- tc_* legs (operator #181): t-closeness — per-group TVD vs
+            -- the global sensitive distribution, integer numerator +
+            -- one double division (identical op order to Spark)
+            tgv AS (
+              SELECT c_nationkey, c_mktsegment,
+                     floor(c_acctbal / 1000.0) AS bal_k,
+                     c_custkey % 7 AS v, CAST(count(*) AS BIGINT) AS n_gv
+              FROM customer GROUP BY 1, 2, 3, 4),
+            tvt AS (
+              SELECT c_custkey % 7 AS v, CAST(count(*) AS BIGINT) AS n_v
+              FROM customer GROUP BY 1),
+            tnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+            tsz AS (
+              SELECT c_nationkey, c_mktsegment, bal_k,
+                     CAST(sum(n_gv) AS BIGINT) AS n_g
+              FROM tgv GROUP BY 1, 2, 3),
+            tterm AS (
+              SELECT g.c_nationkey, g.c_mktsegment, g.bal_k,
+                     max(s.n_g) AS n_g, max(tnt.n) AS n,
+                     CAST(sum(abs(g.n_gv * tnt.n - tvt.n_v * s.n_g))
+                          AS BIGINT) AS present,
+                     CAST(sum(tvt.n_v) AS BIGINT) AS nv_present
+              FROM tgv g
+              JOIN tvt ON tvt.v = g.v
+              JOIN tsz s ON s.c_nationkey = g.c_nationkey
+                        AND s.c_mktsegment = g.c_mktsegment
+                        AND s.bal_k = g.bal_k
+              CROSS JOIN tnt
+              GROUP BY 1, 2, 3),
+            ttvd AS (
+              SELECT n_g,
+                     (present + n_g * (n - nv_present))::DOUBLE
+                       / (2.0::DOUBLE * n_g * n) AS tvd
+              FROM tterm),
+            tc AS (
+              SELECT CAST(count(*) AS BIGINT) AS tc_groups,
+                     max(tvd) AS tc_max,
+                     CAST(sum(CASE WHEN tvd > 0.15::DOUBLE THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tc_over,
+                     CAST(sum(CASE WHEN tvd > 0.15::DOUBLE THEN n_g ELSE 0 END)
+                          AS BIGINT) AS tc_rows_over
+              FROM ttvd)
             SELECT doc_id,
                    len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS n_emails,
                    len(regexp_extract_all(text, '{T.PHONE_RE}')) AS n_phones,
@@ -3737,8 +3799,9 @@ def oracle_sql() -> dict[str, str]:
                    ka.ka_rows, ka.ka_groups, ka.ka_min, ka.ka_at_risk,
                    ka.ka_at_risk::DOUBLE
                      / greatest(ka.ka_rows::DOUBLE, 1.0) AS ka_frac,
-                   ka.ka_ldiv
-            FROM aug CROSS JOIN ka
+                   ka.ka_ldiv,
+                   tc.tc_groups, tc.tc_max, tc.tc_over, tc.tc_rows_over
+            FROM aug CROSS JOIN ka CROSS JOIN tc
         """,
         # BM25: exact term-for-term replay of text.bm25_scores — the same
         # idf smoothing, the same operation ORDER inside each float

@@ -9,7 +9,12 @@ when exporting structured user metadata next to text: the release gate
 is "every quasi-identifier combination is shared by ≥ k rows"
 (k-anonymity, Samarati/Sweeney) and — because a k-anonymous group whose
 SENSITIVE value is constant still leaks it — "every group carries ≥ l
-distinct sensitive values" (l-diversity, Machanavelli et al. 2007).
+distinct sensitive values" (l-diversity, Machanavelli et al. 2007) —
+and, because a group can be l-diverse yet still skewed enough to
+disclose (99% of one diagnosis in a group IS a disclosure even with
+l=3), "every group's sensitive distribution sits within t of the
+global one" (t-closeness, Li/Li/Venkatasubramanian 2007, with total
+variation distance as the metric).
 
 Spark shape: one map-side-combined groupBy on the quasi columns (the
 group table is combination-scale, not row-scale), a second 1-row
@@ -22,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quasi_identifier_groups", "k_anonymity_report"]
+__all__ = [
+    "quasi_identifier_groups",
+    "k_anonymity_report",
+    "t_closeness_groups",
+    "t_closeness_report",
+]
 
 
 def quasi_identifier_groups(
@@ -94,4 +104,111 @@ def k_anonymity_report(
         "frac_at_risk",
         F.col("n_rows_at_risk").cast("double")
         / F.greatest(F.col("n_rows").cast("double"), F.lit(1.0)),
+    )
+
+
+def t_closeness_groups(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+) -> DataFrame:
+    """(quasi_cols..., n_rows, tvd_num, tvd) — per quasi-identifier group,
+    the total variation distance between the group's sensitive-value
+    distribution and the table-wide one (t-closeness, Li et al. 2007:
+    an l-diverse group that is 99% one diagnosis still discloses — the
+    DISTRIBUTION must stay close to global, not just the value count).
+
+    Exact arithmetic: TVD_g = Σ_v |n_gv·N − N_v·n_g| / (2·n_g·N) — the
+    numerator is a pure integer sum (values absent from the group fold
+    into one closed-form term n_g·(N − Σ_{v∈g} N_v), so the per-group
+    work touches only values the group actually holds), and the single
+    final division is cross-engine exact (the repo's one-division
+    convention; the driver gate replays the whole audit in SQL with
+    zero tolerance). Integer products stay in int64 for n_gv·N up to
+    2^63 — beyond ~3·10^9 rows × million-row groups, pre-aggregate.
+
+    NULL sensitive values are one distinct state (the
+    :func:`quasi_identifier_groups` convention — SQL GROUP BY gives it
+    for free); NULL quasi values group as values. Scale shape: one
+    groupBy on (quasi, sensitive) — combination-scale output — one
+    value-scale aggregate broadcast back, one group-scale reduce."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    s = sensitive_col
+    gv = df.groupBy(*quasi_cols, s).agg(F.count(F.lit(1)).alias("n_gv"))
+    # null-SAFE value join: a NULL sensitive state must meet its own
+    # global count (a plain equi-join drops NULL=NULL and would silently
+    # shift the NULL mass into the absent-values term)
+    vt = df.groupBy(F.col(s).alias("__sv")).agg(F.count(F.lit(1)).alias("n_v"))
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # group size rides every (group, value) row via a window over the
+    # quasi partition — NULL quasi keys partition together exactly like
+    # groupBy (a re-join on the quasi columns would drop NULL groups:
+    # the same null-unsafe-equality trap as the value join above)
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*quasi_cols)
+    terms = (
+        gv.withColumn("__n_g", F.sum("n_gv").over(wg).cast("long"))
+        .join(F.broadcast(vt), F.col(s).eqNullSafe(F.col("__sv")))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_gv") * F.col("n_total")
+                    - F.col("n_v") * F.col("__n_g")
+                )
+            )
+            .cast("long")
+            .alias("__present"),
+            F.sum(F.col("n_v")).cast("long").alias("__nv_present"),
+            F.first("__n_g").alias("__n_g"),
+            F.first("n_total").alias("n_total"),
+        )
+    )
+    return (
+        terms.withColumn(
+            "tvd_num",
+            (
+                F.col("__present")
+                + F.col("__n_g") * (F.col("n_total") - F.col("__nv_present"))
+            ).cast("long"),
+        )
+        .select(
+            *quasi_cols,
+            F.col("__n_g").alias("n_rows"),
+            "tvd_num",
+            (
+                F.col("tvd_num").cast("double")
+                / (F.lit(2.0) * F.col("__n_g") * F.col("n_total"))
+            ).alias("tvd"),
+        )
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t: float = 0.15,
+) -> DataFrame:
+    """One-row t-closeness release gate: ``n_groups``, ``t_closeness``
+    (the max group TVD — the table IS t-close for every t ≥ this),
+    ``n_groups_over_t`` / ``n_rows_over_t`` (the groups/rows a release
+    at threshold ``t`` must generalize further). Each group's TVD is one
+    exact division (see :func:`t_closeness_groups`); max/comparisons of
+    exact doubles stay exact cross-engine."""
+    if not 0.0 < t <= 1.0:
+        raise ValueError("t must be in (0, 1]")
+    g = t_closeness_groups(df, quasi_cols, sensitive_col)
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("tvd").alias("t_closeness"),
+        F.sum(F.when(F.col("tvd") > t, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_over_t"),
+        F.sum(F.when(F.col("tvd") > t, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_over_t"),
     )

@@ -71,3 +71,83 @@ def test_null_sensitive_counts_as_a_state(spark):
     assert g == {"a": 1, "b": 3, "c": 1}
     rep = k_anonymity_report(df, ["zip"], k=2, sensitive_col="diag")
     assert rep.collect()[0]["l_diversity"] == 1
+
+
+def test_t_closeness_groups_hand_replay(spark):
+    """#181: per-group TVD ≡ an exact python replay (integer numerator,
+    one division), including NULL quasi and NULL sensitive states."""
+    from collections import Counter
+
+    from bitfilters_spark.operators.privacy import t_closeness_groups
+
+    rows = [
+        # zip, diagnosis
+        ("47677", "flu"), ("47677", "flu"), ("47677", "cancer"),
+        ("47602", "flu"), ("47602", "cold"), ("47602", "cold"),
+        (None, "cancer"), (None, None), (None, "flu"),
+        ("47678", None), ("47678", None),
+    ]
+    df = spark.createDataFrame(rows, "zip string, diag string")
+    got = {
+        r["zip"]: (r["n_rows"], r["tvd_num"], r["tvd"])
+        for r in t_closeness_groups(df, ["zip"], "diag").collect()
+    }
+    N = len(rows)
+    glob = Counter(d for _, d in rows)
+    by_g: dict = {}
+    for z, d in rows:
+        by_g.setdefault(z, []).append(d)
+    assert set(got) == set(by_g)
+    for z, ds in by_g.items():
+        cg = Counter(ds)
+        n_g = len(ds)
+        num = sum(
+            abs(cg.get(v, 0) * N - glob[v] * n_g) for v in glob
+        )
+        assert got[z][0] == n_g
+        assert got[z][1] == num
+        assert got[z][2] == num / (2.0 * n_g * N)
+
+
+def test_t_closeness_report_gate_and_leak_case(spark):
+    """The l-diverse-but-skewed leak: a group with 9:1 flu:cancer against
+    a 50:50 global is l=2 diverse yet far from t-close — the report
+    flags it; a distribution-matching group reads tvd 0."""
+    from bitfilters_spark.operators.privacy import (
+        k_anonymity_report,
+        t_closeness_groups,
+        t_closeness_report,
+    )
+
+    rows = (
+        [("skew", "flu")] * 9 + [("skew", "cancer")]
+        + [("fair", "flu")] * 5 + [("fair", "cancer")] * 5
+    )
+    df = spark.createDataFrame(rows, "zip string, diag string")
+    g = {r["zip"]: r["tvd"] for r in t_closeness_groups(df, ["zip"], "diag").collect()}
+    # global: 14 flu / 6 cancer over 20. fair(5,5): |5*20-14*10| + |5*20-6*10| = 40+40=80 -> 80/400=0.2
+    assert abs(g["fair"] - 0.2) < 1e-15
+    # skew(9,1): |9*20-14*10|+|1*20-6*10| = 40+40 -> 80/400... compute exactly
+    assert abs(g["skew"] - (abs(9 * 20 - 14 * 10) + abs(1 * 20 - 6 * 10)) / (2.0 * 10 * 20)) < 1e-15
+    # l-diversity calls both groups equally fine (l=2); t-closeness separates
+    ka = k_anonymity_report(df, ["zip"], k=2, sensitive_col="diag").first()
+    assert ka["l_diversity"] == 2
+    rep = t_closeness_report(df, ["zip"], "diag", t=0.15).first()
+    assert rep["n_groups"] == 2
+    assert rep["t_closeness"] == max(g.values())
+    assert rep["n_groups_over_t"] == sum(1 for v in g.values() if v > 0.15)
+    assert rep["n_rows_over_t"] == 10 * rep["n_groups_over_t"]
+
+    # identical-to-global group distribution -> tvd exactly 0
+    rows0 = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df0 = spark.createDataFrame(rows0, "zip string, diag string")
+    assert all(
+        r["tvd"] == 0.0 for r in t_closeness_groups(df0, ["zip"], "diag").collect()
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t_closeness_report(df, ["zip"], "diag", t=0.0)
+    with _pt.raises(ValueError):
+        t_closeness_groups(df, [], "diag")
