@@ -164,3 +164,57 @@ def dedup_near(
     return df.join(
         drop.select(F.col("id").alias(id_col)), on=id_col, how="left_anti"
     )
+
+
+def mutual_knn_clusters(
+    knn: DataFrame,
+    threshold: float = 0.0,
+    max_iter: int = 50,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """(id, component, n_members) — clusters from a kNN graph's MUTUAL
+    edges: (a, b) counts only when a lists b AND b lists a (both at
+    ``sim >= threshold``).
+
+    The consumer that turns :func:`similarity.nn_descent_graph`'s output
+    into dedup/clustering decisions. Mutuality is the standard guard
+    against the asymmetric-hub failure of raw kNN graphs (a generic
+    near-centroid vector appears in EVERYONE's top-k list and a naive
+    sweep chains the whole corpus into one cluster; the hub doesn't
+    reciprocate, so mutual edges cut it loose — shared-nearest-neighbor
+    clustering's first step, Jarvis & Patrick 1973).
+
+    Spark shape: mutuality is ONE self-join on the canonicalized pair
+    (min, max) — edge-list scale, never the corpus — then
+    :func:`connected_components` labels and a groupBy counts. Nodes
+    whose edges are all non-mutual come back as singletons (component =
+    own id, n_members = 1): a node the graph can't place is its own
+    cluster, not a dropped row."""
+    edges = knn.select(
+        F.least("id", "nbr").alias("a"),
+        F.greatest("id", "nbr").alias("b"),
+        F.col("sim"),
+    ).where(F.col("sim") >= F.lit(float(threshold)))
+    mutual = (
+        edges.groupBy("a", "b")
+        # a mutual pair appears once from each direction; count(*)=2.
+        # (dedup first would hide a caller passing duplicated rows —
+        # count DISTINCT direction instead, derived from nothing but
+        # the pair itself being listed twice after canonicalization)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("a", "b")
+    )
+    nodes = knn.select(F.col("id")).distinct()
+    cc = connected_components(
+        mutual, "a", "b", max_iter=max_iter, driver_max_edges=driver_max_edges
+    )
+    labeled = nodes.join(cc, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return labeled.join(F.broadcast(sizes), "component").select(
+        "id", "component", "n_members"
+    )

@@ -1017,3 +1017,49 @@ def test_nn_descent_graph_monotone_and_deterministic(spark):
         nn_descent_graph(df, k=0)
     with pytest.raises(ValueError):
         nn_descent_graph(df, k=5, sample_pct=0)
+
+
+def test_mutual_knn_clusters_recovers_planted_clusters(spark):
+    """#182: NN-Descent graph -> mutual-kNN sweep recovers the planted
+    clusters exactly; the asymmetric hub is cut loose; nodes with no
+    mutual edges come back as singletons, not dropped rows."""
+    from bitfilters_spark.operators.clustering import mutual_knn_clusters
+    from bitfilters_spark.operators.similarity import nn_descent_graph
+
+    rng = np.random.default_rng(5)
+    cents = rng.standard_normal((6, 16)) * 4
+    rows = [
+        (c * 10 + j, (cents[c] + 0.3 * rng.standard_normal(16)).tolist())
+        for c in range(6)
+        for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = nn_descent_graph(df, k=5, iters=3, seed=9)
+    out = mutual_knn_clusters(g, threshold=0.5).toPandas()
+    assert len(out) == 60
+    # every planted cluster collapses to one component labeled by min id
+    comp = out.set_index("id")["component"].to_dict()
+    for c in range(6):
+        members = {comp[c * 10 + j] for j in range(10)}
+        assert members == {c * 10}
+    assert (out["n_members"] == 10).all()
+
+    # asymmetric hub: in everyone's list but reciprocates only into A
+    hub_rows = (
+        [(0, 1, 0.9), (1, 0, 0.9), (0, 99, 0.8), (1, 99, 0.8)]  # A + hub edges
+        + [(10, 11, 0.9), (11, 10, 0.9), (10, 99, 0.8), (11, 99, 0.8)]  # B
+        + [(99, 0, 0.8)]  # hub lists only A's member back
+    )
+    knn = spark.createDataFrame(hub_rows, "id long, nbr long, sim double")
+    got = {
+        r["id"]: (r["component"], r["n_members"])
+        for r in mutual_knn_clusters(knn, threshold=0.5).collect()
+    }
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[99] == (0, 3)
+    # B stays its own 2-cluster — the hub did NOT chain A and B together
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+
+    # threshold cuts everything -> all singletons
+    single = mutual_knn_clusters(knn, threshold=0.95).toPandas()
+    assert (single["component"] == single["id"]).all()
+    assert (single["n_members"] == 1).all()
