@@ -479,3 +479,34 @@ def test_hits_quantized_iters0_oracle_closed_form(spark, edges):
     assert got == want
     with pytest.raises(ValueError, match="iters"):
         hits_exact_oracle_sql("SELECT 1 AS src, 2 AS dst", iters=0)
+
+
+def test_label_propagation_communities(spark):
+    """#183: two dense cliques joined by one bridge — CC reads one
+    component, LPA separates the communities; deterministic; isolated
+    and self-loop-only nodes keep their own label."""
+    from bitfilters_spark.operators.clustering import connected_components
+    from bitfilters_spark.operators.graph import label_propagation
+
+    cliq_a = [(i, j) for i in range(6) for j in range(6) if i < j]
+    cliq_b = [(i, j) for i in range(10, 16) for j in range(10, 16) if i < j]
+    edges = cliq_a + cliq_b + [(5, 10)] + [(99, 99)]  # bridge + self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    cc = connected_components(df, "src", "dst").toPandas()
+    assert cc[cc["id"] != 99]["component"].nunique() == 1  # CC: one blob
+
+    lp = {r["node"]: r["label"] for r in label_propagation(df, iters=5).collect()}
+    assert {lp[i] for i in range(6)} == {0}
+    assert {lp[i] for i in range(10, 16)} == {10}
+    assert lp[99] == 99  # self-loop-only node labeled as itself
+
+    a = sorted(label_propagation(df, iters=5).collect())
+    b = sorted(label_propagation(df, iters=5).collect())
+    assert a == b
+    # iters=0 -> everyone their own label
+    lp0 = label_propagation(df, iters=0).toPandas()
+    assert (lp0["node"] == lp0["label"]).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        label_propagation(df, iters=-1)
