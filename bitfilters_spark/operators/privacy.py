@@ -31,6 +31,7 @@ __all__ = [
     "quasi_identifier_groups",
     "k_anonymity_report",
     "t_closeness_groups",
+    "ordered_t_closeness_groups",
     "t_closeness_report",
 ]
 
@@ -187,21 +188,132 @@ def t_closeness_groups(
     )
 
 
+def ordered_t_closeness_groups(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+) -> DataFrame:
+    """(quasi_cols..., n_rows, emd_num, emd) — t-closeness with the
+    paper's headline metric for ORDERED sensitive attributes: Earth
+    Mover's Distance under unit ground distance between adjacent
+    values, EMD_g = (1/(m−1))·Σ_{i<m} |Σ_{j≤i}(p_gj − p_j)| (Li et al.
+    2007 §4.2 — for a salary-like attribute, a group holding only the
+    two EXTREME salaries is far from global under EMD even when TVD
+    reads it as mildly off).
+
+    Same exact-arithmetic discipline as :func:`t_closeness_groups`:
+    the cumulative terms C_i = Σ_{j≤i}(n_gj·N − N_j·n_g) are pure
+    integers (one ordered cumsum window per group over the m global
+    values), and the single division by (m−1)·n_g·N happens once at
+    the end. m==1 degenerates to emd = 0.
+
+    Ordering is undefined for NULL, so a NULL sensitive value FAILS
+    LOUDLY (use the TVD metric, where NULL is just another state).
+    Scale shape: each group materializes all m global values (the
+    cumsum needs absent positions) — groups×values rows; for
+    high-cardinality sensitive attributes bucket them first (the
+    floor()-binning the k-anonymity examples already use)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    from pyspark.sql import Window
+
+    s = sensitive_col
+    if df.where(F.col(s).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"ordered t-closeness needs a NULL-free sensitive column; "
+            f"'{s}' has NULLs — bin/impute them or use the TVD metric"
+        )
+    gv = df.groupBy(*quasi_cols, s).agg(F.count(F.lit(1)).alias("n_gv"))
+    vt = df.groupBy(F.col(s).alias("__sv")).agg(F.count(F.lit(1)).alias("n_v"))
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    m_cnt = vt.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    # every group gets every global value (cumsum needs absent rows);
+    # the n_gv placement join is null-SAFE per quasi column — NULL
+    # quasi states are groups too (same trap class as the TVD value
+    # join; a plain multi-key join would zero their counts)
+    sizes = gv.groupBy(*quasi_cols).agg(
+        F.sum("n_gv").cast("long").alias("__n_g")
+    )
+    gvr = gv.select(
+        *[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+        F.col(s).alias("__gs"),
+        "n_gv",
+    )
+    cond = F.col("__sv").eqNullSafe(F.col("__gs"))
+    for c in quasi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+    grid = (
+        sizes.crossJoin(F.broadcast(vt))
+        .join(gvr, cond, "left")
+        .withColumn("__n_gv", F.coalesce(F.col("n_gv"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m_cnt))
+    )
+    wcum = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    widx = Window.partitionBy(*quasi_cols).orderBy("__sv")
+    cum = grid.withColumn(
+        "__c",
+        F.sum(
+            F.col("__n_gv") * F.col("n_total") - F.col("n_v") * F.col("__n_g")
+        ).over(wcum),
+    ).withColumn("__i", F.row_number().over(widx))
+    # one aggregation, no re-join: the i<m restriction lives INSIDE the
+    # sum so m==1 groups still emit a row (emd defined 0 there)
+    return cum.groupBy(*quasi_cols).agg(
+        F.first("__n_g").alias("n_rows"),
+        F.sum(
+            F.when(F.col("__i") < F.col("__m"), F.abs(F.col("__c"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("emd_num"),
+        F.when(F.first("__m") <= 1, F.lit(0.0))
+        .otherwise(
+            F.sum(
+                F.when(
+                    F.col("__i") < F.col("__m"), F.abs(F.col("__c"))
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / (
+                (F.first("__m") - 1).cast("double")
+                * F.first("__n_g")
+                * F.first("n_total")
+            )
+        )
+        .alias("emd"),
+    )
+
+
 def t_closeness_report(
     df: DataFrame,
     quasi_cols: list,
     sensitive_col: str,
     t: float = 0.15,
+    metric: str = "tvd",
 ) -> DataFrame:
     """One-row t-closeness release gate: ``n_groups``, ``t_closeness``
-    (the max group TVD — the table IS t-close for every t ≥ this),
+    (the max group distance — the table IS t-close for every t ≥ this),
     ``n_groups_over_t`` / ``n_rows_over_t`` (the groups/rows a release
-    at threshold ``t`` must generalize further). Each group's TVD is one
-    exact division (see :func:`t_closeness_groups`); max/comparisons of
-    exact doubles stay exact cross-engine."""
+    at threshold ``t`` must generalize further). ``metric="tvd"``
+    (categorical sensitive values; the driver-gated path) or ``"emd"``
+    (ordered values — see :func:`ordered_t_closeness_groups`). Each
+    group's distance is one exact division; max/comparisons of exact
+    doubles stay exact cross-engine."""
     if not 0.0 < t <= 1.0:
         raise ValueError("t must be in (0, 1]")
-    g = t_closeness_groups(df, quasi_cols, sensitive_col)
+    if metric == "tvd":
+        g = t_closeness_groups(df, quasi_cols, sensitive_col)
+    elif metric == "emd":
+        g = ordered_t_closeness_groups(df, quasi_cols, sensitive_col).select(
+            *quasi_cols, "n_rows", F.col("emd").alias("tvd")
+        )
+    else:
+        raise ValueError(f"metric must be 'tvd' or 'emd', got {metric!r}")
     return g.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.max("tvd").alias("t_closeness"),

@@ -151,3 +151,70 @@ def test_t_closeness_report_gate_and_leak_case(spark):
         t_closeness_report(df, ["zip"], "diag", t=0.0)
     with _pt.raises(ValueError):
         t_closeness_groups(df, [], "diag")
+
+
+def test_ordered_t_closeness_emd_hand_replay(spark):
+    """#181 (EMD variant): ordered-attribute t-closeness ≡ an exact
+    python replay, the extremes-vs-middle case EMD separates while TVD
+    can't, NULL quasi groups intact, NULL sensitive fails loudly."""
+    from collections import Counter
+
+    from bitfilters_spark.operators.privacy import (
+        ordered_t_closeness_groups,
+        t_closeness_groups,
+        t_closeness_report,
+    )
+
+    # salaries 1..5; "ext" holds the two extremes, "mid" the two middles
+    rows = (
+        [("ext", 1)] * 2 + [("ext", 5)] * 2
+        + [("mid", 2)] * 2 + [("mid", 4)] * 2
+        + [(None, 3)] * 4  # NULL quasi group, all middle
+    )
+    df = spark.createDataFrame(rows, "zip string, sal int")
+    got = {
+        r["zip"]: (r["n_rows"], r["emd_num"], r["emd"])
+        for r in ordered_t_closeness_groups(df, ["zip"], "sal").collect()
+    }
+    # python replay
+    N = len(rows)
+    vals = sorted({v for _, v in rows})
+    glob = Counter(v for _, v in rows)
+    by_g: dict = {}
+    for z, v in rows:
+        by_g.setdefault(z, []).append(v)
+    for z, vs in by_g.items():
+        cg = Counter(vs)
+        n_g = len(vs)
+        c = 0
+        num = 0
+        for v in vals[:-1]:
+            c += cg.get(v, 0) * N - glob[v] * n_g
+            num += abs(c)
+        assert got[z][0] == n_g
+        assert got[z][1] == num
+        assert got[z][2] == num / ((len(vals) - 1) * n_g * N)
+    # extremes read FARTHER than middles under EMD...
+    assert got["ext"][2] > got["mid"][2]
+    # ...while TVD cannot tell them apart (same per-value deviation set)
+    tvd = {
+        r["zip"]: r["tvd"] for r in t_closeness_groups(df, ["zip"], "sal").collect()
+    }
+    assert tvd["ext"] == tvd["mid"]
+
+    # report plumbing + guards
+    rep = t_closeness_report(df, ["zip"], "sal", t=0.2, metric="emd").first()
+    assert rep["n_groups"] == 3
+    assert abs(rep["t_closeness"] - max(v[2] for v in got.values())) < 1e-15
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        t_closeness_report(df, ["zip"], "sal", metric="cdf")
+    dfn = spark.createDataFrame([("a", 1), ("a", None)], "zip string, sal int")
+    with _pt.raises(ValueError):
+        ordered_t_closeness_groups(dfn, ["zip"], "sal")
+    # single-value corpus: emd defined 0
+    df1 = spark.createDataFrame([("a", 7), ("b", 7)], "zip string, sal int")
+    assert all(
+        r["emd"] == 0.0 and r["emd_num"] == 0
+        for r in ordered_t_closeness_groups(df1, ["zip"], "sal").collect()
+    )
