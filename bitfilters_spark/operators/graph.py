@@ -554,28 +554,35 @@ def hits_exact(
         .distinct()
     )
     hubs = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    # zero-fill only ONCE, after the loop (r14 trim): a node missing
+    # from an iteration's aggregate holds 0, and 0 contributes nothing
+    # to the next sum — so the per-iteration nodes-left-join coalesce
+    # the original loop carried was 2 joins/iteration of pure plan
+    # weight with bit-identical sums. Only the OUTPUT needs every node.
     for _ in range(iters):
         auths = (
             e.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
         )
-        auths = nodes.join(auths, "node", "left").select(
-            "node",
-            F.coalesce("authority", F.lit(0).cast("long")).alias("authority"),
-        )
         hubs = (
             e.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
         )
-        hubs = nodes.join(hubs, "node", "left").select(
-            "node", F.coalesce("hub", F.lit(0).cast("long")).alias("hub")
-        )
     # one lazy barrier before the final normalize: the two aggregate
     # scalars and the output select would otherwise each re-inline the
     # whole iteration chain (4x the static plan for one division)
-    joined = hubs.join(auths, "node").localCheckpoint(eager=False)
+    joined = (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0).cast("long")).alias("hub"),
+            F.coalesce("authority", F.lit(0).cast("long")).alias("authority"),
+        )
+        .localCheckpoint(eager=False)
+    )
     zs = joined.agg(
         F.sum("hub").alias("__zh"), F.sum("authority").alias("__za")
     )
