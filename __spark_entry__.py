@@ -2371,7 +2371,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output is the priority signal `url_frontier_schedule`/
     `streaming_frontier` consume (composition pytests in
     tests/test_graph.py and tests/test_extract_links.py)."""
-    from bitfilters_spark.operators.graph import hits_exact, pagerank
+    from bitfilters_spark.operators.graph import (
+        hits_exact,
+        pagerank,
+        triangle_counts,
+    )
     from bitfilters_spark.operators.web import extract_links
 
     ev = load_table(spark, sf_dir, "events")
@@ -2466,11 +2470,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the guard's per-call degree agg+collect is pure overhead here —
     # the r12-verdict q_pagerank trim
     ht = hits_exact(eck, "s", "d", iters=2, skip_guard=True)
+    # triangle/clustering-coefficient columns (r14, operator #184 under
+    # the driver gate): the link-spam signal over the SAME direct edge
+    # set — exact integer triangle counts via the degree-ordered wedge
+    # join, one double division for the coefficient; the oracle
+    # replays the canonical x<y<z triple enumeration
+    tri = triangle_counts(eck, "s", "d").select(
+        "node",
+        "triangles",
+        F.col("clustering_coeff").alias("clustcoef"),
+    )
     out = direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
         html_leg.select(F.lit("html").alias("leg"), "node", "rank")
     )
-    return out.join(F.broadcast(ht), "node", "left").select(
-        "leg", "node", "rank", "hub", "authority"
+    return (
+        out.join(F.broadcast(ht), "node", "left")
+        .join(F.broadcast(tri), "node", "left")
+        .select(
+            "leg", "node", "rank", "hub", "authority", "triangles", "clustcoef"
+        )
     )
 
 
@@ -4447,15 +4465,40 @@ _CDC_GEAR_VALUES = ",".join(
 _CDC_POW_VALUES = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
 
 _PAGERANK_ORACLE = (
-    "WITH pr AS ({inner}), ht AS ({hits}) "
-    "SELECT 'direct' AS leg, pr.node, pr.rank, ht.hub, ht.authority "
+    "WITH pr AS ({inner}), ht AS ({hits}), "
+    # tri legs (operator #184): canonical x<y<z triple enumeration over
+    # the undirected simple graph, per-node counts from the three
+    # corners, coefficient = one double division (identical op order)
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM ({edges}) ue), "
+    "trid AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+    "FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b), "
+    "pern AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM ("
+    "SELECT x AS node FROM trid UNION ALL SELECT y FROM trid "
+    "UNION ALL SELECT z FROM trid) tc GROUP BY node), "
+    "degs AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM ("
+    "SELECT a AS node FROM und UNION ALL SELECT b FROM und) dc "
+    "GROUP BY node), "
+    "tri AS (SELECT degs.node, "
+    "CAST(coalesce(pern.t, 0) AS BIGINT) AS triangles, "
+    "CASE WHEN degs.d <= 1 THEN 0.0::DOUBLE "
+    "ELSE (2.0::DOUBLE * coalesce(pern.t, 0)) "
+    "/ (degs.d * (degs.d - 1))::DOUBLE END AS clustcoef "
+    "FROM degs LEFT JOIN pern ON pern.node = degs.node) "
+    "SELECT 'direct' AS leg, pr.node, pr.rank, ht.hub, ht.authority, "
+    "tri.triangles, tri.clustcoef "
     "FROM pr LEFT JOIN ht ON ht.node = pr.node "
+    "LEFT JOIN tri ON tri.node = pr.node "
     "UNION ALL "
-    "SELECT 'html' AS leg, pr.node, pr.rank, ht.hub, ht.authority "
-    "FROM pr LEFT JOIN ht ON ht.node = pr.node"
+    "SELECT 'html' AS leg, pr.node, pr.rank, ht.hub, ht.authority, "
+    "tri.triangles, tri.clustcoef "
+    "FROM pr LEFT JOIN ht ON ht.node = pr.node "
+    "LEFT JOIN tri ON tri.node = pr.node"
 ).format(
     inner=_pr_sql(_PAGERANK_EDGE_SQL, iters=2),
     hits=_hits_sql(_PAGERANK_EDGE_SQL, iters=2),
+    edges=_PAGERANK_EDGE_SQL,
 )
 
 _FILTER_SIZES_ORACLE = """

@@ -708,3 +708,99 @@ def label_propagation(
     return labels.join(F.broadcast(canon), "label").select(
         "node", F.col("__c").alias("label")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, degree, triangles, clustering_coeff) — per-node triangle
+    participation over the UNDIRECTED simple graph (direction and
+    duplicate edges collapse; self-loops drop), plus the local
+    clustering coefficient 2·T/(d·(d−1)) — the classic link-spam
+    signal: organic neighborhoods interlink (high coefficient), link
+    farms are stars around a hub (near 0), cliques of mutual boosters
+    are exactly 1.
+
+    Spark shape — the degree-ordered orientation (Schank & Wagner
+    2005) that makes distributed triangle counting feasible: each
+    undirected edge orients from its LOWER-(degree, id) endpoint, so
+    every wedge is generated at its smallest-degree apex and the
+    wedge-join volume is O(Σ d_oriented²) = O(m^1.5) instead of
+    Σ d² (a celebrity node with a million followers generates no
+    wedges — its neighbors do, a few each). Three node-keyed shuffles:
+    degrees, the apex self-join, the closing-edge semi-join; counts
+    are exact integers, the coefficient is one double division."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # orient: from the lower (degree, id) endpoint to the higher
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+        .localCheckpoint(eager=False)
+    )
+    # wedges at their smallest-degree apex; close with the third edge
+    # (membership in `und` checked canonically on (least, greatest))
+    wedges = (
+        oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
+        .join(
+            oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("y")),
+            "apex",
+        )
+        .where(F.col("x") < F.col("y"))
+    )
+    tris = wedges.join(
+        und.select(
+            F.col("a").alias("__ca"), F.col("b").alias("__cb")
+        ),
+        (F.least("x", "y") == F.col("__ca"))
+        & (F.greatest("x", "y") == F.col("__cb")),
+    ).select("apex", "x", "y")
+    per_node = (
+        tris.select(F.col("apex").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("degree") <= 1, F.lit(0.0))
+            .otherwise(
+                (F.lit(2.0) * F.coalesce("triangles", F.lit(0)))
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            )
+            .alias("clustering_coeff"),
+        )
+    )

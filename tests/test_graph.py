@@ -510,3 +510,52 @@ def test_label_propagation_communities(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         label_propagation(df, iters=-1)
+
+
+def test_triangle_counts_exact(spark):
+    """#184: per-node triangles ≡ brute-force replay on a random graph,
+    known closed forms (K4 all-1.0 coefficients, a path all-zero, a
+    star hub 0), direction/duplicate/self-loop collapse, skewed-degree
+    orientation still exact."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from bitfilters_spark.operators.graph import triangle_counts
+
+    # K4 + disjoint path + star; duplicates/reverses/self-loops mixed in
+    k4 = [(i, j) for i, j in combinations([0, 1, 2, 3], 2)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+    noise = [(1, 0), (2, 0), (11, 10), (5, 5), (20, 20)]
+    df = spark.createDataFrame(k4 + path + star + noise, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_coeff"])
+        for r in triangle_counts(df).collect()
+    }
+    for n in [0, 1, 2, 3]:
+        assert got[n] == (3, 3, 1.0)
+    assert got[11] == (2, 0, 0.0) and got[10][1] == 0
+    assert got[20] == (4, 0, 0.0) and got[21] == (1, 0, 0.0)
+    assert 5 not in got  # self-loop-only node has no undirected edges
+
+    # random graph vs brute force
+    rng = np.random.default_rng(3)
+    n = 30
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2)) if a != b]
+    und = {tuple(sorted(e)) for e in edges}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, nb in adj.items():
+        t = sum(1 for x, y in combinations(sorted(nb), 2) if (x, y) in und or (y, x) in und)
+        d = len(nb)
+        expect[v] = (d, t, 0.0 if d <= 1 else 2.0 * t / (d * (d - 1)))
+    df2 = spark.createDataFrame(edges, "src long, dst long")
+    got2 = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_coeff"])
+        for r in triangle_counts(df2).collect()
+    }
+    assert got2 == expect
