@@ -804,3 +804,102 @@ def triangle_counts(
             .alias("clustering_coeff"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    quantum_bits: int = 30,
+) -> DataFrame:
+    """(node, trust) — seed-personalized PageRank (TrustRank, Gyöngyi/
+    Garcia-Molina/Pedersen 2004): teleport mass flows ONLY to a
+    hand-verified trusted seed set, so trust propagates outward along
+    links and pages reachable only from spam neighborhoods score ~0 —
+    the standard link-spam demotion complement to :func:`pagerank`
+    (which a link farm can inflate) and :func:`triangle_counts` (which
+    it can evade by interlinking).
+
+    Same exact-arithmetic discipline as :func:`pagerank`: trust starts
+    at the quantized 1/|seeds| on seeds (0 elsewhere), every
+    contribution quantizes to multiples of 2^-``quantum_bits`` (sums
+    order-independent ⇒ bit-replayable), update
+    ``trust' = (1-d)·s + d·Σ in-contribs`` with the per-node teleport
+    term a literal on the seed indicator. Same plan shape too: the
+    edge list, node set and out-degrees materialize once; one
+    edges⋈trust join + one groupBy per iteration. ``seeds`` is a
+    one-column DataFrame of node ids; seeds outside the graph's node
+    set are ignored (they can neither receive nor forward trust)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    quantum = float(1 << quantum_bits)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if iters > 1:
+        e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if iters > 1:
+        nodes = nodes.localCheckpoint()
+        deg = deg.localCheckpoint()
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .join(nodes, "node")  # in-graph seeds only
+        .localCheckpoint()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank needs at least one seed present in the graph")
+    # the two driver scalars, floor-quantized with the same IEEE ops as
+    # every per-edge term
+    s0 = math.floor(1.0 / n_seeds * quantum) / quantum
+    tele = math.floor((1.0 - damping) / n_seeds * quantum) / quantum
+    marked = nodes.join(
+        seed_nodes.withColumn("__seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("__seed", F.lit(0)).alias("__seed"))
+    if iters > 1:
+        marked = marked.localCheckpoint()
+    trust = marked.select(
+        "node",
+        F.when(F.col("__seed") == 1, F.lit(s0)).otherwise(F.lit(0.0)).alias("trust"),
+    )
+    base = F.when(F.col("__seed") == 1, F.lit(tele)).otherwise(F.lit(0.0))
+    for _ in range(iters):
+        contrib = (
+            e.join(trust.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                _quantize(F.col("trust") / F.col("__deg"), quantum).alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        trust = (
+            marked.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                "__seed",
+                _quantize(
+                    base + F.lit(damping) * F.coalesce("__s", F.lit(0.0)),
+                    quantum,
+                ).alias("trust"),
+            )
+        ).select("node", "__seed", "trust")
+    return trust.select("node", "trust")

@@ -559,3 +559,59 @@ def test_triangle_counts_exact(spark):
         for r in triangle_counts(df2).collect()
     }
     assert got2 == expect
+
+
+def test_trustrank_replay_and_spam_demotion(spark):
+    """#185: trustrank ≡ an exact python replay of the quantized
+    recursion; trust reaches only seed-reachable pages, so a link farm
+    pagerank inflates scores 0 under seeded trust."""
+    import math
+
+    from bitfilters_spark.operators.graph import pagerank, trustrank
+
+    # trusted community 0-3 (chain + links), spam farm 10-13 (dense
+    # interlinks, pointing at each other only), one spam->trusted link
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 0), (0, 2),
+        (10, 11), (11, 12), (12, 13), (13, 10), (10, 12), (11, 13),
+        (12, 10), (13, 11),
+        (10, 0),  # spam links TO trusted (earns nothing back)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["trust"] for r in trustrank(df, "src", "dst", seeds, iters=3).collect()}
+
+    # python replay with identical floor-quantization
+    Q = float(1 << 30)
+    d = 0.85
+    und = sorted(set(edges))
+    nodes = sorted({x for e in und for x in e})
+    out: dict = {}
+    for s, t in und:
+        out.setdefault(s, []).append(t)
+    def q(x): return math.floor(x * Q) / Q
+    s0 = math.floor(1.0 / 1 * Q) / Q
+    tele = math.floor((1.0 - d) / 1 * Q) / Q
+    trust = {n: (s0 if n == 0 else 0.0) for n in nodes}
+    for _ in range(3):
+        sums = {n: 0.0 for n in nodes}
+        for s, ts in out.items():
+            c = q(trust[s] / len(ts))
+            for t in ts:
+                sums[t] += c
+        trust = {n: q((tele if n == 0 else 0.0) + d * sums[n]) for n in nodes}
+    assert got == trust
+
+    # demotion: spam farm holds 0 trust but top pagerank mass
+    assert all(got[n] == 0.0 for n in (10, 11, 12, 13))
+    assert all(got[n] > 0.0 for n in (0, 1, 2, 3))
+    pr = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=3).collect()}
+    # the farm's interlinks EARN pagerank (above trusted non-seed pages)
+    # while trust stays exactly 0 — the demotion trustrank exists for
+    assert max(pr[n] for n in (10, 11, 12, 13)) > min(pr[n] for n in (1, 2, 3))
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        trustrank(df, "src", "dst", spark.createDataFrame([(99,)], "node long"))
+    with _pt.raises(ValueError):
+        trustrank(df, "src", "dst", seeds, damping=1.0)
