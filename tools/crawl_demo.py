@@ -62,7 +62,12 @@ def _redirect(uri: str, location: str, date: str) -> bytes:
 def main(sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
-    from bitfilters_spark.operators.graph import pagerank
+    from bitfilters_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+        triangle_counts,
+        trustrank,
+    )
     from bitfilters_spark.operators.web import (
         apply_robots,
         detect_url_traps,
@@ -204,6 +209,26 @@ def main(sf_dir: str) -> None:
                 dangling="redistribute",
             ).localCheckpoint(),
         )
+        # r14 spam signals over the SAME host graph: triangle/clustering
+        # coefficient (farm detection), LPA communities, and trust from
+        # a seed at the highest-pagerank host
+        host_edges = links.where(
+            F.col("src_host") != F.col("dst_host")
+        ).select(
+            F.xxhash64("src_host").alias("s"), F.xxhash64("dst_host").alias("d")
+        ).localCheckpoint()
+        tric = stage("triangles", triangle_counts(host_edges, "s", "d"))
+        stages["triangles"]["closed"] = int(
+            tric.agg(F.sum("triangles")).first()[0] or 0
+        )
+        comm = stage("communities", label_propagation(host_edges, "s", "d", iters=3))
+        stages["communities"]["n_communities"] = comm.select(
+            "label"
+        ).distinct().count()
+        seed = ranks.orderBy(F.col("rank").desc(), "node").limit(1).select("node")
+        tr = stage("trustrank", trustrank(host_edges, "s", "d", seed, iters=3))
+        stages["trustrank"]["n_trusted"] = tr.where(F.col("trust") > 0).count()
+
         # robots.txt: trap.test disallows nothing, every hN.test host
         # wildcard-disallows its /local/ mirror subtree
         robots = spark.createDataFrame(
