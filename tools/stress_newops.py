@@ -658,6 +658,62 @@ def main(sf_dir: str) -> None:
             cand, bsigs, k=128, b=1
         ).count()
         out["bbit_est_s"] = round(time.time() - t0, 2)
+        # r14: NN-Descent kNN graph + mutual-kNN sweep over the 10x
+        # embedding store (the all-pairs-k claim being measured)
+        from bitfilters_spark.operators.clustering import mutual_knn_clusters
+        from bitfilters_spark.operators.similarity import nn_descent_graph
+
+        t0 = time.time()
+        g = nn_descent_graph(
+            emb10, "vec_id", "embedding", k=8, iters=2, seed=7
+        ).localCheckpoint()
+        out["nnd_edges"] = g.count()
+        out["nnd_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["mutual_clusters"] = (
+            mutual_knn_clusters(g, threshold=0.5)
+            .select("component")
+            .distinct()
+            .count()
+        )
+        out["mutual_s"] = round(time.time() - t0, 2)
+
+        # r14: triangle/LPA/trustrank over a ~200k-edge host-style graph
+        from bitfilters_spark.operators.graph import (
+            label_propagation,
+            triangle_counts,
+            trustrank,
+        )
+
+        gedges = (
+            spark.range(200_000)
+            .select(
+                F.pmod(F.xxhash64("id"), F.lit(20_000)).alias("src"),
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(20_000)).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        tric = triangle_counts(gedges, "src", "dst")
+        out["tri_closed"] = int(tric.agg(F.sum("triangles")).first()[0] or 0)
+        out["tri_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["lpa_comms"] = (
+            label_propagation(gedges, "src", "dst", iters=3)
+            .select("label")
+            .distinct()
+            .count()
+        )
+        out["lpa_s"] = round(time.time() - t0, 2)
+        seeds = spark.createDataFrame([(0,)], "node long")
+        t0 = time.time()
+        out["trust_pos"] = (
+            trustrank(gedges, "src", "dst", seeds, iters=3)
+            .where(F.col("trust") > 0)
+            .count()
+        )
+        out["trust_s"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
