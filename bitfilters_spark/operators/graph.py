@@ -903,3 +903,72 @@ def trustrank(
             )
         ).select("node", "__seed", "trust")
     return trust.select("node", "trust")
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(node, core_degree) — the k-CORE of the undirected simple graph:
+    the maximal subgraph where every node keeps degree ≥ k after
+    everything below is peeled away (Seidman 1983). The robustness
+    complement to :func:`triangle_counts`: a link farm can fake
+    triangles cheaply, but sustaining a high core number needs k
+    MUTUALLY well-connected neighbors that themselves survive peeling —
+    and dense organic cores (forums, wikis) are exactly what crawl
+    prioritization wants surfaced. ``core_degree`` is the node's degree
+    WITHIN the core (≥ k by construction).
+
+    Spark shape: iterative peel to fixpoint — per round one degree
+    groupBy and two semi-joins restricting the edge list to surviving
+    endpoints, with ``localCheckpoint`` cutting the loop lineage and a
+    node-count fixpoint test (one count job per round; peeling
+    converges in at most the graph's degeneracy-ordering depth, tens of
+    rounds on real webs). Loud error if ``max_iter`` rounds don't reach
+    the fixpoint."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+
+    cur = und
+    n_prev = None
+    for _ in range(max_iter):
+        deg = degrees(cur).localCheckpoint()
+        keep = deg.where(F.col("core_degree") >= k).select("node")
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            return deg.where(F.col("core_degree") >= k)
+        n_prev = n_keep
+        if n_keep == 0:
+            return deg.where(F.lit(False))
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in {max_iter} rounds"
+    )

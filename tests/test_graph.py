@@ -615,3 +615,35 @@ def test_trustrank_replay_and_spam_demotion(spark):
         trustrank(df, "src", "dst", spark.createDataFrame([(99,)], "node long"))
     with _pt.raises(ValueError):
         trustrank(df, "src", "dst", seeds, damping=1.0)
+
+
+def test_k_core_peeling(spark):
+    """#186: K4 + a pendant chain peels to exactly the K4 at k=3; the
+    chain survives k=1; cycle is its own 2-core; k too large empties;
+    core_degree counts within-core edges only."""
+    from bitfilters_spark.operators.graph import k_core
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 10), (10, 11), (11, 12)]  # pendant path off node 3
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+
+    got3 = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert got3 == {0: 3, 1: 3, 2: 3, 3: 3}  # chain peeled; 3's degree is in-core
+
+    got1 = {r["node"]: r["core_degree"] for r in k_core(df, k=1).collect()}
+    assert set(got1) == {0, 1, 2, 3, 10, 11, 12}
+    assert got1[3] == 4  # full degree at k=1 (chain edge counts)
+
+    cyc = spark.createDataFrame([(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    got2 = {r["node"]: r["core_degree"] for r in k_core(cyc, k=2).collect()}
+    assert got2 == {i: 2 for i in range(5)}
+    assert k_core(cyc, k=3).count() == 0
+
+    # cascade: a triangle hanging off the K4 by one edge dies at k=3
+    tri = [(20, 21), (21, 22), (20, 22), (22, 0)]
+    df2 = spark.createDataFrame(k4 + tri, "src long, dst long")
+    assert {r["node"] for r in k_core(df2, k=3).collect()} == {0, 1, 2, 3}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_core(df, k=0)
