@@ -193,28 +193,39 @@ def mutual_knn_clusters(
     edges = knn.select(
         F.least("id", "nbr").alias("a"),
         F.greatest("id", "nbr").alias("b"),
+        # direction survives canonicalization so mutuality counts
+        # DIRECTIONS, not rows — a duplicated one-way edge (e.g. a
+        # union of two kNN sources) must NOT read as reciprocated
+        (F.col("id") < F.col("nbr")).alias("__fwd"),
         F.col("sim"),
     ).where(F.col("sim") >= F.lit(float(threshold)))
     mutual = (
         edges.groupBy("a", "b")
-        # a mutual pair appears once from each direction; count(*)=2.
-        # (dedup first would hide a caller passing duplicated rows —
-        # count DISTINCT direction instead, derived from nothing but
-        # the pair itself being listed twice after canonicalization)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.count_distinct("__fwd").alias("__n"))
         .where(F.col("__n") >= 2)
         .select("a", "b")
     )
-    nodes = knn.select(F.col("id")).distinct()
+    # node universe from BOTH columns: a node appearing only as someone
+    # else's nbr still gets its singleton row (the docstring contract)
+    nodes = (
+        knn.select(F.col("id"))
+        .unionByName(knn.select(F.col("nbr").alias("id")))
+        .distinct()
+    )
     cc = connected_components(
         mutual, "a", "b", max_iter=max_iter, driver_max_edges=driver_max_edges
     )
     labeled = nodes.join(cc, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )
-    sizes = labeled.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
-    )
-    return labeled.join(F.broadcast(sizes), "component").select(
-        "id", "component", "n_members"
+    # member counts via a window over the component partition — the
+    # size table is NODE-scale in the singleton-heavy regime, far past
+    # any broadcast bound; the window rides the same shuffle key
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("component")
+    return labeled.select(
+        "id",
+        "component",
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_members"),
     )

@@ -669,6 +669,8 @@ def label_propagation(
     argmax — no windows, no collects; ``localCheckpoint`` per round
     cuts the iterative lineage. Edge list is corpus-DERIVED scale.
     Isolated nodes (present only via self) keep their own label."""
+    from pyspark.sql import Window
+
     if iters < 0:
         raise ValueError("iters must be >= 0")
     und = (
@@ -703,10 +705,12 @@ def label_propagation(
             .select("node", (-F.col("__w.__neg")).alias("label"))
             .localCheckpoint()
         )
-    # canonicalize: a community's label becomes its min member id
-    canon = labels.groupBy("label").agg(F.min("node").alias("__c"))
-    return labels.join(F.broadcast(canon), "label").select(
-        "node", F.col("__c").alias("label")
+    # canonicalize: a community's label becomes its min member id —
+    # via a window on the label key (the canon table is node-scale at
+    # iters=0 or on sparse graphs; no broadcast bound to hit)
+    wl = Window.partitionBy("label")
+    return labels.select(
+        "node", F.min("node").over(wl).alias("label")
     )
 
 
@@ -881,7 +885,7 @@ def trustrank(
         F.when(F.col("__seed") == 1, F.lit(s0)).otherwise(F.lit(0.0)).alias("trust"),
     )
     base = F.when(F.col("__seed") == 1, F.lit(tele)).otherwise(F.lit(0.0))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(trust.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -902,6 +906,10 @@ def trustrank(
                 ).alias("trust"),
             )
         ).select("node", "__seed", "trust")
+        if (it + 1) % 5 == 0 and it + 1 < iters:
+            # the one frame that grows per iteration — cut its lineage
+            # on the pagerank checkpoint_every=5 cadence
+            trust = trust.localCheckpoint()
     return trust.select("node", "trust")
 
 

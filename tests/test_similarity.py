@@ -1063,3 +1063,21 @@ def test_mutual_knn_clusters_recovers_planted_clusters(spark):
     single = mutual_knn_clusters(knn, threshold=0.95).toPandas()
     assert (single["component"] == single["id"]).all()
     assert (single["n_members"] == 1).all()
+
+
+def test_mutual_knn_duplicated_edge_and_nbr_only_node(spark):
+    """Review regressions: a DUPLICATED one-way edge must not read as
+    mutual (direction-distinct count), and a node appearing only as
+    someone's nbr still gets its singleton row."""
+    from bitfilters_spark.operators.clustering import mutual_knn_clusters
+
+    knn = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 2, 0.9), (1, 99, 0.8)],  # dup one-way + nbr-only 99
+        "id long, nbr long, sim double",
+    )
+    got = {
+        r["id"]: (r["component"], r["n_members"])
+        for r in mutual_knn_clusters(knn, threshold=0.5).collect()
+    }
+    # nothing reciprocated -> all singletons, 99 present
+    assert got == {1: (1, 1), 2: (2, 1), 99: (99, 1)}

@@ -196,27 +196,20 @@ def main(sf_dir: str) -> None:
             .where(~F.col("nofollow"))
             .localCheckpoint(),
         )
-        ranks = stage(
-            "host_pagerank",
-            pagerank(
-                links.where(F.col("src_host") != F.col("dst_host")).select(
-                    F.xxhash64("src_host").alias("s"),
-                    F.xxhash64("dst_host").alias("d"),
-                ),
-                "s",
-                "d",
-                iters=3,
-                dangling="redistribute",
-            ).localCheckpoint(),
-        )
-        # r14 spam signals over the SAME host graph: triangle/clustering
-        # coefficient (farm detection), LPA communities, and trust from
-        # a seed at the highest-pagerank host
         host_edges = links.where(
             F.col("src_host") != F.col("dst_host")
         ).select(
             F.xxhash64("src_host").alias("s"), F.xxhash64("dst_host").alias("d")
         ).localCheckpoint()
+        ranks = stage(
+            "host_pagerank",
+            pagerank(
+                host_edges, "s", "d", iters=3, dangling="redistribute"
+            ).localCheckpoint(),
+        )
+        # r14 spam signals over the SAME host graph: triangle/clustering
+        # coefficient (farm detection), LPA communities, and trust from
+        # a seed at the highest-pagerank host
         tric = stage("triangles", triangle_counts(host_edges, "s", "d"))
         stages["triangles"]["closed"] = int(
             tric.agg(F.sum("triangles")).first()[0] or 0
