@@ -298,38 +298,6 @@ def q_cuckoo_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
       q_quotient_delete, one abstraction up (entry codes instead of raw
       fingerprint bits).
     """
-    fp = _cuckoo_fp_leg(spark, sf_dir).select(
-        F.lit("fp").alias("leg"),
-        F.col("remainder").cast("long").alias("remainder"),
-        F.col("false_positives").cast("long").alias("n"),
-    )
-    de = _cuckoo_delete_leg(spark, sf_dir).select(
-        F.lit("del").alias("leg"),
-        F.col("remainder").cast("long").alias("remainder"),
-        F.col("matches").cast("long").alias("n"),
-    )
-    return fp.unionByName(de)
-
-
-def _cuckoo_fp_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(
-        (F.col("o_orderkey") % 2).alias("grp"),
-        duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
-    )
-    filters = build_filter(
-        keyed, ["grp"], "h", "cuckoo", nbuckets=_CK_NB, fp_bits=6, bucket_size=4
-    )
-    flipped = keyed.withColumn("remainder", F.lit(1) - F.col("grp"))
-    return (
-        probe_filter(flipped, filters, "h", on=["remainder"])
-        .where(F.col("__contains"))
-        .groupBy("remainder")
-        .agg(F.count(F.lit(1)).alias("false_positives"))
-    )
-
-
-def _cuckoo_delete_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfilters_spark.functions import filter_remove
 
     orders = load_table(spark, sf_dir, "orders")
@@ -338,17 +306,54 @@ def _cuckoo_delete_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"),
     )
-    filters = build_filter(
-        keyed, ["grp"], "h", "cuckoo", nbuckets=_CK_NB, fp_bits=12, bucket_size=4
+    # ONE multi-build pass constructs BOTH geometries (fp_bits=6 for the
+    # fp leg, fp_bits=12 for the delete leg) — r14 optimization: the two
+    # legs used to pay two separate scan+parity-hash+insert jobs for the
+    # same key set; build_filters_multi folds them into a single scan
+    # (cuckoo membership is placement-independent, so blobs from the
+    # multi-build probe identically — the q_filter_members precedent)
+    built = build_filters_multi(
+        keyed,
+        "h",
+        [
+            ("fp6", "cuckoo", {"nbuckets": _CK_NB, "fp_bits": 6, "bucket_size": 4}),
+            ("fp12", "cuckoo", {"nbuckets": _CK_NB, "fp_bits": 12, "bucket_size": 4}),
+        ],
+        group_cols=["grp"],
+    ).collect()
+    blobs: dict = {"fp6": {}, "fp12": {}}
+    for row in built:
+        blobs[row["filter_type"]][(row["grp"],)] = bytes(row["filter"])
+
+    flipped = keyed.withColumn("remainder", F.lit(1) - F.col("grp"))
+    fp = (
+        probe_filter(flipped, blobs["fp6"], "h", on=["remainder"])
+        .where(F.col("__contains"))
+        .groupBy("remainder")
+        .agg(F.count(F.lit(1)).alias("false_positives"))
+    ).select(
+        F.lit("fp").alias("leg"),
+        F.col("remainder").cast("long").alias("remainder"),
+        F.col("false_positives").cast("long").alias("n"),
+    )
+
+    filters12 = spark.createDataFrame(
+        [(k[0], bytearray(v)) for k, v in blobs["fp12"].items()],
+        "grp long, filter binary",
     )
     deletions = keyed.where(F.col("o_orderkey") % 3 == 0)
-    updated = filter_remove(filters, deletions, "h", on=["grp"])
-    return (
+    updated = filter_remove(filters12, deletions, "h", on=["grp"])
+    de = (
         probe_filter(keyed, updated, "h", on=["grp"])
         .where(F.col("__contains"))
         .groupBy(F.col("grp").alias("remainder"))
         .agg(F.count(F.lit(1)).alias("matches"))
+    ).select(
+        F.lit("del").alias("leg"),
+        F.col("remainder").cast("long").alias("remainder"),
+        F.col("matches").cast("long").alias("n"),
     )
+    return fp.unionByName(de)
 
 
 def q_bloom_false_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2390,7 +2395,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     eck = pairs.select("s", "d").distinct().localCheckpoint()
     # iters=2 (r14, the sanctioned q_pagerank trim): one fewer
     # join+agg round per leg; the oracle unrolls the same 2
-    direct = pagerank(eck, "s", "d", iters=2)
+    direct = pagerank(eck, "s", "d", iters=2, materialize=False)
 
     # ONE page per DISTINCT (s, d, form) (r14, the q_pagerank trim):
     # the raw pair stream repeats each edge ~40x at sf0.1 (~98k pages),
@@ -2455,7 +2460,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("src_host", r"^h(\d+)\.test$", 1).alias("s"),
         F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
     )
-    html_leg = pagerank(mined, "s", "d", iters=2)
+    html_leg = pagerank(mined, "s", "d", iters=2, materialize=False)
     # hub/authority columns (r12, operator #141 under the driver gate)
     # over the SAME direct edge set
     # hits_exact (graph.hits_exact_oracle_sql replays it): the HITS

@@ -77,6 +77,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _band_hash_sql(b: int, r: int) -> str:
+    """SQL string for one LSH band hash — xxhash64 over the band's
+    ``r`` signature slots (identical tree to the Column-algebra form it
+    replaced; string-built to avoid per-slot py4j round trips)."""
+    cols = ",".join(f"sig[{i}]" for i in range(b * r, (b + 1) * r))
+    return f"xxhash64(concat_ws(',',{cols}))"
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 64, shingle_n: int = 3
 ) -> DataFrame:
@@ -94,12 +102,22 @@ def minhash_signatures(
     )
     h = F.pmod(F.xxhash64("s"), p).alias("h")
     hashed = sh.select(id_col, h)
+    # the k permutation aggregates are built as parsed SQL strings (r14):
+    # the Column-algebra form cost ~8 py4j round trips per permutation
+    # (~450 for k=64 — over a second of pure driver chatter per call);
+    # F.expr hands the JVM one string each, and the parsed expression
+    # tree (same literals, same BIGINT casts, same % remainder) is
+    # identical, so signatures are bit-equal to the old form.
     aggs = [
-        F.min((F.lit(a).cast("long") * F.col("h") + F.lit(b)) % p).alias(f"m{i}")
+        F.expr(
+            f"min((CAST({a} AS BIGINT) * h + {b}) % "
+            f"CAST({_MERSENNE31} AS BIGINT)) AS m{i}"
+        )
         for i, (a, b) in enumerate(perms)
     ]
     sig = hashed.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+    arr = "array(" + ",".join(f"m{i}" for i in range(k)) + ") AS sig"
+    return sig.select(F.col(id_col), F.expr(arr))
 
 
 def minhash_lsh_pairs(
@@ -119,20 +137,19 @@ def minhash_lsh_pairs(
     # otherwise be computed twice (Spark has no automatic subplan reuse
     # across self-join branches); k longs per doc — tiny to cache
     sig = minhash_signatures(df, id_col, text_col, k, shingle_n).cache()
+    # band hashes + the band/bh struct stack as parsed SQL strings (r14,
+    # same py4j-chatter trim as minhash_signatures; identical expression
+    # trees, so band hashes are bit-equal)
     band_cols = [
-        F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
-        .alias(f"b{b}")
-        for b in range(bands)
+        F.expr(_band_hash_sql(b, r) + f" AS b{b}") for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
+    banded = sig.select(F.col(id_col), *band_cols)
+    stack = ",".join(
+        f"named_struct('band', {b}, 'bh', b{b})" for b in range(bands)
+    )
     stacked = banded.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
+        F.expr(f"explode(array({stack}))").alias("e"),
     ).select("id", "e.band", "e.bh")
     a, b = stacked.alias("a"), stacked.alias("b")
     cands = (
@@ -594,19 +611,16 @@ def icws_lsh_pairs(
     # lifetime trade as minhash_lsh_pairs; call
     # spark.catalog.clearCache() between suite-style repeated runs.
     sig = icws_signatures(df, id_col, text_col, k, shingle_n, seed).cache()
+    # parsed-SQL band construction (r14) — see minhash_lsh_pairs
     band_cols = [
-        F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
-        .alias(f"b{b}")
-        for b in range(bands)
+        F.expr(_band_hash_sql(b, r) + f" AS b{b}") for b in range(bands)
     ]
+    stack = ",".join(
+        f"named_struct('band', {b}, 'bh', b{b})" for b in range(bands)
+    )
     stacked = sig.select(F.col(id_col).alias("id"), *band_cols).select(
         "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
+        F.expr(f"explode(array({stack}))").alias("e"),
     ).select("id", "e.band", "e.bh")
     a, b = stacked.alias("a"), stacked.alias("b")
     cands = (

@@ -52,6 +52,7 @@ def pagerank(
     checkpoint_every: int = 5,
     dangling: str = "ignore",
     tol: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations from rank = 1.0.
 
@@ -75,7 +76,16 @@ def pagerank(
     - ``tol``: residual-based early stop — iterate until
       ``Σ|rank_i - rank_{i-1}| <= tol`` or ``iters``, whichever first.
       Costs one node-scale aggregation job per iteration; the classic
-      trade for not over-running a converged graph at 100 TB."""
+      trade for not over-running a converged graph at 100 TB.
+
+    ``materialize=False`` skips the loop-invariant localCheckpoints
+    (edges/nodes/degrees). Each checkpoint is a full Catalyst pass plus
+    a job at PLAN-BUILD time (~0.3 s each on a warm local session), so
+    for a SMALL pre-materialized edge list — the caller already holds a
+    checkpointed/deduped leaf — they are pure overhead: AQE exchange
+    reuse still executes the invariant subplans once. Leave True for
+    any edge list that is itself an expensive subquery (the 100 TB
+    posture: the k-fold rescan of a raw edge derivation dominates)."""
     if iters < 0:
         raise ValueError("iters must be >= 0")
     if not 0.0 < damping < 1.0:
@@ -116,14 +126,15 @@ def pagerank(
         # (pinned by tests/test_graph.py::test_pagerank_edge_shuffle_
         # reused_across_iterations). Net: edges shuffle once per run,
         # not k times.
-        e = e.localCheckpoint()
+        if materialize:
+            e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    if iters > 1:
+    if iters > 1 and materialize:
         nodes = nodes.localCheckpoint()
         deg = deg.localCheckpoint()
     dang = None
