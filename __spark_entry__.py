@@ -96,12 +96,20 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ribbon8", "ribbon8", {"num_shards": 8}),
         ("ribbon16", "ribbon16", {"num_shards": 8}),
     ]
+    from bitfilters_spark.operators.dedup import ensure_parallelism
+
     orders = load_table(spark, sf_dir, "orders")
     # 12 branches (6 builds + 6 probes) hang off this tiny projection:
     # materialize it once so each branch re-reads local blocks, not parquet.
-    keyed = orders.select(
-        (F.col("o_orderkey") % 2).alias("remainder"),
-        spark_hash64("o_orderkey").alias("h"),
+    # ensure_parallelism (r14): the one-row-group scan otherwise pins the
+    # checkpoint to ONE partition, serializing the 12-kind partial build
+    # AND all nine Arrow probe kernels on a single core (measured -0.4 s
+    # at full width; a real multi-row-group input skips the shuffle).
+    keyed = ensure_parallelism(
+        orders.select(
+            (F.col("o_orderkey") % 2).alias("remainder"),
+            spark_hash64("o_orderkey").alias("h"),
+        )
     ).localCheckpoint()
     # ONE build job constructs all six filters per group (single scan,
     # partial payloads per (group, kind), one merge stage), collected once;
@@ -2337,9 +2345,15 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budget = float(ev.count() // 2)
     alloc = allocate_weighted_budget(hosts, "hh", "cap", "w", budget)
+    # broadcast (r14): alloc is one row per HOST (metadata-scale by the
+    # operator's own contract); without the hint the final left join
+    # planned as a SortMergeJoin with two exchanges + sorts over the
+    # whole scheduled frontier
     return out.join(
-        alloc.select(
-            F.col("key").alias("host"), F.col("alloc").alias("budget_alloc")
+        F.broadcast(
+            alloc.select(
+                F.col("key").alias("host"), F.col("alloc").alias("budget_alloc")
+            )
         ),
         "host",
         "left",
@@ -2395,6 +2409,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     eck = pairs.select("s", "d").distinct().localCheckpoint()
     # iters=2 (r14, the sanctioned q_pagerank trim): one fewer
     # join+agg round per leg; the oracle unrolls the same 2
+    # materialize=False (r14): eck is already a checkpointed 50-node
+    # leaf, so pagerank's loop-invariant checkpoints are pure plan-build
+    # overhead on this leg (measured; the html leg below keeps them)
     direct = pagerank(eck, "s", "d", iters=2, materialize=False)
 
     # ONE page per DISTINCT (s, d, form) (r14, the q_pagerank trim):
@@ -2460,7 +2477,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("src_host", r"^h(\d+)\.test$", 1).alias("s"),
         F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
     )
-    html_leg = pagerank(mined, "s", "d", iters=2, materialize=False)
+    # html leg keeps pagerank's internal checkpoints (default): `mined`
+    # carries extract_links' very large expression trees, and re-inlining
+    # them into every loop transformation costs more analysis time than
+    # the checkpoints save (measured both ways, r14)
+    html_leg = pagerank(mined, "s", "d", iters=2)
     # hub/authority columns (r12, operator #141 under the driver gate)
     # over the SAME direct edge set
     # hits_exact (graph.hits_exact_oracle_sql replays it): the HITS
