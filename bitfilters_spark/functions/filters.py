@@ -393,6 +393,9 @@ def build_filters_multi(
                     vals if prev is None
                     else np.unique(np.concatenate([prev, vals]))[: p["k"]]
                 )
+            elif kind == "hll":
+                regs = HL.hll_registers(hs, p["p"])
+                state[skey] = regs if prev is None else np.maximum(prev, regs)
             else:  # bloom
                 w = B.bloom_build(hs, p["n"], p["fpp"])
                 state[skey] = w if prev is None else prev | w
@@ -413,6 +416,8 @@ def build_filters_multi(
             return CM.cms_serialize(st)
         if kind == "kmv":
             return KV.kmv_serialize(p["k"], st)
+        if kind == "hll":
+            return HL.hll_serialize(p["p"], st)
         return B.bloom_serialize(st, B.bloom_params(p["n"], p["fpp"])[1])
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

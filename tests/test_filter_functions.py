@@ -380,7 +380,11 @@ def test_multi_build_includes_sketches(spark, orders):
         r["filter_type"]: bytes(r["filter"])
         for r in build_filters_multi(
             keyed, "h",
-            [("cms", "cms", {"d": 2, "w": 1024}), ("kmv", "kmv", {"k": 64})],
+            [
+                ("cms", "cms", {"d": 2, "w": 1024}),
+                ("kmv", "kmv", {"k": 64}),
+                ("hll", "hll", {"p": 12}),
+            ],
         ).collect()
     }
     solo_cms = bytes(
@@ -389,7 +393,10 @@ def test_multi_build_includes_sketches(spark, orders):
     solo_kmv = bytes(
         build_filter(keyed, [], "h", "kmv", k=64).collect()[0]["filter"]
     )
-    assert multi == {"cms": solo_cms, "kmv": solo_kmv}
+    solo_hll = bytes(
+        build_filter(keyed, [], "h", "hll", p=12).collect()[0]["filter"]
+    )
+    assert multi == {"cms": solo_cms, "kmv": solo_kmv, "hll": solo_hll}
 
 
 def test_merge_rejects_mismatched_params(spark, orders):
