@@ -318,8 +318,15 @@ def _shingle_pair_intersections(
         # profile is expected, pre-compute the (tiny) hot-shingle list with
         # a map-side partial groupBy + broadcast anti-filter first, then
         # run this window over the pre-thinned rows.
-        sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
-        cold = sh.where(F.col("df") <= df_cap).drop("df").cache()
+        # cache the post-window rows ONCE: cold (read twice by the blocking
+        # self-join) and hotsets (read twice as ha/hb) are all filters over
+        # this frame — without the cache the scan->explode->window pipeline
+        # executed three times (r14: 26 Exchanges / 3x the window shuffle on
+        # q_containment_pairs' plan; guide §2.4 "share one exchange")
+        sh = sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        ).cache()
+        cold = sh.where(F.col("df") <= df_cap).drop("df")
         hotsets = (
             sh.where(F.col("df") > df_cap)
             .groupBy("id")
@@ -417,9 +424,14 @@ def weighted_jaccard_pairs(
     )
     hotmaps = None
     if df_cap is not None:
+        # cache the post-window rows ONCE: the sub-cap side feeds both
+        # sides of the blocking self-join and the hot side both hotmap
+        # joins — uncached, the scan->groupBy->window pipeline executed
+        # four times (r14: 36 Exchanges / 8 parquet scans on
+        # q_weighted_jaccard's plan; guide §2.4)
         tok = tok.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("th"))
-        )
+        ).cache()
         hotmaps = (
             tok.where(F.col("df") > df_cap)
             .groupBy("id")
