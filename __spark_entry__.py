@@ -105,12 +105,6 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint to ONE partition, serializing the 12-kind partial build
     # AND all nine Arrow probe kernels on a single core (measured -0.4 s
     # at full width; a real multi-row-group input skips the shuffle).
-    keyed = ensure_parallelism(
-        orders.select(
-            (F.col("o_orderkey") % 2).alias("remainder"),
-            spark_hash64("o_orderkey").alias("h"),
-        )
-    ).localCheckpoint()
     # ONE build job constructs all six filters per group (single scan,
     # partial payloads per (group, kind), one merge stage), collected once;
     # all six probes then ride ONE pass over the checkpointed projection
@@ -119,9 +113,35 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of 12
     from bitfilters_spark.functions import build_filters_multi
 
-    all_filters = build_filters_multi(
-        keyed, "h", [(n, k, kw) for n, k, kw in specs], group_cols=["remainder"]
-    ).collect()
+    # r14 (guide §2.6, overlap independent jobs): the members build must
+    # be COLLECTED before the probe plan exists (probe_filter broadcasts
+    # blobs), and the 12-kind sizes build is independent of it — run the
+    # two blocking jobs from a 2-thread pool so the sizes job back-fills
+    # the cores the members build leaves idle, instead of serializing
+    # ~1.4 s (members collect) before the ~2 s sizes branch.
+    def _members_part():
+        keyed = ensure_parallelism(
+            orders.select(
+                (F.col("o_orderkey") % 2).alias("remainder"),
+                spark_hash64("o_orderkey").alias("h"),
+            )
+        ).localCheckpoint()
+        blobs = build_filters_multi(
+            keyed, "h", [(n, k, kw) for n, k, kw in specs],
+            group_cols=["remainder"],
+        ).collect()
+        return keyed, blobs
+
+    def _sizes_part():
+        return _filter_sizes(spark, sf_dir).collect()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        members_fut = pool.submit(_members_part)
+        sizes_fut = pool.submit(_sizes_part)
+        keyed, all_filters = members_fut.result()
+        sizes_rows = sizes_fut.result()
     by_kind: dict = {}
     for row in all_filters:
         by_kind.setdefault(row["filter_type"], {})[(row["remainder"],)] = bytes(
@@ -148,12 +168,20 @@ def q_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correctness fits ONE of the driver's 50 slots; legs are disjoint on
     # remainder (-1 marks a sizes row).
     neg = F.lit(-1).cast("long")
-    sizes = _filter_sizes(spark, sf_dir).select(
+    # the sizes rows were materialized by the overlapped job above (12
+    # rows); re-wrap them locally with pinned long dtypes
+    sizes = spark.createDataFrame(
+        [
+            (r["filter_type"], int(r["size_bytes"]), int(r["n_entries"]))
+            for r in sizes_rows
+        ],
+        "filter_type string, size_bytes long, n_entries long",
+    ).select(
         "filter_type",
         neg.alias("remainder"),
         neg.alias("matches"),
-        F.col("size_bytes").cast("long").alias("size_bytes"),
-        F.col("n_entries").cast("long").alias("n_entries"),
+        "size_bytes",
+        "n_entries",
     )
     return members.select(
         "filter_type",
@@ -467,8 +495,14 @@ def _filter_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms,kmv}.py), so the oracle recomputes each size from n in SQL. The
     xor/fuse sizes assume first-attempt peeling success (deterministic
     for given data; verified at the driver SF)."""
+    from bitfilters_spark.operators.dedup import ensure_parallelism
+
     orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"))
+    # widen the one-row-group scan so the 12-kind partial fold isn't
+    # pinned to a single task (r14; same move as the members leg)
+    keyed = ensure_parallelism(
+        orders.select(duckdb_hash(ORACLE_VERSION, "o_orderkey").alias("h"))
+    )
     specs = [
         ("quotient", "quotient", {"q": 16, "r": 4}),
         ("xor8", "xor8", {}),
