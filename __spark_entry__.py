@@ -1748,50 +1748,75 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
-    contam = ngram_contamination(train, bench, "doc_id", "text", n=5, hashed=False)
+
+    # r14 (guide §2.6): two of the four leg constructions run an EAGER
+    # filter-build job before their plan exists (filter_contamination and
+    # antijoin_filter both build-and-collect an AMQ over the bench
+    # grams), serializing ~1.3 s of cluster work; the other two are pure
+    # (py4j-heavy) expression building. Construct all four legs from a
+    # thread pool so the eager builds overlap each other and the
+    # expression building.
+    def _contam_leg():
+        return ngram_contamination(
+            train, bench, "doc_id", "text", n=5, hashed=False
+        )
+
     # the parity path (string shingles + Arrow parity hash) costs ~3x
     # the native path per gram — probe a THIRD of train (doc_id % 3 == 0;
     # the oracle replays the same slice) to bound the leg at ~+1 s while
     # every stage of the operator still runs end-to-end at corpus scale
-    fc = filter_contamination(
-        train.where(F.col("doc_id") % 3 == 0), bench, "doc_id", "text",
-        n=5, kind="duckdb_bloom", verify=False, native=False,
-        num_sectors=1024,
-    ).select("doc_id", F.col("n_flagged").alias("fc_flagged"))
-    fp = F.substring_index("text", " ", 5)
-    clean = antijoin_filter(
-        train.select("doc_id", fp.alias("fp")),
-        bench.select(fp.alias("fp")),
-        "fp",
-        "fp",
-        kind="bloom",
-        n=10_000,
-        fpp=0.01,
-    )
-    phrase = " ".join(f"lcsw{k}" for k in range(12))
-    pw = F.split(F.lit(phrase), " ")
-    plant = F.array_join(
-        F.slice(pw, 1, (F.lit(6) + F.col("doc_id") % 5).cast("int")), " "
-    )
-    train_aug = train.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 21 == 2, F.concat("text", F.lit(" "), plant)
+    def _fc_leg():
+        return filter_contamination(
+            train.where(F.col("doc_id") % 3 == 0), bench, "doc_id", "text",
+            n=5, kind="duckdb_bloom", verify=False, native=False,
+            num_sectors=1024,
+        ).select("doc_id", F.col("n_flagged").alias("fc_flagged"))
+
+    def _clean_leg():
+        fp = F.substring_index("text", " ", 5)
+        return antijoin_filter(
+            train.select("doc_id", fp.alias("fp")),
+            bench.select(fp.alias("fp")),
+            "fp",
+            "fp",
+            kind="bloom",
+            n=10_000,
+            fpp=0.01,
         )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    bench_aug = bench.select(
-        "doc_id", F.concat("text", F.lit(" " + phrase)).alias("text")
-    )
-    lcs = (
-        lcs_contamination(train_aug, bench_aug, "doc_id", "text", min_lcs=6)
-        .groupBy("doc_id")
-        .agg(
-            F.max("lcs_tokens").alias("lcs_max"),
-            F.count(F.lit(1)).cast("long").alias("lcs_hits"),
+
+    def _lcs_leg():
+        phrase = " ".join(f"lcsw{k}" for k in range(12))
+        pw = F.split(F.lit(phrase), " ")
+        plant = F.array_join(
+            F.slice(pw, 1, (F.lit(6) + F.col("doc_id") % 5).cast("int")), " "
         )
-    )
+        train_aug = train.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 21 == 2, F.concat("text", F.lit(" "), plant)
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        bench_aug = bench.select(
+            "doc_id", F.concat("text", F.lit(" " + phrase)).alias("text")
+        )
+        return (
+            lcs_contamination(train_aug, bench_aug, "doc_id", "text", min_lcs=6)
+            .groupBy("doc_id")
+            .agg(
+                F.max("lcs_tokens").alias("lcs_max"),
+                F.count(F.lit(1)).cast("long").alias("lcs_hits"),
+            )
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(f) for f in (_contam_leg, _fc_leg, _clean_leg, _lcs_leg)
+        ]
+        contam, fc, clean, lcs = [f.result() for f in futs]
     return (
         contam.join(
             clean.select("doc_id", F.lit(1).alias("fp_clean")),
