@@ -1182,14 +1182,34 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # far-above-any-size cap paid for nothing
     train = docs.where(F.col("doc_id") % 17 == 0).select("text")
     tt = kn_type_tables(train, "text", orders=(2, 3))
-    lm = kn_model_from_type_tables(tt["bi_types"], tt["uni"], vocab_size=None)
+    # r14 (guide §2.6): the three type tables are lazy checkpoints and
+    # the two model builds are independent given them. Materialize the
+    # checkpoints as three overlapped jobs first (concurrent first-touch
+    # of one lazy checkpoint would compute it twice), then run the two
+    # model-derivation collect jobs concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                lambda d: d.count(),
+                [tt["bi_types"], tt["uni"], tt["tri_types"]],
+            )
+        )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lm_fut = pool.submit(
+            kn_model_from_type_tables, tt["bi_types"], tt["uni"],
+            vocab_size=None,
+        )
+        lm3_fut = pool.submit(
+            kn3_model_from_type_tables,
+            tt["tri_types"], tt["bi_types"], tt["uni"], vocab_size=None,
+        )
+        lm, lm3 = lm_fut.result(), lm3_fut.result()
     kn = kn_score_quantized(docs, "doc_id", "text", lm, scale_bits=20).select(
         "doc_id",
         F.col("n_scored").alias("kn_n"),
         F.col("qlogp_sum").alias("kn_qlogp"),
-    )
-    lm3 = kn3_model_from_type_tables(
-        tt["tri_types"], tt["bi_types"], tt["uni"], vocab_size=None
     )
     kn3 = kn3_score_quantized(docs, "doc_id", "text", lm3, scale_bits=20).select(
         "doc_id",
