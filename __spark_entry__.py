@@ -2482,16 +2482,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 50).cast("string").alias("d"),
         F.pmod(F.col("user_id") + F.col("event_id"), F.lit(4)).alias("form"),
     ).where(F.col("s") != F.col("d"))
-    # dedup + materialize the 50-node edge list ONCE — pagerank and the
-    # r12 hits_quantized leg both start from this ~2.4k-row checkpoint
-    # instead of each re-scanning events and re-shuffling the distinct
-    eck = pairs.select("s", "d").distinct().localCheckpoint()
-    # iters=2 (r14, the sanctioned q_pagerank trim): one fewer
-    # join+agg round per leg; the oracle unrolls the same 2
-    # materialize=False (r14): eck is already a checkpointed 50-node
-    # leaf, so pagerank's loop-invariant checkpoints are pure plan-build
-    # overhead on this leg (measured; the html leg below keeps them)
-    direct = pagerank(eck, "s", "d", iters=2, materialize=False)
+    # r14 (guide §2.6): the row has two independent EAGER chains — the
+    # direct branch (edge-list checkpoint feeding pagerank/hits/
+    # triangles) and the html branch (page synthesis -> extract_links
+    # checkpoint -> pagerank with its internal loop-invariant
+    # checkpoints). Run both chains from a 2-thread pool so their
+    # checkpoint jobs overlap instead of serializing.
+    def _direct_branch():
+        # dedup + materialize the 50-node edge list ONCE — pagerank and
+        # the r12 hits_quantized leg both start from this ~2.4k-row
+        # checkpoint instead of each re-scanning events and re-shuffling
+        # the distinct
+        eck = pairs.select("s", "d").distinct().localCheckpoint()
+        # iters=2 (r14, the sanctioned q_pagerank trim): one fewer
+        # join+agg round per leg; the oracle unrolls the same 2
+        # materialize=False (r14): eck is already a checkpointed 50-node
+        # leaf, so pagerank's loop-invariant checkpoints are pure
+        # plan-build overhead on this leg (measured; the html leg keeps
+        # them)
+        direct = pagerank(eck, "s", "d", iters=2, materialize=False)
+        ht = hits_exact(eck, "s", "d", iters=2, skip_guard=True)
+        tri = triangle_counts(eck, "s", "d").select(
+            "node",
+            "triangles",
+            F.col("clustering_coeff").alias("clustcoef"),
+        )
+        return direct, ht, tri
 
     # ONE page per DISTINCT (s, d, form) (r14, the q_pagerank trim):
     # the raw pair stream repeats each edge ~40x at sf0.1 (~98k pages),
@@ -2503,7 +2519,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # It also spreads the one-partition events scan across the cluster
     # (the job the bare repartition used to do).
     n_part = spark.sparkContext.defaultParallelism
-    pairs = pairs.distinct().repartition(n_part)
+    dpairs = pairs.distinct().repartition(n_part)
 
     d = F.col("d")
     anchor = (
@@ -2527,7 +2543,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("<a href=HTTP://H"), d, F.lit(".TEST/p.html>x</a>"))
         )
     )
-    pages = pairs.select(
+    pages = dpairs.select(
         F.concat(F.lit("http://h"), F.col("s"), F.lit(".test/a/index.html")).alias(
             "url"
         ),
@@ -2541,26 +2557,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</body></html>"),
         ).alias("html"),
     )
-    # localCheckpoint between extraction and the self-edge filter: a
-    # filter on the computed host columns would otherwise be pushed back
-    # through extract_links' staged projections with the full
-    # normalize/domain expression trees substituted into it (a ~20 MB
-    # task binary and a janino-overflowing stage). pagerank materializes
-    # its edge list anyway — this just moves the cut one step earlier.
-    links = extract_links(pages, "html", "url", normalize=False).select(
-        "src_host", "dst_host"
-    ).localCheckpoint()
-    mined = links.where(
-        F.col("src_host") != F.col("dst_host")  # drop the self-link decoy
-    ).select(
-        F.regexp_extract("src_host", r"^h(\d+)\.test$", 1).alias("s"),
-        F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
-    )
-    # html leg keeps pagerank's internal checkpoints (default): `mined`
-    # carries extract_links' very large expression trees, and re-inlining
-    # them into every loop transformation costs more analysis time than
-    # the checkpoints save (measured both ways, r14)
-    html_leg = pagerank(mined, "s", "d", iters=2)
+
+    def _html_branch():
+        # localCheckpoint between extraction and the self-edge filter: a
+        # filter on the computed host columns would otherwise be pushed
+        # back through extract_links' staged projections with the full
+        # normalize/domain expression trees substituted into it (a ~20 MB
+        # task binary and a janino-overflowing stage). pagerank
+        # materializes its edge list anyway — this just moves the cut one
+        # step earlier.
+        links = extract_links(pages, "html", "url", normalize=False).select(
+            "src_host", "dst_host"
+        ).localCheckpoint()
+        mined = links.where(
+            F.col("src_host") != F.col("dst_host")  # drop the self-link decoy
+        ).select(
+            F.regexp_extract("src_host", r"^h(\d+)\.test$", 1).alias("s"),
+            F.regexp_extract("dst_host", r"^h(\d+)\.test$", 1).alias("d"),
+        )
+        # html leg keeps pagerank's internal checkpoints (default):
+        # `mined` carries extract_links' very large expression trees, and
+        # re-inlining them into every loop transformation costs more
+        # analysis time than the checkpoints save (measured both ways,
+        # r14)
+        return pagerank(mined, "s", "d", iters=2)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        direct_fut = pool.submit(_direct_branch)
+        html_fut = pool.submit(_html_branch)
+        direct, ht, tri = direct_fut.result()
+        html_leg = html_fut.result()
     # hub/authority columns (r12, operator #141 under the driver gate)
     # over the SAME direct edge set
     # hits_exact (graph.hits_exact_oracle_sql replays it): the HITS
@@ -2574,17 +2602,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2*3*log2(d_max<=98) + log2(50) ~ 45 < 62) is pre-validated, so
     # the guard's per-call degree agg+collect is pure overhead here —
     # the r12-verdict q_pagerank trim
-    ht = hits_exact(eck, "s", "d", iters=2, skip_guard=True)
-    # triangle/clustering-coefficient columns (r14, operator #184 under
-    # the driver gate): the link-spam signal over the SAME direct edge
-    # set — exact integer triangle counts via the degree-ordered wedge
-    # join, one double division for the coefficient; the oracle
-    # replays the canonical x<y<z triple enumeration
-    tri = triangle_counts(eck, "s", "d").select(
-        "node",
-        "triangles",
-        F.col("clustering_coeff").alias("clustcoef"),
-    )
+    # (ht = hits_exact over eck, r12 #141; tri = triangle_counts over
+    # eck, r14 #184 — both built inside _direct_branch above so the
+    # whole direct chain shares one thread)
     out = direct.select(F.lit("direct").alias("leg"), "node", "rank").unionByName(
         html_leg.select(F.lit("html").alias("leg"), "node", "rank")
     )
