@@ -2631,26 +2631,50 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = F.substring_index("text", " ", 5)
 
-    # 1. quality gate (>= 30 tokens — cuts a real fraction of the corpus)
-    survivors = docs.where(F.size(T.tokens("text")) >= 30)
-    # 2. exact dedup — localCheckpoint (eager): the result feeds BOTH the
-    # pair generation self-join and the near-dedup anti-join; checkpointing
-    # makes it a leaf so no downstream branch re-runs the scan + window
-    survivors = D.dedup_exact(
-        survivors.withColumn("fp", fp), "fp", "doc_id"
-    ).localCheckpoint()
-    # 3. near-dedup (pairs over the surviving corpus); checkpointed again —
-    # the decontamination probe splits the plan into clean/suspect branches
-    pairs = D.shingle_jaccard_pairs(
-        survivors, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
-    )
-    survivors = _CL.dedup_near(survivors, pairs, "doc_id").localCheckpoint()
-    # 4. decontaminate against the benchmark fingerprints
+    # r14 (guide §2.6): step 4's bloom build over the benchmark
+    # fingerprints depends only on docs, not on the dedup chain — build
+    # it concurrently with steps 2-3 and hand the collected blob to
+    # antijoin_filter.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bitfilters_spark.functions.filters import build_filter
+    from bitfilters_spark.functions.hashing import spark_hash64 as _sh64
+
     bench = docs.where(F.col("doc_id") % 17 == 0).select(fp.alias("bfp"))
-    survivors = antijoin_filter(
-        survivors.withColumn("fp", fp), bench, "fp", "bfp",
-        kind="bloom", n=10_000, fpp=0.01,
-    )
+
+    def _bench_blob():
+        rows = build_filter(
+            bench.select(_sh64("bfp").alias("__h")), [], "__h",
+            "bloom", n=10_000, fpp=0.01,
+        ).collect()
+        return {(): bytes(rows[0]["filter"])}
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        blob_fut = pool.submit(_bench_blob)
+
+        # 1. quality gate (>= 30 tokens — cuts a real fraction of the
+        # corpus)
+        survivors = docs.where(F.size(T.tokens("text")) >= 30)
+        # 2. exact dedup — localCheckpoint (eager): the result feeds BOTH
+        # the pair generation self-join and the near-dedup anti-join;
+        # checkpointing makes it a leaf so no downstream branch re-runs
+        # the scan + window
+        survivors = D.dedup_exact(
+            survivors.withColumn("fp", fp), "fp", "doc_id"
+        ).localCheckpoint()
+        # 3. near-dedup (pairs over the surviving corpus); checkpointed
+        # again — the decontamination probe splits the plan into
+        # clean/suspect branches
+        pairs = D.shingle_jaccard_pairs(
+            survivors, "doc_id", "text", shingle_n=3, threshold=0.1, df_cap=64
+        )
+        survivors = _CL.dedup_near(survivors, pairs, "doc_id").localCheckpoint()
+        # 4. decontaminate against the benchmark fingerprints (blob built
+        # by the overlapped job above)
+        survivors = antijoin_filter(
+            survivors.withColumn("fp", fp), bench, "fp", "bfp",
+            kind="bloom", blobs=blob_fut.result(),
+        )
     # 5. deterministic split
     out = SP.hash_split(
         survivors, "doc_id", {"train": 8, "val": 1, "test": 1}, native=False

@@ -56,6 +56,7 @@ def antijoin_filter(
     keys_key: str,
     *,
     kind: str = "duckdb_bloom",
+    blobs=None,
     **filter_kwargs,
 ) -> DataFrame:
     """Filter-accelerated ANTI-join: keep fact rows whose key is NOT in
@@ -68,9 +69,18 @@ def antijoin_filter(
     false positives) pay the exact left_anti confirm. At 100 TB with a
     small contamination set, ~the whole corpus short-circuits map-side and
     the anti-join input is a sliver.
+
+    ``blobs`` (r14): a pre-built filter for the key set — the
+    ``probe_filter`` forms (blob dict or build_filter DataFrame). The
+    default build-and-collect blocks plan construction on a Spark job;
+    a caller composing several eager steps can build the filter
+    concurrently (guide §2.6) and pass it in. MUST cover the same key
+    set, or the no-false-negative guarantee (result ≡ plain anti-join)
+    is lost.
     """
     key_hashes = keys.select(spark_hash64(keys_key).alias("__h"))
-    blobs = build_filter(key_hashes, [], "__h", kind, **filter_kwargs)
+    if blobs is None:
+        blobs = build_filter(key_hashes, [], "__h", kind, **filter_kwargs)
     probed = probe_filter(
         fact.withColumn("__h", spark_hash64(fact_key)), blobs, "__h"
     )

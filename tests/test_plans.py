@@ -145,9 +145,23 @@ def test_antijoin_filter_equals_plain_anti(spark):
     got = antijoin_filter(fact, keys, "o_custkey", "o_custkey", kind="bloom", n=5000, fpp=0.01)
     want = fact.join(keys, "o_custkey", "left_anti")
     assert got.count() == want.count()
-    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
-        r["o_orderkey"] for r in want.collect()
+    want_ids = sorted(r["o_orderkey"] for r in want.collect())
+    assert sorted(r["o_orderkey"] for r in got.collect()) == want_ids
+
+    # r14: a pre-built blob (the guide-§2.6 overlapped-build path) must
+    # produce the identical result to the build-inline path
+    from bitfilters_spark.functions.filters import build_filter
+    from bitfilters_spark.functions.hashing import spark_hash64
+
+    rows = build_filter(
+        keys.select(spark_hash64("o_custkey").alias("__h")), [], "__h",
+        "bloom", n=5000, fpp=0.01,
+    ).collect()
+    pre = antijoin_filter(
+        fact, keys, "o_custkey", "o_custkey",
+        blobs={(): bytes(rows[0]["filter"])},
     )
+    assert sorted(r["o_orderkey"] for r in pre.collect()) == want_ids
 
 
 def test_simhash_pairs_index_side_broadcasts(spark):
