@@ -421,15 +421,23 @@ def bm25_scores(
     # map-side inside the explode stage and the corpus vocabulary never
     # crosses an Exchange; dl rides the groupBy as a (per-doc constant)
     # grouping key, so no separate doc-length join is ever needed
+    # tokenize ONCE per row (r14): a single projection feeds both the
+    # doc-length and the explode, instead of evaluating the tokenizer
+    # twice per row in one select
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__ta"))
     tf_df = (
-        df.select(
+        toks.select(
             F.col(id_col),
-            F.size(tokens(text_col)).cast("long").alias("dl"),
-            F.explode(tokens(text_col)).alias("token"),
+            F.size("__ta").cast("long").alias("dl"),
+            F.explode("__ta").alias("token"),
         )
         .join(F.broadcast(qtok.select("token").distinct()), "token")
         .groupBy(id_col, "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # hits-sized by the semijoin above; cache so the corpus explode
+        # pipeline feeds BOTH consumers (docfreq and the hits probe side)
+        # once instead of executing twice (r14)
+        .cache()
     )
     docfreq = tf_df.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     hits = tf_df.join(F.broadcast(qtok), "token").join(
