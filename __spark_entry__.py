@@ -1186,21 +1186,14 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity — and None also skips the 8 TakeOrdered cap sorts the old
     # far-above-any-size cap paid for nothing
     train = docs.where(F.col("doc_id") % 17 == 0).select("text")
-    tt = kn_type_tables(train, "text", orders=(2, 3))
-    # r14 (guide §2.6): the three type tables are lazy checkpoints and
-    # the two model builds are independent given them. Materialize the
-    # checkpoints as three overlapped jobs first (concurrent first-touch
-    # of one lazy checkpoint would compute it twice), then run the two
-    # model-derivation collect jobs concurrently.
+    # r14 (guide §2.6): eager=True materializes the three type-table
+    # checkpoints as overlapped jobs inside kn_type_tables (planning AND
+    # execution concurrent — concurrent first-touch of a LAZY checkpoint
+    # would compute it twice), then the two model-derivation collect
+    # jobs run concurrently.
+    tt = kn_type_tables(train, "text", orders=(2, 3), eager=True)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(
-            pool.map(
-                lambda d: d.count(),
-                [tt["bi_types"], tt["uni"], tt["tri_types"]],
-            )
-        )
     with ThreadPoolExecutor(max_workers=2) as pool:
         lm_fut = pool.submit(
             kn_model_from_type_tables, tt["bi_types"], tt["uni"],
@@ -2019,16 +2012,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             AnnProbe(spark, name), C, IvfPqProbe(spark, pq_name),
         )
     probe, C, pq_probe = cached
-    scan = SIM.ivf_topk(
-        emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16,
-        nprobe=16, centroids=C,
-    ).select(F.lit("scan").alias("src"), "query_id", "neighbor_id", "rank")
-    via_index = probe.query(
-        queries_df, "vec_id", "embedding", k=5, nprobe=16
-    ).select(F.lit("index").alias("src"), "query_id", "neighbor_id", "rank")
-    via_ivfpq = pq_probe.query(
-        queries_df, "vec_id", "embedding", k=5, nprobe=8
-    ).select(F.lit("ivfpq").alias("src"), "query_id", "neighbor_id", "rank")
+
+    # r14 (guide §2.6): each leg's construction runs an EAGER driver
+    # collect of the query rows (the cosine_topk convention) before its
+    # lazy plan exists — three serial jobs. Construct the legs from a
+    # thread pool so the collects overlap; the assembled plan is
+    # unchanged.
+    def _scan_leg():
+        return SIM.ivf_topk(
+            emb, queries_df, "vec_id", "embedding", k=5, n_centroids=16,
+            nprobe=16, centroids=C,
+        ).select(F.lit("scan").alias("src"), "query_id", "neighbor_id", "rank")
+
+    def _index_leg():
+        return probe.query(
+            queries_df, "vec_id", "embedding", k=5, nprobe=16
+        ).select(F.lit("index").alias("src"), "query_id", "neighbor_id", "rank")
+
+    def _ivfpq_leg():
+        return pq_probe.query(
+            queries_df, "vec_id", "embedding", k=5, nprobe=8
+        ).select(F.lit("ivfpq").alias("src"), "query_id", "neighbor_id", "rank")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_scan_leg, _index_leg, _ivfpq_leg)]
+        scan, via_index, via_ivfpq = [f.result() for f in futs]
     return scan.unionByName(via_index).unionByName(via_ivfpq)
 
 

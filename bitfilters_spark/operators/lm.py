@@ -96,33 +96,40 @@ def train_kn_lm(
 
 
 def kn_type_tables(
-    df: DataFrame, text_col: str = "text", orders: tuple = (2, 3)
+    df: DataFrame, text_col: str = "text", orders: tuple = (2, 3),
+    eager: bool = False,
 ) -> dict:
     """The additive sufficient-statistic tables every KN order derives
     from, built from ONE tokenization: ``bi_types`` (hp, hc, cb),
     ``uni`` (h, c_tok), and — when 3 ∈ orders — ``tri_types``
-    (hu, hv, hw, c). All lazily checkpointed. Factored out (r13) so a
-    caller training BOTH the bigram and trigram models (the CCNet
-    gate row does) shares the slice scan and aggregations instead of
-    paying them per trainer."""
+    (hu, hv, hw, c). All lazily checkpointed (``eager=True``
+    materializes them as overlapped jobs — the right call when every
+    table is consumed by several model-derivation collects right away).
+    Factored out (r13) so a caller training BOTH the bigram and trigram
+    models (the CCNet gate row does) shares the slice scan and
+    aggregations instead of paying them per trainer."""
     seq = df.select(
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
     )
-    out = {}
-    # one row per distinct bigram TYPE (hp, hc, cb) — every KN statistic
-    # derives from type tables, occurrences never re-scanned
-    out["bi_types"] = (
-        seq.select(F.explode(_bigram_structs(F.col("hs"))).alias("g"))
-        .groupBy("g.hp", "g.hc")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    ).localCheckpoint(eager=False)
-    out["uni"] = (
-        seq.select(F.explode("hs").alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c_tok"))
-    ).localCheckpoint(eager=False)
+    # localCheckpoint(eager=False) pays the subtree's full physical
+    # planning AT CALL TIME (Dataset.checkpoint materializes
+    # queryExecution.toRdd); the two/three plans are independent, so
+    # create them from a thread pool (guide §2.6 applied to driver-side
+    # planning) instead of serially.
+    frames = {
+        "bi_types": (
+            seq.select(F.explode(_bigram_structs(F.col("hs"))).alias("g"))
+            .groupBy("g.hp", "g.hc")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        ),
+        "uni": (
+            seq.select(F.explode("hs").alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c_tok"))
+        ),
+    }
     if 3 in orders:
-        out["tri_types"] = (
+        frames["tri_types"] = (
             seq.select(F.explode(_trigram_structs(F.col("hs"))).alias("g"))
             .groupBy(
                 F.col("g.hu").alias("hu"),
@@ -130,8 +137,15 @@ def kn_type_tables(
                 F.col("g.hw").alias("hw"),
             )
             .agg(F.count(F.lit(1)).alias("c"))
-        ).localCheckpoint(eager=False)
-    return out
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        futs = {
+            k: pool.submit(d.localCheckpoint, eager=eager)
+            for k, d in frames.items()
+        }
+        return {k: f.result() for k, f in futs.items()}
 
 
 def kn_model_from_type_tables(
