@@ -774,6 +774,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("grp"),
         duckdb_hash(ORACLE_VERSION, "o_custkey").alias("h"),
     )
+    # r14 (guide §2.6): the overlap leg's k=128 sketch collect is the one
+    # EAGER job in this constructor and nothing below depends on it until
+    # the final union — run it from a thread so the cluster job overlaps
+    # the (driver-side, py4j-heavy) construction of the base plan.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    k128_fut = pool.submit(
+        lambda: build_filter(keyed, ["grp"], "h", "kmv", k=128).collect()
+    )
     s64 = build_filter(keyed, ["grp"], "h", "kmv", k=64)
     sbig = build_filter(keyed, ["grp"], "h", "kmv", k=65536)
     sampled = orders.select(
@@ -814,10 +824,8 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bitfilters_spark.core.kmv import kmv_overlap
 
-    sketches = {
-        r["grp"]: bytes(r["filter"])
-        for r in build_filter(keyed, ["grp"], "h", "kmv", k=128).collect()
-    }
+    sketches = {r["grp"]: bytes(r["filter"]) for r in k128_fut.result()}
+    pool.shutdown(wait=False)
     k_eff, n_both, union_est = kmv_overlap(sketches[0], sketches[1])
     overlap = spark.createDataFrame(
         [(-1, union_est, n_both, k_eff, -1, -1)],
@@ -2348,6 +2356,14 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bitfilters_spark.sources.warc import surt_key
 
     ev = load_table(spark, sf_dir, "events")
+    # r14 (guide §2.6): the budget leg needs ev.count() — the one eager
+    # job in this constructor. Kick it off first from a thread so the
+    # cluster job overlaps the (driver-side, py4j-heavy) construction of
+    # the frontier/surt/redirect/anchor legs below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    count_fut = pool.submit(ev.count)
     fr = ev.select(
         "event_id", F.col("user_id").cast("string").alias("h"), "value"
     )
@@ -2437,7 +2453,8 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # future negative ids — the adjacent anchor leg already uses %
         F.min(F.col("user_id") % 7 + 1).cast("double").alias("w"),
     )
-    budget = float(ev.count() // 2)
+    budget = float(count_fut.result() // 2)
+    pool.shutdown(wait=False)
     alloc = allocate_weighted_budget(hosts, "hh", "cap", "w", budget)
     # broadcast (r14): alloc is one row per HOST (metadata-scale by the
     # operator's own contract); without the hint the final left join
