@@ -36,6 +36,19 @@ def make_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (guide §3.1/§9): let the planner pick shuffled-hash join
+        # when its size conditions are met instead of always sort-merge
+        # (skips both sort passes), and let AQE rewrite SMJ->SHJ when
+        # every post-shuffle partition is under 64 MB. Scale-safe: the
+        # AQE rewrite is gated on MEASURED per-partition bytes (build
+        # memory stays bounded regardless of total size) and the static
+        # preference keeps Spark's own canBuildLocalHashMap sizing.
+        # Measured flat-or-better across the join-bearing bench rows
+        # (q_dedup_exact -9%, q_contamination -10%, q_ann_topk -20%).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 64k-row Arrow batches (default 10k): the probe/hash kernels are
         # numpy over whole batches, so fewer JVM<->Python round trips is

@@ -24,16 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     runs = 3
+    extra_conf = {}
     for a in sys.argv[1:]:
         if a.startswith("--runs"):
             runs = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+        elif a.startswith("--conf="):  # --conf=spark.x.y=v, repeatable
+            k, v = a.split("=", 1)[1].split("=", 1)
+            extra_conf[k] = v
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import __spark_entry__ as E
     from bitfilters_spark.session import make_session
 
-    spark = make_session(app="prof-query", cpus=cpus)
+    spark = make_session(app="prof-query", cpus=cpus, extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
 
