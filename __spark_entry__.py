@@ -651,14 +651,17 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # langid_table (r6): label-identical to the langid() expression but
     # codegen-friendly — the interpreted stopword lambdas were this
     # query's hottest expression at stress scale
-    # cache the enriched frame ONCE (r14): four aggregation branches
-    # (stats, checksum, diversity, script profile) each consumed it —
-    # uncached, the scan + quality_metrics + langid pipeline executed
-    # four times per run (guide §5: reuse ⇒ cache; cleared between bench
-    # runs, so nothing persists across executions)
+    # r15: the r14 `.cache()` of this frame is REVERTED — it measured
+    # slower at every core count in every window (r13 1.547 s -> 2.00 @32
+    # driver, 1.77 @8 driver, 2.08 clean r15 window): materializing the
+    # full text column into the InMemoryRelation costs more than the four
+    # codegen-fused recomputes it saves, and the cached scan breaks
+    # WholeStageCodegen fusion with each aggregation branch (guide §5:
+    # cache only when recompute is the more expensive side — here it
+    # is not)
     enriched = T.langid_table(
         T.quality_metrics(docs, "text"), "doc_id", "text", out_col="lang_pred"
-    ).cache()
+    )
     stats = enriched.groupBy("lang_pred", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
