@@ -1940,13 +1940,27 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row-group input + heavy map stage (Arrow feature hashing):
     # widen the scan (no-op at scale)
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
-    out = SP.mixture_sample(
-        docs, "doc_id", "source", {"src0": 3, "src1": 1, "src2": 1}, native=False
-    )
+    # r15 (guide §2.6, the q_kmv_distinct 1-thread trick): this
+    # constructor runs TWO eager collects — mixture_sample's strata
+    # counts and dsir's bucket histogram. Kick the cheap-to-construct
+    # counts job off first from a thread; its cluster time overlaps the
+    # dsir construction (heavy py4j) and the dsir histogram job. (The
+    # r14 experiment pooled the CONSTRUCTIONS and measured flat — both
+    # constructions fight for the driver GIL; submitting just the
+    # pre-built counts job is the shape that worked for q_kmv_distinct.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    counts_fut = pool.submit(SP.mixture_strata_counts, docs, "source")
     stats = dsir_feature_stats(
         docs, F.col("doc_id") % 23 == 0, parity=True, n_buckets=4096,
         materialize=True,
     )
+    out = SP.mixture_sample(
+        docs, "doc_id", "source", {"src0": 3, "src1": 1, "src2": 1},
+        native=False, counts=counts_fut.result(),
+    )
+    pool.shutdown(wait=False)
     return out.join(stats, "doc_id").select(
         "doc_id", "source", "n_feats", "n_pos"
     )

@@ -269,6 +269,19 @@ def mixture_thresholds(counts: dict, weights: dict, mask: int = 1023) -> dict:
     return {s: w * K // counts[s] for s, w in live.items()}
 
 
+def mixture_strata_counts(df: DataFrame, strata_col: str) -> dict:
+    """The per-stratum count dict :func:`mixture_sample` derives its
+    thresholds from — exposed so a caller composing several eager steps
+    can run this one blocking aggregate from a thread (guide §2.6) and
+    pass the result via ``counts=``."""
+    return {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,
@@ -276,6 +289,7 @@ def mixture_sample(
     weights: dict,
     mask: int = 1023,
     native: bool = True,
+    counts: dict | None = None,
 ) -> DataFrame:
     """Rebalance a multi-source corpus to a target mixture: keep each
     stratum at the deterministic hash rate that makes retained volumes
@@ -283,13 +297,15 @@ def mixture_sample(
     stratum. ONE count aggregate collects #strata rows to the driver
     (metadata-scale); the sample itself is a pure map-side predicate —
     the training-data "mix sources at 3:1:1" shape with
-    ``hash_sample``'s reproducibility."""
-    counts = {
-        r["s"]: r["n"]
-        for r in df.groupBy(F.col(strata_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    ``hash_sample``'s reproducibility.
+
+    ``counts`` (r15): pre-collected :func:`mixture_strata_counts` rows —
+    the ``antijoin_filter(blobs=)`` pattern: the default blocks plan
+    construction on a Spark job; a caller overlapping eager steps builds
+    the counts concurrently and passes them in. MUST be the counts of
+    ``df`` itself, or the thresholds no longer match the corpus."""
+    if counts is None:
+        counts = mixture_strata_counts(df, strata_col)
     thresholds = mixture_thresholds(counts, weights, mask)
     return stratified_hash_sample(
         df, key_col, strata_col, thresholds, 0, mask, native

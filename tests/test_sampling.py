@@ -101,6 +101,18 @@ def test_mixture_sample_proportions_and_determinism(spark):
     ids1 = {r["id"] for r in out.collect()}
     ids2 = {r["id"] for r in mixture_sample(df, "id", "src", {"big": 1, "small": 1}).collect()}
     assert ids1 == ids2
+    # counts= passthrough (r15, the blobs= pattern): pre-collected strata
+    # counts must yield the identical sample
+    from bitfilters_spark.operators.sampling import mixture_strata_counts
+
+    pre = mixture_strata_counts(df, "src")
+    ids3 = {
+        r["id"]
+        for r in mixture_sample(
+            df, "id", "src", {"big": 1, "small": 1}, counts=pre
+        ).collect()
+    }
+    assert ids3 == ids1
 
 
 def test_cap_per_group_caps_and_is_deterministic(spark):
