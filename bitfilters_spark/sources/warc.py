@@ -244,16 +244,31 @@ def surt_key(col) -> "F.Column":
     (parse_url + split/reverse/array_join); scheme/port/fragment drop,
     host lowercases, NULL for unparseable URLs."""
     c = F.col(col) if isinstance(col, str) else col
-    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
-    query = F.try_parse_url(c, F.lit("QUERY"))
-    rest = F.when(
-        query.isNull() | (query == ""), path
-    ).otherwise(F.concat(path, F.lit("?"), query))
-    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(rev, F.lit(")"), rest)
+    # r15 (guide §8.3, do the work once): the naive expression tree
+    # references host 2x / path 2x / query 3x, and each reference is its
+    # own ParseUrlEvaluator — 7 URL parses per row in the final plan
+    # (plans/r14/q_crawl_frontier_after.txt:145). Bind the three parsed
+    # parts to a higher-order-function lambda variable instead: the
+    # struct is evaluated ONCE per row (3 parses) and every downstream
+    # reference reads the bound value. Catalyst cannot inline through a
+    # lambda binding, so projection collapse can't re-duplicate them.
+    parts = F.struct(
+        F.lower(F.try_parse_url(c, F.lit("HOST"))).alias("h"),
+        F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit("")).alias("p"),
+        F.try_parse_url(c, F.lit("QUERY")).alias("q"),
     )
+
+    def _assemble(s):
+        host, path, query = s["h"], s["p"], s["q"]
+        rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+        rest = F.when(
+            query.isNull() | (query == ""), path
+        ).otherwise(F.concat(path, F.lit("?"), query))
+        return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat(rev, F.lit(")"), rest)
+        )
+
+    return F.element_at(F.transform(F.array(parts), _assemble), 1)
 
 
 def warc_cdx(records: DataFrame) -> DataFrame:
