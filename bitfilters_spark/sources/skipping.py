@@ -58,9 +58,45 @@ def build_file_index(
     return build_filter(keyed, ["file"], "h", kind, **filter_kw)
 
 
+def _xxhash64_longs(vals, seed: int = 42) -> np.ndarray:
+    """Spark's ``xxhash64`` of int64 values (XXH64 of the 8-byte long,
+    Spark's default seed 42), computed locally in numpy — byte-identical
+    to ``F.xxhash64(long_col)`` (pinned by
+    tests/test_skipping.py::test_local_xxhash64_matches_spark). Lets a
+    driver-side probe hash a handful of literal keys without paying a
+    whole Spark job round trip."""
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    with np.errstate(over="ignore"):
+        k1 = np.asarray(vals, dtype=np.int64).view(np.uint64) * P2
+        k1 = rotl(k1, 31) * P1
+        h = (np.uint64(seed) + P5 + np.uint64(8)) ^ k1
+        h = rotl(h, 27) * P1 + P4
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
 def key_hashes(spark: SparkSession, values: list) -> np.ndarray:
-    """Hash probe values with the SAME Spark expression the index used,
-    guaranteeing parity (one tiny local DataFrame, no table scan)."""
+    """Hash probe values with the SAME hash the index used (Spark
+    xxhash64, seed 42). Integer keys hash locally (`_xxhash64_longs` —
+    zero Spark jobs, the common literal-IN-list shape); other types fall
+    back to the tiny-DataFrame round trip so the parity guarantee stays
+    expression-level."""
+    if values and all(
+        isinstance(v, int) and not isinstance(v, bool) for v in values
+    ):
+        return _xxhash64_longs(values)
     vdf = spark.createDataFrame([(v,) for v in values], ["v"])
     rows = vdf.select(spark_hash64("v").alias("h")).collect()
     return np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)

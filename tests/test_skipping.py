@@ -319,3 +319,26 @@ def test_prune_files_multi_conjunction(spark, part_dir):
         assert got.count() == full.count()
     else:
         assert full.count() == 0
+
+
+def test_local_xxhash64_matches_spark(spark):
+    """_xxhash64_longs (the zero-job driver-side probe hash) must be
+    byte-identical to Spark's own xxhash64 over long columns — the
+    parity contract key_hashes' fast path rests on."""
+    import numpy as np
+
+    from bitfilters_spark.sources.skipping import _xxhash64_longs
+
+    vals = [0, 1, -1, 42, 7, 61, 133, 2**63 - 1, -(2**63), 123456789012345,
+            -987654321098765]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    expect = np.array(
+        [r["h"] for r in df.select(F.xxhash64("v").alias("h")).collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    got = _xxhash64_longs(vals)
+    assert got.dtype == np.uint64
+    assert (got == expect).all()
+    # key_hashes must route pure-int lists through the local path and
+    # agree with the Spark-job fallback
+    assert (key_hashes(spark, vals) == expect).all()
