@@ -1,3 +1,5 @@
+import os
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -5,9 +7,14 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(
+            f"local[{os.environ.get('BF_TEST_CPUS', '4')}]"
+        )
         .appName("bitfilters-tests")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("BF_TEST_SHUFFLE", "8"),
+        )
         # mirror the session factory's join posture (r14: SHJ preference)
         # so plan-shape tests and the PLAN_AUDIT gate compare like for
         # like with production plans
