@@ -1770,7 +1770,6 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_contamination,
         lcs_contamination,
         ngram_contamination,
-        word_shingles,
     )
     from bitfilters_spark.plans.filter_join import antijoin_filter
 
@@ -1778,38 +1777,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_scan(load_table(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 17 != 0)
     bench = docs.where(F.col("doc_id") % 17 == 0)
-    fp = F.substring_index("text", " ", 5)
 
-    # r15 (VERDICT item 4, guide §2.4 one scan instead of two): the fc
-    # and clean legs each ran their own eager bench-side
-    # build-and-collect job (two jobs, overlapped by the r14 pool). Both
-    # filters now come out of ONE grouped build job over a tagged union
-    # of the two key streams — tag 'g' is filter_contamination's exact
-    # bench gram stream (explode distinct 5-gram strings -> parity hash;
-    # byte-parity with the oracle's sector/mask replay holds because the
-    # duckdb_bloom build is an OR-fold bitmap, a pure function of the
-    # key set and geometry, indifferent to grouping), tag 'f' is the
-    # clean leg's fingerprint hashes. The clean leg's filter KIND is
-    # free (antijoin_filter's result is filter-independent: no false
-    # negatives + exact anti-join confirm), so it rides the same
-    # duckdb_bloom geometry. The single collect runs from a 1-thread
-    # pool and overlaps the (py4j-heavy) contam/lcs leg construction.
-    bench_keys = bench.select(
-        F.explode(F.array_distinct(word_shingles("text", 5))).alias("gs")
-    ).select(
-        F.lit("g").alias("tag"),
-        duckdb_hash(ORACLE_VERSION, "gs").alias("__h"),
-    ).unionByName(
-        bench.select(F.lit("f").alias("tag"), spark_hash64(fp).alias("__h"))
-    )
-    from concurrent.futures import ThreadPoolExecutor
-
-    pool = ThreadPoolExecutor(max_workers=1)
-    build_fut = pool.submit(
-        build_filter(bench_keys, ["tag"], "__h", "duckdb_bloom",
-                     num_sectors=1024).collect
-    )
-
+    # r14 (guide §2.6): two of the four leg constructions run an EAGER
+    # filter-build job before their plan exists (filter_contamination and
+    # antijoin_filter both build-and-collect an AMQ over the bench
+    # grams), serializing ~1.3 s of cluster work; the other two are pure
+    # (py4j-heavy) expression building. Construct all four legs from a
+    # thread pool so the eager builds overlap each other and the
+    # expression building.
     def _contam_leg():
         return ngram_contamination(
             train, bench, "doc_id", "text", n=5, hashed=False
@@ -1819,20 +1794,23 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the native path per gram — probe a THIRD of train (doc_id % 3 == 0;
     # the oracle replays the same slice) to bound the leg at ~+1 s while
     # every stage of the operator still runs end-to-end at corpus scale
-    def _fc_leg(blob):
+    def _fc_leg():
         return filter_contamination(
             train.where(F.col("doc_id") % 3 == 0), bench, "doc_id", "text",
             n=5, kind="duckdb_bloom", verify=False, native=False,
-            num_sectors=1024, blobs=blob,
+            num_sectors=1024,
         ).select("doc_id", F.col("n_flagged").alias("fc_flagged"))
 
-    def _clean_leg(blob):
+    def _clean_leg():
+        fp = F.substring_index("text", " ", 5)
         return antijoin_filter(
             train.select("doc_id", fp.alias("fp")),
             bench.select(fp.alias("fp")),
             "fp",
             "fp",
-            blobs=blob,
+            kind="bloom",
+            n=10_000,
+            fpp=0.01,
         )
 
     def _lcs_leg():
@@ -1861,18 +1839,13 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # contam/lcs construct on the main thread while the build job runs;
-    # fc/clean need the collected blobs, so they construct last (both
-    # are cheap probe+agg expression builds)
-    contam = _contam_leg()
-    lcs = _lcs_leg()
-    built = {r["tag"]: bytes(r["filter"]) for r in build_fut.result()}
-    pool.shutdown(wait=False)
-    # a tag absent from the build output (empty key stream) means an
-    # empty filter: probe_filter treats a missing group as probe-False,
-    # which is exactly the empty-bitmap outcome
-    fc = _fc_leg({(): built["g"]} if "g" in built else {})
-    clean = _clean_leg({(): built["f"]} if "f" in built else {})
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(f) for f in (_contam_leg, _fc_leg, _clean_leg, _lcs_leg)
+        ]
+        contam, fc, clean, lcs = [f.result() for f in futs]
     return (
         contam.join(
             clean.select("doc_id", F.lit(1).alias("fp_clean")),

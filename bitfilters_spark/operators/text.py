@@ -830,7 +830,6 @@ def filter_contamination(
     verify: bool = True,
     num_shards: int | None = None,
     native: bool = True,
-    blobs=None,
     **filter_kwargs,
 ) -> DataFrame:
     """:func:`ngram_contamination` at the scale where the benchmark gram
@@ -871,15 +870,7 @@ def filter_contamination(
     sector/mask build and probe EXACTLY, which is how the driver gate
     pins this operator including its false positives). Extra
     ``filter_kwargs`` (num_sectors, fpp, ...) pass through to
-    `build_filter`.
-
-    ``blobs`` (r15): a pre-built filter over the bench gram hashes — the
-    ``antijoin_filter(blobs=)`` pattern: the default build-and-collect
-    blocks plan construction on a Spark job; a caller composing several
-    eager builds can run ONE fused build job and pass each leg its blob
-    (`probe_filter` forms). MUST be built over this operator's own bench
-    gram stream with the same kind/geometry, or ``n_flagged`` no longer
-    reproduces the declared filter's probe outcomes."""
+    `build_filter`."""
     from ..functions.filters import build_filter, probe_filter
 
     def bench_grams(df_):
@@ -912,33 +903,28 @@ def filter_contamination(
             ),
         ).select(id_col, duckdb_hash("v1.0.0", "gs").alias("g"))
 
-    if blobs is not None:
-        filt = blobs
-        # the bench gram stream is only needed for the verify truth set
-        bg = bench_grams(bench).localCheckpoint(eager=False) if verify else None
-    else:
-        # one lazy barrier: the bench gram explode feeds up to three
-        # consumers (sizing count, filter build, verify truth set) — without
-        # it each would re-run the full benchmark shingle pass
-        bg = bench_grams(bench).localCheckpoint(eager=False)
-        # capacity-bound kinds size from the gram count (the peeled kinds —
-        # xor/fuse/ribbon — size from the actual key array, so they skip the
-        # count job): bloom via n; cuckoo/quotient get their geometry derived
-        # at a safe load factor UNLESS the caller passed it explicitly — a
-        # benchmark-scale gram set must never out-grow a default-sized
-        # fixed-capacity filter mid-build (ADVICE r12)
-        # the count job runs only when its result is actually consumed:
-        # bloom always sizes from n; cuckoo/quotient only when their
-        # geometry kwarg was NOT passed (explicit geometry must not pay a
-        # full benchmark-gram aggregation for a discarded value)
-        needs_count = kind == "bloom" or (
-            kind == "cuckoo" and "nbuckets" not in filter_kwargs
-        ) or (kind == "quotient" and "q" not in filter_kwargs)
-        nb = max(bg.count(), 1) if needs_count else 100_000
-        filter_kwargs = _size_capacity_kind(kind, nb, filter_kwargs)
-        filt = build_filter(
-            bg, [], "g", kind, n=nb, num_shards=num_shards, **filter_kwargs
-        )
+    # one lazy barrier: the bench gram explode feeds up to three
+    # consumers (sizing count, filter build, verify truth set) — without
+    # it each would re-run the full benchmark shingle pass
+    bg = bench_grams(bench).localCheckpoint(eager=False)
+    # capacity-bound kinds size from the gram count (the peeled kinds —
+    # xor/fuse/ribbon — size from the actual key array, so they skip the
+    # count job): bloom via n; cuckoo/quotient get their geometry derived
+    # at a safe load factor UNLESS the caller passed it explicitly — a
+    # benchmark-scale gram set must never out-grow a default-sized
+    # fixed-capacity filter mid-build (ADVICE r12)
+    # the count job runs only when its result is actually consumed:
+    # bloom always sizes from n; cuckoo/quotient only when their
+    # geometry kwarg was NOT passed (explicit geometry must not pay a
+    # full benchmark-gram aggregation for a discarded value)
+    needs_count = kind == "bloom" or (
+        kind == "cuckoo" and "nbuckets" not in filter_kwargs
+    ) or (kind == "quotient" and "q" not in filter_kwargs)
+    nb = max(bg.count(), 1) if needs_count else 100_000
+    filter_kwargs = _size_capacity_kind(kind, nb, filter_kwargs)
+    filt = build_filter(
+        bg, [], "g", kind, n=nb, num_shards=num_shards, **filter_kwargs
+    )
     dg = doc_grams(docs)
     probed = probe_filter(dg, filt, "g", result_col="__flag")
     agg = [
