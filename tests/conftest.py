@@ -3,6 +3,22 @@ import os
 import pytest
 from pyspark.sql import SparkSession
 
+# /tmp is disk-backed (ext4) in this environment while /dev/shm is a
+# large tmpfs; streaming checkpoints, state-store deltas and shuffle
+# files are fsync-ish small-file I/O that costs real wall time on disk
+# (A/B: a 3-batch stateful sessionize runs 10.1 s with /tmp local dirs
+# vs 7.4 s on tmpfs). Point BOTH pytest's tmp_path factory and Spark's
+# local dirs at tmpfs when it exists. Test data is tiny (KBs per test),
+# nothing persists past the run.
+_SHM = "/dev/shm"
+
+
+def pytest_configure(config):
+    if os.path.isdir(_SHM) and config.option.basetemp is None:
+        base = os.path.join(_SHM, f"bf-pytest-{os.getuid()}")
+        os.makedirs(base, exist_ok=True)
+        config.option.basetemp = os.path.join(base, str(os.getpid()))
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -22,9 +38,17 @@ def spark():
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
+        .config(
+            "spark.sql.codegen.wholeStage",
+            os.environ.get("BF_TEST_CODEGEN", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
-        .getOrCreate()
     )
+    if os.path.isdir(_SHM):
+        local = os.path.join(_SHM, f"bf-pytest-{os.getuid()}", "spark-local")
+        os.makedirs(local, exist_ok=True)
+        s = s.config("spark.local.dir", local)
+    s = s.getOrCreate()
     yield s

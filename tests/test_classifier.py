@@ -57,10 +57,19 @@ def test_first_iteration_gradient_matches_numpy(spark, corpus):
     assert model["losses"][0] == pytest.approx(math.log(2.0), abs=1e-12)
 
 
-def test_converges_and_separates(spark, corpus):
-    model = C.train_text_classifier(
+@pytest.fixture(scope="module")
+def sep_model(spark, corpus):
+    """The separating model (n_buckets=4096, iters=40) three tests assert
+    against — trained ONCE per module: each of the 40 GD iterations is a
+    Spark job round-trip, so the three identical trainings were ~60 s of
+    suite wall time for one model's worth of coverage."""
+    return C.train_text_classifier(
         corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=24.0
     )
+
+
+def test_converges_and_separates(spark, corpus, sep_model):
+    model = sep_model
     assert model["losses"][-1] < model["losses"][0] * 0.2  # loss collapsed
     scored = {
         r["doc_id"]: r["score"]
@@ -104,10 +113,8 @@ def test_empty_text_scores_at_bias(spark):
     assert got[1] == pytest.approx(1.0 / (1.0 + math.exp(-model["bias"])), abs=1e-12)
 
 
-def test_classifier_filter_gate(spark, corpus):
-    model = C.train_text_classifier(
-        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=24.0
-    )
+def test_classifier_filter_gate(spark, corpus, sep_model):
+    model = sep_model
     kept = C.classifier_filter(corpus, "doc_id", "text", model, 0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == list(range(len(GOOD)))
 
@@ -146,10 +153,8 @@ def test_calibration_report_binning_and_rates(spark):
     assert rep[0]["mean_score"] == pytest.approx(0.05)
 
 
-def test_calibration_on_trained_model(spark, corpus):
-    model = C.train_text_classifier(
-        corpus, "doc_id", "text", "label", n_buckets=1 << 12, iters=40, lr=24.0
-    )
+def test_calibration_on_trained_model(spark, corpus, sep_model):
+    model = sep_model
     scored = C.classifier_score(corpus, "doc_id", "text", model).join(
         corpus.select("doc_id", "label"), "doc_id"
     )
@@ -280,10 +285,16 @@ def test_langid_one_step_matches_numpy(spark, lang_corpus):
 
 @pytest.fixture(scope="module")
 def lang_model(spark, lang_corpus):
-    """One trained model shared by the separation / roundtrip tests."""
+    """One trained model shared by the separation / roundtrip tests.
+
+    iters=30 (was 60): training is deterministic (full-batch, fixed
+    fixture), and at 30 iterations the model already labels the fixture
+    exactly with losses[-1]/losses[0] = 0.031 — 3x inside the 0.1 bound
+    the test asserts. Each iteration is a Spark job round-trip, so the
+    extra 30 bought ~30 s of suite wall time and no assertion strength."""
     return C.train_langid_classifier(
         lang_corpus, "doc_id", "text", "lang", n_buckets=1 << 12,
-        iters=60, lr=12.0,
+        iters=30, lr=12.0,
     )
 
 

@@ -20,17 +20,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
-def test_oracle_dtypes_match_spark_schema():
-    # Subprocess: the audit builds its own SparkSession config; keep it
-    # isolated from the suite's shared session.
-    proc = subprocess.run(
-        [sys.executable, "tools/oracle_dtype_audit.py", SF_DIR],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        timeout=560,
+def test_oracle_dtypes_match_spark_schema(spark, capsys):
+    # In-process (r15): the audit is schema-only on the Spark side and
+    # read-only DuckDB on the oracle side — it mutates no session state,
+    # so the old subprocess isolation bought nothing but a second ~20 s
+    # JVM startup. Its getOrCreate() picks up the suite session.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_dtype_audit", os.path.join(REPO, "tools", "oracle_dtype_audit.py")
     )
-    assert proc.returncode == 0, f"dtype mismatches:\n{proc.stdout[-4000:]}"
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    bad = mod.main(SF_DIR)
+    assert bad == 0, f"dtype mismatches:\n{capsys.readouterr().out[-4000:]}"
 
 
 def test_queries_fit_driver_correctness_cap():

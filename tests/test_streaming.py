@@ -12,6 +12,20 @@ from pyspark.sql import functions as F
 from bitfilters_spark.streaming import streaming_dedup_exact, streaming_window_counts
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _few_state_partitions(spark):
+    """Streaming micro-batches pay per-partition state-store overhead:
+    at the suite's 8 shuffle partitions a 3-row stateful batch runs 8
+    state-store tasks (measured 18.2 s for a 3-batch sessionize at 8
+    partitions vs 11.0 s at 1). Pin 2 for this module — still exercises
+    cross-partition state, and each test's fresh checkpoint dir pins its
+    own value, so nothing leaks. Restored after the module."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _drop_index_tables(spark, *tables):
     """DROP TABLE alone misses a stale managed-table DIRECTORY left by a
     previous session (catalog empty, location on disk -> creation fails

@@ -24,6 +24,17 @@ from bitfilters_spark.streaming.pipeline import (
 SCHEMA = "doc_id LONG, text STRING"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _few_state_partitions(spark):
+    """See test_streaming.py: 2 shuffle partitions for stateful
+    micro-batches — per-partition state-store overhead dominates
+    3-row batches at the suite default of 8."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _lines(docs):
     out = []
     for d in docs:
