@@ -32,7 +32,14 @@ def test_oracle_dtypes_match_spark_schema(spark, capsys):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    bad = mod.main(SF_DIR)
+    try:
+        bad = mod.main(SF_DIR)
+    finally:
+        # building all 50 constructors leaves their .cache() entries in
+        # the shared session; later plan-shape tests (the PLAN_AUDIT
+        # gate) would see InMemoryRelation substitutions that a fresh
+        # session does not. Leave the session as we found it.
+        spark.catalog.clearCache()
     assert bad == 0, f"dtype mismatches:\n{capsys.readouterr().out[-4000:]}"
 
 
