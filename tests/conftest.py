@@ -17,6 +17,12 @@ def pytest_configure(config):
     if os.path.isdir(_SHM) and config.option.basetemp is None:
         base = os.path.join(_SHM, f"bf-pytest-{os.getuid()}")
         os.makedirs(base, exist_ok=True)
+        # reap tmp trees left by runs whose pytest process is gone
+        import shutil
+
+        for d in os.listdir(base):
+            if d.isdigit() and not os.path.exists(f"/proc/{d}"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         config.option.basetemp = os.path.join(base, str(os.getpid()))
 
 
