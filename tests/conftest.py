@@ -44,9 +44,17 @@ def spark():
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
+        # whole-stage codegen OFF by default for the suite: Janino
+        # compilation of one-off generated classes dominates tiny test
+        # plans (A/B: similarity+graph 167.7 s -> 144.6 s, streaming
+        # ~flat); results are engine-identical (Spark falls back to the
+        # same interpreted expressions codegen compiles). Production
+        # sessions (bitfilters_spark.session.make_session) keep codegen
+        # ON — this is a test-harness wall-time lever only. The one
+        # test ABOUT codegen spans pins the conf on locally.
         .config(
             "spark.sql.codegen.wholeStage",
-            os.environ.get("BF_TEST_CODEGEN", "true"),
+            os.environ.get("BF_TEST_CODEGEN", "false"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -337,10 +337,18 @@ def test_shuffle_report_counts_known_plans(spark):
     assert bj["n_broadcasts"] >= 1
     assert bj["n_exchanges"] == 0
 
-    # codegen spans surface once AQE has finalized the plan (post-action)
-    ran = orders.groupBy("o_custkey").count()
-    ran.collect()
-    assert shuffle_report(ran)["n_codegen_spans"] >= 1
+    # codegen spans surface once AQE has finalized the plan (post-action).
+    # The suite session runs with whole-stage codegen OFF (wall-time:
+    # see conftest); this assertion is ABOUT codegen spans, so pin the
+    # conf on for just this query — it is runtime-settable and restored.
+    old = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        ran = orders.groupBy("o_custkey").count()
+        ran.collect()
+        assert shuffle_report(ran)["n_codegen_spans"] >= 1
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
 
 
 def test_join_plan_report_recommendations(spark):
